@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics headliners (SURVEY §2 #21–27): TPC-H-shaped scans/joins and
+  * event-stream window analytics.
+  *
+  * Oracle-parity rules (SURVEY §5):
+  *  - Money inputs are exact 2-decimal values, so we cast them to
+  *    DECIMAL *before* any arithmetic; products/sums stay exact in both
+  *    engines and the final CAST(… AS DOUBLE) is correctly rounded the
+  *    same way (sum·10^scale stays < 2^53 at test SFs). Casting the
+  *    *result* of a double multiply to decimal is NOT cross-engine-safe:
+  *    products of 2-decimal values routinely land on .xxx5 halfway
+  *    points where Spark (shortest-repr, HALF_UP) and DuckDB (exact
+  *    binary) round differently.
+  *  - No DATE/TIMESTAMP output columns — strings or epoch-second
+  *    BIGINTs only.
+  *  - events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a ns
+  *    LONG (see [[Tables.events]]); all time arithmetic is integer math
+  *    on epoch seconds, mirrored with epoch_ns()//1e9 in DuckDB.
+  *
+  * Scale notes: q1/q6 are scan + partial agg only (map-side combine,
+  * one shuffle on a tiny key space). q3/q5 broadcast every dimension;
+  * the only big shuffle is lineitem⋈orders on the order key, which AQE
+  * skew-splits. Window queries shuffle once on user_id.
+  */
+object Analytics {
+
+  /** Exact-decimal casts: l_extendedprice < 1.1e5 fits (9,2); rates in
+    * [0,1] fit (4,2). Kept tight so Spark's decimal-widening rules
+    * never exceed precision 38 (which would trigger lossy rounding). */
+  private def money(c: Column): Column = c.cast("decimal(9,2)")
+  private def rate(c: Column): Column = c.cast("decimal(4,2)")
+  private val one = lit(1).cast("decimal(4,2)")
+
+  /** #21 TPC-H Q1 shape: pricing summary report. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val discounted = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discounted).cast("double").as("sum_disc_price"),
+        sum(discounted * (one + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val revenueTerm: Column =
+    money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+  private val revenueTermSql =
+    "CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  /** #22 TPC-H Q3 shape: top-10 orders by revenue.
+    * customer is broadcast; lineitem⋈orders shuffles on the order key. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revenueTerm).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(
+        col("l_orderkey"),
+        col("rev").cast("double").as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+  }
+
+  val q3ShippingSql: String =
+    s"""SELECT l_orderkey,
+      |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY SUM($revenueTermSql) DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** #23 TPC-H Q5 shape: revenue by nation within a region+year, with
+    * the customer-and-supplier-in-same-nation constraint. All
+    * dimensions broadcast. */
+  def q5Local(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueTerm).cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5LocalSql: String =
+    s"""SELECT n_name,
+      |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** #24 TPC-H Q6 shape: selective scan — filter + two-column
+    * projection; the parquet scan must show PushedFilters and a pruned
+    * ReadSchema. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(money(col("l_extendedprice")) * rate(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.06
+      |  AND l_quantity < 24""".stripMargin
+
+  /** #25 Window functions: per-user running spend + event sequence
+    * number. Single shuffle on user_id; in-partition sort is by the
+    * (globally time-ordered) event_id, never by raw ns timestamps. */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    e.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(9,2)").as("v"))
+      .withColumn("running_value", sum(col("v")).over(w).cast("double"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .drop("v")
+      .orderBy("event_id")
+  }
+
+  val eventsWindowSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER w AS DOUBLE) AS running_value,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** #26 Event-time tumbling-window aggregation (batch analogue of the
+    * streaming agg in graft.streaming). Hour buckets as epoch-second
+    * BIGINTs derived with integer math. */
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(
+        (expr("ts_s div 3600") * 3600).as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(9,2)")).cast("double").as("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val eventsTumblingSql: String =
+    """SELECT ((epoch_ns(ts)//1000000000)//3600)*3600 AS hour_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin
+
+  /** #27 Gap-based sessionization (1h inactivity gap). All timestamp
+    * arithmetic happens on pre-floored epoch seconds so both engines
+    * compare identical integers. */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("value").cast("decimal(9,2)").as("v"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    e.withColumn("gap", col("ts_s") - lag("ts_s", 1).over(w))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") > 3600, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(w))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("v").cast("double").as("sum_value"),
+        min("ts_s").as("start_s"),
+        max("ts_s").as("end_s"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val eventsSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_s,
+      |         CAST(value AS DECIMAL(9,2)) AS v
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN ts_s - LAG(ts_s) OVER w IS NULL
+      |                   OR ts_s - LAG(ts_s) OVER w > 3600 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |), sessions AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value,
+      |  MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+      |  MAX(ts_s) - MIN(ts_s) AS duration_s
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_shipping" -> q3Shipping,
+    "q5_local" -> q5Local,
+    "q6_forecast" -> q6Forecast,
+    "events_window" -> eventsWindow,
+    "events_tumbling" -> eventsTumbling,
+    "events_sessions" -> eventsSessions)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local" -> q5LocalSql,
+    "q6_forecast" -> q6ForecastSql,
+    "events_window" -> eventsWindowSql,
+    "events_tumbling" -> eventsTumblingSql,
+    "events_sessions" -> eventsSessionsSql)
+}
