@@ -20,7 +20,13 @@ object Tables {
     * reader rejects; read it as a raw ns LONG and derive `ts_s`
     * (epoch seconds, exact integer math — mirrors DuckDB's
     * epoch_ns(ts)//1e9). Downstream operators use `ts_s`/`ts` (ns long)
-    * so no µs-vs-ns precision skew can reach an oracle comparison. */
+    * so no µs-vs-ns precision skew can reach an oracle comparison.
+    *
+    * NOTE: `nanosAsLong` is a session-global flag, normally set once at
+    * session construction by [[GraftSession]]. The set here is a
+    * defensive idempotent repeat for sessions built elsewhere; it
+    * affects how ALL nanos-timestamp parquet is read for the rest of
+    * the session. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")

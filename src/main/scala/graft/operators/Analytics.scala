@@ -74,15 +74,21 @@ object Analytics {
     "CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   /** #22 TPC-H Q3 shape: top-10 orders by revenue.
-    * customer is broadcast; lineitem⋈orders shuffles on the order key. */
+    *
+    * No forced broadcast hints: customer is O(SF) (fact-sized at SF100),
+    * so a hard `broadcast()` would OOM executors at scale. AQE converts
+    * the join to broadcast at runtime whenever the filtered side
+    * actually fits; otherwise both joins shuffle on their keys.
+    * orders⋈customer runs first (smaller shuffle) and the result meets
+    * lineitem on the order key. */
   def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.load(spark, dir, "orders")
       .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val l = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(revenueTerm).as("rev"))
       .orderBy(col("rev").desc, col("l_orderkey"))
@@ -109,8 +115,15 @@ object Analytics {
       |LIMIT 10""".stripMargin
 
   /** #23 TPC-H Q5 shape: revenue by nation within a region+year, with
-    * the customer-and-supplier-in-same-nation constraint. All
-    * dimensions broadcast. */
+    * the customer-and-supplier-in-same-nation constraint.
+    *
+    * Broadcast hints ONLY on the genuinely bounded dims (region = 5
+    * rows, nation = 25 rows — O(1), not O(SF)). customer and supplier
+    * grow with SF, so their join strategy is left to AQE: at test SF
+    * they broadcast at runtime; at SF100 they shuffle instead of
+    * OOMing. Join order: customer⋈orders first (pre-lineitem, so the
+    * big lineitem shuffle carries only matching orders), then
+    * lineitem, then supplier. */
   def q5Local(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
     val n = Tables.load(spark, dir, "nation")
@@ -120,9 +133,9 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = Tables.load(spark, dir, "lineitem")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

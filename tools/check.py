@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run Verify output
 against oracle_sql.json in DuckDB over the same parquet, compare
-(columns sorted by name, rows sorted, values hashed with float
-tolerance reporting). Usage: check.py <sfDir> <verifyOutDir>
+(columns sorted by name, rows sorted). Floats are compared EXACTLY
+(bit-identical, by design — SURVEY §5 requires decimal-before-
+arithmetic so both engines produce identical doubles); only the diff
+magnitude is reported on mismatch. Usage: check.py <sfDir> <verifyOutDir>
 """
 import glob
 import json
