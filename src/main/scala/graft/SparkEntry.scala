@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Analytics.queries ++
-      operators.Syslog.queries
+      operators.Syslog.queries ++
+      operators.Framing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Analytics.oracle ++
-      operators.Syslog.oracle
+      operators.Syslog.oracle ++
+      operators.Framing.oracle
 }
