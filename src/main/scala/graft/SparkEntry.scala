@@ -12,12 +12,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Analytics.queries ++
       operators.Syslog.queries ++
-      operators.Framing.queries
+      operators.Framing.queries ++
+      operators.Envelope.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Analytics.oracle ++
       operators.Syslog.oracle ++
-      operators.Framing.oracle
+      operators.Framing.oracle ++
+      operators.Envelope.oracle
 }

@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.{Constants, Tables}
+import graft.functions.BinaryFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sink envelope, record split, Firehose batching and stats counters
+  * (SURVEY §2 #15–19).
+  *
+  * Reference semantics re-expressed relationally:
+  *  - events are grouped by (source, dest-port); each group becomes a
+  *    CloudWatch-Logs-style record {owner, logGroup: prefix/class/port,
+  *    logStream: source, subscriptionFilters, messageType, logEvents}
+  *    (reference: kinesyslog/sink.py:148-217)
+  *  - a record whose size exceeds MAX_RECORD_SIZE splits its events
+  *    into ⌈size/max⌉ even parts (sink.py:167-186); the reference
+  *    measures the gzipped JSON, we use the uncompressed event bytes —
+  *    deterministic, scale-equivalent, and oracle-computable
+  *  - spooled records drain into Firehose batches under the ≤500
+  *    records / ≤4 MiB caps, greedily in drain order
+  *    (spool.py:163-186, constant.py:16-17)
+  *  - counters count messages/bytes per (port, source)
+  *    (protocol.py:66-74)
+  *
+  * Scale: one shuffle on (source, dest) for envelope/split (map-side
+  * partial aggregation applies); batching shuffles once on dest and
+  * runs the greedy scan per dest-partition — the sequential part is
+  * bounded by records-per-destination, never by event count. No
+  * driver-side loops.
+  *
+  * Synthesis contract (shared with the oracles): source =
+  * '10.0.0.'||(user_id % 200); dest = 514 (click/view), 601
+  * (signup/purchase), 6514 (error); message = `<pri>type id=N`;
+  * bytes = length(message).
+  */
+object Envelope {
+
+  private val msg = format_string("<%d>%s id=%d",
+    col("event_id") % 192, col("event_type"), col("event_id"))
+  private val source = concat(lit("10.0.0."), col("user_id") % 200)
+  private val dest = when(col("event_type").isin("click", "view"), 514)
+    .when(col("event_type").isin("signup", "purchase"), 601)
+    .otherwise(6514)
+
+  private val msgSql = "printf('<%d>%s id=%d', event_id % 192, event_type, event_id)"
+  private val sourceSql = "'10.0.0.' || (user_id % 200)"
+  private val destSql =
+    """CASE WHEN event_type IN ('click','view') THEN 514
+      |     WHEN event_type IN ('signup','purchase') THEN 601
+      |     ELSE 6514 END""".stripMargin.replace("\n", " ")
+
+  private def withEnvelopeCols(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), col("ts_s"),
+      source.as("source"), dest.as("dest"), msg.as("message"))
+
+  private val oracleBase =
+    s"""WITH e AS (
+      |  SELECT event_id, epoch_ns(ts)//1000000000 AS ts_s,
+      |    $sourceSql AS source,
+      |    $destSql AS dest,
+      |    $msgSql AS message
+      |  FROM events
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #15 record_envelope
+  // ---------------------------------------------------------------------
+
+  /** Group prefix/class as the reference composes logGroup
+    * (sink.py:163: '{prefix}/{message_class}/{port}'). */
+  val GroupPrefix = "graft"
+  val MessageClass = "syslog"
+  val Owner = "000000000000"
+
+  def recordEnvelope(spark: SparkSession, dir: String): DataFrame =
+    withEnvelopeCols(spark, dir)
+      .groupBy("source", "dest")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(length(col("message")).cast("long")).as("total_bytes"),
+        (min("ts_s") * 1000).as("min_ts_ms"),
+        (max("ts_s") * 1000).as("max_ts_ms"))
+      .select(
+        col("source"), col("dest"),
+        concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
+          .as("log_group"),
+        col("source").as("log_stream"),
+        lit(Owner).as("owner"),
+        lit("DATA_MESSAGE").as("message_type"),
+        col("n_events"), col("total_bytes"), col("min_ts_ms"), col("max_ts_ms"))
+      .orderBy("source", "dest")
+
+  val recordEnvelopeSql: String =
+    s"""$oracleBase
+      |SELECT source, dest,
+      |  'graft/syslog/' || dest AS log_group,
+      |  source AS log_stream,
+      |  '000000000000' AS owner,
+      |  'DATA_MESSAGE' AS message_type,
+      |  COUNT(*) AS n_events,
+      |  SUM(length(message)) AS total_bytes,
+      |  MIN(ts_s) * 1000 AS min_ts_ms,
+      |  MAX(ts_s) * 1000 AS max_ts_ms
+      |FROM e
+      |GROUP BY source, dest
+      |ORDER BY source, dest""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #16 record_split — even-part split of oversize records
+  // ---------------------------------------------------------------------
+
+  /** Test-scale record cap; the production default is
+    * Constants.MaxRecordSize. At sf0.01 a (source,dest) group carries
+    * ~1.5 KiB of messages, so 4096 exercises 1-, 2- and 3-part splits. */
+  val TestRecordSize = 4096
+
+  def recordSplit(spark: SparkSession, dir: String,
+                  maxRecord: Int = TestRecordSize): DataFrame = {
+    val e = withEnvelopeCols(spark, dir)
+      .withColumn("bytes", length(col("message")).cast("long"))
+    val grp = Window.partitionBy("source", "dest")
+    val ord = grp.orderBy("event_id")
+    e.withColumn("rn0", row_number().over(ord) - 1)
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("size", sum("bytes").over(grp))
+      // ⌈size/max⌉ even parts of ⌊n/parts⌋ events (sink.py:179-186);
+      // the trailing remainder spills into one extra part exactly as
+      // the reference's `while start < len` loop does.
+      .withColumn("split_count", ((col("size") + maxRecord - 1) / maxRecord).cast("long"))
+      .withColumn("part_len",
+        greatest(lit(1L), (col("n") / col("split_count")).cast("long")))
+      .withColumn("part_id", (col("rn0") / col("part_len")).cast("long"))
+      .groupBy("source", "dest", "part_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("bytes").as("part_bytes"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+      .orderBy("source", "dest", "part_id")
+  }
+
+  def recordSplitSql(maxRecord: Int = TestRecordSize): String =
+    s"""$oracleBase,
+      |sized AS (
+      |  SELECT source, dest, event_id, length(message) AS bytes,
+      |    row_number() OVER (PARTITION BY source, dest ORDER BY event_id) - 1 AS rn0,
+      |    COUNT(*) OVER (PARTITION BY source, dest) AS n,
+      |    SUM(length(message)) OVER (PARTITION BY source, dest) AS size
+      |  FROM e
+      |),
+      |parts AS (
+      |  SELECT *,
+      |    GREATEST(1, n // ((size + $maxRecord - 1) // $maxRecord)) AS part_len
+      |  FROM sized
+      |)
+      |SELECT source, dest, rn0 // part_len AS part_id,
+      |  COUNT(*) AS n_events,
+      |  SUM(bytes) AS part_bytes,
+      |  MIN(event_id) AS first_event,
+      |  MAX(event_id) AS last_event
+      |FROM parts
+      |GROUP BY source, dest, part_id
+      |ORDER BY source, dest, part_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #17 firehose_batches — greedy drain under count/size caps
+  // ---------------------------------------------------------------------
+
+  /** Test-scale caps; production defaults are MaxBatchCount=500 /
+    * MaxBatchSize=4 MiB. */
+  val TestBatchCount = 10
+  val TestBatchSize = 4096L
+
+  def firehoseBatches(spark: SparkSession, dir: String,
+                      maxCount: Int = TestBatchCount,
+                      maxSize: Long = TestBatchSize): DataFrame = {
+    val records = recordSplit(spark, dir)
+      .select(col("source"), col("dest"), col("part_id"), col("part_bytes"))
+    // Drain order within a destination: (source, part). The greedy
+    // scan is a per-dest fold over the sorted record list — bounded by
+    // records-per-dest (spool files), not events.
+    val recs = records.groupBy("dest").agg(
+      array_sort(collect_list(struct(col("source"), col("part_id"),
+        col("part_bytes")))).as("rs"))
+    val assigned = recs.withColumn("batch_ids",
+      expr(
+        s"""aggregate(
+           |  rs,
+           |  struct(CAST(array() AS ARRAY<BIGINT>) AS ids,
+           |         CAST(0 AS BIGINT) AS b,
+           |         CAST(0 AS BIGINT) AS c,
+           |         CAST(0 AS BIGINT) AS s),
+           |  (acc, x) -> CASE
+           |    WHEN acc.c > 0 AND (acc.c >= $maxCount OR acc.s + x.part_bytes > ${maxSize}L)
+           |    THEN struct(array_append(acc.ids, acc.b + 1) AS ids,
+           |                acc.b + 1 AS b, CAST(1 AS BIGINT) AS c,
+           |                CAST(x.part_bytes AS BIGINT) AS s)
+           |    ELSE struct(array_append(acc.ids, acc.b) AS ids,
+           |                acc.b AS b, acc.c + 1 AS c, acc.s + x.part_bytes AS s)
+           |    END,
+           |  acc -> acc.ids)""".stripMargin))
+    assigned
+      .select(col("dest"), explode(arrays_zip(col("rs"), col("batch_ids")))
+        .as("z"))
+      .select(col("dest"), col("z.batch_ids").as("batch_id"),
+        col("z.rs.part_bytes").as("bytes"))
+      .groupBy("dest", "batch_id")
+      .agg(count(lit(1)).as("n_records"), sum("bytes").as("batch_bytes"))
+      .orderBy("dest", "batch_id")
+  }
+
+  def firehoseBatchesSql(maxCount: Int = TestBatchCount,
+                         maxSize: Long = TestBatchSize): String = {
+    val split = recordSplitSql()
+      .replace("ORDER BY source, dest, part_id", "")
+    // Greedy packing as a linear recursion over per-dest drain order.
+    "WITH recs AS (\n" +
+      "  SELECT dest, row_number() OVER (PARTITION BY dest ORDER BY source, part_id) AS rn,\n" +
+      "         part_bytes AS bytes\n" +
+      "  FROM (" + split + ")\n" +
+      "),\n" +
+      "packed AS (\n" +
+      "  WITH RECURSIVE walk(dest, rn, bytes, batch, bc, bs) AS (\n" +
+      "    SELECT dest, rn, bytes, 0, 1, bytes FROM recs WHERE rn = 1\n" +
+      "    UNION ALL\n" +
+      "    SELECT r.dest, r.rn, r.bytes,\n" +
+      s"      CASE WHEN w.bc >= $maxCount OR w.bs + r.bytes > $maxSize\n" +
+      "           THEN w.batch + 1 ELSE w.batch END,\n" +
+      s"      CASE WHEN w.bc >= $maxCount OR w.bs + r.bytes > $maxSize\n" +
+      "           THEN 1 ELSE w.bc + 1 END,\n" +
+      s"      CASE WHEN w.bc >= $maxCount OR w.bs + r.bytes > $maxSize\n" +
+      "           THEN r.bytes ELSE w.bs + r.bytes END\n" +
+      "    FROM walk w JOIN recs r ON r.dest = w.dest AND r.rn = w.rn + 1\n" +
+      "  )\n" +
+      "  SELECT * FROM walk\n" +
+      ")\n" +
+      "SELECT dest, CAST(batch AS BIGINT) AS batch_id,\n" +
+      "  COUNT(*) AS n_records, SUM(bytes) AS batch_bytes\n" +
+      "FROM packed\n" +
+      "GROUP BY dest, batch\n" +
+      "ORDER BY dest, batch_id"
+  }
+
+  // ---------------------------------------------------------------------
+  // #18 record_gzip — spool-format gzip round-trip (rows-only: gzip
+  // byte output is library-specific, so there is no cross-engine hash)
+  // ---------------------------------------------------------------------
+
+  def recordGzip(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = withEnvelopeCols(spark, dir)
+      .groupBy("source", "dest")
+      .agg(array_join(array_sort(collect_list(struct(col("event_id"),
+        col("message").as("m")))).getField("m"), "\n").as("payload"))
+    grouped
+      .withColumn("raw", col("payload").cast("binary"))
+      .withColumn("gz", gzip_compress(col("raw")))
+      .withColumn("rt", decompress_auto(col("gz")))
+      .select(
+        col("source"), col("dest"),
+        length(col("payload")).as("raw_len"),
+        octet_length(col("gz")).as("gz_len"),
+        (col("rt") === col("raw")).cast("int").as("roundtrip_ok"))
+      .orderBy("source", "dest")
+  }
+
+  // ---------------------------------------------------------------------
+  // #19 stats_counters
+  // ---------------------------------------------------------------------
+
+  def statsCounters(spark: SparkSession, dir: String): DataFrame =
+    withEnvelopeCols(spark, dir)
+      .groupBy(col("dest").as("port"), col("source"))
+      .agg(
+        count(lit(1)).as("message_count"),
+        sum(length(col("message")).cast("long")).as("message_bytes"))
+      .orderBy("port", "source")
+
+  val statsCountersSql: String =
+    s"""$oracleBase
+      |SELECT dest AS port, source,
+      |  COUNT(*) AS message_count,
+      |  SUM(length(message)) AS message_bytes
+      |FROM e
+      |GROUP BY dest, source
+      |ORDER BY port, source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "record_envelope" -> (recordEnvelope(_, _)),
+    "record_split" -> ((s, d) => recordSplit(s, d)),
+    "firehose_batches" -> ((s, d) => firehoseBatches(s, d)),
+    "record_gzip" -> (recordGzip(_, _)),
+    "stats_counters" -> (statsCounters(_, _)))
+
+  val oracle: Map[String, String] = Map(
+    "record_envelope" -> recordEnvelopeSql,
+    "record_split" -> recordSplitSql(),
+    "firehose_batches" -> firehoseBatchesSql(),
+    "stats_counters" -> statsCountersSql)
+}

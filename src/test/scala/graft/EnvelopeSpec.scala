@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.BinaryFunctions._
+import org.apache.spark.sql.functions._
+
+/** Envelope/record/batch/stats (#15–19) invariants + gzip/zlib
+  * expression round-trips. */
+class EnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gzip round-trip preserves bytes and writes gzip magic") {
+    val df = Seq("hello spool", "x" * 5000).toDF("s")
+      .withColumn("raw", col("s").cast("binary"))
+      .withColumn("gz", gzip_compress(col("raw")))
+      .withColumn("rt", decompress_auto(col("gz")))
+    val rows = df.select("gz", "rt", "raw").collect()
+    rows.foreach { r =>
+      val gz = r.getAs[Array[Byte]](0)
+      assert(gz(0) == 0x1f.toByte && gz(1) == 0x8b.toByte)
+      assert(r.getAs[Array[Byte]](1).sameElements(r.getAs[Array[Byte]](2)))
+    }
+  }
+
+  test("zlib round-trip via magic sniff") {
+    val df = Seq("gelf payload").toDF("s")
+      .withColumn("raw", col("s").cast("binary"))
+      .withColumn("z", zlib_compress(col("raw")))
+      .withColumn("rt", decompress_auto(col("z")))
+    val r = df.select("z", "rt", "raw").collect().head
+    assert(r.getAs[Array[Byte]](0)(0) == 0x78.toByte)
+    assert(r.getAs[Array[Byte]](1).sameElements(r.getAs[Array[Byte]](2)))
+  }
+
+  test("uncompressed payloads pass through decompress_auto unchanged") {
+    val r = Seq("{\"version\":\"1.1\"}").toDF("s")
+      .withColumn("raw", col("s").cast("binary"))
+      .select(decompress_auto(col("raw")).cast("string")).collect().head
+    assert(r.getString(0) === "{\"version\":\"1.1\"}")
+  }
+
+  test("corrupt gzip payload yields null (reference drops it)") {
+    val bytes = Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3)
+    val r = Seq(bytes).toDF("raw").select(decompress_auto(col("raw"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("record_split parts reassemble each (source,dest) group exactly") {
+    val split = operators.Envelope.recordSplit(spark, sf)
+    val env = operators.Envelope.recordEnvelope(spark, sf)
+    val back = split.groupBy("source", "dest")
+      .agg(sum("n_events").as("n"), sum("part_bytes").as("b"))
+    val joined = env.join(back, Seq("source", "dest"))
+      .filter(col("n") =!= col("n_events") || col("b") =!= col("total_bytes"))
+    assert(joined.count() === 0)
+  }
+
+  test("record_split respects the size cap (greedy even parts)") {
+    // Every part except possibly the remainder of each group must be
+    // at or below the cap when messages are small relative to it.
+    val over = operators.Envelope.recordSplit(spark, sf)
+      .filter(col("part_bytes") > operators.Envelope.TestRecordSize * 2)
+    assert(over.count() === 0)
+  }
+
+  test("firehose batches respect count and size caps") {
+    val b = operators.Envelope.firehoseBatches(spark, sf)
+    assert(b.filter(col("n_records") > operators.Envelope.TestBatchCount).count() === 0)
+    // size cap can only be exceeded by a single oversize record
+    val over = b.filter(col("batch_bytes") > operators.Envelope.TestBatchSize &&
+      col("n_records") > 1)
+    assert(over.count() === 0)
+    assert(b.count() > 0)
+  }
+
+  test("stats counters cover all events") {
+    val s = operators.Envelope.statsCounters(spark, sf)
+    val total = s.agg(sum("message_count")).collect().head.getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+}
