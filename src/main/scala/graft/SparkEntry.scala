@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Analytics.queries ++
       operators.Syslog.queries ++
       operators.Framing.queries ++
-      operators.Envelope.queries
+      operators.Envelope.queries ++
+      operators.Gelf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     operators.Analytics.oracle ++
       operators.Syslog.oracle ++
       operators.Framing.oracle ++
-      operators.Envelope.oracle
+      operators.Envelope.oracle ++
+      operators.Gelf.oracle
 }

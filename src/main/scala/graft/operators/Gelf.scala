@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.BinaryFunctions._
+import graft.functions.GelfFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GELF v1.1 (SURVEY §2 #7, #8, #12).
+  *
+  * - gelf_parse: JSON event parse with typed columns + additional
+  *   (`_`-prefixed) field handling and the reference's timestamp
+  *   fallback chain: JSON `timestamp` field, else the receive time;
+  *   non-JSON payloads keep the raw message and the receive time
+  *   (reference: kinesyslog/message.py:80-91).
+  * - gelf_chunks: chunk datagrams carry the binary `0x1E0F` header
+  *   (id/seq/count); reassembly groups by id, ignores duplicate
+  *   seqs, emits complete messages only (gelf.py:11-50).
+  * - decompress_auto: zlib/gzip magic-sniffed datagram decompression
+  *   (protocol.py:246-261) — rows-only, gzip bytes are
+  *   library-specific.
+  *
+  * Scale: parse is map-only; reassembly shuffles once on the 8-byte
+  * message id (uniform by construction). No driver-side state: the
+  * reference's in-memory chunk dict becomes a hash aggregate.
+  */
+object Gelf {
+
+  // -- #7 gelf_parse ----------------------------------------------------
+
+  private val gelfSchema = StructType(Seq(
+    StructField("version", StringType),
+    StructField("host", StringType),
+    StructField("short_message", StringType),
+    StructField("timestamp", LongType),
+    StructField("level", IntegerType),
+    StructField("_event_id", LongType),
+    StructField("_user", LongType)))
+
+  /** Synthesized GELF datagram per event; every 11th is not JSON,
+    * every 13th omits the timestamp field (exercising both fallback
+    * arms). */
+  private def gelfLine = {
+    val good = format_string(
+      """{"version":"1.1","host":"host-%d","short_message":"%s id=%d","timestamp":%d,"level":%d,"_event_id":%d,"_user":%d}""",
+      col("user_id"), col("event_type"), col("event_id"), col("ts_s"),
+      col("event_id") % 8, col("event_id"), col("user_id"))
+    val noTs = format_string(
+      """{"version":"1.1","host":"host-%d","short_message":"%s id=%d","level":%d,"_event_id":%d,"_user":%d}""",
+      col("user_id"), col("event_type"), col("event_id"),
+      col("event_id") % 8, col("event_id"), col("user_id"))
+    when(col("event_id") % 11 === 0,
+        format_string("not-json %s id=%d", col("event_type"), col("event_id")))
+      .when(col("event_id") % 13 === 0, noTs)
+      .otherwise(good)
+  }
+
+  def gelfParse(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+      .withColumn("recv_s", col("ts_s") + 2)
+      .withColumn("raw", gelfLine)
+    val parsed = e
+      .withColumn("j", from_json(col("raw"), gelfSchema))
+      .withColumn("m", from_json(col("raw"), MapType(StringType, StringType)))
+    parsed.select(
+        col("event_id"),
+        col("j.version").as("version"),
+        col("j.host").as("host"),
+        col("j.short_message").as("short_message"),
+        (coalesce(col("j.timestamp"), col("recv_s")) * 1000).as("ts_ms"),
+        col("j.level").as("level"),
+        when(col("m").isNotNull,
+          size(filter(map_keys(col("m")), k => k.startsWith("_"))))
+          .otherwise(0).as("n_extra"))
+      .orderBy("event_id")
+  }
+
+  val gelfParseSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_ns(ts)//1000000000 AS ts_s
+      |  FROM events
+      |)
+      |SELECT event_id,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL ELSE '1.1' END AS version,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL
+      |       ELSE 'host-' || user_id END AS host,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL
+      |       ELSE event_type || ' id=' || event_id END AS short_message,
+      |  CASE WHEN event_id % 11 = 0 OR event_id % 13 = 0
+      |       THEN (ts_s + 2) * 1000 ELSE ts_s * 1000 END AS ts_ms,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL
+      |       ELSE CAST(event_id % 8 AS INT) END AS level,
+      |  CAST(CASE WHEN event_id % 11 = 0 THEN 0 ELSE 2 END AS INT) AS n_extra
+      |FROM e
+      |ORDER BY event_id""".stripMargin
+
+  // -- #8 gelf_chunks ---------------------------------------------------
+
+  /** Documents split into 1–3 chunks carrying real binary headers;
+    * every 7th multi-chunk doc loses its last chunk (incomplete →
+    * never emitted), every 5th doc duplicates its first chunk
+    * (duplicate seq → ignored). */
+  def gelfChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("total", (col("n_chars") % 3 + 1).cast("int"))
+    val chunks = d
+      .select(col("doc_id"), col("text"), col("total"),
+        explode(sequence(lit(0), col("total") - 1)).as("seq"))
+      .withColumn("start",
+        (col("seq") * length(col("text")) / col("total")).cast("int") + 1)
+      .withColumn("end",
+        ((col("seq") + 1) * length(col("text")) / col("total")).cast("int"))
+      .withColumn("payload",
+        col("text").substr(col("start"), col("end") - col("start") + 1))
+      // drop the last chunk of every 7th multi-chunk doc
+      .filter(!(col("doc_id") % 7 === 0 && col("total") > 1 &&
+        col("seq") === col("total") - 1))
+    val dup = chunks.filter(col("doc_id") % 5 === 0 && col("seq") === 0)
+    val withHeader = chunks.unionAll(dup)
+      .withColumn("hex",
+        concat(lit("1E0F"),
+          lpad(hex(col("doc_id")), 16, "0"),
+          lpad(hex(col("seq")), 2, "0"),
+          lpad(hex(col("total")), 2, "0")))
+      .withColumn("datagram", concat(unhex(col("hex")), col("payload").cast("binary")))
+    // --- the operator under test: binary header parse + reassembly ---
+    withHeader
+      .select(gelf_chunk_parse(col("datagram")).as("c"))
+      .select(col("c.id").as("id"), col("c.seq").as("seq"),
+        col("c.total").as("total"), col("c.payload").cast("string").as("payload"))
+      .groupBy("id")
+      .agg(
+        array_sort(array_distinct(collect_list(struct(col("seq"), col("payload")))))
+          .as("parts"),
+        max("total").as("total"))
+      .filter(size(col("parts")) === col("total"))
+      .select(col("id").as("doc_id"),
+        array_join(col("parts").getField("payload"), "").as("message"))
+      .orderBy("doc_id")
+  }
+
+  val gelfChunksSql: String =
+    """SELECT doc_id, text AS message
+      |FROM documents
+      |WHERE NOT (doc_id % 7 = 0 AND (n_chars % 3 + 1) > 1)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- #12 decompress_auto (rows-only) ----------------------------------
+
+  def decompressAuto(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("raw", col("text").cast("binary"))
+      .withColumn("packed",
+        when(col("doc_id") % 3 === 0, zlib_compress(col("raw")))
+          .when(col("doc_id") % 3 === 1, gzip_compress(col("raw")))
+          .otherwise(col("raw")))
+    d.withColumn("out", decompress_auto(col("packed")))
+      .select(
+        col("doc_id"),
+        (col("doc_id") % 3).cast("int").as("codec"),
+        length(col("packed")).as("packed_len"),
+        (col("out") === col("raw")).cast("int").as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gelf_parse" -> gelfParse,
+    "gelf_chunks" -> gelfChunks,
+    "decompress_auto" -> decompressAuto)
+
+  val oracle: Map[String, String] = Map(
+    "gelf_parse" -> gelfParseSql,
+    "gelf_chunks" -> gelfChunksSql)
+}
