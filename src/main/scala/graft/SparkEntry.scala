@@ -14,7 +14,8 @@ object SparkEntry {
       operators.Syslog.queries ++
       operators.Framing.queries ++
       operators.Envelope.queries ++
-      operators.Gelf.queries
+      operators.Gelf.queries ++
+      operators.Proxy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       operators.Syslog.oracle ++
       operators.Framing.oracle ++
       operators.Envelope.oracle ++
-      operators.Gelf.oracle
+      operators.Gelf.oracle ++
+      operators.Proxy.oracle
 }
