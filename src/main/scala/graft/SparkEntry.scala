@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Framing.queries ++
       operators.Envelope.queries ++
       operators.Gelf.queries ++
-      operators.Proxy.queries
+      operators.Proxy.queries ++
+      operators.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       operators.Framing.oracle ++
       operators.Envelope.oracle ++
       operators.Gelf.oracle ++
-      operators.Proxy.oracle
+      operators.Proxy.oracle ++
+      operators.Dedup.oracle
 }

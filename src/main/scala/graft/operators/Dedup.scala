@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (SURVEY §2 #28–32) over the `documents` and
+  * `embeddings` tables.
+  *
+  * Scale design (SURVEY §4): nothing here is O(n²) on the corpus.
+  *  - exact: one hash aggregate on the normalized-text digest.
+  *  - jaccard: candidate pairs come from an inverted-index join
+  *    bucketed by (lang, source) — the exact-verify step is meant for
+  *    LSH-candidate output, never the full cross product.
+  *  - minhash: signatures are per-row HOF math (no explode of
+  *    token×seed); the only shuffle keys on (band, band_hash), uniform
+  *    by construction.
+  *  - simhash: 64-bit signature per row, candidates via 4×16-bit
+  *    rotated-chunk equality (pigeonhole: covers hamming ≤ 3).
+  *  - embedding: exact integer cosine test on quantized vectors —
+  *    cross-engine bit-exact (no float threshold flakiness); at scale
+  *    the candidate pairs come from ann_lsh buckets (Similarity.scala),
+  *    here all-pairs only at oracle scale.
+  *
+  * The reference relay has no dedup; these are the LLM-training-data
+  * operators the builder prompt adds as first-class.
+  */
+object Dedup {
+
+  /** Shared normalization: lowercase, trim, collapse whitespace. */
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+  private val normSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), norm(col("text")).as("norm"))
+
+  /** Distinct token set as a sorted array column. */
+  private val toks = array_sort(array_distinct(split(col("norm"), " ")))
+
+  /** Distinct word-2-gram shingles. The synthetic corpus draws from a
+    * ~30-word vocabulary, so unigram token sets are near-identical
+    * across ALL docs (est. J ≥ 0.5 for >60% of pairs) — shingling
+    * restores selectivity exactly as it does on real web text, and the
+    * corpus' planted near-duplicates (25 pairs at sf0.01) separate
+    * cleanly from the J≤0.2 background. */
+  private val shingles = expr(
+    """array_distinct(transform(
+      |  sequence(0, size(split(norm, ' ')) - 2),
+      |  i -> concat_ws(' ', element_at(split(norm, ' '), i + 1),
+      |                      element_at(split(norm, ' '), i + 2))))""".stripMargin)
+
+  // ---------------------------------------------------------------------
+  // #28 dedup_exact
+  // ---------------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("norm")).as("fingerprint"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups", "fingerprint")
+      .orderBy("keep_id")
+
+  val dedupExactSql: String =
+    s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,
+      |  md5(norm) AS fingerprint
+      |FROM d
+      |GROUP BY norm
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #31 dedup_jaccard — exact token-set Jaccard on bucketed candidates
+  // ---------------------------------------------------------------------
+
+  /** Integer-exact threshold test for J ≥ 0.8:
+    * shared/(na+nb-shared) ≥ 4/5 ⟺ 5·shared ≥ 4·(na+nb-shared). */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), toks.as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+        explode(col("toks")).as("tok"))
+    val pairs = t.as("a")
+      .join(t.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.nt")).as("na"), first(col("b.nt")).as("nb"))
+    pairs
+      .filter(lit(5) * col("shared") >= lit(4) * (col("na") + col("nb") - col("shared")))
+      .select(col("doc_a"), col("doc_b"),
+        col("shared").cast("long").as("shared"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupJaccardSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(string_split($normSql, ' ')) AS toks
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok
+      |  FROM d
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    COUNT(*) AS shared, MAX(a.nt) AS na, MAX(b.nt) AS nb
+      |  FROM t a JOIN t b
+      |    ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, shared, na, nb
+      |FROM p
+      |WHERE 5 * shared >= 4 * (na + nb - shared)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #29 dedup_minhash — MinHash signatures + LSH banding (rows+spec)
+  // ---------------------------------------------------------------------
+
+  val MinhashSeeds = 32
+  val Bands = 8 // 8 bands × 4 rows
+
+  /** Per-doc signature: sig[i] = min over tokens of xxhash64(i, tok).
+    * Pure HOF per row — no token×seed explode. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), shingles.as("toks"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${MinhashSeeds - 1}),
+           |  i -> array_min(transform(toks, t -> xxhash64(i, t))))""".stripMargin))
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val rows = MinhashSeeds / Bands
+    val sigs = minhashSignatures(spark, dir).select("doc_id", "sig")
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${Bands - 1}),
+           |  b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))""".stripMargin))
+        .as(Seq("band", "band_hash")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("matches") * 2 >= MinhashSeeds) // est. J ≥ 0.5
+      .select(col("doc_a"), col("doc_b"), col("matches").cast("long").as("matches"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // #30 dedup_simhash — 64-bit SimHash + rotated-chunk LSH (rows+spec)
+  // ---------------------------------------------------------------------
+
+  val SimhashChunks = 4 // 4 × 16-bit chunks: covers hamming ≤ 3
+  val MaxHamming = 3
+
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), shingles.as("toks"))
+      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (acc, j) -> acc | IF(
+          |    aggregate(hashes, CAST(0 AS BIGINT),
+          |      (a, h) -> a + IF(((h >> j) & 1) = 1, 1, -1)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(spark, dir).select("doc_id", "simhash")
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${SimhashChunks - 1}),
+           |  k -> (simhash >> (k * 16)) & 65535)""".stripMargin))
+        .as(Seq("k", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // #32 dedup_embedding — exact integer cosine threshold
+  // ---------------------------------------------------------------------
+
+  /** cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥ 49·na·nb on vectors quantized
+    * q = ⌊1000x⌋ — all-integer, bit-exact in both engines. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+      .withColumn("nn", expr(
+        "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("dot"),
+        col("a.nn").as("na"), col("b.nn").as("nb"))
+      .filter(col("dot") >= 0 &&
+        lit(400) * col("dot") * col("dot") >= lit(49) * col("na") * col("nb"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(v, x -> x * x)) AS nn
+      |  FROM q
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot,
+      |    a.nn AS na, b.nn AS nb
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |)
+      |SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot,
+      |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+      |FROM p
+      |WHERE dot >= 0 AND 400 * dot * dot >= 49 * na * nb
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

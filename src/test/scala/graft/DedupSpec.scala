@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup family (#28–32) invariants at sf0.001 (500 docs / 500 vecs —
+  * same table sizes as sf0.01 for these tables). */
+class DedupSpec extends SparkSpec {
+
+  test("dedup_exact keeps one id per fingerprint and covers the corpus") {
+    val out = operators.Dedup.dedupExact(spark, sf)
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(out.agg(sum("n_dups")).collect().head.getLong(0) === docs)
+    assert(out.select("fingerprint").distinct().count() === out.count())
+  }
+
+  test("jaccard pairs are symmetric-free and above threshold") {
+    val out = operators.Dedup.dedupJaccard(spark, sf).collect()
+    out.foreach { r =>
+      val (a, b, shared, na, nb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b)
+      assert(5 * shared >= 4 * (na + nb - shared))
+      assert(shared <= math.min(na, nb))
+    }
+  }
+
+  test("minhash signature length and determinism") {
+    val sigs = operators.Dedup.minhashSignatures(spark, sf)
+      .select("doc_id", "sig").limit(5).collect()
+    sigs.foreach(r => assert(r.getSeq[Long](1).length === operators.Dedup.MinhashSeeds))
+    val again = operators.Dedup.minhashSignatures(spark, sf)
+      .select("doc_id", "sig").limit(5).collect()
+    assert(sigs.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("minhash candidates are high-estimated-similarity pairs") {
+    val out = operators.Dedup.dedupMinhash(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) * 2 >= operators.Dedup.MinhashSeeds)
+    }
+  }
+
+  test("simhash pairs respect the hamming cap and are found by banding") {
+    val out = operators.Dedup.dedupSimhash(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) <= operators.Dedup.MaxHamming))
+  }
+
+  test("simhash near-dups are a subset of minhash near-dups") {
+    val mh = operators.Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = operators.Dedup.dedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.subsetOf(mh))
+  }
+
+  test("embedding near-dup threshold is exact integer math") {
+    val out = operators.Dedup.dedupEmbedding(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dot, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dot >= 0)
+      assert(400L * dot * dot >= 49L * na * nb)
+    }
+  }
+}
