@@ -16,7 +16,9 @@ object SparkEntry {
       operators.Envelope.queries ++
       operators.Gelf.queries ++
       operators.Proxy.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      functions.TextFunctions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +29,7 @@ object SparkEntry {
       operators.Envelope.oracle ++
       operators.Gelf.oracle ++
       operators.Proxy.oracle ++
-      operators.Dedup.oracle
+      operators.Dedup.oracle ++
+      operators.Similarity.oracle ++
+      functions.TextFunctions.oracle
 }

@@ -1,0 +1,190 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines
+  * (SURVEY §2 #35–38): language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column compositions (regexp,
+  * HOFs, set ops) — codegen'd, map-only, scan-bound at 100 TB.
+  *
+  * Cross-engine determinism rules: counts and hashes are integers;
+  * ratios are single IEEE divisions of integers (bit-identical in
+  * DuckDB); the rolling hash runs mod 1e9+7 so every intermediate
+  * stays far below 2^63 in both engines.
+  */
+object TextFunctions {
+
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+  private val normSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  // ---------------------------------------------------------------------
+  // #35 language ID — stopword-lexicon hits, argmax with fixed order
+  // ---------------------------------------------------------------------
+
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), norm(col("text")).as("norm"))
+      .withColumn("toks", array_distinct(split(col("norm"), " ")))
+    val withHits = Lexicons.foldLeft(d) { case (df, (lang, words)) =>
+      df.withColumn(s"${lang}_hits",
+        size(array_intersect(col("toks"), array(words.map(lit): _*))))
+    }
+    val maxHits = greatest(Lexicons.map { case (l, _) => col(s"${l}_hits") }: _*)
+    val pred = Lexicons.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"${l}_hits") === maxHits && maxHits > 0, l).otherwise(acc)
+    }
+    // foldRight gives en > es > de > fr tie preference
+    withHits
+      .select((Seq(col("doc_id"), pred.as("pred_lang")) ++
+        Lexicons.map { case (l, _) => col(s"${l}_hits").as(s"${l}_hits") }): _*)
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val lex = Lexicons.map { case (l, ws) =>
+      s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(", ")}])) AS ${l}_hits"
+    }.mkString(",\n    ")
+    val maxExpr = Lexicons.map { case (l, _) => s"${l}_hits" }
+      .mkString("GREATEST(", ", ", ")")
+    val predCase = Lexicons.map { case (l, _) =>
+      s"WHEN ${l}_hits = mx AND mx > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS toks
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    $lex
+      |  FROM d
+      |), m AS (SELECT *, $maxExpr AS mx FROM h)
+      |SELECT doc_id, $predCase AS pred_lang,
+      |  CAST(en_hits AS INT) AS en_hits, CAST(es_hits AS INT) AS es_hits,
+      |  CAST(de_hits AS INT) AS de_hits, CAST(fr_hits AS INT) AS fr_hits
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // #36 quality scoring
+  // ---------------------------------------------------------------------
+
+  private val EnStop = Lexicons.head._2
+
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), norm(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+    d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_words"),
+        regexp_count(col("norm"), lit("[^a-z0-9 ]")).as("n_punct"),
+        expr(s"""size(filter(toks, t -> array_contains(array(${EnStop.map(w => s"'$w'").mkString(", ")}), t)))""")
+          .as("n_stop"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_words"))
+      .withColumn("quality_ok",
+        (col("n_words") >= 10 && col("stop_ratio") < 0.5 &&
+          col("n_punct") * 5 <= col("n_words")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = {
+    val lex = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, text, $normSql AS norm,
+      |    string_split($normSql, ' ') AS toks
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(toks) AS INT) AS n_words,
+      |  CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS INT) AS n_punct,
+      |  CAST(len(list_filter(toks, t -> list_contains($lex, t))) AS INT) AS n_stop,
+      |  CAST(len(list_filter(toks, t -> list_contains($lex, t))) AS DOUBLE)
+      |    / len(toks) AS stop_ratio,
+      |  CAST(CASE WHEN len(toks) >= 10
+      |        AND CAST(len(list_filter(toks, t -> list_contains($lex, t))) AS DOUBLE) / len(toks) < 0.5
+      |        AND len(regexp_extract_all(norm, '[^a-z0-9 ]')) * 5 <= len(toks)
+      |       THEN 1 ELSE 0 END AS INT) AS quality_ok
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // #37 token counting
+  // ---------------------------------------------------------------------
+
+  private val BpeIsh = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), norm(col("text")).as("norm"))
+      .select(
+        col("doc_id"),
+        size(split(col("norm"), " ")).as("ws_tokens"),
+        regexp_count(col("norm"), lit(BpeIsh)).as("re_tokens"),
+        length(col("norm")).as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(string_split(norm, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(norm, '$BpeIsh')) AS INT) AS re_tokens,
+      |  CAST(length(norm) AS INT) AS n_chars_norm
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #38 document fingerprint — rolling polynomial hash + md5
+  // ---------------------------------------------------------------------
+
+  /** acc' = (acc·131 + charcode) mod 1e9+7 over the normalized text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), norm(col("text")).as("norm"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(split(norm, ''), CAST(0 AS BIGINT),
+            |  (acc, ch) -> (acc * 131 + ascii(ch)) % 1000000007)""".stripMargin)
+          .as("poly_hash"),
+        md5(col("norm")).as("md5_fp"),
+        length(col("norm")).as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(norm, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % 1000000007) AS poly_hash,
+      |  md5(norm) AS md5_fp,
+      |  CAST(length(norm) AS INT) AS n_chars_norm
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> langId,
+    "text_quality" -> quality,
+    "text_tokens" -> tokenCounts,
+    "text_fingerprint" -> fingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> langIdSql,
+    "text_quality" -> qualitySql,
+    "text_tokens" -> tokenCountsSql,
+    "text_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY §2 #33–34).
+  *
+  * - ann_bruteforce: exact top-k cosine — the correctness baseline.
+  *   The (tiny) query set is broadcast against the corpus, so the scan
+  *   side never shuffles its vectors; only the k·|queries| result rows
+  *   move. Integer dot/norms are exact; the ranking key
+  *   dot/√(na·nb) is a single IEEE expression, identical in DuckDB.
+  * - ann_lsh: random-hyperplane LSH — the 100 TB path. Hyperplane
+  *   signs are derived from xxhash64(plane, dim), so the "random"
+  *   projection is deterministic, shippable to any engine, and needs
+  *   no stored model. Each probe touches only its 8-bit bucket
+  *   (~1/256 of the corpus under ideal balance).
+  *
+  * Quantization contract (shared with Dedup #32): q = ⌊1000·x⌋ per
+  * component — float→double is exact, ·1000 and floor are IEEE-defined,
+  * so both engines derive identical integer vectors.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NumQueries = 5
+  /** 4 hyperplanes → 16 buckets: each probe touches ~1/16 of the
+    * corpus while leaving ~30 candidates per bucket at the 500-vector
+    * test scale (8 planes starve recall on near-orthogonal vectors —
+    * tune planes so bucket size stays O(k·fanout) at the target SF). */
+  val Planes = 4
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+      .withColumn("nn", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+
+  // ---------------------------------------------------------------------
+  // #33 ann_bruteforce
+  // ---------------------------------------------------------------------
+
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val queries = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nn").as("nq"))
+    val pairs = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
+        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("dot"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("dot"), col("nq"), col("nc"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn
+      |  FROM q
+      |), p AS (
+      |  SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> qs.v[i] * c.v[i])) AS BIGINT) AS dot,
+      |    CAST(qs.nn AS BIGINT) AS nq, CAST(c.nn AS BIGINT) AS nc
+      |  FROM n qs JOIN n c ON qs.vec_id < $NumQueries AND c.vec_id <> qs.vec_id
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+      |               vec_id) AS rank
+      |  FROM p
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
+      |FROM r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #34 ann_lsh — hyperplane-bucketed probe (rows+spec)
+  // ---------------------------------------------------------------------
+
+  /** 8-bit bucket code: bit j set iff Σ_i sign(xxhash64(j,i))·q_i > 0. */
+  private val codeExpr = expr(
+    s"""aggregate(sequence(0, ${Planes - 1}), CAST(0 AS INT),
+       |  (acc, j) -> acc | IF(
+       |    aggregate(sequence(0, size(q) - 1), CAST(0 AS BIGINT),
+       |      (s, i) -> s + IF((xxhash64(j, i) & 1) = 1,
+       |                       element_at(q, i + 1),
+       |                       -element_at(q, i + 1))) > 0,
+       |    shiftleft(1, j), 0))""".stripMargin)
+
+  def lshCodes(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir).withColumn("code", codeExpr)
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = lshCodes(spark, dir)
+    val queries = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("nq"), col("code").as("qcode"))
+    val cand = v.join(broadcast(queries),
+        col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
+        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("dot"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
+        col("nq"), col("nc"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh)
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql)
+}

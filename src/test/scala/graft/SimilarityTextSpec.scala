@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN (#33–34) and text-analysis (#35–38) invariants. */
+class SimilarityTextSpec extends SparkSpec {
+
+  test("brute-force top-k is k rows per query, cosine-descending") {
+    val out = operators.Similarity.annBruteforce(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until operators.Similarity.NumQueries).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.length === operators.Similarity.TopK)
+      val cos = rows.sortBy(_.getLong(1)).map(r =>
+        r.getLong(3).toDouble / math.sqrt(r.getLong(4).toDouble * r.getLong(5).toDouble))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh candidates share the query bucket and rank consistently") {
+    val codes = operators.Similarity.lshCodes(spark, sf)
+      .select("vec_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = operators.Similarity.annLsh(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(codes(r.getLong(0)) === codes(r.getLong(2)))
+    }
+  }
+
+  test("lsh buckets partition the corpus") {
+    val codes = operators.Similarity.lshCodes(spark, sf)
+    assert(codes.count() === Tables.load(spark, sf, "embeddings").count())
+    val n = codes.select("code").distinct().count()
+    assert(n > 1 && n <= (1 << operators.Similarity.Planes))
+  }
+
+  test("langid predicts a language iff a lexicon hit exists") {
+    val out = functions.TextFunctions.langId(spark, sf)
+    val bad = out.filter(
+      (col("pred_lang") === "und" &&
+        greatest(col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")) > 0) ||
+      (col("pred_lang") =!= "und" &&
+        greatest(col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")) === 0))
+    assert(bad.count() === 0)
+  }
+
+  test("token counts: regex tokens >= whitespace tokens on clean text") {
+    val out = functions.TextFunctions.tokenCounts(spark, sf)
+    assert(out.filter(col("re_tokens") < col("ws_tokens")).count() === 0)
+    assert(out.count() === Tables.load(spark, sf, "documents").count())
+  }
+
+  test("fingerprint is deterministic and collision-free on distinct docs") {
+    val out = functions.TextFunctions.fingerprint(spark, sf)
+    val n = out.count()
+    assert(out.select("md5_fp").distinct().count() === n)
+    // poly hash mod 1e9+7 may collide in theory; not on 500 docs
+    assert(out.select("poly_hash").distinct().count() === n)
+  }
+
+  test("quality flags require minimum length") {
+    val out = functions.TextFunctions.quality(spark, sf)
+    assert(out.filter(col("quality_ok") === 1 && col("n_words") < 10).count() === 0)
+  }
+}
