@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Proxy.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      functions.TextFunctions.queries
+      functions.TextFunctions.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.Constants
+import graft.functions.BinaryFunctions._
+import graft.functions.SyslogFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming re-expression of the relay pipeline
+  * (SURVEY §2 #20): listener → frame → parse → envelope → sink.
+  *
+  * The reference is an asyncio socket server: per-connection framing,
+  * per-message parse, (source,dest)-keyed buffers flushed at 4 MiB /
+  * 60 s into gzip spool records (reference: kinesyslog/server.py,
+  * sink.py:120-217). Spark-first mapping:
+  *
+  *  - listener        → `readStream` file/socket source (one line per
+  *                      framed message; framing of raw byte streams is
+  *                      the batch operator `Framing.syslogFrames`)
+  *  - parse/envelope  → the SAME codegen'd column functions the batch
+  *                      path uses (SyslogFunctions) — one
+  *                      implementation, two execution modes
+  *  - FLUSH_TIME 60 s → 60-second event-time tumbling window with a
+  *                      2-minute watermark (late messages join their
+  *                      window until the watermark passes; the relay's
+  *                      timer flush becomes watermark-driven emission)
+  *  - gzip spool      → `foreachBatch`: group the micro-batch by
+  *                      (source, dest), build the CloudWatch record
+  *                      JSON, gzip it with the level-9 expression, and
+  *                      append to the spool table
+  *
+  * Scale: stateless map for parse; the only stateful operator is the
+  * windowed aggregation, keyed (window, hostname) — state size is
+  * bounded by watermark horizon × key cardinality, and Spark evicts
+  * state past the watermark. No driver-side buffering.
+  */
+object SyslogPipeline {
+
+  /** File-based listener: every file is a connection's framed output,
+    * one message per line. */
+  def parsedStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(inputDir)
+    parseLines(lines)
+  }
+
+  /** Shared with tests (works on both streaming and batch frames). */
+  def parseLines(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("h", parseHeader(col("value")))
+      .withColumn("prio", coalesce(col("h.pri"), lit(Constants.DefaultPri)))
+      .withColumn("ts_ms",
+        when(col("h.version") === 1, ts5424Millis(col("h.ts_raw")))
+          .when(col("h.version") === 0,
+            ts3164(col("h.ts_raw"), unix_timestamp(current_timestamp()))
+              .getField("parsed_s") * 1000))
+      .select(
+        col("value").as("message"),
+        col("prio"),
+        (col("prio") / 8).cast("int").as("facility"),
+        (col("prio") % 8).as("severity"),
+        coalesce(col("h.hostname"), lit("unknown")).as("hostname"),
+        col("h.content").as("content"),
+        coalesce(col("ts_ms"),
+          (unix_timestamp(current_timestamp()) * 1000)).as("ts_ms"))
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+
+  /** FLUSH_TIME-shaped windowed aggregation with watermark. */
+  def windowedCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(
+        window(col("event_time"), "60 seconds"),
+        col("hostname"))
+      .agg(
+        count(lit(1)).as("n_messages"),
+        sum(length(col("message")).cast("long")).as("n_bytes"))
+      .select(
+        col("window.start").cast("long").as("window_start_s"),
+        col("hostname"), col("n_messages"), col("n_bytes"))
+
+  /** Spool sink: per micro-batch, (hostname)-grouped gzip record rows
+    * appended as parquet (binary `record_gz` column = the spool file
+    * body the reference writes at sink.py:211-217). */
+  def spoolQuery(parsed: DataFrame, spoolDir: String,
+                 checkpointDir: String): StreamingQuery =
+    parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val records = batch
+          .groupBy("hostname")
+          .agg(
+            to_json(struct(
+              lit("000000000000").as("owner"),
+              concat_ws("/", lit("graft"), lit("syslog"), lit(514)).as("logGroup"),
+              col("hostname").as("logStream"),
+              lit("DATA_MESSAGE").as("messageType"),
+              array_sort(collect_list(struct(
+                col("ts_ms").as("timestamp"), col("message")))).as("logEvents")))
+              .as("record_json"))
+          .select(
+            col("hostname"),
+            lit(batchId).as("batch_id"),
+            gzip_compress(col("record_json").cast("binary")).as("record_gz"))
+        records.write.mode("append").parquet(spoolDir)
+        ()
+      }
+      .start()
+
+  /** Windowed-count sink for tests/metrics (in-memory table). */
+  def countsQuery(parsed: DataFrame, tableName: String): StreamingQuery =
+    windowedCounts(parsed).writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.SyslogPipeline
+import org.apache.spark.sql.functions._
+
+/** End-to-end Structured Streaming pipeline (#20) and multimodal
+  * plumbing (#39). */
+class StreamingSpec extends SparkSpec {
+
+  private def writeLines(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+
+  test("file stream -> parse -> watermark window -> memory sink") {
+    val in = Files.createTempDirectory("graft_stream_in")
+    writeLines(in, "conn1.log", Seq(
+      "<165>1 2024-01-05T10:00:10Z web01 app start",
+      "<165>1 2024-01-05T10:00:40Z web01 app mid",
+      "<165>1 2024-01-05T10:01:10Z web01 app next",
+      "<34>1 2024-01-05T10:00:20Z db01 oom"))
+    val q = SyslogPipeline.countsQuery(
+      SyslogPipeline.parsedStream(spark, in.toString), "win_counts")
+    q.awaitTermination(60000)
+    val rows = spark.table("win_counts")
+      .orderBy("window_start_s", "hostname").collect()
+    // 10:00 window: web01 ×2, db01 ×1; 10:01 window: web01 ×1
+    assert(rows.length === 3)
+    assert(rows(0).getString(1) === "db01" && rows(0).getLong(2) === 1)
+    assert(rows(1).getString(1) === "web01" && rows(1).getLong(2) === 2)
+    assert(rows(2).getString(1) === "web01" && rows(2).getLong(2) === 1)
+  }
+
+  test("spool sink writes gzip records that round-trip to the record JSON") {
+    val in = Files.createTempDirectory("graft_spool_in")
+    val spool = Files.createTempDirectory("graft_spool_out")
+    val ckpt = Files.createTempDirectory("graft_spool_ckpt")
+    writeLines(in, "conn1.log", Seq(
+      "<165>1 2024-01-05T10:00:10Z web01 app one",
+      "<165>1 2024-01-05T10:00:20Z web01 app two"))
+    val q = SyslogPipeline.spoolQuery(
+      SyslogPipeline.parsedStream(spark, in.toString),
+      spool.toString, ckpt.toString)
+    q.awaitTermination(60000)
+    val recs = spark.read.parquet(spool.toString)
+    assert(recs.count() === 1)
+    val gz = recs.select("record_gz").collect().head.getAs[Array[Byte]](0)
+    assert(gz(0) == 0x1f.toByte && gz(1) == 0x8b.toByte)
+    val json = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz)).readAllBytes(), "UTF-8")
+    assert(json.contains("\"logStream\":\"web01\""))
+    assert(json.contains("app one") && json.contains("app two"))
+    assert(json.contains("\"messageType\":\"DATA_MESSAGE\""))
+  }
+
+  test("multimodal decode keeps batch shape and deterministic metadata") {
+    val out = operators.Multimodal.multimodalMeta(spark, sf)
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(out.count() === docs)
+    assert(out.filter(col("width") < 1 || col("width") > 1920).count() === 0)
+    assert(out.filter(col("height") < 1 || col("height") > 1080).count() === 0)
+    val again = operators.Multimodal.multimodalMeta(spark, sf)
+    assert(out.exceptAll(again).count() === 0)
+    assert(out.select("kind").distinct().count() === 3)
+  }
+}
