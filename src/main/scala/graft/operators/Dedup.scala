@@ -45,12 +45,26 @@ object Dedup {
     * across ALL docs (est. J ≥ 0.5 for >60% of pairs) — shingling
     * restores selectivity exactly as it does on real web text, and the
     * corpus' planted near-duplicates (25 pairs at sf0.01) separate
-    * cleanly from the J≤0.2 background. */
-  private val shingles = expr(
-    """array_distinct(transform(
-      |  sequence(0, size(split(norm, ' ')) - 2),
-      |  i -> concat_ws(' ', element_at(split(norm, ' '), i + 1),
-      |                      element_at(split(norm, ' '), i + 2))))""".stripMargin)
+    * cleanly from the J≤0.2 background.
+    *
+    * Performance: the pairing lambda must reference ONLY its lambda
+    * variables. An `element_at(words, i)` formulation re-evaluates the
+    * `words` expression per element (and Catalyst's CollapseProject
+    * re-inlines any alias of it), making shingling O(words²) per
+    * document — measured 10× slower on the bench. zip_with(words,
+    * shift(words)) evaluates the split a constant number of times per
+    * row instead. */
+  private val shinglesOf = (words: Column) =>
+    array_distinct(filter(
+      zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+        (a, b) => when(b.isNull, lit(null)).otherwise(concat(a, lit(" "), b))),
+      x => x.isNotNull))
+
+  /** doc_id + distinct word-2-gram shingle array. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", shinglesOf(split(col("norm"), " ")))
+      .select("doc_id", "toks")
 
   // ---------------------------------------------------------------------
   // #28 dedup_exact
@@ -130,12 +144,22 @@ object Dedup {
 
   /** Per-doc signature: sig[i] = min over tokens of xxhash64(i, tok).
     * Pure HOF per row — no token×seed explode. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), shingles.as("toks"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${MinhashSeeds - 1}),
-           |  i -> array_min(transform(toks, t -> xxhash64(i, t))))""".stripMargin))
+  /** Signatures via explode + 32 codegen'd min(xxhash64(seed, base))
+    * aggregates: each shingle is string-hashed ONCE, the per-seed
+    * variants hash the resulting long. Partial aggregation (map-side
+    * combine) means only the 32-long signature per doc crosses the
+    * wire — HOF lambdas would be interpreted and 10× slower here. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val t = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("base", xxhash64(col("tok")))
+    val mins = (0 until MinhashSeeds).map(i =>
+      min(xxhash64(lit(i), col("base"))).as(s"m$i"))
+    t.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashSeeds).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashSeeds / Bands
@@ -168,16 +192,25 @@ object Dedup {
   val SimhashChunks = 4 // 4 × 16-bit chunks: covers hamming ≤ 3
   val MaxHamming = 3
 
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), shingles.as("toks"))
-      .withColumn("hashes", expr("transform(toks, t -> xxhash64(t))"))
+  /** 64 codegen'd per-bit sign sums (map-side combined), folded into
+    * the signature long with one cheap 64-element HOF per doc. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val t = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L))
+        .as(s"b$j"))
+    t.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(j => col(s"b$j")): _*).as("bits"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-          |  (acc, j) -> acc | IF(
-          |    aggregate(hashes, CAST(0 AS BIGINT),
-          |      (a, h) -> a + IF(((h >> j) & 1) = 1, 1, -1)) > 0,
+          |  (acc, j) -> acc | IF(element_at(bits, j + 1) > 0,
           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+      .select("doc_id", "simhash")
+  }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(spark, dir).select("doc_id", "simhash")

@@ -57,8 +57,12 @@ object Gelf {
   }
 
   def gelfParse(spark: SparkSession, dir: String): DataFrame = {
+    // sort-first: the deterministic sort samples the cheap scan, not
+    // the JSON parse (a trailing orderBy re-executes the projection
+    // for range-partition sampling)
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+      .orderBy("event_id")
       .withColumn("recv_s", col("ts_s") + 2)
       .withColumn("raw", gelfLine)
     val parsed = e
@@ -74,7 +78,6 @@ object Gelf {
         when(col("m").isNotNull,
           size(filter(map_keys(col("m")), k => k.startsWith("_"))))
           .otherwise(0).as("n_extra"))
-      .orderBy("event_id")
   }
 
   val gelfParseSql: String =

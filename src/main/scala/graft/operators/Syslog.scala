@@ -46,9 +46,16 @@ object Syslog {
 
   // -- shared synthesis columns (Spark side) ----------------------------
 
+  /** Base events, globally sorted UP FRONT: the deterministic-output
+    * sort must happen on the cheap scan, not after the parse — a
+    * trailing orderBy makes the range partitioner's sampling pass
+    * re-execute the whole expensive projection (measured 2× on the
+    * bench). Filters still push below the sort; the parse projection
+    * above it is order-preserving. */
   private def base(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+      .orderBy("event_id")
 
   private val pri     = col("event_id") % 192
   private val host    = concat(lit("host-"), col("user_id"))
@@ -105,7 +112,6 @@ object Syslog {
         col("h.version").as("version"),
         col("h.hostname").as("hostname"),
         col("h.content").as("content"))
-      .orderBy("event_id")
 
   val syslogParseSql: String =
     s"""$oracleBase
@@ -132,7 +138,6 @@ object Syslog {
         severity(col("p")).as("severity"),
         facilityName(col("p")).as("facility_name"),
         severityName(col("p")).as("severity_name"))
-      .orderBy("event_id")
 
   val syslogSeveritySql: String =
     s"""$oracleBase
@@ -159,7 +164,6 @@ object Syslog {
         col("event_id"),
         col("t.parsed_s").as("parsed_s"),
         col("t.adjusted").as("adjusted"))
-      .orderBy("event_id")
 
   val syslogTs3164Sql: String =
     s"""$oracleBase
@@ -185,7 +189,6 @@ object Syslog {
       .select(
         col("event_id"),
         ts5424Millis(col("h.ts_raw")).as("parsed_ms"))
-      .orderBy("event_id")
 
   val syslogTs5424Sql: String =
     s"""$oracleBase
@@ -211,23 +214,29 @@ object Syslog {
       .otherwise(rawLine)
 
   def syslogNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = base(spark, dir)
+    // Flatten the parse struct into ONE projection before fan-out use:
+    // downstream expressions reference plain attributes, so Catalyst
+    // cannot re-inline (and re-execute) the regex parse per reference.
+    val flat = base(spark, dir)
       .withColumn("raw", variantLine)
       .withColumn("h", parseHeader(col("raw")))
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("raw"),
+        col("h.pri").as("hpri"), col("h.version").as("hversion"),
+        col("h.ts_raw").as("hts_raw"), col("h.content").as("hcontent"))
+    flat
       .withColumn("prio",
-        coalesce(col("h.pri"), lit(graft.Constants.DefaultPri)))
+        coalesce(col("hpri"), lit(graft.Constants.DefaultPri)))
       .withColumn("ts_ms",
-        when(col("h.version") === 1, ts5424Millis(col("h.ts_raw")))
-          .when(col("h.version") === 0,
-            ts3164(col("h.ts_raw"), lit(NowS)).getField("parsed_s") * 1000))
-    parsed.select(
+        when(col("hversion") === 1, ts5424Millis(col("hts_raw")))
+          .when(col("hversion") === 0,
+            ts3164(col("hts_raw"), lit(NowS)).getField("parsed_s") * 1000))
+      .select(
         col("event_id"),
         when(col("ts_ms").isNotNull, col("raw"))
           .otherwise(format_string("<%d>1 %s %s %s",
-            col("prio"), format5424(recvS), source, col("h.content")))
+            col("prio"), format5424(recvS), source, col("hcontent")))
           .as("message"),
         coalesce(col("ts_ms"), recvS * 1000).as("ts_ms"))
-      .orderBy("event_id")
   }
 
   val syslogNormalizeSql: String =
@@ -285,7 +294,6 @@ object Syslog {
         lpad(col("event_id").cast("string"), 56, "0").as("envelope_id"),
         col("message"),
         col("ts_ms"))
-      .orderBy("event_id")
 
   val eventEnvelopeSql: String = {
     // No stripMargin here: the embedded normalize SQL contains `||`
