@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.BinaryFunctions.{AutoDecompress, GzipCompress, ZlibCompress}
+import graft.functions.GelfFunctions.GelfChunkParse
+import graft.operators.Framing.SyslogFrames
+import graft.operators.Proxy.ProxyV2Parse
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface of the graft library: registers the custom Catalyst
+  * expressions as SQL functions so `spark.sql("SELECT
+  * graft_frames(blob) ...")` works anywhere DataFrames do — notebooks,
+  * JDBC, SQL-only pipelines.
+  *
+  * Usage: `.withExtensions(new GraftExtensions)` on the session
+  * builder, or `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "4.0.0", "", "scala_udf")
+
+  private def unary(name: String, usage: String, f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects exactly 1 argument")
+        f(args.head)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    Seq(
+      unary("graft_frames",
+        "RFC6587 de-framing: connection BINARY blob -> ARRAY<BINARY> messages",
+        SyslogFrames),
+      unary("graft_gzip",
+        "gzip level 9 (spool record format): BINARY -> BINARY",
+        GzipCompress),
+      unary("graft_zlib", "zlib deflate: BINARY -> BINARY", ZlibCompress),
+      unary("graft_decompress",
+        "zlib/gzip magic-sniffed decompress, passthrough otherwise",
+        AutoDecompress),
+      unary("graft_gelf_chunk",
+        "chunked-GELF header parse: BINARY -> struct(id, seq, total, payload)",
+        GelfChunkParse),
+      unary("graft_proxy_v2",
+        "PROXY protocol v2 header parse: BINARY -> struct(...)",
+        ProxyV2Parse)
+    ).foreach(ext.injectFunction)
+  }
+}

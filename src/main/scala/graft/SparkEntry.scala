@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full relay path in one plan: frame → parse →
+    * envelope → record. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+    operators.Relay.relayPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -19,7 +21,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       functions.TextFunctions.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Relay.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +35,6 @@ object SparkEntry {
       operators.Proxy.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
-      functions.TextFunctions.oracle
+      functions.TextFunctions.oracle ++
+      operators.Relay.oracle
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL extension registration + flagship relay composition. */
+class ExtensionsRelaySpec extends AnyFunSuite {
+
+  /** getOrCreate would hand back the shared extension-less test
+    * session; clear the active/default slots so the builder constructs
+    * a fresh session (same SparkContext) with GraftExtensions applied,
+    * then restore the shared one for other suites. */
+  private lazy val spark: SparkSession = SparkSpec.synchronized {
+    val prior = SparkSpec.session // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    SparkSession.setDefaultSession(prior)
+    SparkSession.setActiveSession(prior)
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("SQL functions are registered and composable in pure SQL") {
+    val out = spark.sql(
+      """SELECT cast(x.m as string) AS m
+        |FROM (SELECT explode(graft_frames(cast('5 hello6 world!' AS BINARY))) AS m) x
+        |ORDER BY m""".stripMargin).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("hello", "world!"))
+  }
+
+  test("SQL gzip/decompress round-trip") {
+    val r = spark.sql(
+      "SELECT cast(graft_decompress(graft_gzip(cast('spool' AS BINARY))) AS string)")
+      .collect().head.getString(0)
+    assert(r === "spool")
+  }
+
+  test("SQL gelf chunk parse") {
+    val r = spark.sql(
+      """SELECT c.id, c.seq, c.total, cast(c.payload as string) AS p
+        |FROM (SELECT graft_gelf_chunk(unhex('1E0F000000000000002A0103') || cast('xyz' as binary)) AS c)""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) === 42L)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 3)
+    assert(r.getString(3) === "xyz")
+  }
+
+  test("relay end-to-end covers every event exactly once") {
+    val out = operators.Relay.relayPipeline(spark, sf)
+    val n = out.agg(sum("n_events")).collect().head.getLong(0)
+    assert(n === Tables.events(spark, sf).count())
+    // severe messages route to the TLS port
+    assert(out.filter(col("dest") === 6514).count() > 0)
+    assert(out.filter(!col("log_group").startsWith("graft/syslog/")).count() === 0)
+  }
+}
