@@ -21,7 +21,8 @@ object Bench {
     "q1_pricing", "q3_shipping", "q5_local", "q6_forecast",
     "events_window", "events_tumbling", "events_sessions",
     "syslog_parse", "syslog_normalize", "frame_octet", "record_envelope",
-    "gelf_parse", "dedup_exact", "dedup_minhash", "ann_bruteforce",
+    "gelf_parse", "relay_end_to_end",
+    "dedup_exact", "dedup_minhash", "dedup_embedding", "ann_bruteforce",
     "text_quality", "text_tokens")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =

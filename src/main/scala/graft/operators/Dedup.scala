@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   *  - jaccard: candidate pairs come from an inverted-index join
   *    bucketed by (lang, source) — the exact-verify step is meant for
   *    LSH-candidate output, never the full cross product.
-  *  - minhash: signatures are per-row HOF math (no explode of
-  *    token×seed); the only shuffle keys on (band, band_hash), uniform
-  *    by construction.
+  *  - minhash: signatures via codegen'd map-side-combined aggregates;
+  *    band candidates shuffle on (band, band_hash), uniform by
+  *    construction.
   *  - simhash: 64-bit signature per row, candidates via 4×16-bit
   *    rotated-chunk equality (pigeonhole: covers hamming ≤ 3).
   *  - embedding: exact integer cosine test on quantized vectors —
@@ -142,8 +142,6 @@ object Dedup {
   val MinhashSeeds = 32
   val Bands = 8 // 8 bands × 4 rows
 
-  /** Per-doc signature: sig[i] = min over tokens of xxhash64(i, tok).
-    * Pure HOF per row — no token×seed explode. */
   /** Signatures via explode + 32 codegen'd min(xxhash64(seed, base))
     * aggregates: each shingle is string-hashed ONCE, the per-seed
     * variants hash the resulting long. Partial aggregation (map-side
@@ -242,12 +240,10 @@ object Dedup {
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
           .as("q"))
-      .withColumn("nn", expr(
-        "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-          .as("dot"),
+        graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")).as("dot"),
         col("a.nn").as("na"), col("b.nn").as("nb"))
       .filter(col("dot") >= 0 &&
         lit(400) * col("dot") * col("dot") >= lit(49) * col("na") * col("nb"))

@@ -37,7 +37,7 @@ object Similarity {
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
           .as("q"))
-      .withColumn("nn", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
 
   // ---------------------------------------------------------------------
   // #33 ann_bruteforce
@@ -49,8 +49,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nn").as("nq"))
     val pairs = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
-        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-          .as("dot"))
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
       .withColumn("cosine",
         col("dot").cast("double") /
           sqrt(col("nq").cast("double") * col("nc").cast("double")))
@@ -114,8 +113,7 @@ object Similarity {
     val cand = v.join(broadcast(queries),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
-        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-          .as("dot"))
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
       .withColumn("cosine",
         col("dot").cast("double") /
           sqrt(col("nq").cast("double") * col("nc").cast("double")))
