@@ -105,13 +105,21 @@ object Similarity {
   def lshCodes(spark: SparkSession, dir: String): DataFrame =
     quantized(spark, dir).withColumn("code", codeExpr)
 
+  /** Multi-probe: each query also probes the `Planes` buckets at
+    * hamming distance 1 from its own code — the standard recall
+    * recovery for hyperplane LSH (a vector near a hyperplane lands on
+    * either side). Probe fan-out rides on the tiny broadcast query
+    * side; the corpus is still touched once per matching bucket. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val v = lshCodes(spark, dir)
+    val probes = array((0 to Planes).map(i =>
+      if (i == 0) col("code") else col("code").bitwiseXOR(lit(1 << (i - 1)))): _*)
     val queries = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("nn").as("nq"), col("code").as("qcode"))
+        col("nn").as("nq"), explode(probes).as("qcode"))
     val cand = v.join(broadcast(queries),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
         graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
       .withColumn("cosine",
