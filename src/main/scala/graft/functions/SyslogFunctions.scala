@@ -39,7 +39,8 @@ object SyslogFunctions {
   def afterPri(raw: Column): Column = regexp_replace(raw, "^<\\d{1,3}>", "")
 
   private val Rfc5424Rest = "^1 (\\S{20,38}|-) (\\S+) (.*)$"
-  private val Rfc3164Rest = "^([A-Za-z]{3} \\d{2} \\d{2}:\\d{2}:\\d{2}) (\\S+) (.*)$"
+  private val Rfc3164Rest =
+    "^([A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) (.*)$"
 
   /** Full header parse → struct(pri int|null, version int, ts_raw,
     * hostname, content). version: 1 = RFC5424, 0 = RFC3164 header,
@@ -139,7 +140,7 @@ object SyslogFunctions {
     * rewrite path). All arithmetic is integer codegen — no
     * DateTimeFormatter on the hot path. */
   def ts3164(tsRaw: Column, nowS: Column): Column = {
-    val valid = tsRaw.rlike("^[A-Za-z]{3} \\d{2} \\d{2}:\\d{2}:\\d{2}$") &&
+    val valid = tsRaw.rlike("^[A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}$") &&
       map_contains_key(MonthNums, substring(tsRaw, 1, 3))
     val nowYear = year(timestamp_seconds(nowS)).cast("long")
     val mo = element_at(MonthNums, substring(tsRaw, 1, 3)).cast("long")

@@ -61,6 +61,22 @@ class SyslogSpec extends SparkSpec {
     assert(rows(4) === ((191, 23, 7, "local7", "debug")))
   }
 
+  test("RFC3164 space-padded day (real-world senders) parses") {
+    val r = parseOne("<34>Jan  5 10:11:12 db-7 kernel: oom")
+    assert(r.getInt(1) === 0)
+    assert(r.getString(2) === "Jan  5 10:11:12")
+    assert(r.getString(3) === "db-7")
+    val nowS = 1768435200L // 2026-01-15
+    val t = Seq("Jan  5 10:11:12").toDF("ts")
+      .select(ts3164(col("ts"), lit(nowS)).as("t")).select("t.parsed_s")
+      .collect().head
+    // equals zero-padded parse
+    val t2 = Seq("Jan 05 10:11:12").toDF("ts")
+      .select(ts3164(col("ts"), lit(nowS)).as("t")).select("t.parsed_s")
+      .collect().head
+    assert(t.getLong(0) === t2.getLong(0))
+  }
+
   test("RFC3164 year inference: past keeps inferred year, future rolls back") {
     // now = 2026-01-15T00:00:00Z
     val nowS = 1768435200L
