@@ -129,6 +129,26 @@ object Framing {
     org.apache.spark.sql.graft.Exprs.toColumn(
       SyslogFrames(org.apache.spark.sql.graft.Exprs.toExpression(c)))
 
+  /** GELF datagram framing dispatch (reference: protocol.py:221-261):
+    * `{` → newline-framed JSON messages; zlib (0x78) / gzip (0x1f8b)
+    * magic → the whole datagram decompresses to ONE message; bare
+    * terminators skipped; anything else is a protocol error → empty.
+    * Composes the existing decompress expression with a LF split —
+    * map-only, codegen'd except the decompress eval. */
+  def gelfFrames(c: Column): Column = {
+    import graft.functions.BinaryFunctions.decompress_auto
+    val first = substring(c, 1, 1)
+    val asStr = c.cast("string")
+    when(first === lit(Array[Byte]('{')),
+        filter(split(asStr, "[\\n\\x00\\r]"), m => length(m) > 0))
+      .when(first === lit(Array(graft.Constants.ZlibMagic)) ||
+            substring(c, 1, 2) === lit(graft.Constants.GzipMagic),
+        when(decompress_auto(c).isNotNull,
+          array(decompress_auto(c).cast("string")))
+          .otherwise(array().cast("array<string>")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   // ---------------------------------------------------------------------
   // Queries. Streams are synthesized per user_id (one "connection" per
   // user): messages ordered by event_id, concatenated with the framing

@@ -61,4 +61,26 @@ class FramingSpec extends SparkSpec {
     val big = "z" * 7000
     assert(frames(s"$big\nok\n") === Vector("z" * 6144, "ok"))
   }
+
+  test("gelf datagram dispatch: JSON newline-framed, compressed, garbage") {
+    import graft.functions.BinaryFunctions.zlib_compress
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("""{"version":"1.1","short_message":"a"}""" + "\n" +
+        """{"version":"1.1","short_message":"b"}""" + "\n")
+      .toDF("s").withColumn("d", col("s").cast("binary"))
+    val json = df.select(operators.Framing.gelfFrames(col("d"))).collect()
+      .head.getSeq[String](0)
+    assert(json.length === 2 && json.forall(_.contains("version")))
+
+    val z = Seq("""{"version":"1.1"}""").toDF("s")
+      .withColumn("d", zlib_compress(col("s").cast("binary")))
+    val unz = z.select(operators.Framing.gelfFrames(col("d"))).collect()
+      .head.getSeq[String](0)
+    assert(unz === Seq("""{"version":"1.1"}"""))
+
+    val bad = Seq("plain garbage").toDF("s").withColumn("d", col("s").cast("binary"))
+    assert(bad.select(operators.Framing.gelfFrames(col("d"))).collect()
+      .head.getSeq[String](0).isEmpty)
+  }
 }
