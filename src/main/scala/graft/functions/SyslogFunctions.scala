@@ -198,11 +198,77 @@ object SyslogFunctions {
       .otherwise(naiveMs + sign * (offH * 3600L + offM * 60L) * 1000L)
   }
 
+  // ---------------------------------------------------------------------
+  // Integer-math timestamp FORMATTING (inverse of civilEpochSeconds) —
+  // used by the rewrite path and by query-side line synthesis so the
+  // whole round-trip stays off DateTimeFormatter.
+  // ---------------------------------------------------------------------
+
+  /** Compact eval expression for timestamp FORMATTING: a column-level
+    * inverse-Julian composition expands to a huge codegen tree (each
+    * struct-field reference re-derives the whole date), which blows
+    * janino's 64 KB method limit and drops the stage to interpreted
+    * mode. One eval call with primitive arithmetic is both smaller and
+    * faster. */
+  case class CivilFormat(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                         rfc5424: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types.{DataType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val epochS = v.asInstanceOf[Long]
+      val days = Math.floorDiv(epochS, 86400L)
+      val rem = Math.floorMod(epochS, 86400L)
+      val jdn = days + 2440588L
+      val a = jdn + 32044L
+      val b = (4 * a + 3) / 146097L
+      val c = a - 146097L * b / 4
+      val d2 = (4 * c + 3) / 1461L
+      val e = c - 1461L * d2 / 4
+      val m = (5 * e + 2) / 153L
+      val day = e - (153L * m + 2) / 5 + 1
+      val month = (m + 3 - 12 * (m / 10)).toInt
+      val year = 100L * b + d2 - 4800L + m / 10
+      val h = rem / 3600; val mi = (rem % 3600) / 60; val s = rem % 60
+      val sb = new java.lang.StringBuilder(20)
+      def p2(x: Long): Unit = { if (x < 10) sb.append('0'); sb.append(x) }
+      if (rfc5424) {
+        sb.append(year).append('-'); p2(month); sb.append('-'); p2(day)
+        sb.append('T'); p2(h); sb.append(':'); p2(mi); sb.append(':'); p2(s)
+      } else {
+        sb.append(CivilFormat.MonthNames(month - 1)).append(' ')
+        p2(day); sb.append(' ')
+        p2(h); sb.append(':'); p2(mi); sb.append(':'); p2(s)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): CivilFormat =
+      copy(child = c)
+  }
+
+  object CivilFormat {
+    private val MonthNames = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+  }
+
+  /** `yyyy-MM-ddTHH:mm:ss` of an epoch-second column. */
+  def formatCivil5424(epochS: Column): Column =
+    org.apache.spark.sql.graft.Exprs.toColumn(CivilFormat(
+      org.apache.spark.sql.graft.Exprs.toExpression(epochS.cast("long")),
+      rfc5424 = true))
+
+  /** `MMM dd HH:mm:ss` (zero-padded day) of an epoch-second column. */
+  def formatCivil3164(epochS: Column): Column =
+    org.apache.spark.sql.graft.Exprs.toColumn(CivilFormat(
+      org.apache.spark.sql.graft.Exprs.toExpression(epochS.cast("long")),
+      rfc5424 = false))
+
   /** RFC5424 rewrite stamp for unparseable inputs:
     * `yyyy-MM-ddTHH:mm:ss.ffffff` of the receive time
     * (message.py:51-52). */
   def format5424(epochS: Column): Column =
-    concat(
-      date_format(timestamp_seconds(epochS), "yyyy-MM-dd'T'HH:mm:ss"),
-      lit(".000000"))
+    concat(formatCivil5424(epochS), lit(".000000"))
 }

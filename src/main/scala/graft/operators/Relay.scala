@@ -35,10 +35,8 @@ object Relay {
     val pri = col("event_id") % 192
     val host = concat(lit("host-"), col("user_id"))
     val content = concat(col("event_type"), lit(" id="), col("event_id"))
-    val ts54 = concat(
-      date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd'T'HH:mm:ss"),
-      lit("Z"))
-    val ts31 = date_format(timestamp_seconds(col("ts_s")), "MMM dd HH:mm:ss")
+    val ts54 = concat(formatCivil5424(col("ts_s")), lit("Z"))
+    val ts31 = formatCivil3164(col("ts_s"))
     val msg = when(col("event_id") % 2 === 0,
         format_string("<%d>1 %s %s %s", pri, ts54, host, content))
       .otherwise(format_string("<%d>%s %s %s", pri, ts31, host, content))

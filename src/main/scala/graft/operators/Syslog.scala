@@ -72,10 +72,8 @@ object Syslog {
   private val frac = when(col("event_id") % 4 === 0, ".500").otherwise(lit(""))
 
   private val ts5424Str = concat(
-    date_format(timestamp_seconds(col("ts_s") + offS), "yyyy-MM-dd'T'HH:mm:ss"),
-    frac, offSuffix)
-  private val ts3164Str =
-    date_format(timestamp_seconds(col("ts_s")), "MMM dd HH:mm:ss")
+    formatCivil5424(col("ts_s") + offS), frac, offSuffix)
+  private val ts3164Str = formatCivil3164(col("ts_s"))
 
   private val line5424 =
     format_string("<%d>1 %s %s %s", pri, ts5424Str, host, content)
