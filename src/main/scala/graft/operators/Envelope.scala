@@ -250,10 +250,21 @@ object Envelope {
   // ---------------------------------------------------------------------
 
   def recordGzip(spark: SparkSession, dir: String): DataFrame = {
+    // the actual spool-file body: the CloudWatch record JSON
+    // (sink.py:204-217), gzipped at level 9
     val grouped = withEnvelopeCols(spark, dir)
       .groupBy("source", "dest")
-      .agg(array_join(array_sort(collect_list(struct(col("event_id"),
-        col("message").as("m")))).getField("m"), "\n").as("payload"))
+      .agg(to_json(struct(
+        lit(Owner).as("owner"),
+        concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
+          .as("logGroup"),
+        first(col("source")).as("logStream"),
+        lit("DATA_MESSAGE").as("messageType"),
+        array_sort(collect_list(struct(
+          lpad(col("event_id").cast("string"), 56, "0").as("id"),
+          col("message"),
+          (col("ts_s") * 1000).as("timestamp")))).as("logEvents")))
+        .as("payload"))
     grouped
       .withColumn("raw", col("payload").cast("binary"))
       .withColumn("gz", gzip_compress(col("raw")))

@@ -72,6 +72,12 @@ class EnvelopeSpec extends SparkSpec {
     assert(b.count() > 0)
   }
 
+  test("record_gzip compresses the CloudWatch record JSON and round-trips") {
+    val r = operators.Envelope.recordGzip(spark, sf)
+    assert(r.filter(col("roundtrip_ok") =!= 1).count() === 0)
+    assert(r.filter(col("gz_len") >= col("raw_len")).count() === 0)
+  }
+
   test("stats counters cover all events") {
     val s = operators.Envelope.statsCounters(spark, sf)
     val total = s.agg(sum("message_count")).collect().head.getLong(0)
