@@ -53,6 +53,25 @@ class StreamingSpec extends SparkSpec {
     assert(json.contains("\"messageType\":\"DATA_MESSAGE\""))
   }
 
+  test("spool checkpoint gives exactly-once incremental processing") {
+    val in = Files.createTempDirectory("graft_ckpt_in")
+    val spool = Files.createTempDirectory("graft_ckpt_out")
+    val ckpt = Files.createTempDirectory("graft_ckpt_ck")
+    writeLines(in, "c1.log", Seq("<165>1 2024-01-05T10:00:10Z web01 app one"))
+    val q1 = SyslogPipeline.spoolQuery(
+      SyslogPipeline.parsedStream(spark, in.toString), spool.toString, ckpt.toString)
+    q1.awaitTermination(60000)
+    // second run with the same checkpoint only sees the NEW file
+    writeLines(in, "c2.log", Seq("<165>1 2024-01-05T10:00:20Z web02 app two"))
+    val q2 = SyslogPipeline.spoolQuery(
+      SyslogPipeline.parsedStream(spark, in.toString), spool.toString, ckpt.toString)
+    q2.awaitTermination(60000)
+    val recs = spark.read.parquet(spool.toString)
+    assert(recs.count() === 2)
+    val hosts = recs.select("hostname").collect().map(_.getString(0)).sorted
+    assert(hosts.toSeq === Seq("web01", "web02")) // web01 NOT reprocessed
+  }
+
   test("multimodal decode keeps batch shape and deterministic metadata") {
     val out = operators.Multimodal.multimodalMeta(spark, sf)
     val docs = Tables.load(spark, sf, "documents").count()
