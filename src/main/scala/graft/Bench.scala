@@ -19,6 +19,7 @@ object Bench {
     * the bench runs whatever subset exists. */
   val headliners: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q6_forecast",
+    "q18_large", "q7_volume",
     "events_window", "events_tumbling", "events_sessions",
     "syslog_parse", "syslog_normalize", "frame_octet", "record_envelope",
     "gelf_parse", "relay_end_to_end",

@@ -268,6 +268,83 @@ object Analytics {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Q18 shape: large-order customers — semi-join against a
+    * HAVING-filtered aggregate. The aggregate side is tiny after the
+    * HAVING cut, so AQE broadcasts the semi-join probe; the only big
+    * shuffle is the lineitem groupBy with map-side partial sums. */
+  def q18Large(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(money(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("total_qty")).cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("sum_qty"))
+  }
+
+  val q18LargeSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         SUM(CAST(l_quantity AS DECIMAL(9,2))) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 250
+      |)
+      |SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+      |       CAST(SUM(total_qty) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY sum_qty DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Q7 shape: shipping volume between two nation pairs — double
+    * dimension resolve on one fact row (supplier nation × customer
+    * nation), broadcast dims, one fact shuffle. */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.load(spark, dir, "supplier")
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        expr("year(l_shipdate)").cast("int").as("ship_year"))
+      .agg(sum(revenueTerm).cast("double").as("volume"),
+        count(lit(1)).as("n"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  val q7VolumeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS ship_year,
+      |  CAST(SUM($revenueTermSql) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
@@ -275,7 +352,9 @@ object Analytics {
     "q6_forecast" -> q6Forecast,
     "events_window" -> eventsWindow,
     "events_tumbling" -> eventsTumbling,
-    "events_sessions" -> eventsSessions)
+    "events_sessions" -> eventsSessions,
+    "q18_large" -> q18Large,
+    "q7_volume" -> q7Volume)
 
   val oracle: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -284,5 +363,7 @@ object Analytics {
     "q6_forecast" -> q6ForecastSql,
     "events_window" -> eventsWindowSql,
     "events_tumbling" -> eventsTumblingSql,
-    "events_sessions" -> eventsSessionsSql)
+    "events_sessions" -> eventsSessionsSql,
+    "q18_large" -> q18LargeSql,
+    "q7_volume" -> q7VolumeSql)
 }

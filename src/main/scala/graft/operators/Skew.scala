@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe aggregation utilities (SURVEY §2 #42).
+  *
+  * AQE's skew handling covers JOIN skew, and algebraic aggregates
+  * (sum/count/min/max) are already skew-tolerant through map-side
+  * partial aggregation. The remaining hazard at 100 TB is *holistic*
+  * aggregation on a hot key — `collect_list`/`array_agg` of one chatty
+  * syslog source funnels that key's every row through a single reducer.
+  *
+  * `saltedAgg` runs such aggregates in two stages: stage 1 groups on
+  * (key, salt) — the hot key's rows spread over `buckets` reducers —
+  * stage 2 merges the per-salt partials. The caller provides the
+  * per-salt aggregate and the merge expression, keeping this a general
+  * pattern rather than a one-off.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation.
+    *
+    * @param df       input
+    * @param keys     grouping keys
+    * @param buckets  salt fan-out (≈ reducers the hottest key may use)
+    * @param partial  per-(key,salt) aggregate columns (stage 1)
+    * @param merge    per-key merge of the stage-1 columns (stage 2)
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int)(
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    require(buckets > 0)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val stage1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Skew-safe ordered collect: each salt bucket collects its own
+    * (order, payload) structs; the per-key merge flattens `buckets`
+    * partial arrays, sorts once, and projects the payloads. The hot
+    * key's heavy lifting (row collection) happens across `buckets`
+    * reducers; only pre-aggregated arrays reach the final reducer. */
+  def saltedSortedCollect(df: DataFrame, keys: Seq[String], buckets: Int,
+                          payload: Column, order: Column): DataFrame =
+    saltedAgg(df, keys, buckets)(
+      Seq(collect_list(struct(order.as("o"), payload.as("p"))).as("part")),
+      Seq(transform(array_sort(flatten(collect_list(col("part")))),
+        x => x.getField("p")).as("items")))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-technique specs (#42 salting, #43 bucketing). */
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation equals direct aggregation") {
+    val e = Tables.events(spark, sf)
+    val direct = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("su"))
+      .orderBy("event_type").collect()
+    val salted = operators.Skew.saltedAgg(e, Seq("event_type"), 8)(
+      Seq(count(lit(1)).as("pn"), sum("user_id").as("psu")),
+      Seq(sum("pn").as("n"), sum("psu").as("su")))
+      .orderBy("event_type").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("salted sorted collect equals direct ordered collect") {
+    val e = Tables.events(spark, sf).limit(2000)
+    val direct = e.groupBy("user_id")
+      .agg(transform(array_sort(collect_list(struct(col("event_id").as("o"),
+        col("event_type").as("p")))), x => x.getField("p")).as("items"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val salted = operators.Skew.saltedSortedCollect(
+        e, Seq("user_id"), 8, col("event_type"), col("event_id"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (lt, ot) = operators.Bucketing.writeBucketedFacts(spark, sf, 4)
+      val joined = operators.Bucketing.bucketedJoin(spark, lt, ot)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // and the join actually works
+      assert(joined.count() === Tables.load(spark, sf, "lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
