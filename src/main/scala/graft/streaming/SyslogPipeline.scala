@@ -67,12 +67,14 @@ object SyslogPipeline {
           (unix_timestamp(current_timestamp()) * 1000)).as("ts_ms"))
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
 
-  /** FLUSH_TIME-shaped windowed aggregation with watermark. */
-  def windowedCounts(parsed: DataFrame): DataFrame =
+  /** FLUSH_TIME-shaped windowed aggregation with watermark; the
+    * window length follows RelayConfig.flushSeconds. */
+  def windowedCounts(parsed: DataFrame,
+                     flushSeconds: Int = graft.Constants.FlushTime): DataFrame =
     parsed
-      .withWatermark("event_time", "2 minutes")
+      .withWatermark("event_time", s"${2 * flushSeconds} seconds")
       .groupBy(
-        window(col("event_time"), "60 seconds"),
+        window(col("event_time"), s"$flushSeconds seconds"),
         col("hostname"))
       .agg(
         count(lit(1)).as("n_messages"),
@@ -83,9 +85,12 @@ object SyslogPipeline {
 
   /** Spool sink: per micro-batch, (hostname)-grouped gzip record rows
     * appended as parquet (binary `record_gz` column = the spool file
-    * body the reference writes at sink.py:211-217). */
+    * body the reference writes at sink.py:211-217). Record shape
+    * (logGroup prefix/class/port) comes from [[graft.RelayConfig]]. */
   def spoolQuery(parsed: DataFrame, spoolDir: String,
-                 checkpointDir: String): StreamingQuery =
+                 checkpointDir: String,
+                 config: graft.RelayConfig = graft.RelayConfig(),
+                 port: Int = 6514): StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -95,7 +100,7 @@ object SyslogPipeline {
           .agg(
             to_json(struct(
               lit("000000000000").as("owner"),
-              concat_ws("/", lit("graft"), lit("syslog"), lit(514)).as("logGroup"),
+              lit(config.logGroup(port)).as("logGroup"),
               col("hostname").as("logStream"),
               lit("DATA_MESSAGE").as("messageType"),
               array_sort(collect_list(struct(

@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpec {
     assert(hosts.toSeq === Seq("web01", "web02")) // web01 NOT reprocessed
   }
 
+  test("RelayConfig drives record shape (group prefix, gelf class, ports)") {
+    val cfg = graft.RelayConfig(groupPrefix = "/prod", gelf = true,
+      udpPorts = Seq(514), tcpPorts = Seq(0), tlsPorts = Seq(6514, 0))
+    assert(cfg.logGroup(12201) === "/prod/gelf/12201")
+    assert(cfg.activePorts.sorted === Seq(514, 6514))
+    assert(graft.RelayConfig().logGroup(6514) === "/kinesyslog/syslog/6514")
+
+    val in = Files.createTempDirectory("graft_cfg_in")
+    val spool = Files.createTempDirectory("graft_cfg_out")
+    val ckpt = Files.createTempDirectory("graft_cfg_ck")
+    writeLines(in, "c.log", Seq("<165>1 2024-01-05T10:00:10Z web01 app x"))
+    val q = SyslogPipeline.spoolQuery(
+      SyslogPipeline.parsedStream(spark, in.toString),
+      spool.toString, ckpt.toString,
+      config = graft.RelayConfig(groupPrefix = "/prod"), port = 514)
+    q.awaitTermination(60000)
+    val gz = spark.read.parquet(spool.toString)
+      .select("record_gz").collect().head.getAs[Array[Byte]](0)
+    val json = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz)).readAllBytes(), "UTF-8")
+    assert(json.contains("\"logGroup\":\"/prod/syslog/514\""))
+  }
+
   test("multimodal decode keeps batch shape and deterministic metadata") {
     val out = operators.Multimodal.multimodalMeta(spark, sf)
     val docs = Tables.load(spark, sf, "documents").count()
