@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       functions.TextFunctions.queries ++
       operators.Multimodal.queries ++
-      operators.Relay.queries
+      operators.Relay.queries ++
+      operators.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       functions.TextFunctions.oracle ++
-      operators.Relay.oracle
+      operators.Relay.oracle ++
+      operators.Corpus.oracle
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning pipeline (flagship composition of the LLM-data
+  * operators): quality gate → exact dedup → near-dup drop → language
+  * tag, emitting every document with its keep/drop verdict and reason.
+  *
+  * This is the canonical pre-training data flow; each stage is one of
+  * the already-verified operators, composed in a single plan:
+  *  1. quality: drop docs under 10 words or over-punctuated
+  *     (TextFunctions #36 rules);
+  *  2. exact dedup: keep the min doc_id per normalized text
+  *     (Dedup #28);
+  *  3. near-dup: drop the HIGHER doc_id of every (lang, source)
+  *     token-set Jaccard ≥ 0.8 pair (Dedup #31 candidates — at 100 TB
+  *     this input comes from MinHash-LSH instead, same drop rule);
+  *  4. survivors get the predicted language tag (TextFunctions #35).
+  *
+  * Reason precedence (first match wins): quality > exact_dup >
+  * near_dup > kept. The oracle recomputes all four stages in SQL.
+  */
+object Corpus {
+
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.functions.TextFunctions.quality(spark, dir)
+      .select(col("doc_id"), col("quality_ok"))
+    val exactKeep = Dedup.dedupExact(spark, dir)
+      .select(col("keep_id"))
+    val nearDrop = Dedup.dedupJaccard(spark, dir)
+      .select(col("doc_b").as("near_drop_id")).distinct()
+    val lang = graft.functions.TextFunctions.langId(spark, dir)
+      .select(col("doc_id"), col("pred_lang"))
+
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(q, Seq("doc_id"))
+      .join(exactKeep, col("doc_id") === col("keep_id"), "left")
+      .join(nearDrop, col("doc_id") === col("near_drop_id"), "left")
+      .join(lang, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        when(col("quality_ok") === 0, "low_quality")
+          .when(col("keep_id").isNull, "exact_dup")
+          .when(col("near_drop_id").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"),
+        when(col("quality_ok") === 1 && col("keep_id").isNotNull &&
+             col("near_drop_id").isNull, col("pred_lang"))
+          .as("lang_tag"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCleanSql: String = {
+    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    val enLex = graft.functions.TextFunctions.Lexicons.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val langHits = graft.functions.TextFunctions.Lexicons.map { case (l, ws) =>
+      s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(", ")}])) AS ${l}_hits"
+    }.mkString(",\n    ")
+    val langPred = graft.functions.TextFunctions.Lexicons.map { case (l, _) =>
+      s"WHEN ${l}_hits = mx AND mx > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, source, $norm AS norm,
+      |    string_split($norm, ' ') AS words,
+      |    list_distinct(string_split($norm, ' ')) AS toks
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(words) >= 10
+      |          AND CAST(len(list_filter(words, t -> list_contains($enLex, t))) AS DOUBLE) / len(words) < 0.5
+      |          AND len(regexp_extract_all(norm, '[^a-z0-9 ]')) * 5 <= len(words)
+      |         THEN 1 ELSE 0 END AS quality_ok
+      |  FROM d
+      |), ek AS (
+      |  SELECT MIN(doc_id) AS keep_id FROM d GROUP BY norm
+      |), t AS (
+      |  SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok FROM d
+      |), nd AS (
+      |  SELECT DISTINCT b.doc_id AS near_drop_id
+      |  FROM t a JOIN t b
+      |    ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
+      |  HAVING 5 * COUNT(*) >= 4 * (MAX(a.nt) + MAX(b.nt) - COUNT(*))
+      |), lh AS (
+      |  SELECT doc_id,
+      |    $langHits
+      |  FROM d
+      |), lm AS (SELECT *, GREATEST(en_hits, es_hits, de_hits, fr_hits) AS mx FROM lh),
+      |lang AS (SELECT doc_id, $langPred AS pred_lang FROM lm)
+      |SELECT d.doc_id,
+      |  CASE WHEN q.quality_ok = 0 THEN 'low_quality'
+      |       WHEN ek.keep_id IS NULL THEN 'exact_dup'
+      |       WHEN nd.near_drop_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'kept' END AS verdict,
+      |  CASE WHEN q.quality_ok = 1 AND ek.keep_id IS NOT NULL
+      |        AND nd.near_drop_id IS NULL
+      |       THEN lang.pred_lang END AS lang_tag
+      |FROM d
+      |JOIN q ON d.doc_id = q.doc_id
+      |LEFT JOIN ek ON d.doc_id = ek.keep_id
+      |LEFT JOIN nd ON d.doc_id = nd.near_drop_id
+      |JOIN lang ON d.doc_id = lang.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> corpusClean)
+
+  val oracle: Map[String, String] = Map(
+    "corpus_clean" -> corpusCleanSql)
+}
