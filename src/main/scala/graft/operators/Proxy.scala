@@ -33,16 +33,21 @@ object Proxy {
 
   private val V1Pattern = "^PROXY (\\S+) (\\S+) (\\S+) (\\d+) (\\d+)\\r\\n([\\s\\S]*)$"
 
-  /** v1 header parse over a connection stream string → struct; null
-    * fields when the header doesn't match (connection would be
-    * closed). */
-  def proxyV1(stream: Column): Column = struct(
-    regexp_extract(stream, V1Pattern, 1).as("proto"),
-    regexp_extract(stream, V1Pattern, 2).as("src_addr"),
-    regexp_extract(stream, V1Pattern, 3).as("dst_addr"),
-    regexp_extract(stream, V1Pattern, 4).cast("int").as("src_port"),
-    regexp_extract(stream, V1Pattern, 5).cast("int").as("dst_port"),
-    regexp_extract(stream, V1Pattern, 6).as("payload"))
+  /** v1 header parse over a connection stream string → struct; all
+    * fields null when the header doesn't match (the reference closes
+    * the connection, proxy.py:131-139). The rlike gate also keeps the
+    * port casts ANSI-safe on malformed input. */
+  def proxyV1(stream: Column): Column = {
+    val valid = stream.rlike(V1Pattern)
+    def f(g: Int) = when(valid, regexp_extract(stream, V1Pattern, g))
+    struct(
+      f(1).as("proto"),
+      f(2).as("src_addr"),
+      f(3).as("dst_addr"),
+      f(4).cast("int").as("src_port"),
+      f(5).cast("int").as("dst_port"),
+      f(6).as("payload"))
+  }
 
   def proxyV1Query(spark: SparkSession, dir: String): DataFrame = {
     val streams = Tables.events(spark, dir)

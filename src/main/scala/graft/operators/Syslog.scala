@@ -128,7 +128,8 @@ object Syslog {
   def syslogSeverity(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir)
       .withColumn("raw", rawLine)
-      .withColumn("p", priRaw(col("raw")).cast("int"))
+      .withColumn("p",
+        when(priRaw(col("raw")) =!= "", priRaw(col("raw")).cast("int")))
       .select(
         col("event_id"),
         col("p").as("pri"),

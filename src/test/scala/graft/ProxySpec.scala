@@ -91,6 +91,14 @@ class ProxySpec extends SparkSpec {
     assert(new String(tlvs("PP2_TYPE_AUTHORITY")) === "abc")
   }
 
+  test("v1 malformed header yields nulls, not an ANSI cast error") {
+    val r = Seq("GET / HTTP/1.1\r\nHost: x\r\n").toDF("s")
+      .select(proxyV1(col("s")).as("p"))
+      .select("p.proto", "p.src_port").collect().head
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+  }
+
   test("v2 bad magic / version / family yield null") {
     val addr = Array[Byte](10, 0, 0, 5, 10, 1, 0, 1, 0, 80, 2, 2)
     val badMagic = v2(0x21, 0x11, addr); badMagic(0) = 0x00
