@@ -37,6 +37,29 @@ class FramingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rfc3164 parse + year inference recovers random instants in the valid window") {
+    import graft.functions.SyslogFunctions.ts3164
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val nowS = 1768435200L // 2026-01-15; recoverable window ≈ (now-362d, now+3d)
+    val rnd = new Random(99)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMM dd HH:mm:ss", java.util.Locale.US)
+    val cases = for (_ <- 1 to 300) yield {
+      val epoch = nowS - 360L * 86400 + (rnd.nextDouble() * 362 * 86400).toLong
+      val ts = java.time.LocalDateTime
+        .ofEpochSecond(epoch, 0, java.time.ZoneOffset.UTC).format(fmt)
+      (ts, epoch)
+    }
+    val got = cases.map(_._1).toDF("t")
+      .select(ts3164(col("t"), lit(nowS)).getField("parsed_s"))
+      .collect().map(_.getLong(0))
+    got.zip(cases).foreach { case (g, (ts, want)) =>
+      assert(g === want, s"ts=$ts")
+    }
+  }
+
   test("rfc5424 integer parse agrees with java.time over random instants") {
     import graft.functions.SyslogFunctions.ts5424Millis
     import org.apache.spark.sql.functions.col
