@@ -91,6 +91,23 @@ class SyslogSpec extends SparkSpec {
     assert(rows(1).getInt(1) === 1)
   }
 
+  test("Feb 29 parses in a leap year; rollback into a non-leap year is null") {
+    // now = 2024-01-15 (leap year): "Feb 29" parses as 2024-02-29,
+    // which is > 3 days in the future -> rollback to 2023 -> invalid -> null
+    val nowLeap = 1705276800L // 2024-01-15T00:00:00Z
+    val r = Seq("Feb 29 12:00:00").toDF("ts")
+      .select(ts3164(col("ts"), lit(nowLeap)).as("t"))
+      .select("t.parsed_s", "t.adjusted").collect().head
+    assert(r.isNullAt(0))
+    assert(r.getInt(1) === 1)
+    // now = 2024-03-15: "Feb 29" is in the past -> keeps 2024-02-29
+    val nowAfter = 1710460800L // 2024-03-15T00:00:00Z
+    val r2 = Seq("Feb 29 12:00:00").toDF("ts")
+      .select(ts3164(col("ts"), lit(nowAfter)).as("t"))
+      .select("t.parsed_s").collect().head
+    assert(r2.getLong(0) === 1709208000L) // 2024-02-29T12:00:00Z
+  }
+
   test("RFC5424 timestamp offsets and fractions") {
     val df = Seq(
       "2024-01-05T00:00:00Z",
