@@ -101,7 +101,7 @@ object Envelope {
       |  '000000000000' AS owner,
       |  'DATA_MESSAGE' AS message_type,
       |  COUNT(*) AS n_events,
-      |  SUM(length(message)) AS total_bytes,
+      |  CAST(SUM(length(message)) AS BIGINT) AS total_bytes,
       |  MIN(ts_s) * 1000 AS min_ts_ms,
       |  MAX(ts_s) * 1000 AS max_ts_ms
       |FROM e
@@ -156,9 +156,9 @@ object Envelope {
       |    GREATEST(1, n // ((size + $maxRecord - 1) // $maxRecord)) AS part_len
       |  FROM sized
       |)
-      |SELECT source, dest, rn0 // part_len AS part_id,
+      |SELECT source, dest, CAST(rn0 // part_len AS BIGINT) AS part_id,
       |  COUNT(*) AS n_events,
-      |  SUM(bytes) AS part_bytes,
+      |  CAST(SUM(bytes) AS BIGINT) AS part_bytes,
       |  MIN(event_id) AS first_event,
       |  MAX(event_id) AS last_event
       |FROM parts
@@ -238,7 +238,7 @@ object Envelope {
       "  SELECT * FROM walk\n" +
       ")\n" +
       "SELECT dest, CAST(batch AS BIGINT) AS batch_id,\n" +
-      "  COUNT(*) AS n_records, SUM(bytes) AS batch_bytes\n" +
+      "  COUNT(*) AS n_records, CAST(SUM(bytes) AS BIGINT) AS batch_bytes\n" +
       "FROM packed\n" +
       "GROUP BY dest, batch\n" +
       "ORDER BY dest, batch_id"
@@ -293,7 +293,7 @@ object Envelope {
     s"""$oracleBase
       |SELECT dest AS port, source,
       |  COUNT(*) AS message_count,
-      |  SUM(length(message)) AS message_bytes
+      |  CAST(SUM(length(message)) AS BIGINT) AS message_bytes
       |FROM e
       |GROUP BY dest, source
       |ORDER BY port, source""".stripMargin

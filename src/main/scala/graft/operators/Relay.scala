@@ -104,8 +104,8 @@ object Relay {
       |  'graft/syslog/' || dest AS log_group,
       |  source AS log_stream,
       |  COUNT(*) AS n_events,
-      |  SUM(length(message)) AS total_bytes,
-      |  SUM(pri // 8) AS facility_sum,
+      |  CAST(SUM(length(message)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(pri // 8) AS BIGINT) AS facility_sum,
       |  COUNT(DISTINCT host) AS n_hosts
       |FROM m
       |GROUP BY source, dest

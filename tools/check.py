@@ -43,6 +43,19 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
         fail += 1
         continue
+    # The driver hash-compares stringified values, so an int column on one
+    # side vs float on the other (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+    # pandas float64) mismatches even when the numbers are equal. Catch it.
+    kind_bad = [
+        f"{c}: exp={exp[c].dtype} got={got[c].dtype}"
+        for c in exp.columns
+        if {exp[c].dtype.kind, got[c].dtype.kind} == {"i", "f"}
+        or {exp[c].dtype.kind, got[c].dtype.kind} == {"u", "f"}
+    ]
+    if kind_bad:
+        print(f"FAIL {name}: int-vs-float dtype mismatch (driver hash would differ): {kind_bad}")
+        fail += 1
+        continue
     if len(exp) != len(got):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
         fail += 1
