@@ -41,6 +41,12 @@ object SyslogFunctions {
   private val Rfc5424Rest = "^1 (\\S{20,38}|-) (\\S+) (.*)$"
   private val Rfc3164Rest =
     "^([A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) (.*)$"
+  /** RFC3164 with the optional explicit year the reference's pattern
+    * accepts (message.py:15: `...\ ..\ ..:..:..(\ 20\d\d)?`). Must be
+    * tested BEFORE the plain variant, which would otherwise bind the
+    * year as the hostname. */
+  private val Rfc3164YearRest =
+    "^([A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2} 20\\d{2}) (\\S+) (.*)$"
 
   /** Full header parse → struct(pri int|null, version int, ts_raw,
     * hostname, content). version: 1 = RFC5424, 0 = RFC3164 header,
@@ -54,23 +60,26 @@ object SyslogFunctions {
   def parseHeader(raw: Column): Column = {
     val pri  = priRaw(raw)
     val rest = afterPri(raw)
-    val is54 = rest.rlike(Rfc5424Rest)
-    val is31 = rest.rlike(Rfc3164Rest)
+    val is54  = rest.rlike(Rfc5424Rest)
+    val is31y = rest.rlike(Rfc3164YearRest)
+    val is31  = rest.rlike(Rfc3164Rest)
     // RFC5424: "1 TS HOST CONTENT" — split on the first 3 spaces.
     val p54 = split(rest, " ", 4)
-    // RFC3164: "MMM dd HH:mm:ss HOST CONTENT" — fixed 15-char stamp,
-    // then host and content split on the next space.
-    val rem31 = substring(rest, 17, Int.MaxValue)
+    // RFC3164: "MMM dd HH:mm:ss[ yyyy] HOST CONTENT" — fixed 15- or
+    // 20-char stamp, then host and content split on the next space.
+    val rem31 = when(is31y, substring(rest, 22, Int.MaxValue))
+      .otherwise(substring(rest, 17, Int.MaxValue))
     val p31 = split(rem31, " ", 2)
     struct(
       when(pri =!= "", pri.cast("int")).as("pri"),
-      when(is54, 1).when(is31, 0).otherwise(-1).as("version"),
+      when(is54, 1).when(is31y || is31, 0).otherwise(-1).as("version"),
       when(is54, element_at(p54, 2))
+        .when(is31y, substring(rest, 1, 20))
         .when(is31, substring(rest, 1, 15)).as("ts_raw"),
       when(is54, element_at(p54, 3))
-        .when(is31, element_at(p31, 1)).as("hostname"),
+        .when(is31y || is31, element_at(p31, 1)).as("hostname"),
       when(is54, element_at(p54, 4))
-        .when(is31, element_at(p31, 2))
+        .when(is31y || is31, element_at(p31, 2))
         .otherwise(rest).as("content"))
   }
 
@@ -132,27 +141,44 @@ object SyslogFunctions {
   private def isLeap(y: Column): Column =
     y % 4 === 0 && (y % 100 =!= 0 || y % 400 === 0)
 
-  /** Parse `MMM dd HH:mm:ss` with the year inferred from `nowS` (epoch
-    * seconds). Returns struct(parsed_s long|null, adjusted int):
-    * adjusted = 1 when the ≥3-days-in-the-future rule moved the stamp
-    * to last year. A Feb 29 stamp rolled back into a non-leap year
-    * yields null (the reference raises there and falls back to the
-    * rewrite path). All arithmetic is integer codegen — no
-    * DateTimeFormatter on the hot path. */
+  private def daysInMonth(y: Column, mo: Column): Column =
+    when(mo === 2, when(isLeap(y), 29).otherwise(28))
+      .when(mo.isin(4, 6, 9, 11), 30)
+      .otherwise(31)
+
+  /** Parse `MMM dd HH:mm:ss[ yyyy]` with the year inferred from `nowS`
+    * (epoch seconds) when absent; an explicit trailing year (which the
+    * reference's pattern accepts, message.py:15 + the len>15 branch of
+    * parse_rfc3164_timestamp) is used directly. Returns
+    * struct(parsed_s long|null, adjusted int): adjusted = 1 when the
+    * ≥3-days-in-the-future rule moved the stamp to last year — the
+    * reference applies that rule even to explicit-year stamps
+    * (message.py:26-28). Impossible civil dates (`Feb 30`, `Jan 99`,
+    * `Feb 29` of a non-leap parse year) yield null, exactly where the
+    * reference's strptime raises and the message falls to the rewrite
+    * path; so does a Feb 29 rolled back into a non-leap year. All
+    * arithmetic is integer codegen — no DateTimeFormatter on the hot
+    * path. */
   def ts3164(tsRaw: Column, nowS: Column): Column = {
-    val valid = tsRaw.rlike("^[A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}$") &&
+    val shape =
+      tsRaw.rlike("^[A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}( 20\\d{2})?$") &&
       map_contains_key(MonthNums, substring(tsRaw, 1, 3))
+    val hasYear = length(tsRaw) > 15
     val nowYear = year(timestamp_seconds(nowS)).cast("long")
+    val theYear = when(hasYear, substring(tsRaw, 17, 4).cast("long"))
+      .otherwise(nowYear)
     val mo = element_at(MonthNums, substring(tsRaw, 1, 3)).cast("long")
     val d  = substring(tsRaw, 5, 2).cast("long")
     val h  = substring(tsRaw, 8, 2).cast("long")
     val mi = substring(tsRaw, 11, 2).cast("long")
     val s  = substring(tsRaw, 14, 2).cast("long")
-    val parsedS = civilEpochSeconds(nowYear, mo, d, h, mi, s)
+    val valid = shape && d >= 1 && d <= daysInMonth(theYear, mo) &&
+      h <= 23 && mi <= 59 && s <= 59
+    val parsedS = civilEpochSeconds(theYear, mo, d, h, mi, s)
     val adjusted = when(parsedS - nowS >= FutureSeconds, 1).otherwise(0)
-    val lastYearS = when(mo === 2 && d === 29 && !isLeap(nowYear - 1),
+    val lastYearS = when(mo === 2 && d === 29 && !isLeap(theYear - 1),
         lit(null).cast("long"))
-      .otherwise(civilEpochSeconds(nowYear - 1, mo, d, h, mi, s))
+      .otherwise(civilEpochSeconds(theYear - 1, mo, d, h, mi, s))
     struct(
       when(!valid, lit(null).cast("long"))
         .when(adjusted === 1, lastYearS).otherwise(parsedS).as("parsed_s"),

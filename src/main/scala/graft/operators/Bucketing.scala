@@ -19,19 +19,26 @@ import org.apache.spark.sql.SparkSession
 object Bucketing {
 
   /** Write the two fact tables bucketed by order key into the current
-    * catalog (idempotent). Returns the table names. */
+    * catalog (idempotent). Returns the table names.
+    *
+    * Stale-location handling: the in-memory catalog forgets tables
+    * across sessions while the warehouse directory persists, so a
+    * previous run's table directory can block `saveAsTable`. Rather
+    * than deleting paths derived from session config (which may be a
+    * shared or non-local warehouse the helper does not own), the
+    * tables are written under an EXPLICIT per-table location inside
+    * `scratchDir` — a directory the caller designates as scratch —
+    * and only that per-table directory is ever cleared. */
   def writeBucketedFacts(spark: SparkSession, dir: String, buckets: Int,
-                         prefix: String = "graft"): (String, String) = {
+                         prefix: String = "graft",
+                         scratchDir: String =
+                           sys.props("java.io.tmpdir") + "/graft-bucketed")
+      : (String, String) = {
     val lt = s"${prefix}_lineitem_b"
     val ot = s"${prefix}_orders_b"
     def write(table: String, src: String, key: String): Unit =
       if (!spark.catalog.tableExists(table)) {
-        // the in-memory catalog forgets tables across sessions while
-        // the warehouse directory persists — clear a stale location
-        // before creating the managed table
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        val loc = new java.io.File(wh, table)
+        val loc = new java.io.File(scratchDir, table)
         if (loc.exists()) {
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -40,6 +47,7 @@ object Bucketing {
         }
         graft.Tables.load(spark, dir, src)
           .write.bucketBy(buckets, key).sortBy(key)
+          .option("path", loc.getAbsolutePath)
           .format("parquet").saveAsTable(table)
       }
     write(lt, "lineitem", "l_orderkey")

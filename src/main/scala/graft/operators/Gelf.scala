@@ -33,18 +33,23 @@ object Gelf {
     StructField("version", StringType),
     StructField("host", StringType),
     StructField("short_message", StringType),
-    StructField("timestamp", LongType),
+    // GELF timestamps are spec-valid as FRACTIONAL seconds; the
+    // reference preserves them (message.py:85 → assign_uuid's
+    // int(round(ts*1000))). LongType here would fail the field on
+    // real input like 1704412800.5 and silently lose the sender time.
+    StructField("timestamp", DoubleType),
     StructField("level", IntegerType),
     StructField("_event_id", LongType),
     StructField("_user", LongType)))
 
   /** Synthesized GELF datagram per event; every 11th is not JSON,
     * every 13th omits the timestamp field (exercising both fallback
-    * arms). */
+    * arms); every 4th carries a fractional `.5` timestamp. */
   private def gelfLine = {
+    val tsFrac = when(col("event_id") % 4 === 0, ".5").otherwise(lit(""))
     val good = format_string(
-      """{"version":"1.1","host":"host-%d","short_message":"%s id=%d","timestamp":%d,"level":%d,"_event_id":%d,"_user":%d}""",
-      col("user_id"), col("event_type"), col("event_id"), col("ts_s"),
+      """{"version":"1.1","host":"host-%d","short_message":"%s id=%d","timestamp":%d%s,"level":%d,"_event_id":%d,"_user":%d}""",
+      col("user_id"), col("event_type"), col("event_id"), col("ts_s"), tsFrac,
       col("event_id") % 8, col("event_id"), col("user_id"))
     val noTs = format_string(
       """{"version":"1.1","host":"host-%d","short_message":"%s id=%d","level":%d,"_event_id":%d,"_user":%d}""",
@@ -65,19 +70,24 @@ object Gelf {
       .orderBy("event_id")
       .withColumn("recv_s", col("ts_s") + 2)
       .withColumn("raw", gelfLine)
-    val parsed = e
-      .withColumn("j", from_json(col("raw"), gelfSchema))
-      .withColumn("m", from_json(col("raw"), MapType(StringType, StringType)))
+    // ONE JSON parse per row (JsonToStructs is CodegenFallback — the
+    // single most expensive expression in this plan; a second
+    // MapType parse just to count `_`-keys doubled the cost). GELF
+    // additional fields are top-level `_`-prefixed keys on a flat
+    // object, so a codegen'd regexp_count over the raw text counts
+    // them without re-parsing.
+    val parsed = e.withColumn("j", from_json(col("raw"), gelfSchema))
     parsed.select(
         col("event_id"),
         col("j.version").as("version"),
         col("j.host").as("host"),
         col("j.short_message").as("short_message"),
-        (coalesce(col("j.timestamp"), col("recv_s")) * 1000).as("ts_ms"),
+        coalesce(round(col("j.timestamp") * 1000).cast("long"),
+          col("recv_s") * 1000).as("ts_ms"),
         col("j.level").as("level"),
-        when(col("m").isNotNull,
-          size(filter(map_keys(col("m")), k => k.startsWith("_"))))
-          .otherwise(0).as("n_extra"))
+        when(col("raw").startsWith("{"),
+          regexp_count(col("raw"), lit("[,{]\\s*\"_[^\"]*\"\\s*:")))
+          .otherwise(0).cast("int").as("n_extra"))
   }
 
   val gelfParseSql: String =
@@ -93,7 +103,9 @@ object Gelf {
       |  CASE WHEN event_id % 11 = 0 THEN NULL
       |       ELSE event_type || ' id=' || event_id END AS short_message,
       |  CASE WHEN event_id % 11 = 0 OR event_id % 13 = 0
-      |       THEN (ts_s + 2) * 1000 ELSE ts_s * 1000 END AS ts_ms,
+      |       THEN (ts_s + 2) * 1000
+      |       ELSE ts_s * 1000 + CASE WHEN event_id % 4 = 0 THEN 500 ELSE 0 END
+      |       END AS ts_ms,
       |  CASE WHEN event_id % 11 = 0 THEN NULL
       |       ELSE CAST(event_id % 8 AS INT) END AS level,
       |  CAST(CASE WHEN event_id % 11 = 0 THEN 0 ELSE 2 END AS INT) AS n_extra
@@ -152,8 +164,14 @@ object Gelf {
       |WHERE NOT (doc_id % 7 = 0 AND (n_chars % 3 + 1) > 1)
       |ORDER BY doc_id""".stripMargin
 
-  // -- #12 decompress_auto (rows-only) ----------------------------------
+  // -- #12 decompress_auto ----------------------------------------------
 
+  /** Magic-sniff decompression round-trip. Output columns are all
+    * SQL-recomputable from the source (compressed byte lengths are
+    * library-specific, so they live in the specs instead) — the oracle
+    * therefore gates codec routing AND a successful round-trip per
+    * row: `roundtrip_ok` must be 1 everywhere to hash-match the
+    * oracle's literal 1. */
   def decompressAuto(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -166,10 +184,18 @@ object Gelf {
       .select(
         col("doc_id"),
         (col("doc_id") % 3).cast("int").as("codec"),
-        length(col("packed")).as("packed_len"),
+        octet_length(col("out")).as("out_len"),
         (col("out") === col("raw")).cast("int").as("roundtrip_ok"))
       .orderBy("doc_id")
   }
+
+  val decompressAutoSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 3 AS INT) AS codec,
+      |  octet_length(encode(text)) AS out_len,
+      |  1 AS roundtrip_ok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gelf_parse" -> gelfParse,
@@ -178,5 +204,6 @@ object Gelf {
 
   val oracle: Map[String, String] = Map(
     "gelf_parse" -> gelfParseSql,
-    "gelf_chunks" -> gelfChunksSql)
+    "gelf_chunks" -> gelfChunksSql,
+    "decompress_auto" -> decompressAutoSql)
 }

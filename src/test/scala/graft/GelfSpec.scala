@@ -57,4 +57,16 @@ class GelfSpec extends SparkSpec {
     assert(out.filter(col("version").isNotNull).count() === 0)
     assert(out.filter(col("ts_ms").isNull).count() === 0)
   }
+
+  test("gelf_parse preserves fractional sender timestamps (spec-valid)") {
+    // reference: ujson float -> int(round(ts*1000)) in assign_uuid
+    val e = Tables.events(spark, sf)
+      .filter(col("event_id") % 4 === 0 && col("event_id") % 11 =!= 0 &&
+        col("event_id") % 13 =!= 0)
+      .select(col("event_id"), (col("ts_s") * 1000 + 500).as("want"))
+    val out = operators.Gelf.gelfParse(spark, sf)
+      .select(col("event_id"), col("ts_ms"))
+    assert(e.join(out, Seq("event_id"))
+      .filter(col("ts_ms") =!= col("want")).count() === 0)
+  }
 }

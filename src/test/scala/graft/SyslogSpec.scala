@@ -108,6 +108,46 @@ class SyslogSpec extends SparkSpec {
     assert(r2.getLong(0) === 1709208000L) // 2024-02-29T12:00:00Z
   }
 
+  test("RFC3164 header with explicit trailing year (message.py:15)") {
+    val r = parseOne("<34>Jan 05 10:11:12 2026 db-7 kernel: oom")
+    assert(r.getInt(0) === 34)
+    assert(r.getInt(1) === 0)
+    assert(r.getString(2) === "Jan 05 10:11:12 2026")
+    assert(r.getString(3) === "db-7") // NOT "2026"
+    assert(r.getString(4) === "kernel: oom")
+  }
+
+  test("ts3164 explicit year: used directly, future rule still applies") {
+    val nowS = 1768435200L // 2026-01-15T00:00:00Z
+    val df = Seq(
+      "Jan 05 10:11:12 2023",  // explicit past year, kept
+      "Jan 20 00:00:00 2026")  // explicit year but ≥3d future → 2025
+      .toDF("ts").select(ts3164(col("ts"), lit(nowS)).as("t"))
+      .select("t.parsed_s", "t.adjusted")
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === 1672913472L) // 2023-01-05T10:11:12Z
+    assert(rows(0).getInt(1) === 0)
+    assert(rows(1).getLong(0) === nowS + 5 * 86400 - 31536000L) // Jan 20 2025
+    assert(rows(1).getInt(1) === 1)
+  }
+
+  test("impossible civil dates are null (reference strptime raises)") {
+    val nowS = 1768435200L // 2026 (non-leap)
+    val rows = Seq(
+      "Feb 30 12:00:00", "Jan 99 12:00:00", "Apr 31 00:00:00",
+      "Feb 29 12:00:00",        // 2026 is non-leap → invalid
+      "Feb 29 12:00:00 2024",   // explicit leap year → valid
+      "Jan 05 25:00:00")        // hour out of range
+      .toDF("ts").select(ts3164(col("ts"), lit(nowS)).as("t"))
+      .select("t.parsed_s").collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+    assert(rows(3).isNullAt(0))
+    assert(rows(4).getLong(0) === 1709208000L) // 2024-02-29T12:00:00Z
+    assert(rows(5).isNullAt(0))
+  }
+
   test("RFC5424 timestamp offsets and fractions") {
     val df = Seq(
       "2024-01-05T00:00:00Z",
