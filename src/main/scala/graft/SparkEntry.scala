@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       functions.TextFunctions.oracle ++
+      operators.Multimodal.oracle ++
       operators.Relay.oracle ++
       operators.Corpus.oracle
 }

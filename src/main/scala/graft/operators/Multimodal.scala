@@ -72,8 +72,27 @@ object Multimodal {
         col("width"), col("height"))
       .orderBy("doc_id")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> multimodalMeta)
+  /** Oracle-checked projection: everything except the stub codec's
+    * pseudo-dimensions (width/height — spec-checked for determinism
+    * and bounds instead) is recomputable in SQL from the source
+    * columns, so the batched-decode plumbing (row fan-in/out, byte
+    * length, magic prefix, kind routing) gets a real correctness
+    * gate. */
+  def multimodalMetaChecked(spark: SparkSession, dir: String): DataFrame =
+    multimodalMeta(spark, dir)
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("magic"))
 
-  val oracle: Map[String, String] = Map.empty
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  lower(substring(hex(encode(text)), 1, 8)) AS magic
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> multimodalMetaChecked)
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" -> multimodalMetaSql)
 }
