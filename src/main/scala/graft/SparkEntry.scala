@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       functions.TextFunctions.queries ++
+      operators.Scrub.queries ++
       operators.Multimodal.queries ++
       operators.Relay.queries ++
       operators.Corpus.queries
@@ -37,6 +38,7 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       functions.TextFunctions.oracle ++
+      operators.Scrub.oracle ++
       operators.Multimodal.oracle ++
       operators.Relay.oracle ++
       operators.Corpus.oracle

@@ -39,14 +39,13 @@ object SyslogFunctions {
   def afterPri(raw: Column): Column = regexp_replace(raw, "^<\\d{1,3}>", "")
 
   private val Rfc5424Rest = "^1 (\\S{20,38}|-) (\\S+) (.*)$"
+  /** RFC3164 stamp with the optional explicit year the reference's
+    * pattern accepts (message.py:15: `...\ ..\ ..:..:..(\ 20\d\d)?`).
+    * The greedy optional group consumes the year when present, exactly
+    * like the reference — without it the year would bind as the
+    * hostname. */
   private val Rfc3164Rest =
-    "^([A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) (.*)$"
-  /** RFC3164 with the optional explicit year the reference's pattern
-    * accepts (message.py:15: `...\ ..\ ..:..:..(\ 20\d\d)?`). Must be
-    * tested BEFORE the plain variant, which would otherwise bind the
-    * year as the hostname. */
-  private val Rfc3164YearRest =
-    "^([A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2} 20\\d{2}) (\\S+) (.*)$"
+    "^([A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}( 20\\d{2})?) (\\S+) (.*)$"
 
   /** Full header parse → struct(pri int|null, version int, ts_raw,
     * hostname, content). version: 1 = RFC5424, 0 = RFC3164 header,
@@ -60,9 +59,13 @@ object SyslogFunctions {
   def parseHeader(raw: Column): Column = {
     val pri  = priRaw(raw)
     val rest = afterPri(raw)
-    val is54  = rest.rlike(Rfc5424Rest)
-    val is31y = rest.rlike(Rfc3164YearRest)
-    val is31  = rest.rlike(Rfc3164Rest)
+    val is54 = rest.rlike(Rfc5424Rest)
+    val is31 = rest.rlike(Rfc3164Rest)
+    // Year presence re-checked on a fixed 6-char slice (cheap) instead
+    // of a second full-line regex: the greedy year group matched iff
+    // chars 16-20 are " 20\d\d" AND char 21 delimits it with a space
+    // (a hostname like "2026x" must not read as a year).
+    val is31y = is31 && substring(rest, 16, 6).rlike("^ 20\\d{2} $")
     // RFC5424: "1 TS HOST CONTENT" — split on the first 3 spaces.
     val p54 = split(rest, " ", 4)
     // RFC3164: "MMM dd HH:mm:ss[ yyyy] HOST CONTENT" — fixed 15- or

@@ -135,10 +135,126 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // #48 ann_ivf — inverted-file probe (coarse quantizer + short list)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic coarse quantizer: 16 corpus vectors (ids 100–115)
+    * serve as centroids so the whole index is reproducible in SQL. A
+    * production build would train them with k-means — each iteration
+    * is one assignment join + one groupBy-average, the same two plan
+    * shapes used here — without changing the probe-side plan. */
+  val CentroidBase = 100L
+  val Centroids = 16
+  /** Probe the 4 nearest inverted lists: each query touches ~1/4 of
+    * the corpus under balanced assignment (vs 1 list ≈ 1/16 — recall
+    * against latency is the nprobe knob, exactly as in FAISS-style
+    * IVF). */
+  val NProbe = 4
+
+  private def centroidSet(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .filter(col("vec_id") >= CentroidBase &&
+        col("vec_id") < CentroidBase + Centroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+
+  /** Corpus vector → nearest centroid (integer L2²; ties break on
+    * cid). The 16-row centroid table broadcasts; the only shuffle is
+    * the min-struct aggregate back to one row per vector. */
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    v.crossJoin(broadcast(centroidSet(spark, dir)))
+      .withColumn("d2", col("nn") + col("cn") -
+        lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first("q").as("q"), first("nn").as("nn"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("q"), col("nn"))
+  }
+
+  /** IVF probe: rank centroids per query, scan the NProbe nearest
+    * inverted lists, exact-rerank the short list. At scale the
+    * candidate join shuffles on cid only; hot lists are bounded by
+    * raising Centroids (list size ≈ corpus/K) or salting. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssignments(spark, dir)
+    val v = quantized(spark, dir)
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("cid"))
+    val probes = v.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(centroidSet(spark, dir)))
+      .withColumn("d2", col("nn") + col("cn") -
+        lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("nq"), col("cid"))
+    val cand = assigned.join(broadcast(probes),
+        assigned("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
+        col("nq"), col("nc"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+      |  FROM q
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+      |  WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + Centroids}
+      |), dist AS (
+      |  SELECT n.vec_id, n.v, n.nn, c.cid,
+      |    n.nn + c.cn
+      |      - 2 * CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT)
+      |      AS d2
+      |  FROM n CROSS JOIN c
+      |), assign AS (
+      |  SELECT vec_id, v, nn, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, nn AS nq, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dist WHERE vec_id < $NumQueries)
+      |  WHERE rn <= $NProbe
+      |), cand AS (
+      |  SELECT p.query_id, a.vec_id, p.nq, a.nn AS nc,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * p.qv[i])) AS BIGINT) AS dot
+      |  FROM assign a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+      |               vec_id) AS rank
+      |  FROM cand
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
+      |FROM r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
-    "ann_lsh" -> annLsh)
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
 
   val oracle: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql)
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_ivf" -> annIvfSql)
 }

@@ -40,6 +40,29 @@ class SimilarityTextSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall") // 5 of 16 buckets probed
   }
 
+  test("ivf assigns every vector to exactly one centroid list") {
+    val a = operators.Similarity.ivfAssignments(spark, sf)
+    assert(a.count() === Tables.load(spark, sf, "embeddings").count())
+    assert(a.filter(
+      col("cid") < operators.Similarity.CentroidBase ||
+      col("cid") >= operators.Similarity.CentroidBase +
+        operators.Similarity.Centroids).count() === 0)
+    // centroids belong to their own list (d2 = 0 beats everything)
+    assert(a.filter(col("vec_id") === col("cid")).count() ===
+      operators.Similarity.Centroids)
+  }
+
+  test("ivf probe recall covers a majority of brute-force top-k") {
+    val bf = operators.Similarity.annBruteforce(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.Similarity.annIvf(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall=$recall") // 4 of 16 lists probed
+  }
+
   test("lsh buckets partition the corpus") {
     val codes = operators.Similarity.lshCodes(spark, sf)
     assert(codes.count() === Tables.load(spark, sf, "embeddings").count())

@@ -117,6 +117,13 @@ class SyslogSpec extends SparkSpec {
     assert(r.getString(4) === "kernel: oom")
   }
 
+  test("year-like hostname is not consumed as a year") {
+    val r = parseOne("<34>Jan 05 10:11:12 2026x kernel: oom")
+    assert(r.getString(2) === "Jan 05 10:11:12")
+    assert(r.getString(3) === "2026x")
+    assert(r.getString(4) === "kernel: oom")
+  }
+
   test("ts3164 explicit year: used directly, future rule still applies") {
     val nowS = 1768435200L // 2026-01-15T00:00:00Z
     val df = Seq(
