@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the properties that make the operators
+  * scale-safe (SURVEY §4) asserted on the plans themselves, so a
+  * regression that silently adds a shuffle, loses parquet pushdown, or
+  * degrades a dimension join to a cartesian product fails CI — not a
+  * 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // run so AQE settles on the final plan
+    // AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    // "== Initial Plan ==" — keep only the final plan so each
+    // operator is counted once.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Count shuffle exchanges (excludes BroadcastExchange). */
+  private def shuffles(plan: String): Int =
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Exchange SinglePartition")
+      .map(p => p.r.findAllIn(plan).length).sum
+
+  test("q6: filters and column pruning reach the parquet scan") {
+    val plan = planString(operators.Analytics.q6Forecast(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    // pruned ReadSchema: none of the unused wide columns are read
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_comment"), plan)
+  }
+
+  test("syslog_parse: map-only parse, single shuffle for the sort") {
+    val plan = planString(operators.Syslog.syslogParse(spark, sf))
+    assert(shuffles(plan) <= 1, plan)
+  }
+
+  test("dedup_exact: one aggregation shuffle + presentation sort") {
+    val plan = planString(operators.Dedup.dedupExact(spark, sf))
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("events_tumbling: one aggregation shuffle + presentation sort") {
+    val plan = planString(operators.Analytics.eventsTumbling(spark, sf))
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("relay: frame+parse shuffle-free; shuffles only for synthesis groupBy, record agg, sort") {
+    val plan = planString(operators.Relay.relayPipeline(spark, sf))
+    // 4 = synthesis groupBy(user_id) + two-phase exact countDistinct
+    // (hash on (source,dest,hostname) then (source,dest)) + range sort.
+    // Every one carries partial aggregates; framing+parse add none.
+    assert(shuffles(plan) <= 4, plan)
+  }
+
+  test("q5: dimension joins broadcast, no cartesian product") {
+    val plan = planString(operators.Analytics.q5Local(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ann_bruteforce: corpus never shuffles its vectors (broadcast query side)") {
+    val plan = planString(operators.Similarity.annBruteforce(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // shuffles: window by query_id + final sort only
+    assert(shuffles(plan) <= 2, plan)
+  }
+}
