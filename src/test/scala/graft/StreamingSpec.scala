@@ -95,6 +95,34 @@ class StreamingSpec extends SparkSpec {
     assert(json.contains("\"logGroup\":\"/prod/syslog/514\""))
   }
 
+  test("streaming dedup admits each distinct text once across batches and restarts") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_dedup_in")
+    val out = Files.createTempDirectory("graft_dedup_out")
+    val ckpt = Files.createTempDirectory("graft_dedup_ck")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def feed(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    def drain(): Unit = {
+      val q = streaming.CorpusStream.dedupQuery(
+        spark, in.toString, schema, out.toString, ckpt.toString)
+      q.awaitTermination(60000)
+    }
+    feed(Seq(1L -> "alpha beta", 2L -> "gamma  delta"))
+    drain()
+    // second increment: one exact dup, one whitespace-normalized dup,
+    // one genuinely new doc — only the new doc may be admitted
+    feed(Seq(3L -> "alpha beta", 4L -> "GAMMA DELTA", 5L -> "epsilon"))
+    drain()
+    val admitted = spark.read.parquet(out.toString)
+    assert(admitted.count() === 3)
+    assert(admitted.select("fingerprint").distinct().count() === 3)
+    assert(admitted.filter(col("doc_id").isin(3L, 4L)).count() === 0)
+    assert(admitted.filter(col("doc_id") === 5L).count() === 1)
+  }
+
   test("multimodal decode keeps batch shape and deterministic metadata") {
     val out = operators.Multimodal.multimodalMeta(spark, sf)
     val docs = Tables.load(spark, sf, "documents").count()
