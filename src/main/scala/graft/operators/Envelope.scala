@@ -298,16 +298,104 @@ object Envelope {
       |GROUP BY dest, source
       |ORDER BY port, source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #50 stats_export — Prometheus exposition of the relay's metrics
+  // ---------------------------------------------------------------------
+
+  /** Cumulative-histogram exposition lines for one metric: per-bound
+    * `_bucket{le="b"}` counts plus `+Inf`/`_count`/`_sum`. The
+    * reference registers these histograms with fixed bucket walls
+    * (prometheus.py:38-42: MAX_BATCH_COUNT/10 and MAX_BATCH_SIZE/8
+    * steps); here the walls scale with the test caps. Distributed: the
+    * per-bound fan-out is |rows|×|bounds| inside one map stage, then a
+    * single tiny groupBy(le). */
+  private def histLines(df: DataFrame, valueCol: String, metric: String,
+                        bounds: Seq[Long]): DataFrame = {
+    val buckets = df
+      .select(col(valueCol).cast("long").as("v"),
+        explode(array(bounds.map(lit(_)): _*)).as("le"))
+      .groupBy("le")
+      .agg(sum(when(col("v") <= col("le"), 1L).otherwise(0L)).as("n"))
+      .select(format_string(metric + "_bucket{le=\"%d\"} %d",
+        col("le"), col("n")).as("line"))
+    val summary = df
+      .agg(count(lit(1)).as("c"), sum(col(valueCol).cast("long")).as("s"))
+      .select(explode(array(
+        format_string(metric + "_bucket{le=\"+Inf\"} %d", col("c")),
+        format_string(metric + "_count %d", col("c")),
+        format_string(metric + "_sum %d", col("s")))).as("line"))
+    buckets.unionAll(summary)
+  }
+
+  /** The /metrics page as a one-column DataFrame: the reference's
+    * counter families by (port, source) (constant.py:44-45) and the
+    * batch histograms (constant.py:47-48), rendered in Prometheus
+    * exposition format and deterministically sorted. */
+  def statsExport(spark: SparkSession, dir: String): DataFrame = {
+    val counters = statsCounters(spark, dir)
+    val countLines = counters.select(format_string(
+      "kinesyslog_message_count_total{port=\"%d\",source=\"%s\"} %d",
+      col("port"), col("source"), col("message_count")).as("line"))
+    val byteLines = counters.select(format_string(
+      "kinesyslog_message_bytes_total{port=\"%d\",source=\"%s\"} %d",
+      col("port"), col("source"), col("message_bytes")).as("line"))
+    val batches = firehoseBatches(spark, dir)
+    val recSteps = math.max(1L, TestBatchCount.toLong / 10)
+    val byteSteps = TestBatchSize / 8
+    val h1 = histLines(batches, "n_records", "kinesyslog_batch_records",
+      (0L to TestBatchCount.toLong by recSteps))
+    val h2 = histLines(batches, "batch_bytes", "kinesyslog_batch_bytes",
+      (0L to TestBatchSize by byteSteps))
+    countLines.unionAll(byteLines).unionAll(h1).unionAll(h2)
+      .orderBy("line")
+  }
+
+  val statsExportSql: String = {
+    val batchesSub = firehoseBatchesSql().replace("ORDER BY dest, batch_id", "")
+    val countersSub = statsCountersSql.replace("ORDER BY port, source", "")
+    def histSql(value: String, metric: String, bounds: Seq[Long]): String =
+      s"""SELECT printf('${metric}_bucket{le="%d"} %d', le, n) AS line FROM (
+         |  SELECT le, CAST(SUM(CASE WHEN v <= le THEN 1 ELSE 0 END) AS BIGINT) AS n
+         |  FROM (SELECT $value AS v FROM fb) CROSS JOIN
+         |       (SELECT unnest([${bounds.mkString(", ")}]) AS le)
+         |  GROUP BY le)
+         |UNION ALL
+         |SELECT printf('${metric}_bucket{le="+Inf"} %d', COUNT(*)) FROM fb
+         |UNION ALL
+         |SELECT printf('${metric}_count %d', COUNT(*)) FROM fb
+         |UNION ALL
+         |SELECT printf('${metric}_sum %d', CAST(SUM($value) AS BIGINT)) FROM fb"""
+        .stripMargin
+    val recBounds = 0L to TestBatchCount.toLong by math.max(1L, TestBatchCount.toLong / 10)
+    val byteBounds = 0L to TestBatchSize by (TestBatchSize / 8)
+    s"""WITH fb AS (SELECT * FROM ($batchesSub)),
+      |sc AS (SELECT * FROM ($countersSub))
+      |SELECT line FROM (
+      |  SELECT printf('kinesyslog_message_count_total{port="%d",source="%s"} %d',
+      |    port, source, message_count) AS line FROM sc
+      |  UNION ALL
+      |  SELECT printf('kinesyslog_message_bytes_total{port="%d",source="%s"} %d',
+      |    port, source, message_bytes) FROM sc
+      |  UNION ALL
+      |  ${histSql("n_records", "kinesyslog_batch_records", recBounds)}
+      |  UNION ALL
+      |  ${histSql("batch_bytes", "kinesyslog_batch_bytes", byteBounds)}
+      |)
+      |ORDER BY line""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "record_envelope" -> (recordEnvelope(_, _)),
     "record_split" -> ((s, d) => recordSplit(s, d)),
     "firehose_batches" -> ((s, d) => firehoseBatches(s, d)),
     "record_gzip" -> (recordGzip(_, _)),
-    "stats_counters" -> (statsCounters(_, _)))
+    "stats_counters" -> (statsCounters(_, _)),
+    "stats_export" -> (statsExport(_, _)))
 
   val oracle: Map[String, String] = Map(
     "record_envelope" -> recordEnvelopeSql,
     "record_split" -> recordSplitSql(),
     "firehose_batches" -> firehoseBatchesSql(),
-    "stats_counters" -> statsCountersSql)
+    "stats_counters" -> statsCountersSql,
+    "stats_export" -> statsExportSql)
 }

@@ -83,4 +83,23 @@ class EnvelopeSpec extends SparkSpec {
     val total = s.agg(sum("message_count")).collect().head.getLong(0)
     assert(total === Tables.events(spark, sf).count())
   }
+
+  test("stats_export renders exposition lines with monotone histogram buckets") {
+    val lines = operators.Envelope.statsExport(spark, sf)
+      .collect().map(_.getString(0))
+    assert(lines.forall(l => l.startsWith("kinesyslog_")))
+    // cumulative bucket counts are monotone in le, and +Inf == _count
+    val bucketRe = """kinesyslog_batch_records_bucket\{le="(\d+)"\} (\d+)""".r
+    val buckets = lines.collect { case bucketRe(le, n) => (le.toLong, n.toLong) }
+      .sortBy(_._1)
+    assert(buckets.nonEmpty)
+    assert(buckets.zip(buckets.tail).forall { case ((_, a), (_, b)) => a <= b })
+    val inf = lines.collectFirst {
+      case l if l.startsWith("kinesyslog_batch_records_bucket{le=\"+Inf\"}") =>
+        l.split(" ").last.toLong }.get
+    val cnt = lines.collectFirst {
+      case l if l.startsWith("kinesyslog_batch_records_count") =>
+        l.split(" ").last.toLong }.get
+    assert(inf === cnt && buckets.last._2 <= inf)
+  }
 }
