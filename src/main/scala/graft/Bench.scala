@@ -24,7 +24,7 @@ object Bench {
     "syslog_parse", "syslog_normalize", "frame_octet", "record_envelope",
     "gelf_parse", "relay_end_to_end",
     "dedup_exact", "dedup_minhash", "dedup_embedding", "ann_bruteforce",
-    "text_quality", "text_tokens")
+    "ann_ivf", "text_quality", "text_tokens", "text_pii_scrub")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

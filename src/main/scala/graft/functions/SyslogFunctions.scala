@@ -35,8 +35,15 @@ object SyslogFunctions {
   /** `<PRI>` prefix digits as string; empty when absent. */
   def priRaw(raw: Column): Column = regexp_extract(raw, "^<(\\d{1,3})>", 1)
 
-  /** Message body after the `<PRI>` prefix (whole message when no PRI). */
-  def afterPri(raw: Column): Column = regexp_replace(raw, "^<\\d{1,3}>", "")
+  /** Message body after the `<PRI>` prefix (whole message when no
+    * PRI). Derived with substring arithmetic off priRaw — codegen'd
+    * subexpression elimination then shares ONE regex execution between
+    * pri and rest instead of running a second regexp_replace. */
+  def afterPri(raw: Column): Column = {
+    val p = priRaw(raw)
+    when(p =!= "", raw.substr(length(p) + lit(3), lit(Int.MaxValue)))
+      .otherwise(raw)
+  }
 
   private val Rfc5424Rest = "^1 (\\S{20,38}|-) (\\S+) (.*)$"
   /** RFC3164 stamp with the optional explicit year the reference's
@@ -211,8 +218,14 @@ object SyslogFunctions {
       substring(tsRaw, 12, 2).cast("long"),
       substring(tsRaw, 15, 2).cast("long"),
       substring(tsRaw, 18, 2).cast("long"))
-    // fraction (if any) truncated to millis, right-padded: ".5" = 500ms
-    val fracDigits = regexp_extract(tsRaw, "\\.(\\d{1,6})", 1)
+    // fraction (if any) truncated to millis, right-padded: ".5" =
+    // 500ms. The validating rlike pins the shape, so the fraction sits
+    // at fixed position 21 with the zone suffix (1 or 6 chars) behind
+    // it — substring arithmetic replaces a per-row regexp_extract.
+    val suffixLen = when(endsZ, 1).otherwise(6)
+    val fracDigits = when(substring(tsRaw, 20, 1) === ".",
+        tsRaw.substr(lit(21), length(tsRaw) - lit(20) - suffixLen))
+      .otherwise(lit(""))
     val fracMs = when(fracDigits === "", 0L)
       .otherwise(rpad(substring(fracDigits, 1, 3), 3, "0").cast("long"))
     val naiveMs = naiveS * 1000L + fracMs

@@ -60,6 +60,32 @@ class FramingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rfc3164 explicit-year parse recovers random instants across decades") {
+    import graft.functions.SyslogFunctions.ts3164
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // "now" far in the future: no instant triggers the ≥3d-future
+    // rollback, so the explicit year must be used verbatim
+    val nowS = 4102444800L // 2100-01-01
+    val rnd = new Random(314)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMM dd HH:mm:ss yyyy", java.util.Locale.US)
+    val cases = for (_ <- 1 to 300) yield {
+      // 2000..2097 (the reference's pattern accepts 20\d\d years)
+      val epoch = 946684800L + (rnd.nextDouble() * 3.1e9).toLong
+      val ts = java.time.LocalDateTime
+        .ofEpochSecond(epoch, 0, java.time.ZoneOffset.UTC).format(fmt)
+      (ts, epoch)
+    }
+    val got = cases.map(_._1).toDF("t")
+      .select(ts3164(col("t"), lit(nowS)).getField("parsed_s"))
+      .collect().map(_.getLong(0))
+    got.zip(cases).foreach { case (g, (ts, want)) =>
+      assert(g === want, s"ts=$ts")
+    }
+  }
+
   test("rfc5424 integer parse agrees with java.time over random instants") {
     import graft.functions.SyslogFunctions.ts5424Millis
     import org.apache.spark.sql.functions.col
