@@ -88,6 +88,9 @@ object Envelope {
         concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
           .as("log_group"),
         col("source").as("log_stream"),
+        // default subscription filter = the log group (sink.py:199-200)
+        concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
+          .as("subscription_filter"),
         lit(Owner).as("owner"),
         lit("DATA_MESSAGE").as("message_type"),
         col("n_events"), col("total_bytes"), col("min_ts_ms"), col("max_ts_ms"))
@@ -98,6 +101,7 @@ object Envelope {
       |SELECT source, dest,
       |  'graft/syslog/' || dest AS log_group,
       |  source AS log_stream,
+      |  'graft/syslog/' || dest AS subscription_filter,
       |  '000000000000' AS owner,
       |  'DATA_MESSAGE' AS message_type,
       |  COUNT(*) AS n_events,
@@ -259,6 +263,8 @@ object Envelope {
         concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
           .as("logGroup"),
         first(col("source")).as("logStream"),
+        array(concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest")))
+          .as("subscriptionFilters"),
         lit("DATA_MESSAGE").as("messageType"),
         array_sort(collect_list(struct(
           lpad(col("event_id").cast("string"), 56, "0").as("id"),

@@ -102,6 +102,7 @@ object SyslogPipeline {
               lit("000000000000").as("owner"),
               lit(config.logGroup(port)).as("logGroup"),
               col("hostname").as("logStream"),
+              array(lit(config.logGroup(port))).as("subscriptionFilters"),
               lit("DATA_MESSAGE").as("messageType"),
               array_sort(collect_list(struct(
                 col("ts_ms").as("timestamp"), col("message")))).as("logEvents")))
