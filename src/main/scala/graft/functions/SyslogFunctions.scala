@@ -250,17 +250,34 @@ object SyslogFunctions {
     * inverse-Julian composition expands to a huge codegen tree (each
     * struct-field reference re-derives the whole date), which blows
     * janino's 64 KB method limit and drops the stage to interpreted
-    * mode. One eval call with primitive arithmetic is both smaller and
-    * faster. */
+    * mode. One call into a static primitive-arithmetic helper is both
+    * smaller and faster — and doGenCode (rather than CodegenFallback)
+    * keeps the surrounding projection inside whole-stage codegen, so
+    * line synthesis fuses with the parse stage instead of forcing an
+    * interpreted Project between them. */
   case class CivilFormat(child: org.apache.spark.sql.catalyst.expressions.Expression,
                          rfc5424: Boolean)
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     import org.apache.spark.sql.types.{DataType, StringType}
-    import org.apache.spark.unsafe.types.UTF8String
     override def dataType: DataType = StringType
-    override def nullSafeEval(v: Any): Any = {
-      val epochS = v.asInstanceOf[Long]
+    override def nullSafeEval(v: Any): Any =
+      CivilFormat.format(v.asInstanceOf[Long], rfc5424)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SyslogFunctions$$CivilFormat$$.MODULE$$.format($c, $rfc5424)")
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): CivilFormat =
+      copy(child = c)
+  }
+
+  object CivilFormat {
+    import org.apache.spark.unsafe.types.UTF8String
+    private val MonthNames = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+    /** Static so generated code can call it directly. */
+    def format(epochS: Long, rfc5424: Boolean): UTF8String = {
       val days = Math.floorDiv(epochS, 86400L)
       val rem = Math.floorMod(epochS, 86400L)
       val jdn = days + 2440588L
@@ -280,20 +297,12 @@ object SyslogFunctions {
         sb.append(year).append('-'); p2(month); sb.append('-'); p2(day)
         sb.append('T'); p2(h); sb.append(':'); p2(mi); sb.append(':'); p2(s)
       } else {
-        sb.append(CivilFormat.MonthNames(month - 1)).append(' ')
+        sb.append(MonthNames(month - 1)).append(' ')
         p2(day); sb.append(' ')
         p2(h); sb.append(':'); p2(mi); sb.append(':'); p2(s)
       }
       UTF8String.fromString(sb.toString)
     }
-    override protected def withNewChildInternal(
-        c: org.apache.spark.sql.catalyst.expressions.Expression): CivilFormat =
-      copy(child = c)
-  }
-
-  object CivilFormat {
-    private val MonthNames = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
-      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
   }
 
   /** `yyyy-MM-ddTHH:mm:ss` of an epoch-second column. */

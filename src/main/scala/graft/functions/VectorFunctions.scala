@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Exprs
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -13,38 +13,52 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * overhead per ELEMENT (~128 evals per 64-dim pair — measured 57 s
   * for 2M pairs at sf0.1). These expressions evaluate once per pair
   * with a tight primitive loop (~0.5 s for the same work), while the
-  * surrounding join stays relational.
+  * surrounding join stays relational. Both implement doGenCode as a
+  * static-helper call, so the candidate-pair projection they sit in
+  * stays inside whole-stage codegen (CodegenFallback would split the
+  * stage and box every row).
   */
 object VectorFunctions {
 
+  /** Static so generated code can call them directly. */
+  def dot(l: ArrayData, r: ArrayData): Long = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def normSq(v: ArrayData): Long = {
+    val a = v.toLongArray()
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    s
+  }
+
   /** Σ aᵢ·bᵢ over two ARRAY<BIGINT> columns (shorter length wins). */
   case class DotProductL(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toLongArray()
-      val b = r.asInstanceOf[ArrayData].toLongArray()
-      val n = math.min(a.length, b.length)
-      var s = 0L
-      var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.dot($a, $b)")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): DotProductL = copy(left = l, right = r)
   }
 
   /** Σ aᵢ² over an ARRAY<BIGINT> column. */
-  case class NormSqL(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class NormSqL(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val a = v.asInstanceOf[ArrayData].toLongArray()
-      var s = 0L
-      var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }
-      s
-    }
+    override def nullSafeEval(v: Any): Any = normSq(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.normSq($a)")
     override protected def withNewChildInternal(c: Expression): NormSqL =
       copy(child = c)
   }
