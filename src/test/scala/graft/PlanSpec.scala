@@ -60,6 +60,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pii_scrub: map-only redaction, single shuffle for the sort") {
+    val plan = planString(operators.Scrub.piiScrub(spark, sf))
+    assert(shuffles(plan) <= 1, plan)
+  }
+
   test("ann_bruteforce: corpus never shuffles its vectors (broadcast query side)") {
     val plan = planString(operators.Similarity.annBruteforce(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
