@@ -123,6 +123,45 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.filter(col("doc_id") === 5L).count() === 1)
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions by gap and by watermark timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Ev
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(uid: Long, eid: Long, ts: Long) =
+      Ev(uid, eid, ts, new java.sql.Timestamp(ts * 1000L))
+    val input = MemoryStream[Ev]
+    val q = Sessionize.sessions(input.toDS(), gap = 100L).writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 50 s apart (one open session)
+      input.addData(ev(1, 1, 1000), ev(1, 2, 1050))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0) // still open
+      // batch 2: user 1 returns past the gap -> session 1 closes inline;
+      // user 2 appears (open session)
+      input.addData(ev(1, 3, 2000), ev(2, 4, 2000))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions_out").collect()
+      assert(afterGap.length === 1)
+      assert(afterGap.head.getLong(0) === 1L)     // user_id
+      assert(afterGap.head.getLong(1) === 1000L)  // start
+      assert(afterGap.head.getLong(2) === 1050L)  // end
+      assert(afterGap.head.getInt(3) === 2)       // n_events
+      // batch 3: advance the watermark far past everyone's timeout ->
+      // both open sessions flush via EventTimeTimeout
+      input.addData(ev(3, 5, 10000))
+      q.processAllAvailable()
+      val all = spark.table("sessions_out").collect()
+      assert(all.length === 3)
+      val byUser = all.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3)))).toMap
+      assert(byUser(1L) === ((2000L, 2000L, 1)))
+      assert(byUser(2L) === ((2000L, 2000L, 1)))
+    } finally q.stop()
+  }
+
   test("multimodal decode keeps batch shape and deterministic metadata") {
     val out = operators.Multimodal.multimodalMeta(spark, sf)
     val docs = Tables.load(spark, sf, "documents").count()
