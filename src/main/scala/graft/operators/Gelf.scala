@@ -29,7 +29,9 @@ object Gelf {
 
   // -- #7 gelf_parse ----------------------------------------------------
 
-  private val gelfSchema = StructType(Seq(
+  /** Public: the streaming GELF path (streaming.SyslogPipeline) reuses
+    * the same typed schema. */
+  val GelfSchema: StructType = StructType(Seq(
     StructField("version", StringType),
     StructField("host", StringType),
     StructField("short_message", StringType),
@@ -76,7 +78,7 @@ object Gelf {
     // additional fields are top-level `_`-prefixed keys on a flat
     // object, so a codegen'd regexp_count over the raw text counts
     // them without re-parsing.
-    val parsed = e.withColumn("j", from_json(col("raw"), gelfSchema))
+    val parsed = e.withColumn("j", from_json(col("raw"), GelfSchema))
     parsed.select(
         col("event_id"),
         col("j.version").as("version"),

@@ -67,6 +67,33 @@ object SyslogPipeline {
           (unix_timestamp(current_timestamp()) * 1000)).as("ts_ms"))
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
 
+  /** GELF listener: newline-framed GELF JSON datagrams (the
+    * reference's TCP GELF framing after decompression,
+    * protocol.py:246-261); parse + the reference's timestamp fallback
+    * chain, projected to the same (message, hostname, ts_ms,
+    * event_time) shape the sinks consume — one sink implementation
+    * serves both message classes, exactly as the reference's
+    * MessageSink does. */
+  def parsedGelfStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(inputDir)
+    parseGelfLines(lines)
+  }
+
+  /** Shared with tests (works on both streaming and batch frames). */
+  def parseGelfLines(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("j", org.apache.spark.sql.functions.from_json(
+        col("value"), graft.operators.Gelf.GelfSchema))
+      .select(
+        col("value").as("message"),
+        coalesce(col("j.host"), lit("unknown")).as("hostname"),
+        col("j.short_message").as("content"),
+        coalesce(round(col("j.timestamp") * 1000).cast("long"),
+          unix_timestamp(current_timestamp()) * 1000).as("ts_ms"))
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+
   /** FLUSH_TIME-shaped windowed aggregation with watermark; the
     * window length follows RelayConfig.flushSeconds. */
   def windowedCounts(parsed: DataFrame,

@@ -123,6 +123,31 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.filter(col("doc_id") === 5L).count() === 1)
   }
 
+  test("gelf stream parses datagrams into the shared sink shape and spools under the gelf class") {
+    val in = Files.createTempDirectory("graft_gelf_in")
+    val spool = Files.createTempDirectory("graft_gelf_out")
+    val ckpt = Files.createTempDirectory("graft_gelf_ck")
+    writeLines(in, "dgrams.log", Seq(
+      """{"version":"1.1","host":"app01","short_message":"boot ok","timestamp":1704412800,"level":6}""",
+      """{"version":"1.1","host":"app01","short_message":"frac ts","timestamp":1704412800.5,"level":6}""",
+      "not json at all"))
+    val q = SyslogPipeline.spoolQuery(
+      SyslogPipeline.parsedGelfStream(spark, in.toString),
+      spool.toString, ckpt.toString,
+      config = RelayConfig(gelf = true), port = 12201)
+    q.awaitTermination(60000)
+    val recs = spark.read.parquet(spool.toString)
+    val gz = recs.filter(col("hostname") === "app01")
+      .select("record_gz").collect().head.getAs[Array[Byte]](0)
+    val json = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz)).readAllBytes(), "UTF-8")
+    assert(json.contains("\"logGroup\":\"/kinesyslog/gelf/12201\""))
+    assert(json.contains("\"timestamp\":1704412800000") &&
+      json.contains("\"timestamp\":1704412800500"))
+    // the non-JSON datagram still lands (hostname fallback + recv time)
+    assert(recs.filter(col("hostname") === "unknown").count() === 1)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions by gap and by watermark timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Sessionize
