@@ -348,33 +348,40 @@ object Envelope {
     val batches = firehoseBatches(spark, dir)
     val recSteps = math.max(1L, TestBatchCount.toLong / 10)
     val byteSteps = TestBatchSize / 8
+    val recordSteps = TestRecordSize.toLong / 8
     val h1 = histLines(batches, "n_records", "kinesyslog_batch_records",
       (0L to TestBatchCount.toLong by recSteps))
     val h2 = histLines(batches, "batch_bytes", "kinesyslog_batch_bytes",
       (0L to TestBatchSize by byteSteps))
-    countLines.unionAll(byteLines).unionAll(h1).unionAll(h2)
+    val h3 = histLines(recordSplit(spark, dir), "part_bytes",
+      "kinesyslog_record_bytes", (0L to TestRecordSize.toLong by recordSteps))
+    countLines.unionAll(byteLines).unionAll(h1).unionAll(h2).unionAll(h3)
       .orderBy("line")
   }
 
   val statsExportSql: String = {
     val batchesSub = firehoseBatchesSql().replace("ORDER BY dest, batch_id", "")
+    val splitSub = recordSplitSql().replace("ORDER BY source, dest, part_id", "")
     val countersSub = statsCountersSql.replace("ORDER BY port, source", "")
-    def histSql(value: String, metric: String, bounds: Seq[Long]): String =
+    def histSql(src: String, value: String, metric: String,
+                bounds: Seq[Long]): String =
       s"""SELECT printf('${metric}_bucket{le="%d"} %d', le, n) AS line FROM (
          |  SELECT le, CAST(SUM(CASE WHEN v <= le THEN 1 ELSE 0 END) AS BIGINT) AS n
-         |  FROM (SELECT $value AS v FROM fb) CROSS JOIN
+         |  FROM (SELECT $value AS v FROM $src) CROSS JOIN
          |       (SELECT unnest([${bounds.mkString(", ")}]) AS le)
          |  GROUP BY le)
          |UNION ALL
-         |SELECT printf('${metric}_bucket{le="+Inf"} %d', COUNT(*)) FROM fb
+         |SELECT printf('${metric}_bucket{le="+Inf"} %d', COUNT(*)) FROM $src
          |UNION ALL
-         |SELECT printf('${metric}_count %d', COUNT(*)) FROM fb
+         |SELECT printf('${metric}_count %d', COUNT(*)) FROM $src
          |UNION ALL
-         |SELECT printf('${metric}_sum %d', CAST(SUM($value) AS BIGINT)) FROM fb"""
+         |SELECT printf('${metric}_sum %d', CAST(SUM($value) AS BIGINT)) FROM $src"""
         .stripMargin
     val recBounds = 0L to TestBatchCount.toLong by math.max(1L, TestBatchCount.toLong / 10)
     val byteBounds = 0L to TestBatchSize by (TestBatchSize / 8)
+    val recordBounds = 0L to TestRecordSize.toLong by (TestRecordSize.toLong / 8)
     s"""WITH fb AS (SELECT * FROM ($batchesSub)),
+      |rs AS (SELECT * FROM ($splitSub)),
       |sc AS (SELECT * FROM ($countersSub))
       |SELECT line FROM (
       |  SELECT printf('kinesyslog_message_count_total{port="%d",source="%s"} %d',
@@ -383,9 +390,11 @@ object Envelope {
       |  SELECT printf('kinesyslog_message_bytes_total{port="%d",source="%s"} %d',
       |    port, source, message_bytes) FROM sc
       |  UNION ALL
-      |  ${histSql("n_records", "kinesyslog_batch_records", recBounds)}
+      |  ${histSql("fb", "n_records", "kinesyslog_batch_records", recBounds)}
       |  UNION ALL
-      |  ${histSql("batch_bytes", "kinesyslog_batch_bytes", byteBounds)}
+      |  ${histSql("fb", "batch_bytes", "kinesyslog_batch_bytes", byteBounds)}
+      |  UNION ALL
+      |  ${histSql("rs", "part_bytes", "kinesyslog_record_bytes", recordBounds)}
       |)
       |ORDER BY line""".stripMargin
   }
