@@ -271,12 +271,49 @@ object Dedup {
       |WHERE dot >= 0 AND 400 * dot * dot >= 49 * na * nb
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #32b dedup_embedding_lsh — the 100 TB path for embedding near-dup:
+  // hyperplane-LSH buckets generate the candidate pairs (same codes as
+  // Similarity.lshCodes, plus 1-bit multi-probe), then the SAME exact
+  // integer cosine test as dedup_embedding verifies them. All-pairs
+  // never happens: the join shuffles on the bucket code only.
+  // ---------------------------------------------------------------------
+
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.operators.Similarity.lshCodes(spark, dir)
+      .select(col("vec_id"), col("q"), col("nn"), col("code"))
+    // multi-probe: each vector also lands in the buckets at hamming
+    // distance 1 from its own code, so near-hyperplane pairs still
+    // collide; pairs dedup on (vec_a, vec_b).
+    val planes = graft.operators.Similarity.Planes
+    val probed = v.select(col("vec_id"), col("q"), col("nn"),
+      explode(array((0 to planes).map(i =>
+        if (i == 0) col("code")
+        else col("code").bitwiseXOR(lit(1 << (i - 1)))): _*)).as("bucket"))
+    val cand = probed.as("a")
+      .join(probed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.q").as("qa"), col("b.q").as("qb"),
+        col("a.nn").as("na"), col("b.nn").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.VectorFunctions.dot_l(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+      .filter(col("dot") >= 0 &&
+        lit(400) * col("dot") * col("dot") >= lit(49) * col("na") * col("nb"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,

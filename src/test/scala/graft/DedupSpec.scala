@@ -65,4 +65,19 @@ class DedupSpec extends SparkSpec {
       assert(400L * dot * dot >= 49L * na * nb)
     }
   }
+
+  test("lsh-bucketed embedding near-dup: exact precision, majority recall") {
+    val exact = operators.Dedup.dedupEmbedding(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Dedup.dedupEmbeddingLsh(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    // precision is 1.0 by construction (same exact verify)
+    assert(lsh.subsetOf(exact))
+    // 1-bit multi-probe over 4 planes recovers a majority of true pairs
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
 }
