@@ -106,9 +106,48 @@ object Corpus {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // corpus_split — deterministic content-keyed train/val/test split
+  // ---------------------------------------------------------------------
+
+  /** Split assignment keyed on the CONTENT fingerprint (not doc_id):
+    * byte-identical documents always land in the same split, so
+    * near-miss dedup can never leak a training document into
+    * validation. 90/5/5 by the first 16 bits of md5(norm) mod 100 —
+    * pure integer math, stable across engines, partitions, and reruns;
+    * map-only at any scale. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .withColumn("bucket",
+        (conv(substring(col("fp"), 1, 4), 16, 10).cast("long") % 100).cast("int"))
+      .select(
+        col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val corpusSplitSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(CAST(('0x' || substring(fp, 1, 4)) AS INTEGER) % 100 AS INT) AS bucket,
+      |  CASE WHEN CAST(('0x' || substring(fp, 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
+      |       WHEN CAST(('0x' || substring(fp, 1, 4)) AS INTEGER) % 100 < 95 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_clean" -> corpusClean)
+    "corpus_clean" -> corpusClean,
+    "corpus_split" -> corpusSplit)
 
   val oracle: Map[String, String] = Map(
-    "corpus_clean" -> corpusCleanSql)
+    "corpus_clean" -> corpusCleanSql,
+    "corpus_split" -> corpusSplitSql)
 }

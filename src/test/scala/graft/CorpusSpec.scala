@@ -32,4 +32,20 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(quality))
   }
+
+  test("content-keyed split: duplicates co-locate, ratios near 90/5/5") {
+    val out = operators.Corpus.corpusSplit(spark, sf)
+    // identical normalized content -> identical split (no leakage)
+    val dups = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+      .join(out, Seq("doc_id"))
+      .groupBy("norm").agg(countDistinct("split").as("nsplits"))
+    assert(dups.filter(col("nsplits") > 1).count() === 0)
+    // buckets in range; train is the large majority
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 99).count() === 0)
+    val n = out.count().toDouble
+    val train = out.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.8 && train / n < 0.97, s"train=${train / n}")
+  }
 }
