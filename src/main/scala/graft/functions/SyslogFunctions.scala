@@ -77,6 +77,12 @@ object SyslogFunctions {
     val p54 = split(rest, " ", 4)
     // RFC3164: "MMM dd HH:mm:ss[ yyyy] HOST CONTENT" — fixed 15- or
     // 20-char stamp, then host and content split on the next space.
+    // p31 accessors use 0-based `get` (null past the end, never an
+    // ANSI INVALID_ARRAY_INDEX): with a year stamp followed by a
+    // single trailing token ("…12 2026 up") the remainder has no
+    // content part, which must degrade to content=null — the
+    // reference's `(?P<content>.*)` binds "" there (message.py:16) —
+    // not kill the job.
     val rem31 = when(is31y, substring(rest, 22, Int.MaxValue))
       .otherwise(substring(rest, 17, Int.MaxValue))
     val p31 = split(rem31, " ", 2)
@@ -87,9 +93,9 @@ object SyslogFunctions {
         .when(is31y, substring(rest, 1, 20))
         .when(is31, substring(rest, 1, 15)).as("ts_raw"),
       when(is54, element_at(p54, 3))
-        .when(is31y || is31, element_at(p31, 1)).as("hostname"),
+        .when(is31y || is31, get(p31, lit(0))).as("hostname"),
       when(is54, element_at(p54, 4))
-        .when(is31y || is31, element_at(p31, 2))
+        .when(is31y || is31, get(p31, lit(1)))
         .otherwise(rest).as("content"))
   }
 

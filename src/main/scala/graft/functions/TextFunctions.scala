@@ -16,10 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  private def norm(c: Column): Column =
+  /** THE corpus text normalization (lowercase, trim, collapse
+    * whitespace). Public and single-sourced: exact dedup, streaming
+    * dedup, the content-keyed split, and PII/repetition scoring all
+    * key on this normalization — independent copies drifting apart
+    * would silently break dedup/split co-location, so every operator
+    * references these two definitions (Scala + DuckDB). */
+  def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
-  private val normSql =
+  val normTextSql: String =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def norm(c: Column): Column = normText(c)
+  private val normSql = normTextSql
 
   // ---------------------------------------------------------------------
   // #35 language ID — stopword-lexicon hits, argmax with fixed order

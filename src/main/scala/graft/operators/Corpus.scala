@@ -52,7 +52,7 @@ object Corpus {
   }
 
   val corpusCleanSql: String = {
-    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    val norm = graft.functions.TextFunctions.normTextSql
     val enLex = graft.functions.TextFunctions.Lexicons.head._2
       .map(w => s"'$w'").mkString("[", ", ", "]")
     val langHits = graft.functions.TextFunctions.Lexicons.map { case (l, ws) =>
@@ -119,7 +119,7 @@ object Corpus {
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        md5(graft.functions.TextFunctions.normText(col("text"))).as("fp"))
       .withColumn("bucket",
         (conv(substring(col("fp"), 1, 4), 16, 10).cast("long") % 100).cast("int"))
       .select(
@@ -130,9 +130,9 @@ object Corpus {
       .orderBy("doc_id")
 
   val corpusSplitSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id,
-      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |    md5(${graft.functions.TextFunctions.normTextSql}) AS fp
       |  FROM documents
       |)
       |SELECT doc_id,

@@ -27,11 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Shared normalization: lowercase, trim, collapse whitespace. */
+  /** Shared normalization — single-sourced from TextFunctions so
+    * dedup keys can never drift from the split/scrub operators'. */
   private def norm(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
-  private val normSql =
-    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    graft.functions.TextFunctions.normText(c)
+  private val normSql = graft.functions.TextFunctions.normTextSql
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

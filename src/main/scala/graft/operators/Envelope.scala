@@ -338,24 +338,27 @@ object Envelope {
     * batch histograms (constant.py:47-48), rendered in Prometheus
     * exposition format and deterministically sorted. */
   def statsExport(spark: SparkSession, dir: String): DataFrame = {
-    val counters = statsCounters(spark, dir)
-    val countLines = counters.select(format_string(
-      "kinesyslog_message_count_total{port=\"%d\",source=\"%s\"} %d",
-      col("port"), col("source"), col("message_count")).as("line"))
-    val byteLines = counters.select(format_string(
-      "kinesyslog_message_bytes_total{port=\"%d\",source=\"%s\"} %d",
-      col("port"), col("source"), col("message_bytes")).as("line"))
+    // ONE pass over the counters aggregate emits both metric families
+    // (a separate select per family would materialize the whole
+    // events-scan + groupBy subtree twice).
+    val counterLines = statsCounters(spark, dir).select(explode(array(
+      format_string(
+        "kinesyslog_message_count_total{port=\"%d\",source=\"%s\"} %d",
+        col("port"), col("source"), col("message_count")),
+      format_string(
+        "kinesyslog_message_bytes_total{port=\"%d\",source=\"%s\"} %d",
+        col("port"), col("source"), col("message_bytes")))).as("line"))
     val batches = firehoseBatches(spark, dir)
     val recSteps = math.max(1L, TestBatchCount.toLong / 10)
-    val byteSteps = TestBatchSize / 8
-    val recordSteps = TestRecordSize.toLong / 8
+    val byteSteps = math.max(1L, TestBatchSize / 8)
+    val recordSteps = math.max(1L, TestRecordSize.toLong / 8)
     val h1 = histLines(batches, "n_records", "kinesyslog_batch_records",
       (0L to TestBatchCount.toLong by recSteps))
     val h2 = histLines(batches, "batch_bytes", "kinesyslog_batch_bytes",
       (0L to TestBatchSize by byteSteps))
     val h3 = histLines(recordSplit(spark, dir), "part_bytes",
       "kinesyslog_record_bytes", (0L to TestRecordSize.toLong by recordSteps))
-    countLines.unionAll(byteLines).unionAll(h1).unionAll(h2).unionAll(h3)
+    counterLines.unionAll(h1).unionAll(h2).unionAll(h3)
       .orderBy("line")
   }
 
@@ -378,8 +381,8 @@ object Envelope {
          |SELECT printf('${metric}_sum %d', CAST(SUM($value) AS BIGINT)) FROM $src"""
         .stripMargin
     val recBounds = 0L to TestBatchCount.toLong by math.max(1L, TestBatchCount.toLong / 10)
-    val byteBounds = 0L to TestBatchSize by (TestBatchSize / 8)
-    val recordBounds = 0L to TestRecordSize.toLong by (TestRecordSize.toLong / 8)
+    val byteBounds = 0L to TestBatchSize by math.max(1L, TestBatchSize / 8)
+    val recordBounds = 0L to TestRecordSize.toLong by math.max(1L, TestRecordSize.toLong / 8)
     s"""WITH fb AS (SELECT * FROM ($batchesSub)),
       |rs AS (SELECT * FROM ($splitSub)),
       |sc AS (SELECT * FROM ($countersSub))

@@ -77,7 +77,11 @@ object Gelf {
     // MapType parse just to count `_`-keys doubled the cost). GELF
     // additional fields are top-level `_`-prefixed keys on a flat
     // object, so a codegen'd regexp_count over the raw text counts
-    // them without re-parsing.
+    // them without re-parsing. Known approximation: a string VALUE
+    // containing an escaped `,\"_x\":` sequence would over-count —
+    // acceptable for a summary statistic; switch back to a full
+    // MapType parse if exact key counting on adversarial input ever
+    // matters more than 2× parse throughput.
     val parsed = e.withColumn("j", from_json(col("raw"), GelfSchema))
     parsed.select(
         col("event_id"),

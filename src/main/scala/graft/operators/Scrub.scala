@@ -29,8 +29,12 @@ object Scrub {
   // #46 text_pii_scrub
   // ---------------------------------------------------------------------
 
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhoneRe = "\\+\\d[\\d-]{7,}\\d"
+  /** Case-insensitive via explicit classes (RE2 and Java agree on
+    * these; no `(?i)` needed). Phones match both international
+    * `+`-prefixed runs and bare NNN-NNN-NNNN forms — real PII rarely
+    * arrives lowercase with a `+`. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "(\\+\\d[\\d-]{7,}\\d|\\b\\d{3}-\\d{3}-\\d{4}\\b)"
   val Ipv4Re  = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
 
   /** Inject deterministic PII after the document text (shared contract
@@ -84,9 +88,8 @@ object Scrub {
   // ---------------------------------------------------------------------
 
   private def norm(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
-  private val normSql =
-    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    graft.functions.TextFunctions.normText(c)
+  private val normSql = graft.functions.TextFunctions.normTextSql
 
   /** Word-level repetition: distinct-word ratio and most-frequent-word
     * share. `repetitive` flags docs whose top word exceeds 20% of all

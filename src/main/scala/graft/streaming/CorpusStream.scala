@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
 object CorpusStream {
 
   private def fingerprint(c: org.apache.spark.sql.Column) =
-    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    md5(graft.functions.TextFunctions.normText(c))
 
   /** Drop documents whose normalized-text fingerprint was already
     * admitted (this batch or any earlier one). */

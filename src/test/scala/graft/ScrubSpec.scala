@@ -19,6 +19,19 @@ class ScrubSpec extends SparkSpec {
     assert(out.filter(!col("scrubbed").contains("<EMAIL>")).count() === 0)
   }
 
+  test("mixed-case emails and bare phone numbers are redacted") {
+    val r = Seq((1L, "Contact John.Doe@Example.COM or 555-867-5309 now"))
+      .toDF("doc_id", "text")
+    val scrubbed = r.select(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), operators.Scrub.EmailRe, "<EMAIL>"),
+          operators.Scrub.PhoneRe, "<PHONE>"),
+        operators.Scrub.Ipv4Re, "<IP>").as("s"))
+      .collect().head.getString(0)
+    assert(scrubbed === "Contact <EMAIL> or <PHONE> now")
+  }
+
   test("pii_scrub leaves clean text untouched") {
     val r = Seq((1L, "no personal info here at all"))
       .toDF("doc_id", "text")

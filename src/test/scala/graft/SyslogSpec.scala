@@ -124,6 +124,18 @@ class SyslogSpec extends SparkSpec {
     assert(r.getString(4) === "kernel: oom")
   }
 
+  test("explicit year followed by a single token parses without error") {
+    // the slice heuristic reads the year arm; the remainder then has a
+    // hostname but no content part — content degrades to null (the
+    // reference binds "" there), and the job must NOT die on an ANSI
+    // array-index error
+    val r = parseOne("<34>Jan 05 10:11:12 2026 up")
+    assert(r.getInt(1) === 0)
+    assert(r.getString(2) === "Jan 05 10:11:12 2026")
+    assert(r.getString(3) === "up")
+    assert(r.isNullAt(4))
+  }
+
   test("ts3164 explicit year: used directly, future rule still applies") {
     val nowS = 1768435200L // 2026-01-15T00:00:00Z
     val df = Seq(
