@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.BinaryFunctions.{AutoDecompress, GzipCompress, ZlibCompress}
+import graft.functions.BinaryFunctions.{AutoDecompress, DecodeBackslashReplace, GzipCompress, ZlibCompress}
 import graft.functions.GelfFunctions.GelfChunkParse
 import graft.operators.Framing.SyslogFrames
 import graft.operators.Proxy.ProxyV2Parse
@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       unary("graft_decompress",
         "zlib/gzip magic-sniffed decompress, passthrough otherwise",
         AutoDecompress),
+      unary("graft_decode",
+        "UTF-8 decode with Python backslashreplace semantics: BINARY -> STRING",
+        DecodeBackslashReplace),
       unary("graft_gelf_chunk",
         "chunked-GELF header parse: BINARY -> struct(id, seq, total, payload)",
         GelfChunkParse),

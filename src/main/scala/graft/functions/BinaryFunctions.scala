@@ -86,10 +86,74 @@ object BinaryFunctions {
       copy(child = c)
   }
 
+  /** Python-style `bytes.decode('utf-8', 'backslashreplace')`
+    * (reference: kinesyslog/message.py:81, :97): UTF-8 decode where
+    * each invalid byte becomes the 4-char literal `\xHH` instead of
+    * U+FFFD, so malformed relay input survives round-trips losslessly
+    * in the event envelope. Valid input is wrapped zero-copy.
+    * (Approximation note: on a truncated multi-byte sequence Python
+    * may escape 1-2 bytes as a unit; this escapes byte-by-byte —
+    * byte-identical output on every single-byte corruption.) */
+  def backslashReplace(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cont(i: Int): Boolean = i < b.length && (b(i) & 0xc0) == 0x80
+    def contIn(i: Int, lo: Int, hi: Int): Boolean =
+      i < b.length && (b(i) & 0xff) >= lo && (b(i) & 0xff) <= hi
+    // returns the length of the valid UTF-8 sequence at i, or 0
+    def seqLen(i: Int): Int = {
+      val b0 = b(i) & 0xff
+      if (b0 < 0x80) 1
+      else if (b0 >= 0xc2 && b0 <= 0xdf) { if (cont(i + 1)) 2 else 0 }
+      else if (b0 == 0xe0) { if (contIn(i + 1, 0xa0, 0xbf) && cont(i + 2)) 3 else 0 }
+      else if (b0 == 0xed) { if (contIn(i + 1, 0x80, 0x9f) && cont(i + 2)) 3 else 0 }
+      else if (b0 >= 0xe1 && b0 <= 0xef) { if (cont(i + 1) && cont(i + 2)) 3 else 0 }
+      else if (b0 == 0xf0) { if (contIn(i + 1, 0x90, 0xbf) && cont(i + 2) && cont(i + 3)) 4 else 0 }
+      else if (b0 >= 0xf1 && b0 <= 0xf3) { if (cont(i + 1) && cont(i + 2) && cont(i + 3)) 4 else 0 }
+      else if (b0 == 0xf4) { if (contIn(i + 1, 0x80, 0x8f) && cont(i + 2) && cont(i + 3)) 4 else 0 }
+      else 0
+    }
+    var i = 0
+    var clean = true
+    while (clean && i < b.length) {
+      val n = seqLen(i)
+      if (n == 0) clean = false else i += n
+    }
+    if (clean) return UTF8String.fromBytes(b)
+    val out = new ByteArrayOutputStream(b.length + 16)
+    out.write(b, 0, i) // the valid prefix scanned above
+    val hex = "0123456789abcdef"
+    while (i < b.length) {
+      val n = seqLen(i)
+      if (n > 0) { out.write(b, i, n); i += n }
+      else {
+        val v = b(i) & 0xff
+        out.write('\\'); out.write('x')
+        out.write(hex.charAt(v >> 4)); out.write(hex.charAt(v & 0xf))
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  /** BINARY → STRING with Python backslashreplace semantics. */
+  case class DecodeBackslashReplace(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullSafeEval(v: Any): Any =
+      backslashReplace(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.BinaryFunctions$$.MODULE$$.backslashReplace($c)")
+    override protected def withNewChildInternal(c: Expression): DecodeBackslashReplace =
+      copy(child = c)
+  }
+
   def gzip_compress(c: Column): Column =
     Exprs.toColumn(GzipCompress(Exprs.toExpression(c)))
   def zlib_compress(c: Column): Column =
     Exprs.toColumn(ZlibCompress(Exprs.toExpression(c)))
   def decompress_auto(c: Column): Column =
     Exprs.toColumn(AutoDecompress(Exprs.toExpression(c)))
+  def decode_backslashreplace(c: Column): Column =
+    Exprs.toColumn(DecodeBackslashReplace(Exprs.toExpression(c)))
 }

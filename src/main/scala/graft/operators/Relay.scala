@@ -52,7 +52,12 @@ object Relay {
     val messages = blobs
       .select(col("user_id"),
         explode(syslogFrames(col("blob").cast("binary"))).as("b"))
-      .select(col("user_id"), col("b").cast("string").as("message"))
+      // backslashreplace decode, as the reference does on every framed
+      // message (message.py:97) — identical to a plain cast on valid
+      // UTF-8, lossless `\xHH` literals on corrupt bytes
+      .select(col("user_id"),
+        graft.functions.BinaryFunctions.decode_backslashreplace(col("b"))
+          .as("message"))
     val parsed = messages
       .withColumn("h", parseHeader(col("message")))
       .select(col("user_id"), col("message"),

@@ -78,6 +78,21 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.filter(col("gz_len") >= col("raw_len")).count() === 0)
   }
 
+  test("backslashreplace decode matches Python semantics") {
+    // b'abc\xff\xc3\xa9'.decode('utf-8','backslashreplace') == 'abc\\xffé'
+    val cases = Seq(
+      Array[Byte]('a', 'b', 'c', 0xff.toByte, 0xc3.toByte, 0xa9.toByte) ->
+        "abc\\xffé",
+      "plain ascii".getBytes("UTF-8") -> "plain ascii",
+      Array[Byte](0xed.toByte, 0xa0.toByte, 0x80.toByte) -> // surrogate half
+        "\\xed\\xa0\\x80",
+      Array[Byte]('x', 0xc3.toByte) -> "x\\xc3", // truncated 2-byte seq
+      "héllo 😀".getBytes("UTF-8") -> "héllo 😀")
+    val got = cases.map(_._1).toDF("b")
+      .select(decode_backslashreplace(col("b"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (_, want)) => assert(g === want) }
+  }
+
   test("stats counters cover all events") {
     val s = operators.Envelope.statsCounters(spark, sf)
     val total = s.agg(sum("message_count")).collect().head.getLong(0)
