@@ -184,6 +184,97 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // #29b dedup_minhash_poly — the SAME MinHash-LSH banding pipeline
+  // with a portable hash family (rolling poly hash mod 1e9+7 for
+  // shingles, affine per-seed permutations), so shingle → signature →
+  // band → candidate → match-count is DuckDB-verifiable END TO END.
+  // The xxhash64 variant above stays the fast path; this one is the
+  // correctness witness for the banding algebra itself.
+  // ---------------------------------------------------------------------
+
+  private val PolyP = 1000000007L
+
+  def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame = {
+    val rows = MinhashSeeds / Bands
+    val h = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("hv", expr(
+        s"""aggregate(split(tok, ''), CAST(0 AS BIGINT),
+           |  (acc, ch) -> (acc * 131 + ascii(ch)) % $PolyP)""".stripMargin))
+    // h < p and a < 70 keep a·h + b far below 2^63 in both engines
+    val mins = (0 until MinhashSeeds).map(i =>
+      min((col("hv") * (2L * i + 3) + (13L * i + 5)) % PolyP).as(s"m$i"))
+    val sigs = h.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashSeeds).map(i => col(s"m$i")): _*).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${Bands - 1}), b ->
+           |  ((((element_at(sig, b * $rows + 1) * 131
+           |      + element_at(sig, b * $rows + 2)) % $PolyP) * 131
+           |      + element_at(sig, b * $rows + 3)) % $PolyP * 131
+           |      + element_at(sig, b * $rows + 4)) % $PolyP)""".stripMargin))
+        .as(Seq("band", "band_hash")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("matches") * 2 >= MinhashSeeds)
+      .select(col("doc_a"), col("doc_b"), col("matches").cast("long").as("matches"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashPolySql: String = {
+    val rows = MinhashSeeds / Bands
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($normSql, ' ') AS words FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+      |  )) AS tok
+      |  FROM d
+      |), h AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(tok, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % $PolyP) AS hv
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, i, MIN((hv * (2*i + 3) + (13*i + 5)) % $PolyP) AS m
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, $MinhashSeeds)) AS i)
+      |  GROUP BY doc_id, i
+      |), sigl AS (
+      |  SELECT doc_id, list(m ORDER BY i) AS ms FROM sig GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, b,
+      |    ((((ms[b*$rows + 1] * 131 + ms[b*$rows + 2]) % $PolyP) * 131
+      |       + ms[b*$rows + 3]) % $PolyP * 131 + ms[b*$rows + 4]) % $PolyP AS bh,
+      |    ms
+      |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    a.ms AS ma, b2.ms AS mb
+      |  FROM bands a JOIN bands b2
+      |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+      |), m AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(range(1, ${MinhashSeeds + 1}), i -> ma[i] = mb[i])) AS matches
+      |  FROM cand
+      |)
+      |SELECT doc_a, doc_b, CAST(matches AS BIGINT) AS matches
+      |FROM m
+      |WHERE matches * 2 >= $MinhashSeeds
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // #30 dedup_simhash — 64-bit SimHash + rotated-chunk LSH (rows+spec)
   // ---------------------------------------------------------------------
 
@@ -311,6 +402,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_poly" -> dedupMinhashPoly,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh)
@@ -318,5 +410,6 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash_poly" -> dedupMinhashPolySql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

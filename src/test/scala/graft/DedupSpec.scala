@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) <= operators.Dedup.MaxHamming))
   }
 
+  test("portable-hash minhash finds the same near-dup pairs as xxhash64 minhash") {
+    val fast = operators.Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val poly = operators.Dedup.dedupMinhashPoly(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(poly.nonEmpty)
+    // different hash families, same banding algebra: the planted
+    // near-dup pairs must be found by both (probabilistic candidates
+    // may differ at the margin, so compare the intersection floor)
+    val agree = (fast & poly).size.toDouble / math.max(fast.size, poly.size)
+    assert(agree >= 0.8, s"agreement=$agree fast=${fast.size} poly=${poly.size}")
+  }
+
   test("simhash near-dups are a subset of minhash near-dups") {
     val mh = operators.Dedup.dedupMinhash(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
