@@ -60,6 +60,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("record_envelope: one aggregation shuffle + presentation sort") {
+    val plan = planString(operators.Envelope.recordEnvelope(spark, sf))
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("dedup_minhash: signature agg + band self-join stay within budget") {
+    val plan = planString(operators.Dedup.dedupMinhash(spark, sf))
+    // signature groupBy(doc_id), band join (both sides), candidate
+    // dedup, final sort — never an all-pairs cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(shuffles(plan) <= 6, plan)
+  }
+
   test("pii_scrub: map-only redaction, single shuffle for the sort") {
     val plan = planString(operators.Scrub.piiScrub(spark, sf))
     assert(shuffles(plan) <= 1, plan)
