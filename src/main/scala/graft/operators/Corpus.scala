@@ -77,13 +77,27 @@ object Corpus {
       |  SELECT MIN(doc_id) AS keep_id FROM d GROUP BY norm
       |), t AS (
       |  SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok FROM d
-      |), nd AS (
-      |  SELECT DISTINCT b.doc_id AS near_drop_id
-      |  FROM t a JOIN t b
+      |), dfq AS (
+      |  SELECT tok, COUNT(*) AS df FROM t GROUP BY tok
+      |), pfx AS (
+      |  SELECT doc_id, lang, source, nt, tok FROM (
+      |    SELECT t.doc_id, t.lang, t.source, t.nt, t.tok,
+      |      row_number() OVER (PARTITION BY t.doc_id ORDER BY dfq.df, t.tok) AS rn
+      |    FROM t JOIN dfq ON t.tok = dfq.tok)
+      |  WHERE rn <= nt - ((4 * nt + 4) // 5) + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pfx a JOIN pfx b
       |    ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
       |   AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
-      |  HAVING 5 * COUNT(*) >= 4 * (MAX(a.nt) + MAX(b.nt) - COUNT(*))
+      |   AND 5 * LEAST(a.nt, b.nt) >= 4 * GREATEST(a.nt, b.nt)
+      |), nd AS (
+      |  SELECT DISTINCT c.doc_b AS near_drop_id
+      |  FROM cand c
+      |  JOIN (SELECT doc_id, toks, len(toks) AS nt FROM d) fa ON c.doc_a = fa.doc_id
+      |  JOIN (SELECT doc_id, toks, len(toks) AS nt FROM d) fb ON c.doc_b = fb.doc_id
+      |  WHERE 5 * len(list_intersect(fa.toks, fb.toks))
+      |        >= 4 * (fa.nt + fb.nt - len(list_intersect(fa.toks, fb.toks)))
       |), lh AS (
       |  SELECT doc_id,
       |    $langHits

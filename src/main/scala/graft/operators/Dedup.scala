@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family (SURVEY §2 #28–32) over the `documents` and
@@ -9,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (SURVEY §4): nothing here is O(n²) on the corpus.
   *  - exact: one hash aggregate on the normalized-text digest.
-  *  - jaccard: candidate pairs come from an inverted-index join
-  *    bucketed by (lang, source) — the exact-verify step is meant for
-  *    LSH-candidate output, never the full cross product.
+  *  - jaccard: candidate pairs come from a prefix-filtered inverted
+  *    index (rare-first global token order, AllPairs/PPJoin prefix
+  *    theorem) bucketed by (lang, source) — stopword-hot tokens never
+  *    enter the self-join, so candidates are bounded by rare-token
+  *    document frequency, not n².
   *  - minhash: signatures via codegen'd map-side-combined aggregates;
   *    band candidates shuffle on (band, band_hash), uniform by
   *    construction.
@@ -86,31 +89,81 @@ object Dedup {
       |ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // #31 dedup_jaccard — exact token-set Jaccard on bucketed candidates
+  // #31 dedup_jaccard — exact token-set Jaccard on prefix-filtered
+  // candidates (AllPairs/PPJoin-style)
   // ---------------------------------------------------------------------
 
-  /** Integer-exact threshold test for J ≥ 0.8:
-    * shared/(na+nb-shared) ≥ 4/5 ⟺ 5·shared ≥ 4·(na+nb-shared). */
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Jaccard threshold as a fraction: J ≥ JaccNum/JaccDen (= 0.8). */
+  val JaccNum = 4
+  val JaccDen = 5
+
+  /** Per-document prefix tokens under the global rare-first order.
+    *
+    * Candidate generation without document-frequency damping is
+    * quadratic on real text: a stopword token appearing in d docs
+    * contributes d² join rows, and (lang, source) bucketing bounds
+    * nothing because hot tokens are hot inside every bucket. Prefix
+    * filtering fixes this exactly (not heuristically): order all
+    * tokens by (document frequency, token) ascending and index only
+    * each doc's first `nt - ⌈t·nt⌉ + 1` tokens. If J(a,b) ≥ t, then
+    * |a∩b| ≥ t·max(na,nb), so a and b cannot both skip their rarest
+    * shared token — their prefixes must intersect (the AllPairs/PPJoin
+    * prefix-filter theorem). Rare-first makes those prefix tokens the
+    * lowest-df ones, so the self-join fan-out per token is bounded by
+    * the df of *rare* tokens instead of stopwords. */
+  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), toks.as("toks"))
       .withColumn("nt", size(col("toks")))
       .select(col("doc_id"), col("lang"), col("source"), col("nt"),
         explode(col("toks")).as("tok"))
-    val pairs = t.as("a")
-      .join(t.as("b"),
+    val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    // prefix length nt - ⌈(JaccNum/JaccDen)·nt⌉ + 1, all-integer
+    t.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("nt") - expr(s"($JaccNum * nt + ${JaccDen - 1}) div $JaccDen") + 1)
+      .select("doc_id", "lang", "source", "nt", "tok")
+  }
+
+  /** Distinct candidate pairs: prefixes collide on a token within the
+    * same (lang, source) bucket, and sizes are compatible — J ≥ 4/5
+    * forces 5·min(na,nb) ≥ 4·max(na,nb), so wildly different-length
+    * docs never even pair up. */
+  def jaccardCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val pfx = jaccardPrefix(spark, dir)
+    pfx.as("a")
+      .join(pfx.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.lang") === col("b.lang") &&
           col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("a.nt")).as("na"), first(col("b.nt")).as("nb"))
-    pairs
-      .filter(lit(5) * col("shared") >= lit(4) * (col("na") + col("nb") - col("shared")))
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(JaccDen) * least(col("a.nt"), col("b.nt")) >=
+            lit(JaccNum) * greatest(col("a.nt"), col("b.nt")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Integer-exact threshold test for J ≥ 0.8:
+    * shared/(na+nb-shared) ≥ 4/5 ⟺ 5·shared ≥ 4·(na+nb-shared).
+    * Verification joins the candidate pairs back to the full (distinct)
+    * token arrays and intersects — the prefix filter loses no J ≥ 0.8
+    * pair, so the output is identical to the undamped inverted-index
+    * join, at a candidate count bounded by rare-token df instead of n². */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val full = docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("nt", size(col("toks")))
+    jaccardCandidates(spark, dir)
+      .join(full.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(full.as("fb"), col("doc_b") === col("fb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        col("shared").cast("long").as("shared"),
-        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+        size(array_intersect(col("fa.toks"), col("fb.toks")))
+          .cast("long").as("shared"),
+        col("fa.nt").cast("long").as("na"), col("fb.nt").cast("long").as("nb"))
+      .filter(lit(JaccDen) * col("shared") >=
+        lit(JaccNum) * (col("na") + col("nb") - col("shared")))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -119,20 +172,36 @@ object Dedup {
       |  SELECT doc_id, lang, source,
       |    list_distinct(string_split($normSql, ' ')) AS toks
       |  FROM documents
+      |), dn AS (
+      |  SELECT doc_id, lang, source, toks, len(toks) AS nt FROM d
       |), t AS (
-      |  SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok
-      |  FROM d
-      |), p AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    COUNT(*) AS shared, MAX(a.nt) AS na, MAX(b.nt) AS nb
-      |  FROM t a JOIN t b
+      |  SELECT doc_id, lang, source, nt, unnest(toks) AS tok
+      |  FROM dn
+      |), dfq AS (
+      |  SELECT tok, COUNT(*) AS df FROM t GROUP BY tok
+      |), pfx AS (
+      |  SELECT doc_id, lang, source, nt, tok FROM (
+      |    SELECT t.doc_id, t.lang, t.source, t.nt, t.tok,
+      |      row_number() OVER (PARTITION BY t.doc_id ORDER BY dfq.df, t.tok) AS rn
+      |    FROM t JOIN dfq ON t.tok = dfq.tok)
+      |  WHERE rn <= nt - (($JaccNum * nt + ${JaccDen - 1}) // $JaccDen) + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pfx a JOIN pfx b
       |    ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
       |   AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
+      |   AND $JaccDen * LEAST(a.nt, b.nt) >= $JaccNum * GREATEST(a.nt, b.nt)
+      |), v AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_intersect(fa.toks, fb.toks)) AS BIGINT) AS shared,
+      |    CAST(fa.nt AS BIGINT) AS na, CAST(fb.nt AS BIGINT) AS nb
+      |  FROM cand c
+      |  JOIN dn fa ON c.doc_a = fa.doc_id
+      |  JOIN dn fb ON c.doc_b = fb.doc_id
       |)
       |SELECT doc_a, doc_b, shared, na, nb
-      |FROM p
-      |WHERE 5 * shared >= 4 * (na + nb - shared)
+      |FROM v
+      |WHERE $JaccDen * shared >= $JaccNum * (na + nb - shared)
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -24,6 +24,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard equals the undamped inverted-index join") {
+    // The prefix filter is exact, not heuristic: candidates generated
+    // from each doc's rarest `nt - ⌈0.8·nt⌉ + 1` tokens must yield the
+    // IDENTICAL J ≥ 0.8 pair set as indexing every token (the
+    // AllPairs/PPJoin theorem). Recompute the undamped join inline at
+    // test scale and compare full rows.
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        functions.TextFunctions.normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(array_distinct(split(col("norm"), " "))).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+        explode(col("toks")).as("tok"))
+    val undamped = d.as("a")
+      .join(d.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.nt")).as("na"), first(col("b.nt")).as("nb"))
+      .filter(lit(5) * col("shared") >= lit(4) * (col("na") + col("nb") - col("shared")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong, r.getInt(4).toLong))
+      .toSet
+    val damped = operators.Dedup.dedupJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(damped === undamped)
+  }
+
+  test("jaccard prefix filtering bounds the candidate join") {
+    // Damping invariants: every doc indexes only its prefix tokens
+    // (≈ 0.2·nt + 1 of the rarest), and the candidate-pair count never
+    // exceeds the undamped inverted-index pair count.
+    val pfx = operators.Dedup.jaccardPrefix(spark, sf)
+    val perDoc = pfx.groupBy("doc_id")
+      .agg(count(lit(1)).as("np"), first("nt").as("nt"))
+      .collect()
+    perDoc.foreach { r =>
+      val (np, nt) = (r.getLong(1), r.getInt(2))
+      assert(np === nt - ((4 * nt + 4) / 5) + 1,
+        s"doc ${r.getLong(0)}: prefix $np of $nt tokens")
+      assert(np <= nt)
+    }
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val cand = operators.Dedup.jaccardCandidates(spark, sf).count()
+    assert(cand < nDocs * (nDocs - 1) / 2, s"candidates $cand not damped")
+  }
+
   test("minhash signature length and determinism") {
     val sigs = operators.Dedup.minhashSignatures(spark, sf)
       .select("doc_id", "sig").limit(5).collect()

@@ -73,6 +73,11 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 6, plan)
   }
 
+  test("dedup_jaccard: prefix-filtered candidates, no cartesian") {
+    val plan = planString(operators.Dedup.dedupJaccard(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pii_scrub: map-only redaction, single shuffle for the sort") {
     val plan = planString(operators.Scrub.piiScrub(spark, sf))
     assert(shuffles(plan) <= 1, plan)
