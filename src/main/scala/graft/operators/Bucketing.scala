@@ -28,17 +28,24 @@ object Bucketing {
     * shared or non-local warehouse the helper does not own), the
     * tables are written under an EXPLICIT per-table location inside
     * `scratchDir` — a directory the caller designates as scratch —
-    * and only that per-table directory is ever cleared. */
+    * and only that per-table directory is ever cleared.
+    *
+    * The default scratch path embeds the JVM's Spark application id
+    * (falling back to user.name), so two concurrent sessions using the
+    * default can never delete each other's live bucketed data; callers
+    * sharing tables ACROSS sessions must pass an explicit scratchDir. */
   def writeBucketedFacts(spark: SparkSession, dir: String, buckets: Int,
                          prefix: String = "graft",
-                         scratchDir: String =
-                           sys.props("java.io.tmpdir") + "/graft-bucketed")
-      : (String, String) = {
+                         scratchDir: String = null): (String, String) = {
+    val scratch = Option(scratchDir).getOrElse(
+      sys.props("java.io.tmpdir") + "/graft-bucketed-" +
+        sys.props.getOrElse("user.name", "anon") + "-" +
+        spark.sparkContext.applicationId)
     val lt = s"${prefix}_lineitem_b"
     val ot = s"${prefix}_orders_b"
     def write(table: String, src: String, key: String): Unit =
       if (!spark.catalog.tableExists(table)) {
-        val loc = new java.io.File(scratchDir, table)
+        val loc = new java.io.File(scratch, table)
         if (loc.exists()) {
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -277,13 +277,14 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashSeeds).map(i => col(s"m$i")): _*).as("sig"))
+    // Horner fold over exactly the band's `rows` signature slots —
+    // derived from the constants, so changing MinhashSeeds/Bands can
+    // never silently hash across band boundaries or drop slots
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"""transform(sequence(0, ${Bands - 1}), b ->
-           |  ((((element_at(sig, b * $rows + 1) * 131
-           |      + element_at(sig, b * $rows + 2)) % $PolyP) * 131
-           |      + element_at(sig, b * $rows + 3)) % $PolyP * 131
-           |      + element_at(sig, b * $rows + 4)) % $PolyP)""".stripMargin))
+           |  aggregate(slice(sig, b * $rows + 1, $rows), CAST(0 AS BIGINT),
+           |            (acc, x) -> (acc * 131 + x) % $PolyP))""".stripMargin))
         .as(Seq("band", "band_hash")))
     bands.as("a")
       .join(bands.as("b"),
@@ -323,8 +324,10 @@ object Dedup {
       |  SELECT doc_id, list(m ORDER BY i) AS ms FROM sig GROUP BY doc_id
       |), bands AS (
       |  SELECT doc_id, b,
-      |    ((((ms[b*$rows + 1] * 131 + ms[b*$rows + 2]) % $PolyP) * 131
-      |       + ms[b*$rows + 3]) % $PolyP * 131 + ms[b*$rows + 4]) % $PolyP AS bh,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_slice(ms, b*$rows + 1, b*$rows + $rows)),
+      |      (acc, x) -> (acc * 131 + x) % $PolyP) AS bh,
       |    ms
       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)
       |), cand AS (

@@ -121,8 +121,12 @@ object Envelope {
     * ~1.5 KiB of messages, so 4096 exercises 1-, 2- and 3-part splits. */
   val TestRecordSize = 4096
 
-  def recordSplit(spark: SparkSession, dir: String,
-                  maxRecord: Int = TestRecordSize): DataFrame = {
+  /** Every event with its spool-record part assignment — the shared
+    * upstream of record_split (aggregate view) and record_gzip (spool
+    * bodies), so a gzipped record can never outgrow the split cap that
+    * record_split enforces. */
+  private def splitEvents(spark: SparkSession, dir: String,
+                          maxRecord: Int): DataFrame = {
     val e = withEnvelopeCols(spark, dir)
       .withColumn("bytes", length(col("message")).cast("long"))
     val grp = Window.partitionBy("source", "dest")
@@ -137,6 +141,11 @@ object Envelope {
       .withColumn("part_len",
         greatest(lit(1L), (col("n") / col("split_count")).cast("long")))
       .withColumn("part_id", (col("rn0") / col("part_len")).cast("long"))
+  }
+
+  def recordSplit(spark: SparkSession, dir: String,
+                  maxRecord: Int = TestRecordSize): DataFrame =
+    splitEvents(spark, dir, maxRecord)
       .groupBy("source", "dest", "part_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -144,7 +153,6 @@ object Envelope {
         min("event_id").as("first_event"),
         max("event_id").as("last_event"))
       .orderBy("source", "dest", "part_id")
-  }
 
   def recordSplitSql(maxRecord: Int = TestRecordSize): String =
     s"""$oracleBase,
@@ -178,17 +186,17 @@ object Envelope {
   val TestBatchCount = 10
   val TestBatchSize = 4096L
 
-  def firehoseBatches(spark: SparkSession, dir: String,
-                      maxCount: Int = TestBatchCount,
-                      maxSize: Long = TestBatchSize): DataFrame = {
-    val records = recordSplit(spark, dir)
-      .select(col("source"), col("dest"), col("part_id"), col("part_bytes"))
-    // Drain order within a destination: (source, part). The greedy
-    // scan is a per-dest fold over the sorted record list — bounded by
-    // records-per-dest (spool files), not events.
+  /** Greedy per-record batch assignment in drain order (source,
+    * part_id) within each dest: one output row per spool record with
+    * its batch_id. The greedy scan is a per-dest fold over the sorted
+    * record list — bounded by records-per-dest (spool files), not
+    * events. Input columns: source, dest, part_id, part_bytes,
+    * first_event. */
+  private def packRecords(records: DataFrame,
+                          maxCount: Int, maxSize: Long): DataFrame = {
     val recs = records.groupBy("dest").agg(
       array_sort(collect_list(struct(col("source"), col("part_id"),
-        col("part_bytes")))).as("rs"))
+        col("part_bytes"), col("first_event")))).as("rs"))
     val assigned = recs.withColumn("batch_ids",
       expr(
         s"""aggregate(
@@ -210,11 +218,23 @@ object Envelope {
       .select(col("dest"), explode(arrays_zip(col("rs"), col("batch_ids")))
         .as("z"))
       .select(col("dest"), col("z.batch_ids").as("batch_id"),
-        col("z.rs.part_bytes").as("bytes"))
-      .groupBy("dest", "batch_id")
-      .agg(count(lit(1)).as("n_records"), sum("bytes").as("batch_bytes"))
-      .orderBy("dest", "batch_id")
+        col("z.rs.source").as("source"), col("z.rs.part_id").as("part_id"),
+        col("z.rs.part_bytes").as("part_bytes"),
+        col("z.rs.first_event").as("first_event"))
   }
+
+  private def spoolRecords(spark: SparkSession, dir: String): DataFrame =
+    recordSplit(spark, dir).select(
+      col("source"), col("dest"), col("part_id"), col("part_bytes"),
+      col("first_event"))
+
+  def firehoseBatches(spark: SparkSession, dir: String,
+                      maxCount: Int = TestBatchCount,
+                      maxSize: Long = TestBatchSize): DataFrame =
+    packRecords(spoolRecords(spark, dir), maxCount, maxSize)
+      .groupBy("dest", "batch_id")
+      .agg(count(lit(1)).as("n_records"), sum("part_bytes").as("batch_bytes"))
+      .orderBy("dest", "batch_id")
 
   def firehoseBatchesSql(maxCount: Int = TestBatchCount,
                          maxSize: Long = TestBatchSize): String = {
@@ -249,15 +269,113 @@ object Envelope {
   }
 
   // ---------------------------------------------------------------------
+  // #53 firehose_retry — partial-failure re-drive (spool.py:199-211)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic stand-in for Firehose's per-record put_record_batch
+    * status: record fails iff (first_event·31 + part_id) ≡ 0 mod 5
+    * (≈20% failure rate) — pure integer math, identical in DuckDB. */
+  val FailMod = 5L
+
+  private val failFlag: Column =
+    ((col("first_event") * 31 + col("part_id")) % FailMod === 0).cast("int")
+
+  /** The reference walks put_record_batch's per-record statuses:
+    * succeeded records are unlinked from the spool, FAILED records stay
+    * and re-enter the next drain's packing, and each failure increments
+    * kinesyslog_batch_record_failed (spool.py:199-211). Modeled as two
+    * drains: drain 1 packs every spool record and flags the seeded
+    * failures; drain 2 re-packs exactly the failed records (all succeed
+    * there). Output: one row per (drain, dest, batch) with its record
+    * count, byte size, and how many of its records failed. */
+  def firehoseRetry(spark: SparkSession, dir: String,
+                    maxCount: Int = TestBatchCount,
+                    maxSize: Long = TestBatchSize): DataFrame = {
+    val d1 = packRecords(spoolRecords(spark, dir), maxCount, maxSize)
+      .withColumn("failed", failFlag)
+    val d2 = packRecords(
+      d1.filter(col("failed") === 1)
+        .select("source", "dest", "part_id", "part_bytes", "first_event"),
+      maxCount, maxSize)
+    val drain1 = d1.groupBy("dest", "batch_id")
+      .agg(count(lit(1)).as("n_records"), sum("part_bytes").as("batch_bytes"),
+        sum("failed").as("n_failed"))
+      .select(lit(1).as("drain"), col("dest"), col("batch_id"),
+        col("n_records"), col("batch_bytes"), col("n_failed"))
+    val drain2 = d2.groupBy("dest", "batch_id")
+      .agg(count(lit(1)).as("n_records"), sum("part_bytes").as("batch_bytes"))
+      .select(lit(2).as("drain"), col("dest"), col("batch_id"),
+        col("n_records"), col("batch_bytes"), lit(0L).as("n_failed"))
+    drain1.unionAll(drain2).orderBy("drain", "dest", "batch_id")
+  }
+
+  def firehoseRetrySql(maxCount: Int = TestBatchCount,
+                       maxSize: Long = TestBatchSize): String = {
+    val split = recordSplitSql()
+      .replace("ORDER BY source, dest, part_id", "")
+    def walk(recsName: String): String =
+      "  WITH RECURSIVE w(dest, rn, bytes, failed, batch, bc, bs) AS (\n" +
+        s"    SELECT dest, rn, bytes, failed, 0, 1, bytes FROM $recsName WHERE rn = 1\n" +
+        "    UNION ALL\n" +
+        "    SELECT r.dest, r.rn, r.bytes, r.failed,\n" +
+        s"      CASE WHEN w.bc >= $maxCount OR w.bs + r.bytes > $maxSize\n" +
+        "           THEN w.batch + 1 ELSE w.batch END,\n" +
+        s"      CASE WHEN w.bc >= $maxCount OR w.bs + r.bytes > $maxSize\n" +
+        "           THEN 1 ELSE w.bc + 1 END,\n" +
+        s"      CASE WHEN w.bc >= $maxCount OR w.bs + r.bytes > $maxSize\n" +
+        "           THEN r.bytes ELSE w.bs + r.bytes END\n" +
+        s"    FROM w JOIN $recsName r ON r.dest = w.dest AND r.rn = w.rn + 1\n" +
+        "  )\n" +
+        "  SELECT * FROM w\n"
+    "WITH recs1 AS (\n" +
+      "  SELECT dest, row_number() OVER (PARTITION BY dest ORDER BY source, part_id) AS rn,\n" +
+      "         part_bytes AS bytes,\n" +
+      s"         CASE WHEN (first_event * 31 + part_id) % $FailMod = 0 THEN 1 ELSE 0 END AS failed\n" +
+      "  FROM (" + split + ")\n" +
+      "),\n" +
+      "walk1 AS (\n" + walk("recs1") + "),\n" +
+      // drain-2 input comes from recs1, NOT walk1: the failure flag is
+      // seeded per record (independent of packing), and DuckDB's
+      // recursive walk2 silently stops at its anchor when its
+      // recursive part joins a CTE derived from another recursive CTE
+      "recs2 AS (\n" +
+      "  SELECT dest, row_number() OVER (PARTITION BY dest ORDER BY rn) AS rn,\n" +
+      "         bytes, 0 AS failed\n" +
+      "  FROM (SELECT * FROM recs1 WHERE failed = 1)\n" +
+      "),\n" +
+      "walk2 AS (\n" + walk("recs2") + ")\n" +
+      "SELECT * FROM (\n" +
+      "  SELECT 1 AS drain, dest, CAST(batch AS BIGINT) AS batch_id,\n" +
+      "    COUNT(*) AS n_records, CAST(SUM(bytes) AS BIGINT) AS batch_bytes,\n" +
+      "    CAST(SUM(failed) AS BIGINT) AS n_failed\n" +
+      "  FROM walk1 GROUP BY dest, batch\n" +
+      "  UNION ALL\n" +
+      "  SELECT 2 AS drain, dest, CAST(batch AS BIGINT) AS batch_id,\n" +
+      "    COUNT(*) AS n_records, CAST(SUM(bytes) AS BIGINT) AS batch_bytes,\n" +
+      "    CAST(0 AS BIGINT) AS n_failed\n" +
+      "  FROM walk2 GROUP BY dest, batch\n" +
+      ")\n" +
+      "ORDER BY drain, dest, batch_id"
+  }
+
+  // ---------------------------------------------------------------------
   // #18 record_gzip — spool-format gzip round-trip (rows-only: gzip
   // byte output is library-specific, so there is no cross-engine hash)
   // ---------------------------------------------------------------------
 
-  def recordGzip(spark: SparkSession, dir: String): DataFrame = {
+  /** One gzipped spool body per SPLIT PART, not per (source, dest):
+    * composing with recordSplit's part assignment means every gzipped
+    * record's event payload is bounded by the record cap — a hot
+    * (source, dest) pair at 100× scale becomes more records, never a
+    * multi-GB single-row payload (the reference flushes every
+    * 4 MiB/60 s and splits oversize records, sink.py:167-186; it never
+    * builds an unbounded buffer either). */
+  def recordGzip(spark: SparkSession, dir: String,
+                 maxRecord: Int = TestRecordSize): DataFrame = {
     // the actual spool-file body: the CloudWatch record JSON
     // (sink.py:204-217), gzipped at level 9
-    val grouped = withEnvelopeCols(spark, dir)
-      .groupBy("source", "dest")
+    val grouped = splitEvents(spark, dir, maxRecord)
+      .groupBy("source", "dest", "part_id")
       .agg(to_json(struct(
         lit(Owner).as("owner"),
         concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
@@ -276,11 +394,11 @@ object Envelope {
       .withColumn("gz", gzip_compress(col("raw")))
       .withColumn("rt", decompress_auto(col("gz")))
       .select(
-        col("source"), col("dest"),
+        col("source"), col("dest"), col("part_id"),
         length(col("payload")).as("raw_len"),
         octet_length(col("gz")).as("gz_len"),
         (col("rt") === col("raw")).cast("int").as("roundtrip_ok"))
-      .orderBy("source", "dest")
+      .orderBy("source", "dest", "part_id")
   }
 
   // ---------------------------------------------------------------------
@@ -325,7 +443,11 @@ object Envelope {
       .select(format_string(metric + "_bucket{le=\"%d\"} %d",
         col("le"), col("n")).as("line"))
     val summary = df
-      .agg(count(lit(1)).as("c"), sum(col(valueCol).cast("long")).as("s"))
+      // coalesce: sum() over an empty input is null, and a null _sum
+      // line would sort differently in Spark (nulls first) vs DuckDB
+      // (printf(NULL) row last) — render '…_sum 0' on empty input
+      .agg(count(lit(1)).as("c"),
+        coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("s"))
       .select(explode(array(
         format_string(metric + "_bucket{le=\"+Inf\"} %d", col("c")),
         format_string(metric + "_count %d", col("c")),
@@ -333,10 +455,22 @@ object Envelope {
     buckets.unionAll(summary)
   }
 
+  /** Spool-dir label for the gauge families — the reference's default
+    * spool dir is the system tempdir (init.py:72-73), and the gauges
+    * are labeled with it (spool.py:148-150). */
+  val SpoolPath = "/tmp"
+  /** Deterministic stand-in for Firehose's per-record ErrorMessage
+    * (spool.py:207-210 labels the failure counter with it). */
+  val FailMessage = "ServiceUnavailable"
+
   /** The /metrics page as a one-column DataFrame: the reference's
-    * counter families by (port, source) (constant.py:44-45) and the
-    * batch histograms (constant.py:47-48), rendered in Prometheus
-    * exposition format and deterministically sorted. */
+    * counter families by (port, source) (constant.py:44-45), the
+    * batch histograms (constant.py:47-48), the spool gauges
+    * (constant.py:51-52, spool.py:146-150) and the per-stream
+    * batch_record_failed counter (constant.py:46, spool.py:207-210),
+    * rendered in Prometheus exposition format and deterministically
+    * sorted. A /metrics scrape of the reference relay and of graft
+    * now shows the same metric families. */
   def statsExport(spark: SparkSession, dir: String): DataFrame = {
     // ONE pass over the counters aggregate emits both metric families
     // (a separate select per family would materialize the whole
@@ -356,9 +490,33 @@ object Envelope {
       (0L to TestBatchCount.toLong by recSteps))
     val h2 = histLines(batches, "batch_bytes", "kinesyslog_batch_bytes",
       (0L to TestBatchSize by byteSteps))
-    val h3 = histLines(recordSplit(spark, dir), "part_bytes",
+    val records = spoolRecords(spark, dir)
+    val h3 = histLines(records, "part_bytes",
       "kinesyslog_record_bytes", (0L to TestRecordSize.toLong by recordSteps))
+    // spool gauges: record count in the spool at drain time, and the
+    // batch age. The reference sets age = loop.time() - last flush
+    // (wall clock); the deterministic batch analogue is the event-time
+    // span of the spooled events, in seconds.
+    val spoolLines = withEnvelopeCols(spark, dir)
+      .agg(coalesce(max("ts_s") - min("ts_s"), lit(0L)).as("age"))
+      .crossJoin(records.agg(count(lit(1)).as("c")))
+      .select(explode(array(
+        format_string(
+          "kinesyslog_spool_count{path=\"%s\"} %d", lit(SpoolPath), col("c")),
+        format_string(
+          "kinesyslog_spool_age{path=\"%s\"} %d", lit(SpoolPath), col("age"))))
+        .as("line"))
+    // per-stream failed-record counter: failures are per-record
+    // (independent of batch packing), so they aggregate straight off
+    // the spool records with the same seeded rule as firehose_retry
+    val failedLines = records
+      .groupBy("dest")
+      .agg(sum(failFlag.cast("long")).as("nf"))
+      .select(format_string(
+        "kinesyslog_batch_record_failed{stream=\"%d\",error_message=\"%s\"} %d",
+        col("dest"), lit(FailMessage), col("nf")).as("line"))
     counterLines.unionAll(h1).unionAll(h2).unionAll(h3)
+      .unionAll(spoolLines).unionAll(failedLines)
       .orderBy("line")
   }
 
@@ -378,7 +536,7 @@ object Envelope {
          |UNION ALL
          |SELECT printf('${metric}_count %d', COUNT(*)) FROM $src
          |UNION ALL
-         |SELECT printf('${metric}_sum %d', CAST(SUM($value) AS BIGINT)) FROM $src"""
+         |SELECT printf('${metric}_sum %d', CAST(COALESCE(SUM($value), 0) AS BIGINT)) FROM $src"""
         .stripMargin
     val recBounds = 0L to TestBatchCount.toLong by math.max(1L, TestBatchCount.toLong / 10)
     val byteBounds = 0L to TestBatchSize by math.max(1L, TestBatchSize / 8)
@@ -398,6 +556,18 @@ object Envelope {
       |  ${histSql("fb", "batch_bytes", "kinesyslog_batch_bytes", byteBounds)}
       |  UNION ALL
       |  ${histSql("rs", "part_bytes", "kinesyslog_record_bytes", recordBounds)}
+      |  UNION ALL
+      |  SELECT printf('kinesyslog_spool_count{path="%s"} %d', '$SpoolPath',
+      |    COUNT(*)) FROM rs
+      |  UNION ALL
+      |  SELECT printf('kinesyslog_spool_age{path="%s"} %d', '$SpoolPath',
+      |    CAST(COALESCE(MAX(ts_s) - MIN(ts_s), 0) AS BIGINT))
+      |  FROM ($oracleBase SELECT ts_s FROM e)
+      |  UNION ALL
+      |  SELECT printf('kinesyslog_batch_record_failed{stream="%d",error_message="$FailMessage"} %d',
+      |    dest, CAST(SUM(CASE WHEN (first_event * 31 + part_id) % $FailMod = 0
+      |                        THEN 1 ELSE 0 END) AS BIGINT))
+      |  FROM rs GROUP BY dest
       |)
       |ORDER BY line""".stripMargin
   }
@@ -406,7 +576,8 @@ object Envelope {
     "record_envelope" -> (recordEnvelope(_, _)),
     "record_split" -> ((s, d) => recordSplit(s, d)),
     "firehose_batches" -> ((s, d) => firehoseBatches(s, d)),
-    "record_gzip" -> (recordGzip(_, _)),
+    "firehose_retry" -> ((s, d) => firehoseRetry(s, d)),
+    "record_gzip" -> ((s, d) => recordGzip(s, d)),
     "stats_counters" -> (statsCounters(_, _)),
     "stats_export" -> (statsExport(_, _)))
 
@@ -414,6 +585,7 @@ object Envelope {
     "record_envelope" -> recordEnvelopeSql,
     "record_split" -> recordSplitSql(),
     "firehose_batches" -> firehoseBatchesSql(),
+    "firehose_retry" -> firehoseRetrySql(),
     "stats_counters" -> statsCountersSql,
     "stats_export" -> statsExportSql)
 }

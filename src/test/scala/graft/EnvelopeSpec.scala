@@ -78,6 +78,34 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.filter(col("gz_len") >= col("raw_len")).count() === 0)
   }
 
+  test("record_gzip composes with recordSplit: one gzip per part, bounded size") {
+    val r = operators.Envelope.recordGzip(spark, sf)
+    val split = operators.Envelope.recordSplit(spark, sf)
+    // one gzipped spool body per split part — never an unbounded
+    // (source, dest) collect_list
+    assert(r.count() === split.count())
+    // every compressed record fits the record cap (the reference's
+    // split keeps gzipped records under MAX_RECORD_SIZE, sink.py:167)
+    val over = r.filter(col("gz_len") > operators.Envelope.TestRecordSize)
+    assert(over.count() === 0)
+  }
+
+  test("firehose_retry: failed records re-enter drain 2 and converge") {
+    val r = operators.Envelope.firehoseRetry(spark, sf).collect()
+    val d1 = r.filter(_.getInt(0) === 1)
+    val d2 = r.filter(_.getInt(0) === 2)
+    val failed1 = d1.map(_.getLong(5)).sum
+    assert(failed1 > 0, "seeded failure rule should fail some records")
+    // every drain-1 failure re-enters drain 2 exactly once, and drain 2
+    // reports no failures (convergence after one retry)
+    assert(d2.map(_.getLong(3)).sum === failed1)
+    assert(d2.map(_.getLong(5)).sum === 0)
+    // drain-2 batches respect the same caps as drain 1
+    d2.foreach { row =>
+      assert(row.getLong(3) <= operators.Envelope.TestBatchCount)
+    }
+  }
+
   test("backslashreplace decode matches Python semantics") {
     // b'abc\xff\xc3\xa9'.decode('utf-8','backslashreplace') == 'abc\\xffé'
     val cases = Seq(

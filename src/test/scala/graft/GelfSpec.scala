@@ -69,4 +69,13 @@ class GelfSpec extends SparkSpec {
     assert(e.join(out, Seq("event_id"))
       .filter(col("ts_ms") =!= col("want")).count() === 0)
   }
+
+  test("exact-parse n_extra agrees with the regexp fast path on this corpus") {
+    val fast = operators.Gelf.gelfParse(spark, sf)
+      .select("event_id", "n_extra")
+    val exact = operators.Gelf.gelfParse(spark, sf, exactExtra = true)
+      .select(col("event_id"), col("n_extra").as("n_exact"))
+    assert(fast.join(exact, Seq("event_id"))
+      .filter(col("n_extra") =!= col("n_exact")).count() === 0)
+  }
 }
