@@ -5,26 +5,34 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the SURVEY §6 headliner queries against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Harness rules (VERDICT r1 fixes):
+  * Harness rules (VERDICT r1 + r3 fixes):
   *  - one discarded warmup pass per query (JVM/codegen/IO warmup no
   *    longer lands on whichever query runs first);
-  *  - timed pass materializes every row via the `noop` datasource —
-  *    unlike `.count()`, this cannot let Spark prune final sorts or
+  *  - MEDIAN OF 3 timed passes per query: single-pass numbers swung
+  *    3.9×/4.3× between rounds on unchanged code (GC/JIT luck at
+  *    sub-second scales); the median makes per-query deltas readable;
+  *  - each timed pass materializes every row via the `noop` datasource
+  *    — unlike `.count()`, this cannot let Spark prune final sorts or
   *    limits out of the measured plan;
   *  - failures are NOT swallowed: a failed query reports -1 and the
   *    process exits non-zero so the driver sees a broken bench.
   */
 object Bench {
   /** SURVEY §6 headliner set; filtered against SparkEntry.queries so
-    * the bench runs whatever subset exists. */
+    * the bench runs whatever subset exists. Embedding near-dup
+    * headlines the LSH-bucketed scale path — the all-pairs
+    * dedup_embedding variant stays oracle-only, since a cartesian is
+    * not a plan worth measuring (VERDICT r3). */
   val headliners: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q6_forecast",
     "q18_large", "q7_volume",
     "events_window", "events_tumbling", "events_sessions",
     "syslog_parse", "syslog_normalize", "frame_octet", "record_envelope",
     "gelf_parse", "relay_end_to_end",
-    "dedup_exact", "dedup_minhash", "dedup_embedding", "ann_bruteforce",
+    "dedup_exact", "dedup_minhash", "dedup_embedding_lsh", "ann_bruteforce",
     "ann_ivf", "text_quality", "text_tokens", "text_pii_scrub")
+
+  val TimedPasses = 3
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -39,9 +47,12 @@ object Bench {
       val sec =
         try {
           materialize(fn(spark, sfDir)) // warmup (discarded)
-          val t0 = System.nanoTime()
-          materialize(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
+          val passes = (1 to TimedPasses).map { _ =>
+            val t0 = System.nanoTime()
+            materialize(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }
+          passes.sorted.apply(TimedPasses / 2)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -436,35 +436,64 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // #32b dedup_embedding_lsh — the 100 TB path for embedding near-dup:
-  // hyperplane-LSH buckets generate the candidate pairs (same codes as
-  // Similarity.lshCodes, plus 1-bit multi-probe), then the SAME exact
-  // integer cosine test as dedup_embedding verifies them. All-pairs
-  // never happens: the join shuffles on the bucket code only.
+  // hyperplane-LSH buckets generate the candidate pairs, then the SAME
+  // exact integer cosine test as dedup_embedding verifies them.
+  // All-pairs never happens: the join shuffles on the bucket code only.
   // ---------------------------------------------------------------------
 
-  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    val v = graft.operators.Similarity.lshCodes(spark, dir)
+  /** Plane count for the dedup buckets. Buckets ≈ corpus/2^planes, so
+    * this must GROW with the corpus (≈ log2(n / target bucket size));
+    * 4 planes match the sub-10k-vector test corpora. The probe-mask
+    * fan-out is radius-bounded, so raising planes at 100 TB leaves the
+    * per-bucket cost flat while the bucket count absorbs the growth. */
+  val EmbedLshPlanes = 4
+  /** Probe radius: candidates cover code pairs within this hamming
+    * distance (recall knob; radius 2 keeps every pair the old
+    * probe-both-sides-1-bit formulation found). */
+  val EmbedLshProbe = 2
+
+  /** XOR masks of weight ≤ EmbedLshProbe over EmbedLshPlanes bits. */
+  private[operators] def probeMasks(planes: Int, radius: Int): Seq[Int] =
+    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+
+  /** Asymmetric multi-probe (the standard LSH self-join shape): the
+    * INDEX side lands once in its exact bucket; the PROBE side fans
+    * out to every bucket within hamming ≤ r of its code. A pair
+    * collides iff its code XOR is one of the probe masks — the same
+    * hamming ≤ 2 coverage as probing BOTH sides 1 bit each, at
+    * 1 + p + p(p−1)/2 probe rows on one side instead of the (1+p)²
+    * product of both fan-outs (2.3× fewer candidates here; the gap
+    * widens with p). Probe rows carry only (vec_id, bucket) — the
+    * 64-long vectors join back AFTER pair dedup, so the fan-out never
+    * shuffles vector payloads. Verification is the same exact integer
+    * cosine test as dedup_embedding, so precision is 1.0 by
+    * construction; the probe radius only trades recall. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String,
+                        planes: Int = EmbedLshPlanes,
+                        radius: Int = EmbedLshProbe): DataFrame = {
+    val v = graft.operators.Similarity.lshCodes(spark, dir, planes)
       .select(col("vec_id"), col("q"), col("nn"), col("code"))
-    // multi-probe: each vector also lands in the buckets at hamming
-    // distance 1 from its own code, so near-hyperplane pairs still
-    // collide; pairs dedup on (vec_a, vec_b).
-    val planes = graft.operators.Similarity.Planes
-    val probed = v.select(col("vec_id"), col("q"), col("nn"),
-      explode(array((0 to planes).map(i =>
-        if (i == 0) col("code")
-        else col("code").bitwiseXOR(lit(1 << (i - 1)))): _*)).as("bucket"))
-    val cand = probed.as("a")
+    val masks = probeMasks(planes, radius)
+    val indexed = v.select(col("vec_id"), col("code").as("bucket"))
+    val probed = v.select(col("vec_id"),
+      explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*))
+        .as("bucket"))
+    val cand = indexed.as("a")
       .join(probed.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.q").as("qa"), col("b.q").as("qb"),
-        col("a.nn").as("na"), col("b.nn").as("nb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    // join-back side needs no bucket codes — derive from the quantized
+    // vectors directly so the code computation runs on 2 branches, not 3
+    val vecs = graft.operators.Similarity.quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("nn"))
     cand
+      .join(vecs.as("va"), col("vec_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("vec_b") === col("vb.vec_id"))
       .select(col("vec_a"), col("vec_b"),
-        graft.functions.VectorFunctions.dot_l(col("qa"), col("qb")).as("dot"),
-        col("na"), col("nb"))
+        graft.functions.VectorFunctions.dot_l(col("va.q"), col("vb.q")).as("dot"),
+        col("va.nn").as("na"), col("vb.nn").as("nb"))
       .filter(col("dot") >= 0 &&
         lit(400) * col("dot") * col("dot") >= lit(49) * col("na") * col("nb"))
       .orderBy("vec_a", "vec_b")
@@ -477,7 +506,7 @@ object Dedup {
     "dedup_minhash_poly" -> dedupMinhashPoly,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,

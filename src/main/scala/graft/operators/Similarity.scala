@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,7 @@ object Similarity {
     * tune planes so bucket size stays O(k·fanout) at the target SF). */
   val Planes = 4
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
@@ -92,9 +92,13 @@ object Similarity {
   // #34 ann_lsh — hyperplane-bucketed probe (rows+spec)
   // ---------------------------------------------------------------------
 
-  /** 8-bit bucket code: bit j set iff Σ_i sign(xxhash64(j,i))·q_i > 0. */
-  private val codeExpr = expr(
-    s"""aggregate(sequence(0, ${Planes - 1}), CAST(0 AS INT),
+  /** Bucket code over `planes` hyperplanes: bit j set iff
+    * Σ_i sign(xxhash64(j,i))·q_i > 0. Plane count is the bucket-size
+    * knob — buckets ≈ corpus/2^planes, so planes must GROW with the
+    * corpus (log2(n / target bucket size)) for the probe cost to stay
+    * flat at 100 TB. */
+  def codeExpr(planes: Int): Column = expr(
+    s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS INT),
        |  (acc, j) -> acc | IF(
        |    aggregate(sequence(0, size(q) - 1), CAST(0 AS BIGINT),
        |      (s, i) -> s + IF((xxhash64(j, i) & 1) = 1,
@@ -102,8 +106,9 @@ object Similarity {
        |                       -element_at(q, i + 1))) > 0,
        |    shiftleft(1, j), 0))""".stripMargin)
 
-  def lshCodes(spark: SparkSession, dir: String): DataFrame =
-    quantized(spark, dir).withColumn("code", codeExpr)
+  def lshCodes(spark: SparkSession, dir: String,
+               planes: Int = Planes): DataFrame =
+    quantized(spark, dir).withColumn("code", codeExpr(planes))
 
   /** Multi-probe: each query also probes the `Planes` buckets at
     * hamming distance 1 from its own code — the standard recall

@@ -73,6 +73,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 6, plan)
   }
 
+  test("dedup_embedding_lsh: equality join on the bucket code only — never all-pairs") {
+    val plan = planString(operators.Dedup.dedupEmbeddingLsh(spark, sf))
+    // the bench headliner for embedding near-dup: candidates must come
+    // from the LSH bucket equality join (shuffle or broadcast HASH
+    // join keyed on the code), never a cartesian/nested-loop product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // probe explode + bucket join + pair dedup + sort stay in budget
+    assert(shuffles(plan) <= 6, plan)
+  }
+
   test("dedup_jaccard: prefix-filtered candidates, no cartesian") {
     val plan = planString(operators.Dedup.dedupJaccard(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)

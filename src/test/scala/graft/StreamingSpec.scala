@@ -187,6 +187,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multimodal image codec reads true JPEG/PNG dimensions from fixture bytes") {
+    import operators.Multimodal
+    // minimal PNG: signature + IHDR chunk with width=640, height=480
+    val png = (Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".map(_.toInt) ++
+      Seq(0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0)).map(_.toByte).toArray
+    assert(Multimodal.imageDims(png) === Some((640, 480)))
+    // minimal JPEG: SOI, APP0 (JFIF), then SOF0 with height=480, width=640
+    val jpeg = (Seq(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10) ++ "JFIF".map(_.toInt) ++
+      Seq(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00) ++
+      Seq(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03,
+        0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+      .map(_.toByte).toArray
+    assert(Multimodal.imageDims(jpeg) === Some((640, 480)))
+    // progressive JPEG (SOF2) parses too; text bytes do not
+    val jpeg2 = jpeg.updated(21, 0xc2.toByte)
+    assert(Multimodal.imageDims(jpeg2) === Some((640, 480)))
+    assert(Multimodal.imageDims("plain text payload".getBytes("UTF-8")) === None)
+    // end-to-end through the batched mapPartitions decode
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", jpeg),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(out(0).width === 640 && out(0).height === 480)
+    assert(out(1).width === 640 && out(1).height === 480)
+    // unrecognizable payload falls back to bounded stub dims
+    assert(out(2).width >= 1 && out(2).width <= 1920)
+  }
+
   test("multimodal decode keeps batch shape and deterministic metadata") {
     val out = operators.Multimodal.multimodalMeta(spark, sf)
     val docs = Tables.load(spark, sf, "documents").count()
