@@ -144,50 +144,83 @@ object Similarity {
   // #48 ann_ivf — inverted-file probe (coarse quantizer + short list)
   // ---------------------------------------------------------------------
 
-  /** Deterministic coarse quantizer: 16 corpus vectors (ids 100–115)
-    * serve as centroids so the whole index is reproducible in SQL. A
-    * production build would train them with k-means — each iteration
-    * is one assignment join + one groupBy-average, the same two plan
-    * shapes used here — without changing the probe-side plan. */
+  /** Deterministic coarse quantizer seed: 16 corpus vectors (ids
+    * 100–115) seed k-means, which then runs KmeansIters Lloyd
+    * iterations — each one assignment join (broadcast centroids, one
+    * min-struct aggregate) + one groupBy-average (posexplode by
+    * dimension, shuffle on (cid, dim) — uniform by construction).
+    * Centroid updates are floor(sum/count) per component: integer
+    * sums are exact in IEEE doubles, so Spark and DuckDB derive
+    * bit-identical centroids and the whole trained index stays
+    * oracle-reproducible. */
   val CentroidBase = 100L
   val Centroids = 16
+  val KmeansIters = 2
   /** Probe the 4 nearest inverted lists: each query touches ~1/4 of
     * the corpus under balanced assignment (vs 1 list ≈ 1/16 — recall
     * against latency is the nprobe knob, exactly as in FAISS-style
     * IVF). */
   val NProbe = 4
 
-  private def centroidSet(spark: SparkSession, dir: String): DataFrame =
+  private def centroidSeed(spark: SparkSession, dir: String): DataFrame =
     quantized(spark, dir)
       .filter(col("vec_id") >= CentroidBase &&
         col("vec_id") < CentroidBase + Centroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
 
-  /** Corpus vector → nearest centroid (integer L2²; ties break on
-    * cid). The 16-row centroid table broadcasts; the only shuffle is
-    * the min-struct aggregate back to one row per vector. */
-  def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val v = quantized(spark, dir)
-    v.crossJoin(broadcast(centroidSet(spark, dir)))
+  /** Corpus vector → nearest centroid in `cents` (integer L2²; ties
+    * break on cid). The k-row centroid table broadcasts; the only
+    * shuffle is the min-struct aggregate back to one row per vector. */
+  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
       .withColumn("d2", col("nn") + col("cn") -
         lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("cid"))).as("m"),
         first("q").as("q"), first("nn").as("nn"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("q"), col("nn"))
+
+  /** Lloyd iterations over the quantized corpus: assign, then replace
+    * each centroid with the per-component floor-average of its
+    * members (empty clusters drop out, same as the SQL GROUP BY). */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+                      iters: Int = KmeansIters): DataFrame = {
+    val v = quantized(spark, dir)
+    var cents = centroidSeed(spark, dir)
+    for (_ <- 1 to iters) {
+      val sums = assignTo(v, cents)
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("dim"),
+          floor(col("s").cast("double") / col("cnt")).cast("long").as("c"))
+      cents = sums.groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+          .as("cq"))
+        .withColumn("cn", graft.functions.VectorFunctions.norm_sq_l(col("cq")))
+        .select(col("cid"), col("cq"), col("cn"))
+    }
+    cents
   }
+
+  /** Corpus vector → nearest TRAINED centroid. */
+  def ivfAssignments(spark: SparkSession, dir: String,
+                     iters: Int = KmeansIters): DataFrame =
+    assignTo(quantized(spark, dir), kmeansCentroids(spark, dir, iters))
 
   /** IVF probe: rank centroids per query, scan the NProbe nearest
     * inverted lists, exact-rerank the short list. At scale the
     * candidate join shuffles on cid only; hot lists are bounded by
     * raising Centroids (list size ≈ corpus/K) or salting. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssignments(spark, dir)
+  def annIvf(spark: SparkSession, dir: String,
+             iters: Int = KmeansIters): DataFrame = {
+    val cents = kmeansCentroids(spark, dir, iters)
     val v = quantized(spark, dir)
+    val assigned = assignTo(v, cents)
     val wProbe = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("cid"))
     val probes = v.filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(centroidSet(spark, dir)))
+      .crossJoin(broadcast(cents))
       .withColumn("d2", col("nn") + col("cn") -
         lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
       .withColumn("pr", row_number().over(wProbe))
@@ -211,7 +244,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val annIvfSql: String =
+  val annIvfSql: String = {
+    // one Lloyd iteration: assign to cen{k-1}, then per-component
+    // floor-average (exact in IEEE doubles on integer sums, so the
+    // trained centroids are bit-identical to the Spark side's)
+    def iterBlock(k: Int): String = {
+      val prev = s"cen${k - 1}"
+      s"""dst$k AS (
+        |  SELECT n.vec_id, n.v, n.nn, c.cid,
+        |    n.nn + c.cn
+        |      - 2 * CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT)
+        |      AS d2
+        |  FROM n CROSS JOIN $prev c
+        |), asn$k AS (
+        |  SELECT vec_id, v, nn, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM dst$k)
+        |  WHERE rn = 1
+        |), mu$k AS (
+        |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |  FROM asn$k CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY cid, i
+        |), cen$k AS (
+        |  SELECT cid, cv, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM (SELECT cid, list(c ORDER BY i) AS cv FROM mu$k GROUP BY cid)
+        |)""".stripMargin
+    }
+    val training = (1 to KmeansIters).map(iterBlock).mkString(",\n")
+    val fin = s"cen$KmeansIters"
     s"""WITH q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -219,15 +279,17 @@ object Similarity {
       |), n AS (
       |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
       |  FROM q
-      |), c AS (
+      |), cen0 AS (
       |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
       |  WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + Centroids}
-      |), dist AS (
+      |),
+      |$training,
+      |dist AS (
       |  SELECT n.vec_id, n.v, n.nn, c.cid,
       |    n.nn + c.cn
       |      - 2 * CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT)
       |      AS d2
-      |  FROM n CROSS JOIN c
+      |  FROM n CROSS JOIN $fin c
       |), assign AS (
       |  SELECT vec_id, v, nn, cid FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -253,11 +315,12 @@ object Similarity {
       |FROM r
       |WHERE rank <= $TopK
       |ORDER BY query_id, rank""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)))
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,

@@ -47,8 +47,10 @@ class SimilarityTextSpec extends SparkSpec {
       col("cid") < operators.Similarity.CentroidBase ||
       col("cid") >= operators.Similarity.CentroidBase +
         operators.Similarity.Centroids).count() === 0)
-    // centroids belong to their own list (d2 = 0 beats everything)
-    assert(a.filter(col("vec_id") === col("cid")).count() ===
+    // with the untrained seed (iters = 0), each seed vector belongs to
+    // its own list (d2 = 0 beats everything)
+    val a0 = operators.Similarity.ivfAssignments(spark, sf, iters = 0)
+    assert(a0.filter(col("vec_id") === col("cid")).count() ===
       operators.Similarity.Centroids)
   }
 
@@ -61,6 +63,21 @@ class SimilarityTextSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.3, s"recall=$recall") // 4 of 16 lists probed
+  }
+
+  test("k-means-trained centroids do not lose recall vs the fixed seed") {
+    val bf = operators.Similarity.annBruteforce(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double = {
+      val ivf = operators.Similarity.annIvf(spark, sf, iters)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & ivf).size.toDouble / bf.size
+    }
+    val fixed = recall(0)
+    val trained = recall(operators.Similarity.KmeansIters)
+    assert(trained >= fixed, s"trained=$trained fixed=$fixed")
   }
 
   test("lsh buckets partition the corpus") {
