@@ -187,6 +187,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunked GELF reassembles across micro-batches; incomplete ids time out") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GelfChunkStream
+    import graft.streaming.GelfChunkStream.Chunk
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ch(id: Long, seq: Int, total: Int, payload: String, ts: Long) =
+      Chunk(id, seq, total, payload, new java.sql.Timestamp(ts * 1000L))
+    val input = MemoryStream[Chunk]
+    val q = GelfChunkStream.assemble(input.toDS()).writeStream
+      .format("memory").queryName("gelf_asm").outputMode("append").start()
+    try {
+      // batch 1: msg 1 half-arrived; msg 2 complete; msg 3 half-arrived
+      input.addData(ch(1, 0, 2, "hel", 100), ch(2, 0, 1, "solo", 100),
+        ch(3, 0, 2, "orphan-", 100))
+      q.processAllAvailable()
+      val b1 = spark.table("gelf_asm").collect()
+      assert(b1.map(_.getLong(0)).toSet === Set(2L))
+      assert(b1.head.getString(1) === "solo")
+      // batch 2: msg 1's second chunk lands in a LATER micro-batch
+      // (plus a duplicate of its first chunk — first arrival wins);
+      // the reassembly state carried it across the boundary
+      input.addData(ch(1, 1, 2, "lo", 101), ch(1, 0, 2, "XXX", 101))
+      q.processAllAvailable()
+      val b2 = spark.table("gelf_asm").collect()
+      assert(b2.map(_.getLong(0)).toSet === Set(1L, 2L))
+      assert(b2.find(_.getLong(0) == 1L).get.getString(1) === "hello")
+      // batch 3: advance the watermark past msg 3's first-seen + 5 s
+      input.addData(ch(9, 0, 1, "advance", 1000))
+      q.processAllAvailable()
+      // batch 4: a batch where id 3 has NO data -> its timeout fires
+      // (keys with new data are not timeout-processed) and the partial
+      // state evicts without emitting
+      input.addData(ch(10, 0, 1, "advance2", 1001))
+      q.processAllAvailable()
+      // batch 5: the completing chunk arrives AFTER eviction — the id
+      // restarts from scratch, chunk 1 alone can't assemble
+      input.addData(ch(3, 1, 2, "late", 1002))
+      q.processAllAvailable()
+      val all = spark.table("gelf_asm").collect()
+      assert(!all.map(_.getLong(0)).contains(3L))
+      assert(all.map(_.getLong(0)).toSet === Set(1L, 2L, 9L, 10L))
+    } finally q.stop()
+  }
+
+  test("chunked GELF datagram entry parses binary headers in-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GelfChunkStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dgram(id: Long, seq: Int, total: Int, payload: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      bb.put(0x1e.toByte).put(0x0f.toByte).putLong(id)
+        .put(seq.toByte).put(total.toByte)
+        .put(payload.getBytes("UTF-8"))
+      bb.array()
+    }
+    val input = MemoryStream[(Array[Byte], Long)]
+    val df = input.toDF().selectExpr("_1 AS datagram",
+      "timestamp_seconds(_2) AS event_time")
+    val q = GelfChunkStream.assembleDatagrams(df).writeStream
+      .format("memory").queryName("gelf_dgram_asm").outputMode("append").start()
+    try {
+      input.addData((dgram(42, 1, 2, "world"), 100L))
+      q.processAllAvailable()
+      assert(spark.table("gelf_dgram_asm").count() === 0)
+      input.addData((dgram(42, 0, 2, "hello "), 101L))
+      q.processAllAvailable()
+      val out = spark.table("gelf_dgram_asm").collect()
+      assert(out.length === 1)
+      assert(out.head.getLong(0) === 42L)
+      assert(out.head.getString(1) === "hello world")
+      assert(out.head.getInt(2) === 2)
+    } finally q.stop()
+  }
+
   test("multimodal image codec reads true JPEG/PNG dimensions from fixture bytes") {
     import operators.Multimodal
     // minimal PNG: signature + IHDR chunk with width=640, height=480
