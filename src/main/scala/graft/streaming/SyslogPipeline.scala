@@ -81,6 +81,26 @@ object SyslogPipeline {
     parseGelfLines(lines)
   }
 
+  /** Chunked-GELF listener: binary chunk datagrams (12-byte headers)
+    * reassembled ACROSS micro-batches by [[GelfChunkStream]] keyed
+    * state, then parsed into the same shared sink shape — so a
+    * message whose chunks land in different micro-batches is no
+    * longer dropped (reference accumulates chunks across datagrams,
+    * protocol.py:289-300). Input: parquet stream of (datagram binary,
+    * event_time timestamp). */
+  def parsedChunkedGelfStream(spark: SparkSession, inputDir: String,
+                              maxFilesPerTrigger: Int = 16): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("datagram", org.apache.spark.sql.types.BinaryType)
+      .add("event_time", org.apache.spark.sql.types.TimestampType)
+    val dgrams = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    val assembled = GelfChunkStream.assembleDatagrams(dgrams)
+    parseGelfLines(assembled.toDF().select(col("message").as("value")))
+  }
+
   /** Shared with tests (works on both streaming and batch frames). */
   def parseGelfLines(lines: DataFrame): DataFrame =
     lines

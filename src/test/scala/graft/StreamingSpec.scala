@@ -232,6 +232,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunked gelf stream end-to-end: datagrams spanning micro-batches reach the spool") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_chunk_in")
+    val spool = Files.createTempDirectory("graft_chunk_out")
+    val ckpt = Files.createTempDirectory("graft_chunk_ck")
+    def dgram(id: Long, seq: Int, total: Int, payload: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      bb.put(0x1e.toByte).put(0x0f.toByte).putLong(id)
+        .put(seq.toByte).put(total.toByte).put(payload.getBytes("UTF-8"))
+      bb.array()
+    }
+    val msg = """{"version":"1.1","host":"chunky","short_message":"split msg","timestamp":1704412800,"level":6}"""
+    val (half1, half2) = msg.splitAt(msg.length / 2)
+    def feed(rows: Seq[(Array[Byte], Long)]): Unit =
+      rows.toDF("datagram", "ts")
+        .selectExpr("datagram", "timestamp_seconds(ts) AS event_time")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+    // file 1: first half of msg 7; file 2 (written after): second half
+    // — maxFilesPerTrigger=1 forces them into separate micro-batches
+    feed(Seq(dgram(7, 0, 2, half1) -> 100L))
+    Thread.sleep(1100) // distinct mod times => deterministic file order
+    feed(Seq(dgram(7, 1, 2, half2) -> 101L))
+    val q = SyslogPipeline.spoolQuery(
+      SyslogPipeline.parsedChunkedGelfStream(spark, in.toString,
+        maxFilesPerTrigger = 1),
+      spool.toString, ckpt.toString,
+      config = RelayConfig(gelf = true), port = 12201)
+    q.awaitTermination(60000)
+    val recs = spark.read.parquet(spool.toString)
+    assert(recs.filter(col("hostname") === "chunky").count() === 1)
+    val gz = recs.filter(col("hostname") === "chunky")
+      .select("record_gz").collect().head.getAs[Array[Byte]](0)
+    val json = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz)).readAllBytes(), "UTF-8")
+    assert(json.contains("split msg"))
+    assert(json.contains("\"timestamp\":1704412800000"))
+  }
+
   test("chunked GELF datagram entry parses binary headers in-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GelfChunkStream
