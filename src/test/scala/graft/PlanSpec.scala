@@ -73,6 +73,22 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 6, plan)
   }
 
+  test("record_gzip: split-window + per-part gzip stay within budget") {
+    val plan = planString(operators.Envelope.recordGzip(spark, sf))
+    // (source,dest) window for part assignment + per-part aggregation
+    // reusing that partitioning + presentation sort
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("firehose_retry: two greedy drains stay within budget") {
+    val plan = planString(operators.Envelope.firehoseRetry(spark, sf))
+    // split window, per-dest pack (drain 1), per-dest re-pack of the
+    // failed subset (drain 2), the two batch aggregations, final sort —
+    // the sequential fold never leaves the per-dest partition
+    assert(shuffles(plan) <= 5, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_embedding_lsh: equality join on the bucket code only — never all-pairs") {
     val plan = planString(operators.Dedup.dedupEmbeddingLsh(spark, sf))
     // the bench headliner for embedding near-dup: candidates must come
