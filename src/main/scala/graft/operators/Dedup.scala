@@ -263,13 +263,18 @@ object Dedup {
 
   private val PolyP = 1000000007L
 
-  def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame = {
-    val rows = MinhashSeeds / Bands
-    val h = shingled(spark, dir)
+  /** Exploded shingles with the portable rolling poly hash — shared by
+    * the minhash and simhash portable twins. */
+  private def polyHashed(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("hv", expr(
         s"""aggregate(split(tok, ''), CAST(0 AS BIGINT),
            |  (acc, ch) -> (acc * 131 + ascii(ch)) % $PolyP)""".stripMargin))
+
+  def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame = {
+    val rows = MinhashSeeds / Bands
+    val h = polyHashed(spark, dir)
     // h < p and a < 70 keep a·h + b far below 2^63 in both engines
     val mins = (0 until MinhashSeeds).map(i =>
       min((col("hv") * (2L * i + 3) + (13L * i + 5)) % PolyP).as(s"m$i"))
@@ -393,6 +398,87 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // #30b dedup_simhash_poly — the SAME SimHash pipeline (per-bit sign
+  // sums → signature → rotated-chunk banding → hamming verify) with
+  // the portable poly hash and a 30-bit signature, so SimHash's
+  // banding algebra is DuckDB-verifiable END TO END — the simhash
+  // analogue of #29b. The xxhash64 64-bit variant above stays the
+  // fast path.
+  // ---------------------------------------------------------------------
+
+  val SimPolyBits = 30
+  val SimPolyChunks = 3 // 3 × 10-bit chunks: pigeonhole covers hamming ≤ 2
+  val SimPolyMaxHamming = 2
+
+  def dedupSimhashPoly(spark: SparkSession, dir: String): DataFrame = {
+    val h = polyHashed(spark, dir)
+    val bitSums = (0 until SimPolyBits).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val sigs = h.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until SimPolyBits).map(j => col(s"b$j")): _*).as("bits"))
+      .withColumn("sh", expr(
+        s"""aggregate(sequence(0, ${SimPolyBits - 1}), CAST(0 AS BIGINT),
+           |  (acc, j) -> acc | IF(element_at(bits, j + 1) > 0,
+           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+      .select("doc_id", "sh")
+    val chunks = sigs.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${SimPolyChunks - 1}),
+           |  k -> (sh >> (k * 10)) & 1023)""".stripMargin))
+        .as(Seq("k", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= SimPolyMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashPolySql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($normSql, ' ') AS words FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+      |  )) AS tok
+      |  FROM d
+      |), h AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(tok, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % $PolyP) AS hv
+      |  FROM sh
+      |), bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, $SimPolyBits)) AS j)
+      |  GROUP BY doc_id, j
+      |), sig AS (
+      |  SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS s
+      |  FROM bits GROUP BY doc_id
+      |), ch AS (
+      |  SELECT doc_id, k, (s >> (k * 10)) & 1023 AS chunk, s
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, $SimPolyChunks)) AS k)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+      |  FROM ch a JOIN ch b
+      |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, hamming
+      |FROM cand
+      |WHERE hamming <= $SimPolyMaxHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // #32 dedup_embedding — exact integer cosine threshold
   // ---------------------------------------------------------------------
 
@@ -505,6 +591,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_poly" -> dedupMinhashPoly,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_poly" -> dedupSimhashPoly,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)))
 
@@ -512,5 +599,6 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_poly" -> dedupMinhashPolySql,
+    "dedup_simhash_poly" -> dedupSimhashPolySql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -113,6 +113,25 @@ class DedupSpec extends SparkSpec {
     assert(agree >= 0.8, s"agreement=$agree fast=${fast.size} poly=${poly.size}")
   }
 
+  test("portable-hash simhash agrees with xxhash64 simhash on near-dup pairs") {
+    val fast = operators.Dedup.dedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val poly = operators.Dedup.dedupSimhashPoly(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(poly.nonEmpty)
+    assertBandingAgreement(fast, poly)
+  }
+
+  private def assertBandingAgreement(fast: Set[(Long, Long)],
+                                     poly: Set[(Long, Long)]): Unit = {
+    // different hash families AND signature widths (64-bit/hamming≤3
+    // vs 30-bit/hamming≤2 — the narrower signature is the looser bar,
+    // so poly legitimately admits extra marginal pairs): the check is
+    // that poly COVERS the tighter xxhash64 pair set
+    val coverage = (fast & poly).size.toDouble / fast.size
+    assert(coverage >= 0.7, s"coverage=$coverage fast=${fast.size} poly=${poly.size}")
+  }
+
   test("simhash near-dups are a subset of minhash near-dups") {
     val mh = operators.Dedup.dedupMinhash(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
