@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-cleaning pipeline (flagship composition of the LLM-data
@@ -157,11 +157,100 @@ object Corpus {
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // corpus_decontaminate — benchmark n-gram overlap detection
+  // ---------------------------------------------------------------------
+
+  /** Word-n-gram column built by chaining zip_with over shifted
+    * slices: each lambda touches ONLY its lambda variables, so the
+    * split is evaluated a constant number of times per row (an
+    * element_at(words, i+k) formulation would re-evaluate it per
+    * element — the measured O(words²) HOF pitfall, SURVEY §4). */
+  private def ngrams(words: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(words) { (acc, k) =>
+      val shifted = slice(words, lit(k + 1), greatest(size(words) - k, lit(0)))
+      zip_with(acc, shifted, (a, b) =>
+        when(a.isNull || b.isNull, lit(null))
+          .otherwise(concat(a, lit(" "), b)))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
+  }
+
+  /** Every 97th doc stands in for the benchmark/eval set. */
+  val BenchmarkMod = 97
+  /** Overlap n-gram length (real pipelines use 8–13; 5 matches this
+    * corpus' short documents). */
+  val DecontamN = 5
+
+  /** Decontamination: flag TRAINING documents that share any word
+    * n-gram with a BENCHMARK document — the standard guard against
+    * eval-set leakage into pretraining data. The benchmark side is
+    * small by nature (an eval set), so its exploded n-grams broadcast;
+    * the training side is map-only into the join, then one aggregate
+    * per doc. No shuffle ever carries the corpus text. */
+  def corpusDecontaminate(spark: SparkSession, dir: String,
+                          n: Int = DecontamN): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+      .select(col("doc_id"), ngrams(split(col("norm"), " "), n).as("grams"))
+    val bench = d.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
+    val train = d.filter(col("doc_id") % BenchmarkMod =!= 0)
+    val hits = train
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared"),
+        min("bench_id").as("bench_id"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_shared").isNotNull.cast("int").as("contaminated"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("bench_id"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDecontaminateSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($norm, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(words) - ${DecontamN - 1}),
+      |      i -> array_to_string(words[i : i + ${DecontamN - 1}], ' '))
+      |  )) AS gram
+      |  FROM d
+      |  WHERE len(words) >= $DecontamN
+      |), bench AS (
+      |  SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % $BenchmarkMod = 0
+      |), train AS (
+      |  SELECT doc_id FROM d WHERE doc_id % $BenchmarkMod <> 0
+      |), hits AS (
+      |  SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared,
+      |    MIN(b.bench_id) AS bench_id
+      |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % $BenchmarkMod <> 0) t
+      |  JOIN bench b ON t.gram = b.gram
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT train.doc_id,
+      |  CAST(CASE WHEN hits.n_shared IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |    AS contaminated,
+      |  CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared,
+      |  hits.bench_id
+      |FROM train
+      |LEFT JOIN hits ON train.doc_id = hits.doc_id
+      |ORDER BY train.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean,
-    "corpus_split" -> corpusSplit)
+    "corpus_split" -> corpusSplit,
+    "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)))
 
   val oracle: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
-    "corpus_split" -> corpusSplitSql)
+    "corpus_split" -> corpusSplitSql,
+    "corpus_decontaminate" -> corpusDecontaminateSql)
 }

@@ -33,6 +33,35 @@ class CorpusSpec extends SparkSpec {
     assert(kept.subsetOf(quality))
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    val out = operators.Corpus.corpusDecontaminate(spark, sf)
+    val docs = Tables.load(spark, sf, "documents").count()
+    val benchDocs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % operators.Corpus.BenchmarkMod === 0).count()
+    // benchmark docs are excluded from the output
+    assert(out.count() === docs - benchDocs)
+    assert(out.filter(col("doc_id") % operators.Corpus.BenchmarkMod === 0)
+      .count() === 0)
+    // an exact copy of a benchmark doc MUST be flagged: every doc's
+    // text equal to a benchmark doc's normalized text is contaminated
+    val norm = graft.functions.TextFunctions.normText(col("text"))
+    val d = Tables.load(spark, sf, "documents").select(col("doc_id"), norm.as("n"))
+    val benchTexts = d.filter(col("doc_id") % operators.Corpus.BenchmarkMod === 0)
+      .select(col("n").as("bn"))
+    val copies = d.join(benchTexts, col("n") === col("bn"))
+      .filter(col("doc_id") % operators.Corpus.BenchmarkMod =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    if (copies.nonEmpty) {
+      val flagged = out.filter(col("contaminated") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(copies.subsetOf(flagged))
+    }
+    // flag agrees with n_shared; bench_id present iff contaminated
+    assert(out.filter(col("contaminated") === 1 && col("n_shared") < 1).count() === 0)
+    assert(out.filter(col("contaminated") === 0 &&
+      (col("n_shared") > 0 || col("bench_id").isNotNull)).count() === 0)
+  }
+
   test("content-keyed split: duplicates co-locate, ratios near 90/5/5") {
     val out = operators.Corpus.corpusSplit(spark, sf)
     // identical normalized content -> identical split (no leakage)
