@@ -193,8 +193,9 @@ object Envelope {
     * events. Input columns: source, dest, part_id, part_bytes,
     * first_event. */
   private def packRecords(records: DataFrame,
-                          maxCount: Int, maxSize: Long): DataFrame = {
-    val recs = records.groupBy("dest").agg(
+                          maxCount: Int, maxSize: Long,
+                          keys: Seq[String] = Seq("dest")): DataFrame = {
+    val recs = records.groupBy(keys.map(col): _*).agg(
       array_sort(collect_list(struct(col("source"), col("part_id"),
         col("part_bytes"), col("first_event")))).as("rs"))
     val assigned = recs.withColumn("batch_ids",
@@ -215,12 +216,12 @@ object Envelope {
            |    END,
            |  acc -> acc.ids)""".stripMargin))
     assigned
-      .select(col("dest"), explode(arrays_zip(col("rs"), col("batch_ids")))
-        .as("z"))
-      .select(col("dest"), col("z.batch_ids").as("batch_id"),
+      .select(keys.map(col) :+
+        explode(arrays_zip(col("rs"), col("batch_ids"))).as("z"): _*)
+      .select(keys.map(col) ++ Seq(col("z.batch_ids").as("batch_id"),
         col("z.rs.source").as("source"), col("z.rs.part_id").as("part_id"),
         col("z.rs.part_bytes").as("part_bytes"),
-        col("z.rs.first_event").as("first_event"))
+        col("z.rs.first_event").as("first_event")): _*)
   }
 
   private def spoolRecords(spark: SparkSession, dir: String): DataFrame =
@@ -235,6 +236,29 @@ object Envelope {
       .groupBy("dest", "batch_id")
       .agg(count(lit(1)).as("n_records"), sum("part_bytes").as("batch_bytes"))
       .orderBy("dest", "batch_id")
+
+  /** Spool-shard-salted batching (VERDICT r3 watch item): with only a
+    * handful of delivery streams, the per-dest record array in the
+    * greedy fold grows linearly with source count. Hashing each
+    * record's source into one of `shards` spool shards bounds every
+    * fold at records/shards while preserving both caps — the
+    * distributed analogue of running several uploader workers against
+    * one stream, which is how the reference deployment scales out
+    * (multiple processes sharing a spool directory each drain their
+    * own slice). Batches stay cap-compliant per (dest, shard); the
+    * only divergence from single-drain packing is WHICH records share
+    * a batch. */
+  def firehoseBatchesSharded(spark: SparkSession, dir: String,
+                             shards: Int = 8,
+                             maxCount: Int = TestBatchCount,
+                             maxSize: Long = TestBatchSize): DataFrame = {
+    val salted = spoolRecords(spark, dir)
+      .withColumn("shard", pmod(hash(col("source")), lit(shards)))
+    packRecords(salted, maxCount, maxSize, keys = Seq("dest", "shard"))
+      .groupBy("dest", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_records"), sum("part_bytes").as("batch_bytes"))
+      .orderBy("dest", "shard", "batch_id")
+  }
 
   def firehoseBatchesSql(maxCount: Int = TestBatchCount,
                          maxSize: Long = TestBatchSize): String = {

@@ -72,6 +72,21 @@ class EnvelopeSpec extends SparkSpec {
     assert(b.count() > 0)
   }
 
+  test("sharded batching preserves caps and record conservation") {
+    val sharded = operators.Envelope.firehoseBatchesSharded(spark, sf, shards = 4)
+    val flat = operators.Envelope.firehoseBatches(spark, sf)
+    // every record lands in exactly one sharded batch
+    assert(sharded.agg(sum("n_records")).collect().head.getLong(0) ===
+      flat.agg(sum("n_records")).collect().head.getLong(0))
+    // caps hold per (dest, shard) batch
+    assert(sharded.filter(col("n_records") > operators.Envelope.TestBatchCount)
+      .count() === 0)
+    assert(sharded.filter(col("batch_bytes") > operators.Envelope.TestBatchSize &&
+      col("n_records") > 1).count() === 0)
+    // the salt actually spreads the drain across shards
+    assert(sharded.select("shard").distinct().count() > 1)
+  }
+
   test("record_gzip compresses the CloudWatch record JSON and round-trips") {
     val r = operators.Envelope.recordGzip(spark, sf)
     assert(r.filter(col("roundtrip_ok") =!= 1).count() === 0)
