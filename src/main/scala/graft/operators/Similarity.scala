@@ -96,8 +96,17 @@ object Similarity {
     * Σ_i sign(xxhash64(j,i))·q_i > 0. Plane count is the bucket-size
     * knob — buckets ≈ corpus/2^planes, so planes must GROW with the
     * corpus (log2(n / target bucket size)) for the probe cost to stay
-    * flat at 100 TB. */
-  def codeExpr(planes: Int): Column = expr(
+    * flat at 100 TB. Implemented as a codegen'd expression over a
+    * cached sign matrix — the interpreted nested-HOF formulation
+    * (kept below for the parity spec) re-hashed xxhash64 per element
+    * per row and alone cost ~3 s on the bench corpus. */
+  def codeExpr(planes: Int): Column =
+    graft.functions.VectorFunctions.hyperplane_code(col("q"), planes)
+
+  /** The original SQL-HOF formulation of the same code — slow path,
+    * retained ONLY so the spec can assert the expression derives
+    * bit-identical codes. */
+  def codeExprHof(planes: Int): Column = expr(
     s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS INT),
        |  (acc, j) -> acc | IF(
        |    aggregate(sequence(0, size(q) - 1), CAST(0 AS BIGINT),

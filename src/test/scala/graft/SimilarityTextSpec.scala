@@ -80,6 +80,16 @@ class SimilarityTextSpec extends SparkSpec {
     assert(trained >= fixed, s"trained=$trained fixed=$fixed")
   }
 
+  test("codegen'd hyperplane codes are bit-identical to the SQL-HOF formulation") {
+    for (planes <- Seq(4, 8)) {
+      val base = operators.Similarity.lshCodes(spark, sf, planes)
+      val both = base
+        .withColumn("code_hof", operators.Similarity.codeExprHof(planes))
+      assert(both.filter(col("code") =!= col("code_hof")).count() === 0,
+        s"planes=$planes")
+    }
+  }
+
   test("lsh buckets partition the corpus") {
     val codes = operators.Similarity.lshCodes(spark, sf)
     assert(codes.count() === Tables.load(spark, sf, "embeddings").count())
