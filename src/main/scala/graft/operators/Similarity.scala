@@ -191,7 +191,15 @@ object Similarity {
 
   /** Lloyd iterations over the quantized corpus: assign, then replace
     * each centroid with the per-component floor-average of its
-    * members (empty clusters drop out, same as the SQL GROUP BY). */
+    * members (empty clusters drop out, same as the SQL GROUP BY).
+    *
+    * Each iteration's k-row centroid table is CACHED: without it,
+    * every downstream reference (the next iteration, the final
+    * assignment, the probe ranking) replays the whole training chain
+    * from the seed — measured 3 extra corpus passes at 2 iterations.
+    * Only the O(k) centroids are ever cached, never corpus-sized
+    * data, so the pattern is safe at 100 TB (it is exactly what a
+    * k-means fit materializes between iterations). */
   def kmeansCentroids(spark: SparkSession, dir: String,
                       iters: Int = KmeansIters): DataFrame = {
     val v = quantized(spark, dir)
@@ -208,6 +216,7 @@ object Similarity {
           .as("cq"))
         .withColumn("cn", graft.functions.VectorFunctions.norm_sq_l(col("cq")))
         .select(col("cid"), col("cq"), col("cn"))
+        .cache()
     }
     cents
   }

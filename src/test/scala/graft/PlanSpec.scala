@@ -105,6 +105,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("corpus_decontaminate: benchmark n-grams broadcast, no cartesian") {
+    val plan = planString(operators.Corpus.corpusDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pii_scrub: map-only redaction, single shuffle for the sort") {
     val plan = planString(operators.Scrub.piiScrub(spark, sf))
     assert(shuffles(plan) <= 1, plan)
