@@ -111,8 +111,13 @@ object Dedup {
     * prefix-filter theorem). Rare-first makes those prefix tokens the
     * lowest-df ones, so the self-join fan-out per token is bounded by
     * the df of *rare* tokens instead of stopwords. */
-  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val t = docs(spark, dir)
+  def jaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    jaccardPrefixFrom(docs(spark, dir))
+
+  /** As [[jaccardPrefix]], over any (doc_id, lang, source, norm)
+    * frame — the property spec feeds randomized corpora through this. */
+  def jaccardPrefixFrom(d: DataFrame): DataFrame = {
+    val t = d
       .select(col("doc_id"), col("lang"), col("source"), toks.as("toks"))
       .withColumn("nt", size(col("toks")))
       .select(col("doc_id"), col("lang"), col("source"), col("nt"),
@@ -131,8 +136,11 @@ object Dedup {
     * same (lang, source) bucket, and sizes are compatible — J ≥ 4/5
     * forces 5·min(na,nb) ≥ 4·max(na,nb), so wildly different-length
     * docs never even pair up. */
-  def jaccardCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val pfx = jaccardPrefix(spark, dir)
+  def jaccardCandidates(spark: SparkSession, dir: String): DataFrame =
+    jaccardCandidatesFrom(docs(spark, dir))
+
+  def jaccardCandidatesFrom(d: DataFrame): DataFrame = {
+    val pfx = jaccardPrefixFrom(d)
     pfx.as("a")
       .join(pfx.as("b"),
         col("a.tok") === col("b.tok") &&
@@ -151,11 +159,14 @@ object Dedup {
     * token arrays and intersects — the prefix filter loses no J ≥ 0.8
     * pair, so the output is identical to the undamped inverted-index
     * join, at a candidate count bounded by rare-token df instead of n². */
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val full = docs(spark, dir)
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupJaccardFrom(docs(spark, dir))
+
+  def dedupJaccardFrom(d: DataFrame): DataFrame = {
+    val full = d
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("nt", size(col("toks")))
-    jaccardCandidates(spark, dir)
+    jaccardCandidatesFrom(d)
       .join(full.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(full.as("fb"), col("doc_b") === col("fb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
