@@ -549,9 +549,14 @@ object Dedup {
     * probe-both-sides-1-bit formulation found). */
   val EmbedLshProbe = 2
 
-  /** XOR masks of weight ≤ EmbedLshProbe over EmbedLshPlanes bits. */
+  /** XOR masks of weight ≤ radius over `planes` bits, generated
+    * combinatorially (Σ C(planes, w) masks) — never by filtering the
+    * full 2^planes range, which stops being enumerable at the 20+
+    * planes a 100 TB corpus needs. */
   private[operators] def probeMasks(planes: Int, radius: Int): Seq[Int] =
-    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+    (0 to radius).flatMap(w =>
+      (0 until planes).combinations(w)
+        .map(_.foldLeft(0)((m, b) => m | (1 << b))).toSeq)
 
   /** Asymmetric multi-probe (the standard LSH self-join shape): the
     * INDEX side lands once in its exact bucket; the PROBE side fans
