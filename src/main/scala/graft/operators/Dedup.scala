@@ -366,8 +366,10 @@ object Dedup {
   // #30 dedup_simhash — 64-bit SimHash + rotated-chunk LSH (rows+spec)
   // ---------------------------------------------------------------------
 
+  val SimhashBits = 64
   val SimhashChunks = 4 // 4 × 16-bit chunks: covers hamming ≤ 3
   val MaxHamming = 3
+  private val SimhashChunkBits = SimhashBits / SimhashChunks
 
   /** 64 codegen'd per-bit sign sums (map-side combined), folded into
     * the signature long with one cheap 64-element HOF per doc. */
@@ -375,15 +377,15 @@ object Dedup {
     val t = shingled(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
+    val bitSums = (0 until SimhashBits).map(j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L))
         .as(s"b$j"))
     t.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        array((0 until 64).map(j => col(s"b$j")): _*).as("bits"))
+        array((0 until SimhashBits).map(j => col(s"b$j")): _*).as("bits"))
       .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+        s"""aggregate(sequence(0, ${SimhashBits - 1}), CAST(0 AS BIGINT),
           |  (acc, j) -> acc | IF(element_at(bits, j + 1) > 0,
           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
       .select("doc_id", "simhash")
@@ -391,10 +393,13 @@ object Dedup {
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(spark, dir).select("doc_id", "simhash")
+    // chunk width/mask derived from the constants so changing the
+    // signature size or chunk count can never silently misalign
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         s"""transform(sequence(0, ${SimhashChunks - 1}),
-           |  k -> (simhash >> (k * 16)) & 65535)""".stripMargin))
+           |  k -> (simhash >> (k * $SimhashChunkBits))
+           |       & ${(1L << SimhashChunkBits) - 1})""".stripMargin))
         .as(Seq("k", "chunk")))
     chunks.as("a")
       .join(chunks.as("b"),
@@ -420,6 +425,7 @@ object Dedup {
   val SimPolyBits = 30
   val SimPolyChunks = 3 // 3 × 10-bit chunks: pigeonhole covers hamming ≤ 2
   val SimPolyMaxHamming = 2
+  private val SimPolyChunkBits = SimPolyBits / SimPolyChunks
 
   def dedupSimhashPoly(spark: SparkSession, dir: String): DataFrame = {
     val h = polyHashed(spark, dir)
@@ -438,7 +444,8 @@ object Dedup {
     val chunks = sigs.select(col("doc_id"), col("sh"),
       posexplode(expr(
         s"""transform(sequence(0, ${SimPolyChunks - 1}),
-           |  k -> (sh >> (k * 10)) & 1023)""".stripMargin))
+           |  k -> (sh >> (k * $SimPolyChunkBits))
+           |       & ${(1L << SimPolyChunkBits) - 1})""".stripMargin))
         .as(Seq("k", "chunk")))
     chunks.as("a")
       .join(chunks.as("b"),
@@ -476,7 +483,8 @@ object Dedup {
       |  SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS s
       |  FROM bits GROUP BY doc_id
       |), ch AS (
-      |  SELECT doc_id, k, (s >> (k * 10)) & 1023 AS chunk, s
+      |  SELECT doc_id, k,
+      |    (s >> (k * $SimPolyChunkBits)) & ${(1L << SimPolyChunkBits) - 1} AS chunk, s
       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $SimPolyChunks)) AS k)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
