@@ -192,7 +192,7 @@ object Envelope {
     * record list — bounded by records-per-dest (spool files), not
     * events. Input columns: source, dest, part_id, part_bytes,
     * first_event. */
-  private def packRecords(records: DataFrame,
+  private[graft] def packRecords(records: DataFrame,
                           maxCount: Int, maxSize: Long,
                           keys: Seq[String] = Seq("dest")): DataFrame = {
     val recs = records.groupBy(keys.map(col): _*).agg(
