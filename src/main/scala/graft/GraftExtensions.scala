@@ -2,11 +2,12 @@ package graft
 
 import graft.functions.BinaryFunctions.{AutoDecompress, DecodeBackslashReplace, GzipCompress, ZlibCompress}
 import graft.functions.GelfFunctions.GelfChunkParse
+import graft.functions.VectorFunctions.{DotProductL, HyperplaneCode, NormSqL}
 import graft.operators.Framing.SyslogFrames
 import graft.operators.Proxy.ProxyV2Parse
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL surface of the graft library: registers the custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT
@@ -50,7 +51,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GelfChunkParse),
       unary("graft_proxy_v2",
         "PROXY protocol v2 header parse: BINARY -> struct(...)",
-        ProxyV2Parse)
+        ProxyV2Parse),
+      unary("graft_norm_sq",
+        "Σ vᵢ² over ARRAY<BIGINT> (codegen'd primitive loop)",
+        NormSqL),
+      (FunctionIdentifier("graft_dot"),
+        info("graft_dot", "Σ aᵢ·bᵢ over two ARRAY<BIGINT> (codegen'd)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_dot expects exactly 2 arguments")
+          DotProductL(args.head, args(1))
+        }),
+      (FunctionIdentifier("graft_hyperplane_code"),
+        info("graft_hyperplane_code",
+          "hyperplane-LSH bucket code of ARRAY<BIGINT>; arg 2 = plane count (literal)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "graft_hyperplane_code expects (vector, planes)")
+          val planes = args(1) match {
+            case Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"planes must be an integer literal, got $other")
+          }
+          HyperplaneCode(args.head, planes)
+        })
     ).foreach(ext.injectFunction)
   }
 }

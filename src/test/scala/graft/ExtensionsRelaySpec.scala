@@ -57,6 +57,18 @@ class ExtensionsRelaySpec extends AnyFunSuite {
     assert(r.getString(3) === "xyz")
   }
 
+  test("SQL vector kernels: dot, norm, hyperplane code") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+        |       graft_norm_sq(array(3L, 4L)) AS n,
+        |       graft_hyperplane_code(array(1000L, -2000L, 500L, 0L), 4) AS c"""
+        .stripMargin).collect().head
+    assert(r.getLong(0) === 32L)
+    assert(r.getLong(1) === 25L)
+    // code value: deterministic, within the 4-plane range
+    assert(r.getInt(2) >= 0 && r.getInt(2) < 16)
+  }
+
   test("relay end-to-end covers every event exactly once") {
     val out = operators.Relay.relayPipeline(spark, sf)
     val n = out.agg(sum("n_events")).collect().head.getLong(0)
