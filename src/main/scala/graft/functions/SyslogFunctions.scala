@@ -26,7 +26,7 @@ object SyslogFunctions {
 
   /** Day-count threshold of the reference's "(parsed - now).days > 2"
     * future test: floor(diff/86400) > 2 ⟺ diff ≥ 3 days. */
-  private val FutureSeconds = 3 * 86400L
+  val FutureSeconds = 3 * 86400L
 
   // ---------------------------------------------------------------------
   // Header split (#1)
@@ -136,31 +136,16 @@ object SyslogFunctions {
     * out-of-range day-of-month simply rolls over (callers gate with an
     * anchored rlike + month map, matching the reference parser's
     * accept set). */
-  private def civilEpochSeconds(y: Column, mo: Column, d: Column,
-                                h: Column, mi: Column, s: Column): Column = {
-    // truncating casts are floor here: every intermediate is positive
-    val a = ((lit(14) - mo) / 12).cast("long")
+  /** Static twin of the Julian formula for the parse expressions
+    * (truncating division is floor: every intermediate is positive). */
+  def civilEpoch(y: Long, mo: Long, d: Long, h: Long, mi: Long, s: Long): Long = {
+    val a = (14L - mo) / 12L
     val y2 = y + 4800L - a
-    val m2 = mo + lit(12L) * a - 3L
-    val jdn = d + ((m2 * 153L + 2L) / 5L).cast("long") + y2 * 365L +
-      (y2 / 4L).cast("long") - (y2 / 100L).cast("long") +
-      (y2 / 400L).cast("long") - 32045L
+    val m2 = mo + 12L * a - 3L
+    val jdn = d + (m2 * 153L + 2L) / 5L + y2 * 365L +
+      y2 / 4L - y2 / 100L + y2 / 400L - 32045L
     (jdn - 2440588L) * 86400L + h * 3600L + mi * 60L + s
   }
-
-  private val MonthNums: Column = map(
-    Seq("Jan" -> 1, "Feb" -> 2, "Mar" -> 3, "Apr" -> 4, "May" -> 5,
-      "Jun" -> 6, "Jul" -> 7, "Aug" -> 8, "Sep" -> 9, "Oct" -> 10,
-      "Nov" -> 11, "Dec" -> 12)
-      .flatMap { case (n, v) => Seq(lit(n), lit(v)) }: _*)
-
-  private def isLeap(y: Column): Column =
-    y % 4 === 0 && (y % 100 =!= 0 || y % 400 === 0)
-
-  private def daysInMonth(y: Column, mo: Column): Column =
-    when(mo === 2, when(isLeap(y), 29).otherwise(28))
-      .when(mo.isin(4, 6, 9, 11), 30)
-      .otherwise(31)
 
   /** Parse `MMM dd HH:mm:ss[ yyyy]` with the year inferred from `nowS`
     * (epoch seconds) when absent; an explicit trailing year (which the
@@ -175,30 +160,104 @@ object SyslogFunctions {
     * path; so does a Feb 29 rolled back into a non-leap year. All
     * arithmetic is integer codegen — no DateTimeFormatter on the hot
     * path. */
-  def ts3164(tsRaw: Column, nowS: Column): Column = {
-    val shape =
-      tsRaw.rlike("^[A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}( 20\\d{2})?$") &&
-      map_contains_key(MonthNums, substring(tsRaw, 1, 3))
-    val hasYear = length(tsRaw) > 15
-    val nowYear = year(timestamp_seconds(nowS)).cast("long")
-    val theYear = when(hasYear, substring(tsRaw, 17, 4).cast("long"))
-      .otherwise(nowYear)
-    val mo = element_at(MonthNums, substring(tsRaw, 1, 3)).cast("long")
-    val d  = substring(tsRaw, 5, 2).cast("long")
-    val h  = substring(tsRaw, 8, 2).cast("long")
-    val mi = substring(tsRaw, 11, 2).cast("long")
-    val s  = substring(tsRaw, 14, 2).cast("long")
-    val valid = shape && d >= 1 && d <= daysInMonth(theYear, mo) &&
-      h <= 23 && mi <= 59 && s <= 59
-    val parsedS = civilEpochSeconds(theYear, mo, d, h, mi, s)
-    val adjusted = when(parsedS - nowS >= FutureSeconds, 1).otherwise(0)
-    val lastYearS = when(mo === 2 && d === 29 && !isLeap(theYear - 1),
-        lit(null).cast("long"))
-      .otherwise(civilEpochSeconds(theYear - 1, mo, d, h, mi, s))
-    struct(
-      when(!valid, lit(null).cast("long"))
-        .when(adjusted === 1, lastYearS).otherwise(parsedS).as("parsed_s"),
-      when(!valid, lit(null).cast("int")).otherwise(adjusted).as("adjusted"))
+  def ts3164(tsRaw: Column, nowS: Column): Column =
+    org.apache.spark.sql.graft.Exprs.toColumn(Rfc3164Ts(
+      org.apache.spark.sql.graft.Exprs.toExpression(tsRaw),
+      org.apache.spark.sql.graft.Exprs.toExpression(nowS.cast("long"))))
+
+  /** RFC3164 parse as ONE compact expression. The column-level
+    * formulation of the same logic re-evaluated its shared subtrees
+    * per reference — `mo` (a per-row literal-map lookup) ~6×, the
+    * Julian composition twice, everything doubled again by the two
+    * struct fields — measured ~44 µs/row; this evaluates the stamp
+    * once against a compiled pattern and runs the integer math in a
+    * static helper (same semantics, same nulls, UTC year inference
+    * matching the session timezone the library pins). */
+  case class Rfc3164Ts(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                       right: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
+    override def dataType: DataType = StructType(Seq(
+      StructField("parsed_s", LongType, nullable = true),
+      StructField("adjusted", IntegerType, nullable = true)))
+    override def nullSafeEval(raw: Any, now: Any): Any =
+      Rfc3164Ts.parse(raw.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        now.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SyslogFunctions$$Rfc3164Ts$$.MODULE$$.parse($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: org.apache.spark.sql.catalyst.expressions.Expression,
+        r: org.apache.spark.sql.catalyst.expressions.Expression): Rfc3164Ts =
+      copy(left = l, right = r)
+  }
+
+  object Rfc3164Ts {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val Shape = java.util.regex.Pattern.compile(
+      "^[A-Za-z]{3} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}( 20\\d{2})?$")
+    private val Months: java.util.HashMap[String, java.lang.Integer] = {
+      val m = new java.util.HashMap[String, java.lang.Integer]()
+      Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+        "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+        .zipWithIndex.foreach { case (n, i) => m.put(n, Integer.valueOf(i + 1)) }
+      m
+    }
+    private def leap(y: Long): Boolean =
+      y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)
+    private def daysIn(y: Long, mo: Int): Int = mo match {
+      case 2 => if (leap(y)) 29 else 28
+      case 4 | 6 | 9 | 11 => 30
+      case _ => 31
+    }
+    private def utcYear(epochS: Long): Long = {
+      val jdn = Math.floorDiv(epochS, 86400L) + 2440588L
+      val a = jdn + 32044L
+      val b = (4 * a + 3) / 146097L
+      val c = a - 146097L * b / 4
+      val d2 = (4 * c + 3) / 1461L
+      val e = c - 1461L * d2 / 4
+      val m = (5 * e + 2) / 153L
+      100L * b + d2 - 4800L + m / 10
+    }
+
+    /** Static so generated code can call it directly. Null result ⟺
+      * the stamp is unparseable (shape, month, or civil validity). */
+    def parse(raw: UTF8String, nowS: Long): InternalRow = {
+      val s = raw.toString
+      if (!Shape.matcher(s).matches())
+        return new GenericInternalRow(Array[Any](null, null))
+      val moBoxed = Months.get(s.substring(0, 3))
+      if (moBoxed == null)
+        return new GenericInternalRow(Array[Any](null, null))
+      val mo = moBoxed.toInt
+      val hasYear = s.length > 15
+      val theYear =
+        if (hasYear) s.substring(16, 20).toLong else utcYear(nowS)
+      val d = s.substring(4, 6).trim.toLong
+      val h = s.substring(7, 9).toLong
+      val mi = s.substring(10, 12).toLong
+      val sec = s.substring(13, 15).toLong
+      if (d < 1 || d > daysIn(theYear, mo) || h > 23 || mi > 59 || sec > 59)
+        return new GenericInternalRow(Array[Any](null, null))
+      val parsedS = SyslogFunctions.civilEpoch(theYear, mo, d, h, mi, sec)
+      if (parsedS - nowS >= SyslogFunctions.FutureSeconds) {
+        // ≥3 days in the future: roll back one year (reference rule);
+        // Feb 29 rolled into a non-leap year is unrepresentable → null
+        val lastYear: Any =
+          if (mo == 2 && d == 29 && !leap(theYear - 1)) null
+          else java.lang.Long.valueOf(
+            SyslogFunctions.civilEpoch(theYear - 1, mo, d, h, mi, sec))
+        new GenericInternalRow(Array[Any](lastYear, Integer.valueOf(1)))
+      } else {
+        new GenericInternalRow(
+          Array[Any](java.lang.Long.valueOf(parsedS), Integer.valueOf(0)))
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -210,40 +269,70 @@ object SyslogFunctions {
     * math mirrors the reference: a trailing `-hh:mm` ADDS the offset
     * (local clock was behind UTC), `+hh:mm` subtracts
     * (message.py:32-40). */
-  def ts5424Millis(tsRaw: Column): Column = {
-    val Valid =
-      "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?(Z|[+-]\\d{2}:\\d{2})$"
-    val valid = tsRaw.rlike(Valid)
-    val endsZ = substring(tsRaw, -1, 1) === "Z"
-    // Fixed-position integer fields — no DateTimeFormatter on the hot
-    // path; one anchored rlike validates the shape.
-    val naiveS = civilEpochSeconds(
-      substring(tsRaw, 1, 4).cast("long"),
-      substring(tsRaw, 6, 2).cast("long"),
-      substring(tsRaw, 9, 2).cast("long"),
-      substring(tsRaw, 12, 2).cast("long"),
-      substring(tsRaw, 15, 2).cast("long"),
-      substring(tsRaw, 18, 2).cast("long"))
-    // fraction (if any) truncated to millis, right-padded: ".5" =
-    // 500ms. The validating rlike pins the shape, so the fraction sits
-    // at fixed position 21 with the zone suffix (1 or 6 chars) behind
-    // it — substring arithmetic replaces a per-row regexp_extract.
-    val suffixLen = when(endsZ, 1).otherwise(6)
-    val fracDigits = when(substring(tsRaw, 20, 1) === ".",
-        tsRaw.substr(lit(21), length(tsRaw) - lit(20) - suffixLen))
-      .otherwise(lit(""))
-    val fracMs = when(fracDigits === "", 0L)
-      .otherwise(rpad(substring(fracDigits, 1, 3), 3, "0").cast("long"))
-    val naiveMs = naiveS * 1000L + fracMs
-    // Offset math as in the reference: trailing '-hh:mm' ADDS the
-    // offset (local clock behind UTC), '+hh:mm' subtracts.
-    val signCh = substring(tsRaw, -6, 1)
-    val offH = substring(tsRaw, -5, 2).cast("long")
-    val offM = substring(tsRaw, -2, 2).cast("long")
-    val sign = when(signCh === "-", 1L).otherwise(-1L)
-    when(!valid, lit(null).cast("long"))
-      .when(endsZ, naiveMs)
-      .otherwise(naiveMs + sign * (offH * 3600L + offM * 60L) * 1000L)
+  def ts5424Millis(tsRaw: Column): Column =
+    org.apache.spark.sql.graft.Exprs.toColumn(Rfc5424Ms(
+      org.apache.spark.sql.graft.Exprs.toExpression(tsRaw)))
+
+  /** RFC5424 timestamp parse as ONE compact expression (compiled
+    * pattern + fixed-position integer fields in a static helper) —
+    * the column formulation re-derived the Julian composition per
+    * reference and rebuilt substrings per branch. Offset math mirrors
+    * the reference: a trailing `-hh:mm` ADDS the offset (local clock
+    * was behind UTC), `+hh:mm` subtracts (message.py:32-40). Null when
+    * unparseable (e.g. the `-` NIL stamp). */
+  case class Rfc5424Ms(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.types.{DataType, LongType}
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(raw: Any): Any =
+      Rfc5424Ms.parse(raw.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val helper = s"graft.functions.SyslogFunctions$$Rfc5424Ms$$.MODULE$$"
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |java.lang.Long boxed = $helper.parse($a);
+        |if (boxed == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = boxed.longValue(); }
+        |""".stripMargin)
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): Rfc5424Ms =
+      copy(child = c)
+  }
+
+  object Rfc5424Ms {
+    import org.apache.spark.unsafe.types.UTF8String
+    private val Shape = java.util.regex.Pattern.compile(
+      "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?(Z|[+-]\\d{2}:\\d{2})$")
+
+    /** Static so generated code can call it; null ⟺ unparseable. */
+    def parse(raw: UTF8String): java.lang.Long = {
+      val s = raw.toString
+      if (!Shape.matcher(s).matches()) return null
+      val naiveS = SyslogFunctions.civilEpoch(
+        s.substring(0, 4).toLong, s.substring(5, 7).toLong,
+        s.substring(8, 10).toLong, s.substring(11, 13).toLong,
+        s.substring(14, 16).toLong, s.substring(17, 19).toLong)
+      val endsZ = s.charAt(s.length - 1) == 'Z'
+      val suffixLen = if (endsZ) 1 else 6
+      // fraction (if any) truncated to millis, right-padded: ".5" = 500 ms
+      val fracMs =
+        if (s.length > 19 && s.charAt(19) == '.') {
+          val digits = s.substring(20, s.length - suffixLen)
+          val d3 = (digits + "000").substring(0, 3)
+          d3.toLong
+        } else 0L
+      val naiveMs = naiveS * 1000L + fracMs
+      if (endsZ) java.lang.Long.valueOf(naiveMs)
+      else {
+        val sign = if (s.charAt(s.length - 6) == '-') 1L else -1L
+        val offH = s.substring(s.length - 5, s.length - 3).toLong
+        val offM = s.substring(s.length - 2).toLong
+        java.lang.Long.valueOf(
+          naiveMs + sign * (offH * 3600L + offM * 60L) * 1000L)
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
