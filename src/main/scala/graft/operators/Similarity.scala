@@ -150,6 +150,96 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // #34b ann_lsh_poly — the SAME hyperplane-bucket + 1-bit multi-probe
+  // + exact-rerank pipeline with a PORTABLE sign family
+  // (((j+1)·73856093 + d·19349663) mod 1e9+7) mod 2 for plane j and
+  // 1-based dim d — integer math both engines compute identically, so
+  // the whole ANN bucketing algebra is DuckDB-verifiable END TO END
+  // (the ANN analogue of the minhash/simhash poly twins). The
+  // xxhash64-sign variant above stays the fast path.
+  // ---------------------------------------------------------------------
+
+  private val SignP = 1000000007L
+  private val SignA = 73856093L
+  private val SignB = 19349663L
+
+  private def polyCodeExpr(planes: Int): Column = expr(
+    s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS INT),
+       |  (acc, j) -> acc | IF(
+       |    aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
+       |      (s, d) -> s + IF(
+       |        ((CAST(j AS BIGINT) + 1) * ${SignA}L
+       |          + CAST(d AS BIGINT) * ${SignB}L) % ${SignP}L % 2 = 1,
+       |        element_at(q, d), -element_at(q, d))) > 0,
+       |    shiftleft(1, j), 0))""".stripMargin)
+
+  def annLshPoly(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir).withColumn("code", polyCodeExpr(Planes))
+    val probes = array((0 to Planes).map(i =>
+      if (i == 0) col("code") else col("code").bitwiseXOR(lit(1 << (i - 1)))): _*)
+    val queries = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("nq"), explode(probes).as("qcode"))
+    val cand = v.join(broadcast(queries),
+        col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
+        col("nq"), col("nc"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annLshPolySql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+      |  FROM q
+      |), codes AS (
+      |  SELECT vec_id, v, nn,
+      |    CAST(list_sum(list_transform(range(0, $Planes), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |        CASE WHEN ((j + 1) * $SignA + d * $SignB) % $SignP % 2 = 1
+      |             THEN v[d] ELSE -v[d] END)) > 0
+      |      THEN (1 << j) ELSE 0 END)) AS INT) AS code
+      |  FROM n
+      |), probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, nn AS nq,
+      |    CASE WHEN p = 0 THEN code ELSE xor(code, (1 << (p - 1))) END AS qcode
+      |  FROM codes CROSS JOIN (SELECT unnest(range(0, ${Planes + 1})) AS p)
+      |  WHERE vec_id < $NumQueries
+      |), cand AS (
+      |  SELECT DISTINCT c.vec_id, p.query_id, p.qv, p.nq, c.v, c.nn AS nc
+      |  FROM codes c JOIN probes p
+      |    ON c.code = p.qcode AND c.vec_id <> p.query_id
+      |), scored AS (
+      |  SELECT query_id, vec_id, nq, nc,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS BIGINT) AS dot
+      |  FROM cand
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+      |               vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
+      |FROM r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // #48 ann_ivf — inverted-file probe (coarse quantizer + short list)
   // ---------------------------------------------------------------------
 
@@ -338,9 +428,11 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
+    "ann_lsh_poly" -> annLshPoly,
     "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)))
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh_poly" -> annLshPolySql,
     "ann_ivf" -> annIvfSql)
 }

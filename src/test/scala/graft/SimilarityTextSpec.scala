@@ -80,6 +80,18 @@ class SimilarityTextSpec extends SparkSpec {
     assert(trained >= fixed, s"trained=$trained fixed=$fixed")
   }
 
+  test("portable-sign ann twin recalls a majority of brute-force top-k") {
+    val bf = operators.Similarity.annBruteforce(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val poly = operators.Similarity.annLshPoly(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(poly.nonEmpty)
+    val recall = (bf & poly).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("codegen'd hyperplane codes are bit-identical to the SQL-HOF formulation") {
     for (planes <- Seq(4, 8)) {
       val base = operators.Similarity.lshCodes(spark, sf, planes)
