@@ -34,6 +34,7 @@ object Analytics {
     * [0,1] fit (4,2). Kept tight so Spark's decimal-widening rules
     * never exceed precision 38 (which would trigger lossy rounding). */
   private def money(c: Column): Column = c.cast("decimal(9,2)")
+  private def money2(c: Column): Column = c.cast("decimal(12,2)")
   private def rate(c: Column): Column = c.cast("decimal(4,2)")
   private val one = lit(1).cast("decimal(4,2)")
 
@@ -345,6 +346,80 @@ object Analytics {
       |GROUP BY 1, 2, 3
       |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin
 
+  /** Q4 shape: order-priority count over an EXISTS semi-join — the
+    * schema has no commit/receipt dates, so "late" means a lineitem
+    * shipped more than 30 days after the order date. Plan: the orders
+    * side is date-pruned first, lineitem is projected to two columns,
+    * and the semi-join shuffles on the order key (AQE broadcasts the
+    * pruned orders side at small SF); no row from lineitem survives
+    * past the probe — exactly what LeftSemi exists for. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Q22 shape: above-average-balance customers who never placed an
+    * URGENT order — scalar subquery + NOT EXISTS anti-join (every
+    * customer in the synthetic data has SOME order, so the urgency
+    * filter keeps the anti-join non-vacuous). The average test is
+    * cross-multiplied (bal·cnt > total on exact decimals) so both
+    * engines decide it with integer-exact arithmetic instead of a
+    * rounded decimal division; the one-row aggregate broadcasts and
+    * the anti-join probes orders on the customer key. */
+  def q22Global(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val bal = money2(col("c_acctbal"))
+    val avgSide = c.filter(col("c_acctbal") > 0)
+      .agg(sum(bal).as("total"), count(lit(1)).as("cnt"))
+    c.crossJoin(broadcast(avgSide))
+      .filter(bal * col("cnt") > col("total"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(bal).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val q22GlobalSql: String =
+    """WITH t AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS total, COUNT(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c, t
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * t.cnt > t.total
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
@@ -354,7 +429,9 @@ object Analytics {
     "events_tumbling" -> eventsTumbling,
     "events_sessions" -> eventsSessions,
     "q18_large" -> q18Large,
-    "q7_volume" -> q7Volume)
+    "q7_volume" -> q7Volume,
+    "q4_priority" -> q4Priority,
+    "q22_global" -> q22Global)
 
   val oracle: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -365,5 +442,7 @@ object Analytics {
     "events_tumbling" -> eventsTumblingSql,
     "events_sessions" -> eventsSessionsSql,
     "q18_large" -> q18LargeSql,
-    "q7_volume" -> q7VolumeSql)
+    "q7_volume" -> q7VolumeSql,
+    "q4_priority" -> q4PrioritySql,
+    "q22_global" -> q22GlobalSql)
 }

@@ -54,6 +54,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 4, plan)
   }
 
+  test("q4: EXISTS compiles to a semi-join, orders date filter pushed down") {
+    val plan = planString(operators.Analytics.q4Priority(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"), plan)
+  }
+
+  test("q22: NOT EXISTS compiles to an anti-join; scalar aggregate broadcasts") {
+    val plan = planString(operators.Analytics.q22Global(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q5: dimension joins broadcast, no cartesian product") {
     val plan = planString(operators.Analytics.q5Local(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
