@@ -25,7 +25,7 @@ object Bench {
     * not a plan worth measuring (VERDICT r3). */
   val headliners: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_local", "q6_forecast",
-    "q18_large", "q7_volume",
+    "q18_large", "q7_volume", "q4_priority", "q22_global",
     "events_window", "events_tumbling", "events_sessions",
     "syslog_parse", "syslog_normalize", "frame_octet", "record_envelope",
     "gelf_parse", "relay_end_to_end",
