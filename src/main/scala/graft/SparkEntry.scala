@@ -24,7 +24,10 @@ object SparkEntry {
       operators.Scrub.queries ++
       operators.Multimodal.queries ++
       operators.Relay.queries ++
-      operators.Corpus.queries
+      operators.Corpus.queries ++
+      operators.Sequence.queries ++
+      operators.Ngrams.queries ++
+      operators.Sketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +44,8 @@ object SparkEntry {
       operators.Scrub.oracle ++
       operators.Multimodal.oracle ++
       operators.Relay.oracle ++
-      operators.Corpus.oracle
+      operators.Corpus.oracle ++
+      operators.Sequence.oracle ++
+      operators.Ngrams.oracle ++
+      operators.Sketch.oracle
 }

@@ -89,23 +89,33 @@ object TextFunctions {
 
   private val EnStop = Lexicons.head._2
 
+  /** Stopword-token count as ONE codegen'd regexp_count: lookaround
+    * anchors (` `-padded norm) match whole tokens without consuming
+    * the separating space, so adjacent stopwords both count — the
+    * same integers as filtering the token array, minus the
+    * interpreted-HOF cost (filter/array_contains lambdas never enter
+    * whole-stage codegen and dominated this map-only scan ~2×). */
+  private val StopTokRe = s"(?<= )(${EnStop.mkString("|")})(?= )"
+
   def quality(spark: SparkSession, dir: String): DataFrame = {
+    // orderBy the bare scan FIRST: the range-partitioner's sampling
+    // pass then re-executes only the column read, not the regex work.
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), norm(col("text")).as("norm"))
-      .withColumn("toks", split(col("norm"), " "))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .withColumn("norm", norm(col("text")))
     d.select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        size(col("toks")).as("n_words"),
+        size(split(col("norm"), " ")).as("n_words"),
         regexp_count(col("norm"), lit("[^a-z0-9 ]")).as("n_punct"),
-        expr(s"""size(filter(toks, t -> array_contains(array(${EnStop.map(w => s"'$w'").mkString(", ")}), t)))""")
+        regexp_count(concat(lit(" "), col("norm"), lit(" ")), lit(StopTokRe))
           .as("n_stop"))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / col("n_words"))
       .withColumn("quality_ok",
         (col("n_words") >= 10 && col("stop_ratio") < 0.5 &&
           col("n_punct") * 5 <= col("n_words")).cast("int"))
-      .orderBy("doc_id")
   }
 
   val qualitySql: String = {

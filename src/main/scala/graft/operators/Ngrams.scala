@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions.{normText, normTextSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators (SURVEY §2 #61–62): corpus-wide top-k
+  * word n-grams and per-document tf-idf-style keyword extraction.
+  *
+  * Scale notes:
+  *  - corpus_ngrams is the canonical map-side-combine shape: n-gram
+  *    generation is map-only (chained zip_with over shifted slices —
+  *    each lambda touches only its lambda vars, so no Catalyst
+  *    re-inlining blowup), the count aggregate combines partially
+  *    before its single shuffle on the n-gram, and the global top-k is
+  *    TakeOrderedAndProject (per-partition heaps + driver merge of k
+  *    rows), never a full sort.
+  *  - text_keywords ranks by (tf DESC, df ASC, token ASC) — the
+  *    rare-and-frequent heuristic with NO floating log: a pure-integer
+  *    surrogate for tf-idf that both engines order identically
+  *    (IEEE log would round differently at ranking boundaries).
+  *    document frequency reuses the same exploded token relation, so
+  *    Spark computes it with one extra aggregate, not a second scan.
+  */
+object Ngrams {
+
+  val N = 5
+  val TopK = 20
+
+  /** words[i..i+4] joined left-to-right; positions past size-4 carry a
+    * null from the short slice and are filtered after explode. */
+  private val gramsExpr =
+    """zip_with(zip_with(zip_with(zip_with(
+      |    w,
+      |    slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> concat(a, ' ', b)),
+      |    slice(w, 3, greatest(size(w) - 2, 0)), (a, b) -> concat(a, ' ', b)),
+      |    slice(w, 4, greatest(size(w) - 3, 0)), (a, b) -> concat(a, ' ', b)),
+      |    slice(w, 5, greatest(size(w) - 4, 0)), (a, b) -> concat(a, ' ', b))""".stripMargin
+
+  /** #61 Top-k most frequent word 5-grams across the corpus, with the
+    * number of distinct documents containing each. */
+  def corpusNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n"), asc("gram"))
+      .limit(TopK)
+
+  val corpusNgramsSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - ${N - 2}), i ->
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |  )) AS gram
+      |  FROM d
+      |)
+      |SELECT gram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM g
+      |GROUP BY gram
+      |ORDER BY n DESC, gram
+      |LIMIT $TopK""".stripMargin
+
+  /** #62 Per-document top-3 keywords by (tf DESC, df ASC, tok ASC). */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select("tok", "doc_id").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tf"), asc("df"), asc("tok"))
+    tf.join(docFreq, "tok")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val textKeywordsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+      |), df AS (
+      |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+      |), ranked AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS INT) AS rnk
+      |  FROM tf JOIN df ON tf.tok = df.tok
+      |)
+      |SELECT doc_id, rnk, tok, tf, df
+      |FROM ranked
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
+    "text_keywords" -> ((s, d) => textKeywords(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "corpus_ngrams" -> corpusNgramsSql,
+    "text_keywords" -> textKeywordsSql)
+}

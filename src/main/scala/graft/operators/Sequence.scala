@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics beyond the reference surface (SURVEY §2
+  * #59–60): an as-of join and an ordered-funnel operator over the
+  * `events` table.
+  *
+  * Both are single-shuffle plans: every window/aggregate partitions on
+  * `user_id` only, so at 100 TB the one exchange is on the natural
+  * high-cardinality key and successive window + groupBy stages reuse
+  * the same hash partitioning (no second exchange — PlanSpec asserts
+  * this).
+  *
+  * Oracle-parity: `event_id` is the global time order (TESTDATA events
+  * are generated time-sorted), so ordering/frames use `event_id`, never
+  * raw ns timestamps; all time arithmetic is integer epoch-second math;
+  * "no match" sentinels are COALESCE(-1) on both engines so no nullable
+  * integer column reaches the pandas float64 coercion in the compare.
+  */
+object Sequence {
+
+  /** #59 As-of join, composed from window primitives rather than a
+    * custom physical operator: Spark has no ASOF JOIN, but for the
+    * "most recent prior event of class X" shape the
+    * max-over-preceding-frame formulation is plan-equivalent to a
+    * sort-merge as-of (one shuffle + one in-partition sort) and keeps
+    * whole-stage codegen. Each `purchase` event is joined to the most
+    * recent preceding `click` by the same user; `max` is order-safe
+    * because event_id and ts_s are jointly monotone per user. */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+    val prior = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_id",
+        max(when(col("event_type") === "click", col("event_id"))).over(prior))
+      .withColumn("click_ts_s",
+        max(when(col("event_type") === "click", col("ts_s"))).over(prior))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts_s"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("click_ts_s"), lit(-1L)).as("click_ts_s"),
+        coalesce(col("ts_s") - col("click_ts_s"), lit(-1L)).as("wait_s"))
+      .orderBy("event_id")
+  }
+
+  val eventsAsofSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_ns(ts)//1000000000 AS ts_s
+      |  FROM events
+      |), w AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN event_type = 'click' THEN event_id END)
+      |      OVER pre AS click_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN ts_s END)
+      |      OVER pre AS click_ts_s
+      |  FROM e
+      |  WINDOW pre AS (PARTITION BY user_id ORDER BY event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, ts_s,
+      |  COALESCE(click_id, -1) AS click_id,
+      |  COALESCE(click_ts_s, -1) AS click_ts_s,
+      |  COALESCE(ts_s - click_ts_s, -1) AS wait_s
+      |FROM w
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  /** #60 Ordered funnel view → click → purchase per user: stage k
+    * requires an event strictly after the user's stage-(k-1) event.
+    * Three whole-partition windows over the same user_id partitioning
+    * (the second/third read the previous stage's column, so no
+    * self-joins), then a groupBy on the already-partitioned key —
+    * one shuffle end to end. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val u = Window.partitionBy("user_id")
+    e.withColumn("t1",
+        min(when(col("event_type") === "view", col("event_id"))).over(u))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("event_id") > col("t1"),
+          col("event_id"))).over(u))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("event_id") > col("t2"),
+          col("event_id"))).over(u))
+      .groupBy("user_id")
+      .agg(
+        coalesce(min("t1"), lit(-1L)).as("view_id"),
+        coalesce(min("t2"), lit(-1L)).as("click_id"),
+        coalesce(min("t3"), lit(-1L)).as("purchase_id"))
+      .withColumn("stage",
+        when(col("purchase_id") >= 0, 3)
+          .when(col("click_id") >= 0, 2)
+          .when(col("view_id") >= 0, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type FROM events
+      |), w1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN event_id END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e
+      |), w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND event_id > t1
+      |    THEN event_id END) OVER (PARTITION BY user_id) AS t2 FROM w1
+      |), w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND event_id > t2
+      |    THEN event_id END) OVER (PARTITION BY user_id) AS t3 FROM w2
+      |), g AS (
+      |  SELECT user_id,
+      |    COALESCE(MIN(t1), -1) AS view_id,
+      |    COALESCE(MIN(t2), -1) AS click_id,
+      |    COALESCE(MIN(t3), -1) AS purchase_id
+      |  FROM w3 GROUP BY user_id
+      |)
+      |SELECT user_id, view_id, click_id, purchase_id,
+      |  CAST(CASE WHEN purchase_id >= 0 THEN 3
+      |            WHEN click_id >= 0 THEN 2
+      |            WHEN view_id >= 0 THEN 1
+      |            ELSE 0 END AS INT) AS stage
+      |FROM g
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof" -> ((s, d) => eventsAsof(s, d)),
+    "events_funnel" -> ((s, d) => eventsFunnel(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "events_asof" -> eventsAsofSql,
+    "events_funnel" -> eventsFunnelSql)
+}

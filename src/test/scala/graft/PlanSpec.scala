@@ -130,6 +130,38 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 1, plan)
   }
 
+  test("events_asof: window + final sort only — the as-of never self-joins") {
+    val plan = planString(operators.Sequence.eventsAsof(spark, sf))
+    assert(shuffles(plan) <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events_funnel: three windows and the groupBy share one user_id shuffle") {
+    val plan = planString(operators.Sequence.eventsFunnel(spark, sf))
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("corpus_ngrams: global top-k via per-partition heaps, not a full sort") {
+    val plan = planString(operators.Ngrams.corpusNgrams(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // n-gram generation map-only; count+distinct two-phase agg only
+    assert(shuffles(plan) <= 3, plan)
+  }
+
+  test("text_keywords: tf/df equality join, no cartesian") {
+    val plan = planString(operators.Ngrams.textKeywords(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(shuffles(plan) <= 7, plan)
+  }
+
+  test("sketch_distinct: bounded-state sketch aggregate stays in budget") {
+    val plan = planString(operators.Sketch.sketchDistinct(spark, sf))
+    // TypedImperativeAggregate runs via ObjectHashAggregate
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(shuffles(plan) <= 4, plan)
+  }
+
   test("ann_bruteforce: corpus never shuffles its vectors (broadcast query side)") {
     val plan = planString(operators.Similarity.annBruteforce(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") ||

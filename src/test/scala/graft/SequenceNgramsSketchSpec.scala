@@ -1,0 +1,156 @@
+package graft
+
+import graft.functions.SketchFunctions
+import graft.operators.{Ngrams, Sequence, Sketch}
+import org.apache.spark.sql.functions._
+
+/** Correctness specs for the round-5 additions: as-of join, funnel,
+  * corpus n-grams, keyword extraction, KMV distinct sketch. Each is
+  * checked against an independent brute-force recomputation on the
+  * collected sf0.001 data (the DuckDB oracle re-checks at sf0.01). */
+class SequenceNgramsSketchSpec extends SparkSpec {
+
+  private def normalize(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  private lazy val rawEvents: Array[(Long, Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+
+  private lazy val docs: Array[(Long, String)] =
+    Tables.load(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), normalize(r.getString(1))))
+
+  test("events_asof matches a brute-force per-user scan") {
+    val expected = rawEvents.filter(_._3 == "purchase").map {
+      case (eid, uid, _, ts) =>
+        val prior = rawEvents.filter(e =>
+          e._2 == uid && e._1 < eid && e._3 == "click")
+        if (prior.isEmpty) (eid, uid, ts, -1L, -1L, -1L)
+        else {
+          val cid = prior.map(_._1).max
+          val cts = prior.map(_._4).max
+          (eid, uid, ts, cid, cts, ts - cts)
+        }
+    }
+    val got = Sequence.eventsAsof(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("events_funnel matches a brute-force stage walk") {
+    val expected = rawEvents.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (uid, es) =>
+        val t1 = es.filter(_._3 == "view").map(_._1).minOption
+        val t2 = t1.flatMap(t =>
+          es.filter(e => e._3 == "click" && e._1 > t).map(_._1).minOption)
+        val t3 = t2.flatMap(t =>
+          es.filter(e => e._3 == "purchase" && e._1 > t).map(_._1).minOption)
+        val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2
+          else if (t1.isDefined) 1 else 0
+        (uid, t1.getOrElse(-1L), t2.getOrElse(-1L), t3.getOrElse(-1L), stage)
+    }
+    val got = Sequence.eventsFunnel(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq === expected)
+  }
+
+  test("corpus_ngrams matches brute-force 5-gram counting") {
+    val grams = docs.flatMap { case (docId, norm) =>
+      val w = norm.split(" ")
+      w.sliding(Ngrams.N).filter(_.length == Ngrams.N)
+        .map(g => (g.mkString(" "), docId)).toSeq
+    }
+    val expected = grams.groupBy(_._1).map { case (g, hits) =>
+      (g, hits.length.toLong, hits.map(_._2).distinct.length.toLong)
+    }.toSeq.sortBy { case (g, n, _) => (-n, g) }.take(Ngrams.TopK)
+    val got = Ngrams.corpusNgrams(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+  }
+
+  test("text_keywords matches brute-force tf/df ranking") {
+    val toks = docs.flatMap { case (d, n) => n.split(" ").map(t => (d, t)) }
+    val tf = toks.groupBy(identity).map { case ((d, t), xs) =>
+      (d, t) -> xs.length.toLong }
+    val df = toks.distinct.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val expected = toks.map(_._1).distinct.sorted.flatMap { d =>
+      val ranked = tf.collect { case ((`d`, t), f) => (t, f, df(t)) }.toSeq
+        .sortBy { case (t, f, dfv) => (-f, dfv, t) }.take(3)
+      ranked.zipWithIndex.map { case ((t, f, dfv), i) =>
+        (d, i + 1, t, f, dfv) }
+    }
+    val got = Ngrams.textKeywords(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  private def refPolyHash(s: String): Long = {
+    var acc = 0L
+    s.foreach(ch => acc = (acc * 131 + ch.toLong) % SketchFunctions.PolyP)
+    acc
+  }
+
+  test("PolyHash expression equals the HOF aggregate formulation") {
+    import spark.implicits._
+    val sample = docs.take(50).flatMap(_._2.split(" ")).distinct.toSeq
+    val d = sample.toDF("tok")
+    val both = d.select(
+      col("tok"),
+      SketchFunctions.poly_hash(col("tok")).as("fast"),
+      expr(s"""aggregate(split(tok, ''), CAST(0 AS BIGINT),
+        (acc, ch) -> (acc * 131 + ascii(ch)) % ${SketchFunctions.PolyP})""").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), r.getString(0))
+      assert(r.getLong(1) === refPolyHash(r.getString(0)), r.getString(0))
+    }
+  }
+
+  test("KMinValues keeps exactly the k smallest distinct values through update and merge") {
+    import spark.implicits._
+    // duplicated + shuffled values across many partitions forces both
+    // the distinct semantics and the partial-merge path
+    val vals = (1L to 200L) ++ (1L to 200L) ++ (150L to 400L)
+    val d = vals.toDF("v").repartition(7)
+    val got = d.agg(SketchFunctions.kmin_values(col("v"), 16).as("k"))
+      .collect().head.getSeq[Long](0)
+    assert(got === (1L to 16L))
+  }
+
+  test("sketch_distinct: exact below k, kth-min/estimate reproducible above k") {
+    val bySource = docs.map { case (d, n) => (d, n) }
+    val srcOf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hvs = bySource.flatMap { case (d, n) =>
+      n.split(" ").map(t => (srcOf(d), refPolyHash(t))) }
+      .distinct.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).sorted }
+    val got = Sketch.sketchDistinct(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val mins = hvs(src)
+      val nKept = r.getInt(1)
+      if (mins.length < Sketch.K) {
+        assert(nKept === mins.length)
+        assert(r.getLong(3) === mins.length.toLong) // exact regime
+        assert(r.getLong(2) === -1L)
+      } else {
+        assert(nKept === Sketch.K)
+        val hk = mins(Sketch.K - 1)
+        assert(r.getLong(2) === hk)
+        assert(r.getLong(3) === (Sketch.K - 1).toLong * SketchFunctions.PolyP / hk)
+        // estimator sanity: within 50% of the true distinct count
+        val est = r.getLong(3).toDouble
+        assert(math.abs(est - mins.length) / mins.length < 0.5,
+          s"$src est=$est exact=${mins.length}")
+      }
+    }
+  }
+}
