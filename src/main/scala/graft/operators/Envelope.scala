@@ -394,11 +394,12 @@ object Envelope {
     * multi-GB single-row payload (the reference flushes every
     * 4 MiB/60 s and splits oversize records, sink.py:167-186; it never
     * builds an unbounded buffer either). */
-  def recordGzip(spark: SparkSession, dir: String,
-                 maxRecord: Int = TestRecordSize): DataFrame = {
-    // the actual spool-file body: the CloudWatch record JSON
-    // (sink.py:204-217), gzipped at level 9
-    val grouped = splitEvents(spark, dir, maxRecord)
+  /** The spool-file bodies: one CloudWatch record JSON per split part
+    * (sink.py:204-217), gzipped at level 9. Shared by record_gzip
+    * (size/roundtrip view) and spool_read (the decode direction). */
+  private def spoolBodies(spark: SparkSession, dir: String,
+                          maxRecord: Int): DataFrame =
+    splitEvents(spark, dir, maxRecord)
       .groupBy("source", "dest", "part_id")
       .agg(to_json(struct(
         lit(Owner).as("owner"),
@@ -413,9 +414,12 @@ object Envelope {
           col("message"),
           (col("ts_s") * 1000).as("timestamp")))).as("logEvents")))
         .as("payload"))
-    grouped
       .withColumn("raw", col("payload").cast("binary"))
       .withColumn("gz", gzip_compress(col("raw")))
+
+  def recordGzip(spark: SparkSession, dir: String,
+                 maxRecord: Int = TestRecordSize): DataFrame = {
+    spoolBodies(spark, dir, maxRecord)
       .withColumn("rt", decompress_auto(col("gz")))
       .select(
         col("source"), col("dest"), col("part_id"),
@@ -424,6 +428,40 @@ object Envelope {
         (col("rt") === col("raw")).cast("int").as("roundtrip_ok"))
       .orderBy("source", "dest", "part_id")
   }
+
+  /** #64 spool_read — the DECODE direction: gunzip each spool body,
+    * parse the CloudWatch record JSON, explode logEvents back into
+    * rows. The oracle is the plain synthesized event set, so the
+    * entire encode → gzip → gunzip → parse → explode loop is verified
+    * value-for-value in DuckDB (record_gzip alone can only
+    * row-count-check its opaque gzip bytes). from_json here is the
+    * honest decode path, not a bench headliner — a spool reader runs
+    * once per record, not per event. */
+  def spoolRead(spark: SparkSession, dir: String,
+                maxRecord: Int = TestRecordSize): DataFrame = {
+    val recSchema =
+      "STRUCT<owner: STRING, logGroup: STRING, logStream: STRING, " +
+        "subscriptionFilters: ARRAY<STRING>, messageType: STRING, " +
+        "logEvents: ARRAY<STRUCT<id: STRING, message: STRING, timestamp: BIGINT>>>"
+    spoolBodies(spark, dir, maxRecord)
+      .withColumn("rec",
+        from_json(decompress_auto(col("gz")).cast("string"), lit(recSchema)))
+      .select(col("source"), col("dest"), col("rec.logStream").as("log_stream"),
+        explode(col("rec.logEvents")).as("ev"))
+      .select(
+        col("ev.id").cast("long").as("event_id"),
+        col("source"), col("dest"), col("log_stream"),
+        col("ev.message").as("message"),
+        col("ev.timestamp").as("ts_ms"))
+      .orderBy("event_id")
+  }
+
+  val spoolReadSql: String =
+    s"""$oracleBase
+      |SELECT event_id, source, dest, source AS log_stream,
+      |  message, ts_s * 1000 AS ts_ms
+      |FROM e
+      |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // #19 stats_counters
@@ -602,6 +640,7 @@ object Envelope {
     "firehose_batches" -> ((s, d) => firehoseBatches(s, d)),
     "firehose_retry" -> ((s, d) => firehoseRetry(s, d)),
     "record_gzip" -> ((s, d) => recordGzip(s, d)),
+    "spool_read" -> ((s, d) => spoolRead(s, d)),
     "stats_counters" -> (statsCounters(_, _)),
     "stats_export" -> (statsExport(_, _)))
 
@@ -610,6 +649,7 @@ object Envelope {
     "record_split" -> recordSplitSql(),
     "firehose_batches" -> firehoseBatchesSql(),
     "firehose_retry" -> firehoseRetrySql(),
+    "spool_read" -> spoolReadSql,
     "stats_counters" -> statsCountersSql,
     "stats_export" -> statsExportSql)
 }
