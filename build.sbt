@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 30-query bench generates thousands of janino classes; the JVM
+  // default 240m code cache fills mid-suite, the JIT stops compiling,
+  // and compute-bound queries (codegen'd dot products) degrade 3-5x
+  // late in the run while scan-bound ones barely move.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -27,10 +27,12 @@ object Bench {
     "q1_pricing", "q3_shipping", "q5_local", "q6_forecast",
     "q18_large", "q7_volume", "q4_priority", "q22_global",
     "events_window", "events_tumbling", "events_sessions",
+    "events_asof", "events_funnel",
     "syslog_parse", "syslog_normalize", "frame_octet", "record_envelope",
     "gelf_parse", "relay_end_to_end",
     "dedup_exact", "dedup_minhash", "dedup_embedding_lsh", "ann_bruteforce",
-    "ann_ivf", "text_quality", "text_tokens", "text_pii_scrub")
+    "ann_ivf", "text_quality", "text_tokens", "text_pii_scrub",
+    "corpus_ngrams", "text_keywords", "sketch_distinct")
 
   val TimedPasses = 3
 
@@ -46,6 +48,10 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val sec =
         try {
+          // drop caches a previous query left behind (e.g. ann_ivf's
+          // centroid tables) so queries are timed independently; a
+          // query's OWN caching still applies within each pass
+          spark.catalog.clearCache()
           materialize(fn(spark, sfDir)) // warmup (discarded)
           val passes = (1 to TimedPasses).map { _ =>
             val t0 = System.nanoTime()

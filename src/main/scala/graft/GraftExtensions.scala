@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.BinaryFunctions.{AutoDecompress, DecodeBackslashReplace, GzipCompress, ZlibCompress}
 import graft.functions.GelfFunctions.GelfChunkParse
+import graft.functions.SketchFunctions.{KMinValues, PolyHash}
 import graft.functions.VectorFunctions.{DotProductL, HyperplaneCode, NormSqL}
 import graft.operators.Framing.SyslogFrames
 import graft.operators.Proxy.ProxyV2Parse
@@ -60,6 +61,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_dot expects exactly 2 arguments")
           DotProductL(args.head, args(1))
+        }),
+      unary("graft_poly_hash",
+        "rolling polynomial hash mod 1e9+7 (portable across engines): STRING -> BIGINT",
+        PolyHash),
+      (FunctionIdentifier("graft_kmin_values"),
+        info("graft_kmin_values",
+          "KMV sketch aggregate: k smallest distinct BIGINTs; arg 2 = k (literal)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_kmin_values expects (value, k)")
+          val k = args(1) match {
+            case Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"k must be an integer literal, got $other")
+          }
+          // bare AggregateFunction: the analyzer wraps it in an
+          // AggregateExpression exactly as for built-in aggregates
+          KMinValues(args.head, k)
         }),
       (FunctionIdentifier("graft_hyperplane_code"),
         info("graft_hyperplane_code",

@@ -59,6 +59,19 @@ object SketchFunctions {
   def poly_hash(c: Column): Column =
     Exprs.toColumn(PolyHash(Exprs.toExpression(c)))
 
+  /** Bounded distinct-min-k insert — the single definition of KMV's
+    * update rule, shared by the batch aggregate and the streaming
+    * state twin ([[graft.streaming.SketchStream]]). */
+  def addBounded(buf: java.util.TreeSet[java.lang.Long], v: Long, k: Int): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
+
+  /** KMV estimate from a sorted ascending min-k array: exact when the
+    * sketch never filled, (k−1)·M/h₍k₎ integer division otherwise. */
+  def kmvEstimate(mins: Array[Long], k: Int): Long =
+    if (mins.length < k) mins.length.toLong
+    else (k - 1).toLong * PolyP / mins(k - 1)
+
   /** The k smallest distinct BIGINT values of the group, as a sorted
     * ascending ARRAY<BIGINT>. State is a TreeSet capped at k entries;
     * update/merge never grow it past k, so partial aggregation buffers
@@ -77,8 +90,7 @@ object SketchFunctions {
       new java.util.TreeSet[java.lang.Long]()
 
     private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
-      if (buf.size < k) { buf.add(v); () }
-      else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
+      addBounded(buf, v, k)
 
     override def update(
         buf: java.util.TreeSet[java.lang.Long],

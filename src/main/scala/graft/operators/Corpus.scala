@@ -158,6 +158,60 @@ object Corpus {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // corpus_sample — stratified deterministic (hash-threshold) sampling
+  // ---------------------------------------------------------------------
+
+  /** Per-language sampling permilles: downsample the dominant
+    * languages, keep the long tail whole — the standard corpus
+    * rebalancing move before training. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "zh" -> 500, "de" -> 800)
+  val DefaultRate = 1000
+
+  /** Bernoulli sampling WITHOUT randomness: admit a doc iff its
+    * content-hash bucket (same 16-bit md5 prefix family as
+    * corpus_split, salted so the two assignments are independent)
+    * falls under the language's permille threshold. Deterministic
+    * across engines/partitions/reruns, map-only at any scale, and
+    * duplicate content samples identically — so sampling composes
+    * with dedup instead of racing it. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(DefaultRate): Column) {
+      case ((l, r), acc) => when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("sample:"),
+          graft.functions.TextFunctions.normText(col("text")))).as("fp"))
+      .withColumn("bucket",
+        (conv(substring(col("fp"), 1, 4), 16, 10).cast("long") % 1000).cast("int"))
+      .withColumn("rate_permille", rate)
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("rate_permille"))
+      .orderBy("doc_id")
+  }
+
+  val corpusSampleSql: String = {
+    val rateCase = SampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    md5('sample:' || ${graft.functions.TextFunctions.normTextSql}) AS fp
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CAST(('0x' || substring(fp, 1, 4)) AS INTEGER) % 1000 AS INT) AS bucket,
+      |    CAST($rateCase AS INT) AS rate_permille
+      |  FROM d
+      |)
+      |SELECT doc_id, lang, bucket, rate_permille
+      |FROM b
+      |WHERE bucket < rate_permille
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // corpus_decontaminate — benchmark n-gram overlap detection
   // ---------------------------------------------------------------------
 
@@ -247,10 +301,12 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean,
     "corpus_split" -> corpusSplit,
+    "corpus_sample" -> corpusSample,
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)))
 
   val oracle: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
     "corpus_split" -> corpusSplitSql,
+    "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql)
 }

@@ -130,11 +130,60 @@ object Sequence {
       |FROM g
       |ORDER BY user_id""".stripMargin
 
+  /** Range-join window: errors within (0, RangeGapS] seconds after a
+    * purchase. */
+  val RangeGapS = 300L
+
+  /** #65 Range join, bucketized: a raw `a.ts < b.ts ≤ a.ts + Δ`
+    * condition gives Spark no equality key, so it plans a broadcast
+    * nested-loop (quadratic per user at scale). Flooring both sides
+    * to Δ-wide buckets restores a hash key: an in-range error lands
+    * either in its purchase's bucket or the next one, so the probe
+    * side explodes ×2 on {bkt, bkt+1}, the join runs on
+    * (user_id, bkt) equality, and the exact inequality filters the
+    * (≤2×) candidates. One equality shuffle; fan-out is a constant 2
+    * regardless of Δ, data volume, or skew. */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_s").as("p_ts"))
+      .withColumn("bkt", explode(array(
+        expr(s"p_ts div $RangeGapS"), expr(s"p_ts div $RangeGapS + 1"))))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts_s").as("e_ts"))
+      .withColumn("bkt", expr(s"e_ts div $RangeGapS"))
+    purchases.join(errors, Seq("user_id", "bkt"))
+      .filter(col("e_ts") > col("p_ts") &&
+        col("e_ts") - col("p_ts") <= RangeGapS)
+      .select(col("purchase_id"), col("error_id"), col("user_id"),
+        (col("e_ts") - col("p_ts")).as("gap_s"))
+      .orderBy("purchase_id", "error_id")
+  }
+
+  val eventsRangeJoinSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_ns(ts)//1000000000 AS ts_s
+      |  FROM events
+      |)
+      |SELECT p.event_id AS purchase_id, x.event_id AS error_id,
+      |  p.user_id, x.ts_s - p.ts_s AS gap_s
+      |FROM e p JOIN e x
+      |  ON p.user_id = x.user_id
+      | AND p.event_type = 'purchase' AND x.event_type = 'error'
+      | AND x.ts_s > p.ts_s AND x.ts_s - p.ts_s <= $RangeGapS
+      |ORDER BY purchase_id, error_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> ((s, d) => eventsAsof(s, d)),
-    "events_funnel" -> ((s, d) => eventsFunnel(s, d)))
+    "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
+    "events_range_join" -> ((s, d) => eventsRangeJoin(s, d)))
 
   val oracle: Map[String, String] = Map(
     "events_asof" -> eventsAsofSql,
-    "events_funnel" -> eventsFunnelSql)
+    "events_funnel" -> eventsFunnelSql,
+    "events_range_join" -> eventsRangeJoinSql)
 }

@@ -141,6 +141,13 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 2, plan)
   }
 
+  test("events_range_join: bucketized to an equality hash join, never nested-loop") {
+    val plan = planString(operators.Sequence.eventsRangeJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(shuffles(plan) <= 3, plan)
+  }
+
   test("corpus_ngrams: global top-k via per-partition heaps, not a full sort") {
     val plan = planString(operators.Ngrams.corpusNgrams(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)

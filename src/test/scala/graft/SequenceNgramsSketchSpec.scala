@@ -58,6 +58,19 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("events_range_join matches a brute-force inequality scan") {
+    val gap = Sequence.RangeGapS
+    val expected = (for {
+      p <- rawEvents if p._3 == "purchase"
+      x <- rawEvents
+      if x._3 == "error" && x._2 == p._2 &&
+        x._4 > p._4 && x._4 - p._4 <= gap
+    } yield (p._1, x._1, p._2, x._4 - p._4)).sortBy(t => (t._1, t._2))
+    val got = Sequence.eventsRangeJoin(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("corpus_ngrams matches brute-force 5-gram counting") {
     val grams = docs.flatMap { case (docId, norm) =>
       val w = norm.split(" ")
@@ -87,6 +100,26 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     val got = Ngrams.textKeywords(spark, sf).collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === expected.toSeq)
+  }
+
+  test("corpus_sample matches brute-force salted-md5 thresholding") {
+    import java.security.MessageDigest
+    val langOf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rates = graft.operators.Corpus.SampleRates.toMap
+    val expected = docs.flatMap { case (d, norm) =>
+      val md = MessageDigest.getInstance("MD5")
+        .digest(("sample:" + norm).getBytes("UTF-8"))
+      val bucket = (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % 1000
+      val rate = rates.getOrElse(langOf(d), graft.operators.Corpus.DefaultRate)
+      if (bucket < rate) Some((d, langOf(d), bucket, rate)) else None
+    }.sortBy(_._1)
+    val got = graft.operators.Corpus.corpusSample(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq === expected.toSeq)
+    // sampling must actually thin the dominant languages
+    assert(got.length < docs.length)
   }
 
   private def refPolyHash(s: String): Long = {
@@ -120,6 +153,55 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     val got = d.agg(SketchFunctions.kmin_values(col("v"), 16).as("k"))
       .collect().head.getSeq[Long](0)
     assert(got === (1L to 16L))
+  }
+
+  test("streaming sketch folds increments into checkpointed state across restarts") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_sketch_in")
+    val ckpt = Files.createTempDirectory("graft_sketch_ck")
+    val out = Files.createTempDirectory("graft_sketch_out")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("source", "string").add("text", "string")
+    val k = 8
+    def feed(docs: Seq[(String, String)]): Unit =
+      docs.toDF("source", "text").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    def drain(): Map[String, (Int, Long, Long)] = {
+      val q = streaming.SketchStream.sketchQuery(
+        spark, in.toString, schema, k, ckpt.toString, out.toString)
+      q.awaitTermination(60000)
+      // latest update per key wins (batch_id stamps the update log)
+      spark.read.parquet(out.toString).collect()
+        .map(r => (r.getAs[String]("source"),
+          (r.getAs[Int]("nKept"), r.getAs[Long]("kthMin"),
+            r.getAs[Long]("distinctEst"), r.getAs[Long]("batch_id"))))
+        .groupBy(_._1)
+        .map { case (s, xs) =>
+          val l = xs.maxBy(_._2._4)._2
+          s -> ((l._1, l._2, l._3))
+        }
+    }
+    // words chosen so srcA exceeds k distinct tokens only after the
+    // SECOND increment — the estimate must then reflect BOTH batches
+    val batch1 = Seq(
+      "srcA" -> "a b c d e f", "srcB" -> "x y")
+    val batch2 = Seq(
+      "srcA" -> "g h i j k l", "srcB" -> "x z")
+    feed(batch1)
+    val r1 = drain()
+    assert(r1("srcA") === ((6, -1L, 6L))) // exact regime below k
+    assert(r1("srcB") === ((2, -1L, 2L)))
+    feed(batch2)
+    // fresh query from the SAME checkpoint: state must carry over
+    val r2 = drain()
+    val allA = (batch1 ++ batch2).filter(_._1 == "srcA")
+      .flatMap(_._2.split(" ")).distinct.map(refPolyHash).sorted
+    assert(r2("srcA")._1 === k)
+    assert(r2("srcA")._2 === allA(k - 1)) // kth-min over the UNION
+    assert(r2("srcA")._3 ===
+      (k - 1).toLong * SketchFunctions.PolyP / allA(k - 1))
+    assert(r2("srcB") === ((3, -1L, 3L)))
   }
 
   test("sketch_distinct: exact below k, kth-min/estimate reproducible above k") {
