@@ -93,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           HyperplaneCode(args.head, planes)
         })
     ).foreach(ext.injectFunction)
+    // band (interval) joins: users write the natural inequality
+    // predicate; the optimizer derives the bucketized equality join
+    // (see graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

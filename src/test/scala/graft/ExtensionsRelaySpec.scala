@@ -69,6 +69,33 @@ class ExtensionsRelaySpec extends AnyFunSuite {
     assert(r.getInt(2) >= 0 && r.getInt(2) < 16)
   }
 
+  test("band join is auto-rewritten to a bucketized hash join with identical results") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts_s"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("ts_s").as("pts"))
+    val x = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("ts_s").as("ets"))
+    // the NATURAL band join — no equality key anywhere
+    val joined = p.join(x,
+        col("ets") > col("pts") && col("ets") - col("pts") <= lit(3600L))
+      .orderBy("pid", "eid")
+    joined.collect() // settle AQE
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    val events = e.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = for {
+      (pid, t1, pts) <- events if t1 == "purchase"
+      (eid, t2, ets) <- events if t2 == "error" && ets > pts && ets - pts <= 3600L
+    } yield (pid, eid)
+    val got = joined.select("pid", "eid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq === expected.sorted.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("relay end-to-end covers every event exactly once") {
     val out = operators.Relay.relayPipeline(spark, sf)
     val n = out.agg(sum("n_events")).collect().head.getLong(0)
