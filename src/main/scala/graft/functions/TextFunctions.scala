@@ -2,7 +2,13 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Exprs
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis operators for training-data pipelines
   * (SURVEY §2 #35–38): language ID, quality scoring, token counting,
@@ -194,6 +200,54 @@ object TextFunctions {
       |  CAST(length(norm) AS INT) AS n_chars_norm
       |FROM d
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // word n-grams as ONE codegen'd expression
+  // ---------------------------------------------------------------------
+
+  /** Static so generated code can call it: space-joined word n-grams
+    * of a (normalized, single-spaced) string in one pass. Value-equal
+    * to the chained `zip_with(concat)` + null-filter formulation, but
+    * those 4 HOF lambdas are interpreted per ELEMENT (the same class
+    * of cost as every other HOF hot path this library has replaced);
+    * this loop splits once and builds each gram with one StringBuilder
+    * sweep. Mirrors `split(s, ' ')` semantics exactly (trailing empty
+    * tokens kept, empty input → [""] → no n-grams for n > 1). */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ARRAY<STRING> of the space-joined word n-grams of a string. */
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      wordNgrams(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.TextFunctions$$.MODULE$$.wordNgrams($a, $n)")
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
+  def word_ngrams(c: Column, n: Int): Column =
+    Exprs.toColumn(WordNgrams(Exprs.toExpression(c), n))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId,

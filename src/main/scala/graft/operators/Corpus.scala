@@ -215,20 +215,12 @@ object Corpus {
   // corpus_decontaminate — benchmark n-gram overlap detection
   // ---------------------------------------------------------------------
 
-  /** Word-n-gram column built by chaining zip_with over shifted
-    * slices: each lambda touches ONLY its lambda variables, so the
-    * split is evaluated a constant number of times per row (an
-    * element_at(words, i+k) formulation would re-evaluate it per
-    * element — the measured O(words²) HOF pitfall, SURVEY §4). */
-  private def ngrams(words: Column, n: Int): Column = {
-    val joined = (1 until n).foldLeft(words) { (acc, k) =>
-      val shifted = slice(words, lit(k + 1), greatest(size(words) - k, lit(0)))
-      zip_with(acc, shifted, (a, b) =>
-        when(a.isNull || b.isNull, lit(null))
-          .otherwise(concat(a, lit(" "), b)))
-    }
-    array_distinct(filter(joined, x => x.isNotNull))
-  }
+  /** Distinct word n-grams of a normalized string — one codegen'd
+    * [[graft.functions.TextFunctions.WordNgrams]] pass (replaces the
+    * round-3 chained-zip_with formulation, whose n−1 lambdas were
+    * interpreted per element). */
+  private def ngrams(norm: Column, n: Int): Column =
+    array_distinct(graft.functions.TextFunctions.word_ngrams(norm, n))
 
   /** Every 97th doc stands in for the benchmark/eval set. */
   val BenchmarkMod = 97
@@ -247,7 +239,7 @@ object Corpus {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TextFunctions.normText(col("text")).as("norm"))
-      .select(col("doc_id"), ngrams(split(col("norm"), " "), n).as("grams"))
+      .select(col("doc_id"), ngrams(col("norm"), n).as("grams"))
     val bench = d.filter(col("doc_id") % BenchmarkMod === 0)
       .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
     val train = d.filter(col("doc_id") % BenchmarkMod =!= 0)

@@ -50,23 +50,18 @@ object Dedup {
     * corpus' planted near-duplicates (25 pairs at sf0.01) separate
     * cleanly from the J≤0.2 background.
     *
-    * Performance: the pairing lambda must reference ONLY its lambda
-    * variables. An `element_at(words, i)` formulation re-evaluates the
-    * `words` expression per element (and Catalyst's CollapseProject
-    * re-inlines any alias of it), making shingling O(words²) per
-    * document — measured 10× slower on the bench. zip_with(words,
-    * shift(words)) evaluates the split a constant number of times per
-    * row instead. */
-  private val shinglesOf = (words: Column) =>
-    array_distinct(filter(
-      zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
-        (a, b) => when(b.isNull, lit(null)).otherwise(concat(a, lit(" "), b))),
-      x => x.isNotNull))
+    * Performance: one codegen'd WordNgrams pass per document. (The
+    * round-2 zip_with(words, shift(words)) formulation avoided the
+    * measured O(words²) element_at pitfall but still paid an
+    * interpreted lambda per element; the primitive loop replaces it
+    * value-for-value.) */
+  private val shinglesOf = (norm: Column) =>
+    array_distinct(graft.functions.TextFunctions.word_ngrams(norm, 2))
 
   /** doc_id + distinct word-2-gram shingle array. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("toks", shinglesOf(split(col("norm"), " ")))
+      .withColumn("toks", shinglesOf(col("norm")))
       .select("doc_id", "toks")
 
   // ---------------------------------------------------------------------

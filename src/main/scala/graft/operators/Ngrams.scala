@@ -29,23 +29,16 @@ object Ngrams {
   val N = 5
   val TopK = 20
 
-  /** words[i..i+4] joined left-to-right; positions past size-4 carry a
-    * null from the short slice and are filtered after explode. */
-  private val gramsExpr =
-    """zip_with(zip_with(zip_with(zip_with(
-      |    w,
-      |    slice(w, 2, greatest(size(w) - 1, 0)), (a, b) -> concat(a, ' ', b)),
-      |    slice(w, 3, greatest(size(w) - 2, 0)), (a, b) -> concat(a, ' ', b)),
-      |    slice(w, 4, greatest(size(w) - 3, 0)), (a, b) -> concat(a, ' ', b)),
-      |    slice(w, 5, greatest(size(w) - 4, 0)), (a, b) -> concat(a, ' ', b))""".stripMargin
-
   /** #61 Top-k most frequent word 5-grams across the corpus, with the
-    * number of distinct documents containing each. */
+    * number of distinct documents containing each. N-gram generation
+    * is one codegen'd [[graft.functions.TextFunctions.WordNgrams]]
+    * pass (the chained-zip_with formulation paid 4 interpreted lambda
+    * evals per word — 2× the whole query). */
   def corpusNgrams(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
-      .filter(col("gram").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.word_ngrams(
+          normText(col("text")), N)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
       .orderBy(desc("n"), asc("gram"))
