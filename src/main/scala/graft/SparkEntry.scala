@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Corpus.queries ++
       operators.Sequence.queries ++
       operators.Ngrams.queries ++
-      operators.Sketch.queries
+      operators.Sketch.queries ++
+      sources.Spool.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.Corpus.oracle ++
       operators.Sequence.oracle ++
       operators.Ngrams.oracle ++
-      operators.Sketch.oracle
+      operators.Sketch.oracle ++
+      sources.Spool.oracle
 }

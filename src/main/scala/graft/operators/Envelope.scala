@@ -397,8 +397,8 @@ object Envelope {
   /** The spool-file bodies: one CloudWatch record JSON per split part
     * (sink.py:204-217), gzipped at level 9. Shared by record_gzip
     * (size/roundtrip view) and spool_read (the decode direction). */
-  private def spoolBodies(spark: SparkSession, dir: String,
-                          maxRecord: Int): DataFrame =
+  private[graft] def spoolBodies(spark: SparkSession, dir: String,
+                                 maxRecord: Int): DataFrame =
     splitEvents(spark, dir, maxRecord)
       .groupBy("source", "dest", "part_id")
       .agg(to_json(struct(

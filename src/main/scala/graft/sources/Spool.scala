@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** #69 spool_source — the spool DIRECTORY round-trip through the
+  * DataSourceV2 reader: materialize real `*.gz` spool files on disk
+  * (one gzip CloudWatch record per file, exactly the bytes
+  * `record_gzip` verifies in-plan), then read them back with
+  * `spark.read.format("graft-spool")` and explode to events.
+  *
+  * The oracle is the plain synthesized event set (same as
+  * `spool_read`), so file write → gzip → DSv2 scan → JSON parse →
+  * explode is verified value-for-value in DuckDB.
+  *
+  * The spool files are written EXECUTOR-SIDE (foreachPartition) — on
+  * a cluster the same code targets a shared filesystem; no event data
+  * ever funnels through the driver.
+  */
+object Spool {
+
+  private def scratchDir(spark: SparkSession, dir: String): File =
+    new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-${spark.sparkContext.applicationId}-${new File(dir).getName}")
+
+  /** Write one `.gz` file per spool record under `scratch`
+    * (idempotent: the directory is cleared first). */
+  private[graft] def writeSpoolDir(spark: SparkSession, dir: String): File = {
+    val scratch = scratchDir(spark, dir)
+    if (scratch.exists()) {
+      Option(scratch.listFiles()).foreach(_.foreach(_.delete()))
+    } else scratch.mkdirs()
+    val base = scratch.getAbsolutePath
+    graft.operators.Envelope
+      .spoolBodies(spark, dir, graft.operators.Envelope.TestRecordSize)
+      .select(col("source"), col("dest"), col("part_id"), col("gz"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val name = s"${r.getAs[String]("source")}-${r.getAs[Int]("dest")}-" +
+            s"${r.getAs[Long]("part_id")}.gz"
+          val out = new java.io.FileOutputStream(new File(base, name))
+          try out.write(r.getAs[Array[Byte]]("gz")) finally out.close()
+        }
+      }
+    scratch
+  }
+
+  def spoolSource(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = writeSpoolDir(spark, dir)
+    spark.read.format("graft-spool").load(scratch.getAbsolutePath)
+      .select(
+        col("id").cast("long").as("event_id"),
+        col("log_stream").as("source"),
+        element_at(split(col("log_group"), "/"), 3).cast("int").as("dest"),
+        col("log_stream"),
+        col("message"),
+        col("timestamp").as("ts_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Identical shape to spool_read's oracle: the DSv2 path must
+    * reproduce the synthesized events exactly. */
+  val spoolSourceSql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_ns(ts)//1000000000 AS ts_s,
+      |    '10.0.0.' || (user_id % 200) AS source,
+      |    CASE WHEN event_type IN ('click','view') THEN 514
+      |         WHEN event_type IN ('signup','purchase') THEN 601
+      |         ELSE 6514 END AS dest,
+      |    printf('<%d>%s id=%d', event_id % 192, event_type, event_id) AS message
+      |  FROM events
+      |)
+      |SELECT event_id, source, dest, source AS log_stream,
+      |  message, ts_s * 1000 AS ts_ms
+      |FROM e
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "spool_source" -> spoolSource)
+
+  val oracle: Map[String, String] = Map(
+    "spool_source" -> spoolSourceSql)
+}

@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 reader for the reference's spool directory format:
+  * a directory of `*.gz` files, each file one gzip-compressed
+  * CloudWatch-Logs record JSON (reference: kinesyslog/sink.py:204-217
+  * writes exactly this shape into the spool for Firehose draining;
+  * spool.py:105-130 lists and re-reads them). Reading the spool back
+  * is the reference's recovery/reprocessing path — here it is a
+  * first-class table:
+  *
+  *   spark.read.format("graft-spool").load("/var/spool/graft")
+  *
+  * One output row per logEvent, record header columns repeated.
+  *
+  * Scale design:
+  *  - files are bin-packed into input partitions by cumulative size
+  *    (`maxPartitionBytes` option, default 128 MiB) — a spool of
+  *    millions of small records plans a bounded partition count
+  *    instead of one task per file, and a handful of giant files
+  *    still parallelize across executors file-by-file;
+  *  - column pruning reaches the reader: un-required header fields
+  *    are never converted to UTF8String (a `select(message)` does no
+  *    per-row work for the other seven columns);
+  *  - record-level filters on header columns (log_group, log_stream,
+  *    owner, message_type) are applied BEFORE logEvents explode —
+  *    one string compare skips an entire record, the row-group-skip
+  *    analogue for this format. All pushed filters are also returned
+  *    as residual, so Spark re-checks them; pushdown here is a skip
+  *    optimization, never a correctness dependency.
+  */
+class SpoolDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-spool"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SpoolTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new SpoolTable(properties.get("path"))
+}
+
+object SpoolTable {
+  /** Record header fields first (constant per file), then the
+    * per-event fields, then provenance. */
+  val Schema: StructType = StructType(Seq(
+    StructField("owner", StringType),
+    StructField("log_group", StringType),
+    StructField("log_stream", StringType),
+    StructField("message_type", StringType),
+    StructField("subscription_filters", ArrayType(StringType)),
+    StructField("id", StringType),
+    StructField("message", StringType),
+    StructField("timestamp", LongType),
+    StructField("src_file", StringType)))
+
+  /** Header columns a record-level filter may skip whole files on. */
+  val HeaderCols: Set[String] =
+    Set("owner", "log_group", "log_stream", "message_type")
+}
+
+class SpoolTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-spool:$path"
+  override def schema(): StructType = SpoolTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SpoolScanBuilder(path, options)
+}
+
+class SpoolScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = SpoolTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Keep only header-column filters the reader can evaluate once per
+    * record; everything (kept or not) is residual for Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(a, _) => SpoolTable.HeaderCols(a)
+      case In(a, _) => SpoolTable.HeaderCols(a)
+      case IsNotNull(a) => SpoolTable.HeaderCols(a)
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val maxBytes = Option(options.get("maxPartitionBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    new SpoolScan(path, required, pushed, maxBytes)
+  }
+}
+
+class SpoolScan(path: String, required: StructType, filters: Array[Filter],
+                maxPartitionBytes: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-spool $path ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+
+  /** Driver-side planning: list `*.gz`, sort by name (deterministic),
+    * greedy bin-pack by size into ≤ maxPartitionBytes partitions. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".gz"))
+      .sortBy(_.getPath.getName)
+      .map(s => (s.getPath.toString, s.getLen))
+    val parts = ArrayBuffer.empty[SpoolInputPartition]
+    val cur = ArrayBuffer.empty[String]
+    var curBytes = 0L
+    files.foreach { case (f, len) =>
+      if (cur.nonEmpty && curBytes + len > maxPartitionBytes) {
+        parts += SpoolInputPartition(cur.toArray); cur.clear(); curBytes = 0
+      }
+      cur += f; curBytes += len
+    }
+    if (cur.nonEmpty) parts += SpoolInputPartition(cur.toArray)
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpoolReaderFactory(required, filters)
+}
+
+case class SpoolInputPartition(files: Array[String]) extends InputPartition
+
+class SpoolReaderFactory(required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SpoolPartitionReader(
+      partition.asInstanceOf[SpoolInputPartition].files, required, filters)
+}
+
+/** Streams one partition's files: gunzip → parse record JSON →
+  * record-level filter → emit one pruned InternalRow per logEvent. */
+class SpoolPartitionReader(files: Array[String], required: StructType,
+                           filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private var fileIdx = 0
+  private var events: java.util.Iterator[JsonNode] = _
+  private var header: Map[String, String] = _
+  private var subs: ArrayData = _
+  private var srcFile: UTF8String = _
+  private var current: InternalRow = _
+
+  private def headerPasses(): Boolean = filters.forall {
+    case EqualTo(a, v) => header.get(a).contains(v.toString)
+    case In(a, vs) => header.get(a).exists(h => vs.exists(_.toString == h))
+    case IsNotNull(a) => header.get(a).isDefined
+    case _ => true
+  }
+
+  private def str(n: JsonNode, field: String): String = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null else v.asText()
+  }
+
+  /** Advance to the next file whose record passes the pushed filters. */
+  private def nextFile(): Boolean = {
+    while (fileIdx < files.length) {
+      val f = files(fileIdx); fileIdx += 1
+      val conf = new Configuration()
+      val p = new Path(f)
+      val in = new GZIPInputStream(p.getFileSystem(conf).open(p))
+      val rec = try mapper.readTree(in) finally in.close()
+      header = Map(
+        "owner" -> str(rec, "owner"),
+        "log_group" -> str(rec, "logGroup"),
+        "log_stream" -> str(rec, "logStream"),
+        "message_type" -> str(rec, "messageType")).collect {
+        case (k, v) if v != null => (k, v)
+      }
+      if (headerPasses()) {
+        val sf = rec.get("subscriptionFilters")
+        subs =
+          if (sf == null || sf.isNull) null
+          else new GenericArrayData(
+            (0 until sf.size()).map(i => UTF8String.fromString(sf.get(i).asText())))
+        srcFile = UTF8String.fromString(f)
+        val le = rec.get("logEvents")
+        if (le != null && le.isArray && le.size() > 0) {
+          events = le.elements()
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (events == null || !events.hasNext) {
+      if (!nextFile()) return false
+    }
+    val ev = events.next()
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      row.update(i, required.fields(i).name match {
+        case "owner" => header.get("owner").map(UTF8String.fromString).orNull
+        case "log_group" => header.get("log_group").map(UTF8String.fromString).orNull
+        case "log_stream" => header.get("log_stream").map(UTF8String.fromString).orNull
+        case "message_type" => header.get("message_type").map(UTF8String.fromString).orNull
+        case "subscription_filters" => subs
+        case "id" => Option(str(ev, "id")).map(UTF8String.fromString).orNull
+        case "message" => Option(str(ev, "message")).map(UTF8String.fromString).orNull
+        case "timestamp" =>
+          val t = ev.get("timestamp")
+          if (t == null || t.isNull) null else java.lang.Long.valueOf(t.asLong())
+        case "src_file" => srcFile
+      })
+      i += 1
+    }
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

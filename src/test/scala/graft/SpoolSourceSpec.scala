@@ -1,0 +1,103 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DataSourceV2 spool reader (SURVEY §2 #69). */
+class SpoolSourceSpec extends SparkSpec {
+
+  private def record(group: String, stream: String,
+                     events: Seq[(String, String, Long)]): String = {
+    val evs = events.map { case (id, msg, ts) =>
+      s"""{"id":"$id","message":"$msg","timestamp":$ts}"""
+    }.mkString(",")
+    s"""{"owner":"000000000000","logGroup":"$group","logStream":"$stream",""" +
+      s""""subscriptionFilters":["$group"],"messageType":"DATA_MESSAGE",""" +
+      s""""logEvents":[$evs]}"""
+  }
+
+  private def writeGz(dir: File, name: String, body: String): Unit = {
+    val out = new GZIPOutputStream(new FileOutputStream(new File(dir, name)))
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private lazy val fixture: File = {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-spec-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    writeGz(dir, "a-514-0.gz", record("graft/syslog/514", "10.0.0.1",
+      Seq(("001", "<13>m1", 1000L), ("002", "<14>m2", 2000L))))
+    writeGz(dir, "b-601-0.gz", record("graft/syslog/601", "10.0.0.2",
+      Seq(("003", "<15>m3", 3000L))))
+    writeGz(dir, "ignored.txt", record("x", "y", Seq(("9", "z", 9L))))
+    new File(dir, "ignored.txt").delete() // only *.gz are spool files
+    dir
+  }
+
+  test("spool source reads records and explodes logEvents") {
+    val df = spark.read.format("graft-spool").load(fixture.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq === Seq("owner", "log_group",
+      "log_stream", "message_type", "subscription_filters", "id",
+      "message", "timestamp", "src_file"))
+    val rows = df.orderBy("id")
+      .select("id", "log_stream", "log_group", "message", "timestamp")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      ("001", "10.0.0.1", "graft/syslog/514", "<13>m1", 1000L),
+      ("002", "10.0.0.1", "graft/syslog/514", "<14>m2", 2000L),
+      ("003", "10.0.0.2", "graft/syslog/601", "<15>m3", 3000L)))
+    val subs = df.orderBy("id").select("subscription_filters")
+      .collect().map(_.getSeq[String](0))
+    assert(subs.forall(_.length == 1))
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("graft-spool").load(fixture.getAbsolutePath)
+      .select("message")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.output.map(_.name) === Seq("message"))
+    assert(df.collect().map(_.getString(0)).sorted ===
+      Array("<13>m1", "<14>m2", "<15>m3"))
+  }
+
+  test("header filters push down and skip whole records") {
+    val df = spark.read.format("graft-spool").load(fixture.getAbsolutePath)
+      .filter(col("log_stream") === "10.0.0.2")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    // the scan advertises the pushed header filter
+    assert(scan.scan.description().contains("log_stream"))
+    assert(df.select("id").collect().map(_.getString(0)).toSeq === Seq("003"))
+  }
+
+  test("bin-packing bounds the partition count") {
+    val many = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-spec-many-${spark.sparkContext.applicationId}")
+    many.mkdirs()
+    (0 until 40).foreach(i => writeGz(many, f"r-$i%03d.gz",
+      record("g", "s", Seq((f"$i%03d", "m" * 50, i.toLong)))))
+    // tiny cap: partitions obey cumulative-size packing, files stay whole
+    val df = spark.read.format("graft-spool")
+      .option("maxPartitionBytes", "400")
+      .load(many.getAbsolutePath)
+    val parts = df.rdd.getNumPartitions
+    assert(parts > 1 && parts < 40, s"expected packed partitions, got $parts")
+    assert(df.count() === 40)
+    // default cap: all 40 tiny files in ONE partition
+    val one = spark.read.format("graft-spool").load(many.getAbsolutePath)
+    assert(one.rdd.getNumPartitions === 1)
+  }
+
+  test("spool_source query matches spool_read on the same inputs") {
+    val viaSource = SparkEntry.queries("spool_source")(spark, sf).collect()
+    val viaPlan = SparkEntry.queries("spool_read")(spark, sf).collect()
+    assert(viaSource.map(_.toSeq).toSeq === viaPlan.map(_.toSeq).toSeq)
+  }
+}
