@@ -290,14 +290,125 @@ object Corpus {
       |ORDER BY train.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #70 corpus_passage_dedup — passage-level exact dedup over fixed
+  // word windows (the document-internal cousin of dedup_exact: a
+  // boilerplate passage repeated across thousands of pages is removed
+  // everywhere but its first occurrence, while the hosting documents
+  // survive). Fixed non-overlapping windows are the standard unit for
+  // this (50-token windows in the published train-dedup recipe; 20
+  // words here to exercise multi-passage docs at test scale).
+  // ---------------------------------------------------------------------
+
+  val PassageWords = 20
+
+  /** Scale shape: passage ownership is a groupBy-MIN over the passage
+    * text (map-side combine bounds hot boilerplate passages — a
+    * window row_number over PARTITION BY passage would sort every
+    * occurrence of a hot passage in one task), then a join back on
+    * passage (hot passages fan d×1, never d×d) and one doc-level
+    * reassembly groupBy. Three shuffles, no sort-by-hot-key. */
+  def corpusPassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = PassageWords
+    val chunks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(graft.functions.TextFunctions.normText(col("text")), " ")
+          .as("words"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(size(words) / ${w}.0) AS INT) - 1),
+             |  i -> array_join(slice(words, i * $w + 1, $w), ' '))""".stripMargin))
+          .as(Seq("idx", "passage")))
+    val firsts = chunks.groupBy("passage")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    chunks.join(firsts, "passage")
+      .withColumn("keep",
+        struct(col("doc_id"), col("idx")) === col("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(
+            when(col("keep"), struct(col("idx"), col("passage"))))),
+            x => x.getField("passage")), " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  val corpusPassageDedupSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    val w = PassageWords
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($norm, ' ') AS words FROM documents
+      |), c AS (
+      |  SELECT doc_id, i AS idx,
+      |    array_to_string(list_slice(words, i * $w + 1, i * $w + $w), ' ') AS passage
+      |  FROM d, range(0, 100000) t(i)
+      |  WHERE i * $w < len(words)
+      |), r AS (
+      |  SELECT doc_id, idx, passage,
+      |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+      |  FROM c
+      |)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_passages,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY idx), '')
+      |    AS kept_text
+      |FROM r
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // #71 corpus_domain_cap — cap documents per domain (web-corpus
+  // recipe: unbounded per-site contributions skew the training mix,
+  // so each domain keeps at most N docs by a deterministic priority;
+  // `source` is the domain key in this corpus). Every doc is emitted
+  // with its rank and verdict, so the drop set is auditable.
+  // ---------------------------------------------------------------------
+
+  val DomainCap = 20
+
+  /** One shuffle (the per-source window). At 100 TB a viral domain
+    * makes this partition hot; the fix is the Skew.scala two-stage
+    * shape — per-(source, salt) top-N first, then top-N of the
+    * ≤ N·salts survivors — which composes here because top-N is
+    * decomposable. The direct window is the right plan while no
+    * single domain exceeds a task's sort budget. */
+  def corpusDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val byPriority = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .withColumn("rank", row_number().over(byPriority).cast("long"))
+      .withColumn("kept", (col("rank") <= DomainCap).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDomainCapSql: String =
+    s"""SELECT doc_id, source, lang, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+      |  CASE WHEN row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) <= $DomainCap
+      |    THEN 1 ELSE 0 END AS kept
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean,
+    "corpus_passage_dedup" -> corpusPassageDedup,
+    "corpus_domain_cap" -> corpusDomainCap,
     "corpus_split" -> corpusSplit,
     "corpus_sample" -> corpusSample,
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)))
 
   val oracle: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
+    "corpus_passage_dedup" -> corpusPassageDedupSql,
+    "corpus_domain_cap" -> corpusDomainCapSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql)

@@ -77,4 +77,44 @@ class CorpusSpec extends SparkSpec {
     val train = out.filter(col("split") === "train").count().toDouble
     assert(train / n > 0.8 && train / n < 0.97, s"train=${train / n}")
   }
+
+  test("passage dedup: first occurrence survives, later copies drop") {
+    import spark.implicits._
+    val w = operators.Corpus.PassageWords
+    val shared = (1 to w).map(i => s"tok$i").mkString(" ")
+    val uniqueA = (1 to w).map(i => s"aa$i").mkString(" ")
+    val uniqueB = (1 to w).map(i => s"bb$i").mkString(" ")
+    // doc 1 = shared + uniqueA; doc 2 = shared + uniqueB (boilerplate
+    // header repeated across pages); doc 3 = a short tail-only doc
+    val docs = Seq(
+      (1L, s"$shared $uniqueA"), (2L, s"$shared $uniqueB"),
+      (3L, "tiny tail doc")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.Corpus.corpusPassageDedup(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((2L, 2L, s"$shared $uniqueA"))) // first copy: all kept
+    assert(out(2L) === ((2L, 1L, uniqueB))) // shared passage dropped
+    assert(out(3L) === ((1L, 1L, "tiny tail doc"))) // short docs intact
+  }
+
+  test("domain cap: at most DomainCap kept per source, by n_chars priority") {
+    val out = operators.Corpus.corpusDomainCap(spark, sf)
+    val cap = operators.Corpus.DomainCap
+    val perSource = out.filter(col("kept") === 1)
+      .groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= cap))
+    // every kept doc outranks (longer-or-equal) every dropped doc of
+    // its source
+    val worstKept = out.filter(col("kept") === 1)
+      .groupBy("source").agg(min("n_chars").as("min_kept"))
+    val bestDropped = out.filter(col("kept") === 0)
+      .groupBy("source").agg(max("n_chars").as("max_dropped"))
+    val bad = worstKept.join(bestDropped, "source")
+      .filter(col("max_dropped") > col("min_kept"))
+    assert(bad.count() === 0)
+  }
 }
