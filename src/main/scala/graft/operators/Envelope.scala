@@ -51,7 +51,7 @@ object Envelope {
       |     WHEN event_type IN ('signup','purchase') THEN 601
       |     ELSE 6514 END""".stripMargin.replace("\n", " ")
 
-  private def withEnvelopeCols(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def withEnvelopeCols(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id"), col("ts_s"),
       source.as("source"), dest.as("dest"), msg.as("message"))

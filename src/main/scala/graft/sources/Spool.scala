@@ -47,9 +47,9 @@ object Spool {
     scratch
   }
 
-  def spoolSource(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = writeSpoolDir(spark, dir)
-    spark.read.format("graft-spool").load(scratch.getAbsolutePath)
+  /** Read a spool directory back to the per-event oracle shape. */
+  private def readBack(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-spool").load(path)
       .select(
         col("id").cast("long").as("event_id"),
         col("log_stream").as("source"),
@@ -58,6 +58,46 @@ object Spool {
         col("message"),
         col("timestamp").as("ts_ms"))
       .orderBy("event_id")
+
+  def spoolSource(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = writeSpoolDir(spark, dir)
+    readBack(spark, scratch.getAbsolutePath)
+  }
+
+  /** #72 spool_sink — the WRITE direction through the DataSourceV2
+    * writer: event rows flow through
+    * `df.write.format("graft-spool")`, whose per-task writers buffer
+    * per (log_group, log_stream) and flush a gzip CloudWatch record
+    * file whenever the next event would push the record past
+    * `maxRecordBytes` (the reference sink's flush rule,
+    * sink.py:167-186). Reading the directory back must reproduce the
+    * synthesized events value-for-value — same oracle as
+    * spool_source, so the writer's record packing is proven lossless
+    * regardless of how rows were partitioned across writers. */
+  def spoolSink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Envelope.{GroupPrefix, MessageClass, Owner}
+    val scratch = new File(sys.props("java.io.tmpdir"),
+      s"graft-spoolsink-${spark.sparkContext.applicationId}-${new File(dir).getName}")
+    if (scratch.exists()) {
+      Option(scratch.listFiles()).foreach(_.foreach(_.delete()))
+    } else scratch.mkdirs()
+    val group = concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
+    graft.operators.Envelope.withEnvelopeCols(spark, dir)
+      .select(
+        lit(Owner).as("owner"),
+        group.as("log_group"),
+        col("source").as("log_stream"),
+        lit("DATA_MESSAGE").as("message_type"),
+        array(group).as("subscription_filters"),
+        lpad(col("event_id").cast("string"), 56, "0").as("id"),
+        col("message"),
+        (col("ts_s") * 1000).as("timestamp"))
+      // one writer per stream: header-local buffers, per-stream files
+      .repartition(col("log_group"), col("log_stream"))
+      .write.format("graft-spool")
+      .option("maxRecordBytes", graft.operators.Envelope.TestRecordSize.toString)
+      .mode("append").save(scratch.getAbsolutePath)
+    readBack(spark, scratch.getAbsolutePath)
   }
 
   /** Identical shape to spool_read's oracle: the DSv2 path must
@@ -78,8 +118,10 @@ object Spool {
       |ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "spool_source" -> spoolSource)
+    "spool_source" -> spoolSource,
+    "spool_sink" -> spoolSink)
 
   val oracle: Map[String, String] = Map(
-    "spool_source" -> spoolSourceSql)
+    "spool_source" -> spoolSourceSql,
+    "spool_sink" -> spoolSourceSql)
 }

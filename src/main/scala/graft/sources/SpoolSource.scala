@@ -75,13 +75,18 @@ object SpoolTable {
     Set("owner", "log_group", "log_stream", "message_type")
 }
 
-class SpoolTable(path: String) extends Table with SupportsRead {
+class SpoolTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-spool:$path"
   override def schema(): StructType = SpoolTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SpoolScanBuilder(path, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SpoolWriteBuilder(path, info)
 }
 
 class SpoolScanBuilder(path: String, options: CaseInsensitiveStringMap)

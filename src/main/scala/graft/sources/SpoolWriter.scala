@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, GZIPOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** DataSourceV2 writer for the spool directory format — the SINK
+  * direction of `graft-spool`:
+  *
+  *   df.write.format("graft-spool").mode("append").save(dir)
+  *
+  * Input schema is the event-level view (the same columns the reader
+  * emits, minus `src_file`): (owner, log_group, log_stream,
+  * message_type, subscription_filters?, id, message, timestamp).
+  * Each writer task re-implements the reference sink's flush rule
+  * (sink.py:148-217): events buffer per (log_group, log_stream)
+  * header and a CloudWatch record file is flushed whenever the
+  * accumulated JSON would exceed the record cap (`maxRecordBytes`
+  * option, default 4 MiB like MAX_RECORD_SIZE) — so no spool file
+  * ever outgrows the Firehose record limit, no matter how hot a
+  * stream is.
+  *
+  * Scale: writers are per-task (no driver funnel); a task's state is
+  * bounded by (#headers in its partition × record cap). Partition the
+  * frame by (log_group, log_stream) upstream to get one writer per
+  * stream and per-stream file locality. Files are written directly
+  * under `path` with task-unique names (`part-{pid}-{tid}-{seq}.gz`),
+  * so speculative duplicates cannot collide; abort() removes the
+  * task's files.
+  */
+class SpoolWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new SpoolWrite(path, info.schema(),
+    Option(info.options.get("maxRecordBytes")).map(_.toLong)
+      .getOrElse(4L * 1024 * 1024))
+}
+
+class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long)
+    extends Write with BatchWrite {
+  SpoolWrite.requireWritable(schema)
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SpoolWriterFactory(path, schema, maxRecordBytes)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+object SpoolWrite {
+  val Required: Seq[(String, DataType)] = Seq(
+    "owner" -> StringType, "log_group" -> StringType,
+    "log_stream" -> StringType, "message_type" -> StringType,
+    "id" -> StringType, "message" -> StringType, "timestamp" -> LongType)
+
+  def requireWritable(schema: StructType): Unit =
+    Required.foreach { case (name, dt) =>
+      val f = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-spool write needs column `$name`; got ${schema.simpleString}"))
+      require(f.dataType == dt,
+        s"graft-spool column `$name` must be ${dt.simpleString}, " +
+          s"got ${f.dataType.simpleString}")
+    }
+}
+
+class SpoolWriterFactory(path: String, schema: StructType, maxRecordBytes: Long)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SpoolDataWriter(path, schema, maxRecordBytes, partitionId, taskId)
+}
+
+case class SpoolCommit(files: Seq[String]) extends WriterCommitMessage
+
+class SpoolDataWriter(path: String, schema: StructType, maxRecordBytes: Long,
+                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val idx = SpoolWrite.Required.map { case (n, _) =>
+    n -> schema.fieldIndex(n)
+  }.toMap
+  private val subsIdx = schema.fields.indexWhere(_.name == "subscription_filters")
+
+  private case class Header(owner: String, group: String, stream: String,
+                            msgType: String, subs: Seq[String])
+  /** Buffered event JSON fragments + their byte size, per header. */
+  private val buf = mutable.LinkedHashMap.empty[Header, (mutable.ArrayBuffer[String], Long)]
+  private val written = mutable.ArrayBuffer.empty[String]
+  private var seq = 0
+  private val conf = new Configuration()
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** JSON string or literal null (Spark's append path fills columns
+    * the frame omits with nulls — never crash on them). */
+  private def jstr(s: String): String =
+    if (s == null) "null" else "\"" + jsonEscape(s) + "\""
+
+  override def write(row: InternalRow): Unit = {
+    def str(name: String): String = {
+      val i = idx(name)
+      if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+    }
+    val subs =
+      if (subsIdx < 0 || row.isNullAt(subsIdx)) Seq.empty[String]
+      else {
+        val a = row.getArray(subsIdx)
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+    val h = Header(str("owner"), str("log_group"), str("log_stream"),
+      str("message_type"), subs)
+    val ts = if (row.isNullAt(idx("timestamp"))) "null"
+      else row.getLong(idx("timestamp")).toString
+    val ev = s"""{"id":${jstr(str("id"))},""" +
+      s""""message":${jstr(str("message"))},"timestamp":$ts}"""
+    val (events, bytes) = buf.getOrElseUpdate(h, (mutable.ArrayBuffer.empty, 0L))
+    // flush-before-append keeps every record under the cap (the
+    // reference sizes the gzipped record; uncompressed JSON is the
+    // deterministic, strictly-conservative bound)
+    if (events.nonEmpty && bytes + ev.length + 1 > maxRecordBytes) flush(h)
+    val (events2, bytes2) = buf.getOrElseUpdate(h, (mutable.ArrayBuffer.empty, 0L))
+    events2 += ev
+    buf(h) = (events2, bytes2 + ev.length + 1)
+  }
+
+  private def flush(h: Header): Unit = buf.remove(h).foreach { case (events, _) =>
+    if (events.nonEmpty) {
+      val subsJson = h.subs.map(jstr).mkString(",")
+      val record =
+        s"""{"owner":${jstr(h.owner)},"logGroup":${jstr(h.group)},""" +
+          s""""logStream":${jstr(h.stream)},"subscriptionFilters":[$subsJson],""" +
+          s""""messageType":${jstr(h.msgType)},""" +
+          s""""logEvents":[${events.mkString(",")}]}"""
+      val name = f"part-$partitionId%05d-$taskId-$seq%05d.gz"
+      seq += 1
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos) { `def`.setLevel(Deflater.BEST_COMPRESSION) }
+      gz.write(record.getBytes("UTF-8")); gz.close()
+      val p = new Path(path, name)
+      val out = p.getFileSystem(conf).create(p, false)
+      try out.write(bos.toByteArray) finally out.close()
+      written += p.toString
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    buf.keys.toSeq.foreach(flush)
+    SpoolCommit(written.toSeq)
+  }
+
+  override def abort(): Unit = {
+    written.foreach { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).delete(p, false); ()
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -6,7 +6,16 @@ import java.util.zip.GZIPOutputStream
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
-/** DataSourceV2 spool reader (SURVEY §2 #69). */
+object SpoolTableSchemaFixture {
+  import org.apache.spark.sql.types._
+  def withTimestampAs(dt: DataType): StructType =
+    StructType(graft.sources.SpoolTable.Schema.fields.map {
+      case f if f.name == "timestamp" => f.copy(dataType = dt)
+      case f => f
+    })
+}
+
+/** DataSourceV2 spool reader + writer (SURVEY §2 #69/#72). */
 class SpoolSourceSpec extends SparkSpec {
 
   private def record(group: String, stream: String,
@@ -93,6 +102,54 @@ class SpoolSourceSpec extends SparkSpec {
     // default cap: all 40 tiny files in ONE partition
     val one = spark.read.format("graft-spool").load(many.getAbsolutePath)
     assert(one.rdd.getNumPartitions === 1)
+  }
+
+  test("V2 writer: record cap respected, round-trip lossless") {
+    import spark.implicits._
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-write-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val events = (1 to 200).map(i =>
+      ("o", s"g/${i % 2}", s"s${i % 3}", "DATA_MESSAGE",
+        Seq(s"g/${i % 2}"), f"$i%03d", s"msg-$i-" + "x" * 40, i.toLong))
+      .toDF("owner", "log_group", "log_stream", "message_type",
+        "subscription_filters", "id", "message", "timestamp")
+    events.repartition(2, col("log_group"), col("log_stream"))
+      .write.format("graft-spool").option("maxRecordBytes", "600")
+      .mode("append").save(dir.getAbsolutePath)
+    // multiple capped files, none over ~600B of JSON (gz smaller)
+    val files = dir.listFiles().filter(_.getName.endsWith(".gz"))
+    assert(files.length > 6, s"expected many capped records, got ${files.length}")
+    val back = spark.read.format("graft-spool").load(dir.getAbsolutePath)
+    assert(back.count() === 200)
+    // every event survives with its header intact
+    val got = back.select("id", "log_group", "log_stream", "message", "timestamp")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    val want = (1 to 200).map(i => (f"$i%03d", s"g/${i % 2}", s"s${i % 3}",
+      s"msg-$i-" + "x" * 40, i.toLong)).sortBy(_._1)
+    assert(got.toSeq === want)
+    // no record file exceeds the cap after gunzip
+    files.foreach { f =>
+      val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+      val body = try in.readAllBytes() finally in.close()
+      val rec = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val evJson = rec.get("logEvents").toString
+      assert(evJson.length <= 600 + 2, s"${f.getName}: ${evJson.length}")
+    }
+  }
+
+  test("write schema validation rejects missing/mistyped columns") {
+    import org.apache.spark.sql.types._
+    val missing = StructType(Seq(StructField("id", StringType)))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.SpoolWrite.requireWritable(missing)
+    }.getMessage.contains("graft-spool"))
+    val mistyped = SpoolTableSchemaFixture.withTimestampAs(StringType)
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.SpoolWrite.requireWritable(mistyped)
+    }.getMessage.contains("bigint"))
   }
 
   test("spool_source query matches spool_read on the same inputs") {
