@@ -80,7 +80,8 @@ class SpoolTable(path: String) extends Table
   override def name(): String = s"graft-spool:$path"
   override def schema(): StructType = SpoolTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SpoolScanBuilder(path, options)
   override def newWriteBuilder(
@@ -153,6 +154,74 @@ class SpoolScan(path: String, required: StructType, filters: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SpoolReaderFactory(required, filters)
+
+  /** Streaming read: tail the spool directory the way the reference's
+    * drain loop does (spool.py:105-130 — list, process, remember).
+    * The offset is the lexicographically-largest processed file name;
+    * spool writers name files in arrival order (the reference embeds
+    * a timestamp; SpoolDataWriter's part-/task-/seq names are
+    * monotone per task), so each micro-batch is exactly the files
+    * that sort after the watermark. State is one string — no
+    * per-file seen-set to grow without bound at 100 TB. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SpoolMicroBatchStream(path, required, filters, maxPartitionBytes)
+}
+
+class SpoolOffset(val watermark: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = watermark
+  override def equals(o: Any): Boolean = o match {
+    case s: SpoolOffset => s.watermark == watermark
+    case _ => false
+  }
+  override def hashCode(): Int = watermark.hashCode
+}
+
+class SpoolMicroBatchStream(path: String, required: StructType,
+                            filters: Array[Filter], maxPartitionBytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listNames(): Seq[(String, String, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".gz"))
+      .map(s => (s.getPath.getName, s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  override def initialOffset(): Offset = new SpoolOffset("")
+  override def deserializeOffset(json: String): Offset = new SpoolOffset(json)
+  override def latestOffset(): Offset = {
+    val names = listNames()
+    new SpoolOffset(if (names.isEmpty) "" else names.last._1)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SpoolOffset].watermark
+    val hi = end.asInstanceOf[SpoolOffset].watermark
+    val batch = listNames().filter { case (n, _, _) => n > lo && n <= hi }
+    val parts = ArrayBuffer.empty[SpoolInputPartition]
+    val cur = ArrayBuffer.empty[String]
+    var curBytes = 0L
+    batch.foreach { case (_, f, len) =>
+      if (cur.nonEmpty && curBytes + len > maxPartitionBytes) {
+        parts += SpoolInputPartition(cur.toArray); cur.clear(); curBytes = 0
+      }
+      cur += f; curBytes += len
+    }
+    if (cur.nonEmpty) parts += SpoolInputPartition(cur.toArray)
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpoolReaderFactory(required, filters)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SpoolInputPartition(files: Array[String]) extends InputPartition

@@ -152,6 +152,43 @@ class SpoolSourceSpec extends SparkSpec {
     }.getMessage.contains("bigint"))
   }
 
+  test("micro-batch stream tails the directory; restart resumes from checkpoint") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-stream-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val cp = new File(dir, "_cp").getAbsolutePath
+    writeGz(dir, "0001.gz", record("g", "s1", Seq(("001", "m1", 1L))))
+    writeGz(dir, "0002.gz", record("g", "s1", Seq(("002", "m2", 2L))))
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = spark.readStream.format("graft-spool")
+      .load(dir.getAbsolutePath)
+      .select("id", "message")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(r.getString(0))); ()
+      }
+      .option("checkpointLocation", cp).start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(seen.toArray(Array.empty[String]).sorted === Array("001", "002"))
+    // a new spool file arrives mid-stream → exactly its events append
+    writeGz(dir, "0003.gz", record("g", "s2", Seq(("003", "m3", 3L))))
+    q1.processAllAvailable()
+    assert(seen.size() === 3)
+    q1.stop()
+    // restart from the checkpoint: only files past the watermark run
+    seen.clear()
+    writeGz(dir, "0004.gz", record("g", "s2", Seq(("004", "m4", 4L))))
+    val q2 = start()
+    q2.processAllAvailable()
+    val second = seen.toArray(Array.empty[String])
+    assert(second.sorted === Array("004"), second.mkString(","))
+    q2.stop()
+  }
+
   test("spool_source query matches spool_read on the same inputs") {
     val viaSource = SparkEntry.queries("spool_source")(spark, sf).collect()
     val viaPlan = SparkEntry.queries("spool_read")(spark, sf).collect()
