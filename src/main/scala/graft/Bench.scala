@@ -37,7 +37,8 @@ object Bench {
     "gelf_parse", "relay_end_to_end",
     "dedup_exact", "dedup_minhash", "dedup_embedding_lsh", "ann_bruteforce",
     "ann_ivf", "text_quality", "text_tokens", "text_pii_scrub",
-    "corpus_ngrams", "text_keywords", "sketch_distinct")
+    "corpus_ngrams", "text_keywords", "sketch_distinct",
+    "corpus_passage_dedup")
 
   val TimedPasses = 3
 

@@ -169,6 +169,33 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 4, plan)
   }
 
+  test("corpus_passage_dedup: groupBy-MIN ownership, join-back, no cartesian") {
+    val plan = planString(operators.Corpus.corpusPassageDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // passage min-agg (partial/final) + join-back + doc reassembly + sort
+    assert(shuffles(plan) <= 4, plan)
+    // ownership agg carries a map-side partial (bounds hot passages)
+    assert(plan.contains("partial_min") || plan.contains("partial min"), plan)
+  }
+
+  test("corpus_domain_cap: single window shuffle + presentation sort") {
+    val plan = planString(operators.Corpus.corpusDomainCap(spark, sf))
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("spool source scan: pruning and header pushdown visible in the plan") {
+    val scratch = graft.sources.Spool.writeSpoolDir(spark, sf)
+    val df = spark.read.format("graft-spool").load(scratch.getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("log_stream") === "10.0.0.1")
+      .select("message")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("log_stream"), plan)
+    // pruned to the filter column + projection — the other 7 never read
+    assert(plan.contains("ReadSchema: struct<log_stream:string,message:string>"),
+      plan)
+  }
+
   test("ann_bruteforce: corpus never shuffles its vectors (broadcast query side)") {
     val plan = planString(operators.Similarity.annBruteforce(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
