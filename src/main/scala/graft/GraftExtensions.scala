@@ -97,5 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // predicate; the optimizer derives the bucketized equality join
     // (see graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // whole-plan top-k-per-key operator (partial heap → shuffle →
+    // final merge; see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -397,10 +397,34 @@ object Corpus {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** #74 corpus_domain_topk — the same per-domain cap computed by the
+    * custom TopKPerKey whole-plan operator (partial bounded heaps →
+    * key shuffle of ≤ k·partitions rows → final merge) instead of the
+    * full-sort window. Same oracle answer; the plan is the one that
+    * survives a domain with 100M docs. */
+  def corpusDomainTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+      keys = Seq(col("source")),
+      ordering = Seq(col("n_chars").desc, col("doc_id")),
+      k = DomainCap)
+      .orderBy("doc_id")
+
+  val corpusDomainTopkSql: String =
+    s"""SELECT doc_id, source, lang, n_chars FROM (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= $DomainCap
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean,
     "corpus_passage_dedup" -> corpusPassageDedup,
     "corpus_domain_cap" -> corpusDomainCap,
+    "corpus_domain_topk" -> corpusDomainTopk,
     "corpus_split" -> corpusSplit,
     "corpus_sample" -> corpusSample,
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)))
@@ -409,6 +433,7 @@ object Corpus {
     "corpus_clean" -> corpusCleanSql,
     "corpus_passage_dedup" -> corpusPassageDedupSql,
     "corpus_domain_cap" -> corpusDomainCapSql,
+    "corpus_domain_topk" -> corpusDomainTopkSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql)
