@@ -43,13 +43,39 @@ class SpoolWriteBuilder(path: String, info: LogicalWriteInfo)
 }
 
 class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   SpoolWrite.requireWritable(schema)
+  // both parent traits default this; re-state to disambiguate
+  override def useCommitCoordinator(): Boolean = true
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SpoolWriterFactory(path, schema, maxRecordBytes)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** Streaming sink: each epoch's tasks spool their records with
+    * epoch-unique file names. Semantics are the reference spool's —
+    * at-least-once (an epoch replayed after a crash re-spools; the
+    * downstream drain already tolerates duplicate records, which is
+    * why the reference keys records with unique ids). Exactly-once
+    * would need a commit log the spool format deliberately lacks. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new SpoolStreamingWriterFactory(path, schema, maxRecordBytes)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class SpoolStreamingWriterFactory(path: String, schema: StructType,
+                                  maxRecordBytes: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SpoolDataWriter(path, schema, maxRecordBytes, partitionId, taskId,
+      namePrefix = f"epoch-$epochId%06d-")
 }
 
 object SpoolWrite {
@@ -72,13 +98,14 @@ object SpoolWrite {
 class SpoolWriterFactory(path: String, schema: StructType, maxRecordBytes: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SpoolDataWriter(path, schema, maxRecordBytes, partitionId, taskId)
+    new SpoolDataWriter(path, schema, maxRecordBytes, partitionId, taskId,
+      namePrefix = "")
 }
 
 case class SpoolCommit(files: Seq[String]) extends WriterCommitMessage
 
 class SpoolDataWriter(path: String, schema: StructType, maxRecordBytes: Long,
-                      partitionId: Int, taskId: Long)
+                      partitionId: Int, taskId: Long, namePrefix: String)
     extends DataWriter[InternalRow] {
 
   private val idx = SpoolWrite.Required.map { case (n, _) =>
@@ -145,7 +172,7 @@ class SpoolDataWriter(path: String, schema: StructType, maxRecordBytes: Long,
           s""""logStream":${jstr(h.stream)},"subscriptionFilters":[$subsJson],""" +
           s""""messageType":${jstr(h.msgType)},""" +
           s""""logEvents":[${events.mkString(",")}]}"""
-      val name = f"part-$partitionId%05d-$taskId-$seq%05d.gz"
+      val name = f"${namePrefix}part-$partitionId%05d-$taskId-$seq%05d.gz"
       seq += 1
       val bos = new ByteArrayOutputStream()
       val gz = new GZIPOutputStream(bos) { `def`.setLevel(Deflater.BEST_COMPRESSION) }

@@ -189,6 +189,40 @@ class SpoolSourceSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("streaming sink: writeStream spools micro-batches, batch read returns them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-ssink-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val cp = new File(dir, "_cp").getAbsolutePath
+
+    val input = MemoryStream[(String, String, Long)]
+    val q = input.toDF().toDF("id", "message", "timestamp")
+      .withColumn("owner", lit("o"))
+      .withColumn("log_group", lit("g/1"))
+      .withColumn("log_stream", lit("s1"))
+      .withColumn("message_type", lit("DATA_MESSAGE"))
+      .withColumn("subscription_filters", array(lit("g/1")))
+      .writeStream.format("graft-spool")
+      .option("checkpointLocation", cp)
+      .start(dir.getAbsolutePath)
+    input.addData(("001", "m1", 1L), ("002", "m2", 2L))
+    q.processAllAvailable()
+    input.addData(("003", "m3", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graft-spool").load(dir.getAbsolutePath)
+    assert(back.select("id").collect().map(_.getString(0)).sorted ===
+      Array("001", "002", "003"))
+    // two epochs → epoch-prefixed, collision-free file names
+    val files = dir.listFiles().filter(_.getName.endsWith(".gz")).map(_.getName)
+    assert(files.forall(_.startsWith("epoch-")), files.mkString(","))
+    assert(files.map(_.take(12)).distinct.length === 2, files.mkString(","))
+  }
+
   test("spool_source query matches spool_read on the same inputs") {
     val viaSource = SparkEntry.queries("spool_source")(spark, sf).collect()
     val viaPlan = SparkEntry.queries("spool_read")(spark, sf).collect()
