@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * Media assets ride through the pipeline as opaque `binary` columns
   * with typed metadata structs. The Spark-side plumbing — schema,
   * partition-parallel batched decode, UDF signature and batch shape —
-  * is real. The image codec is a REAL pure-JVM header parse for
-  * JPEG (SOFn) and PNG (IHDR); payloads that are not a recognizable
-  * image (including this container's synthesized text-as-bytes corpus)
-  * and the audio/video kinds fall back to `fakeDims`, a deterministic
-  * stub standing in for codecs that are not in this container.
+  * is real, and so are the codecs: pure-JVM header parses for JPEG
+  * (SOFn) / PNG (IHDR) images, WAV (RIFF fmt-chunk sample rate +
+  * channels) audio, and MP4 (moov→trak→tkhd dimensions) video.
+  * Payloads not recognizable as their kind (including this
+  * container's synthesized text-as-bytes corpus) fall back to
+  * `fakeDims`, a deterministic stub.
   *
   * Scale notes: decode runs via `mapPartitions` over Arrow-sized
   * batches (the Scala analogue of `mapInPandas`), so each task
@@ -71,21 +72,89 @@ object Multimodal {
     } else None
   }
 
-  /** STUB dims for non-image kinds and unrecognizable payloads:
-    * deterministic pseudo-dimensions from the content bytes. */
+  /** Pure-JVM WAV header read — the real codec for `kind = audio`:
+    * RIFF/WAVE container, chunks walked from offset 12 as
+    * [id:4][size:u32le][data] (RIFF spec); the mandatory `fmt ` chunk
+    * carries channels (u16le @ +2) and sample rate (u32le @ +4).
+    * Returns (sample_rate, channels) in the generic (primary,
+    * secondary) dimension slots. */
+  def wavMeta(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def ascii(i: Int, n: Int) = new String(bytes.slice(i, i + n), "US-ASCII")
+    def u16le(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Long = u16le(i).toLong | (u16le(i + 2).toLong << 16)
+    if (bytes.length < 36 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      return None
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = ascii(i, 4)
+      val size = u32le(i + 4)
+      if (id == "fmt " && size >= 16 && i + 16 <= bytes.length)
+        return Some((u32le(i + 12).toInt, u16le(i + 10)))
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Pure-JVM MP4 dimension read — the real codec for `kind = video`:
+    * ISO BMFF box walk ([size:u32be][type:4], size 1 = 64-bit
+    * largesize) down moov → trak → tkhd, whose presentation width and
+    * height are 16.16 fixed-point u32s at +76/+80 (version 0) or
+    * +88/+92 (version 1) from the box header (ISO 14496-12 §8.3.2). */
+  def mp4Dims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    def ascii(i: Int) = new String(bytes.slice(i, i + 4), "US-ASCII")
+    def findBox(from: Long, end: Long, tpe: String): Option[(Long, Long)] = {
+      var i = from
+      while (i + 8 <= end) {
+        val size0 = u32(i.toInt)
+        val (hdr, size) =
+          if (size0 == 1 && i + 16 <= end) // 64-bit largesize
+            (16L, (u32(i.toInt + 8) << 32) | u32(i.toInt + 12))
+          else (8L, if (size0 == 0) end - i else size0)
+        if (size < hdr || i + size > end) return None // corrupt: bail
+        if (ascii(i.toInt + 4) == tpe) return Some((i + hdr, i + size))
+        i += size
+      }
+      None
+    }
+    if (bytes.length < 16 || ascii(4) != "ftyp") return None
+    val end = bytes.length.toLong
+    for {
+      (moovStart, moovEnd) <- findBox(0, end, "moov")
+      (trakStart, trakEnd) <- findBox(moovStart, moovEnd, "trak")
+      (tkhdStart, tkhdEnd) <- findBox(trakStart, trakEnd, "tkhd")
+      version = u8(tkhdStart.toInt)
+      off = tkhdStart + (if (version == 1) 88 else 76)
+      if off + 8 <= tkhdEnd
+      w = (u32(off.toInt) >> 16).toInt
+      h = (u32(off.toInt + 4) >> 16).toInt
+      if w > 0 && h > 0
+    } yield (w, h)
+  }
+
+  /** STUB dims for unrecognizable payloads: deterministic
+    * pseudo-dimensions from the content bytes. */
   def fakeDims(bytes: Array[Byte]): (Int, Int) = {
     val h = bytes.take(16).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
     ((math.abs(h) % 1920).toInt + 1, (math.abs(h / 1920) % 1080).toInt + 1)
   }
 
-  /** Batch codec: real header parse for images, stub otherwise. The
-    * signature (batch of byte arrays in, metadata rows out) is the
-    * contract shared with a future audio/video decode. */
+  /** Batch codec: real header parse per kind — JPEG/PNG dimensions
+    * for images, WAV (sample_rate, channels) for audio, MP4 tkhd
+    * dimensions for video — with the deterministic stub as the
+    * fallback for unrecognizable payloads (e.g. this container's
+    * synthesized text-as-bytes corpus). */
   def decodeBatch(batch: Seq[MediaRow], batchIndex: Int): Seq[DecodedRow] =
     batch.map { m =>
-      val (w, h) =
-        (if (m.kind == "image") imageDims(m.bytes) else None)
-          .getOrElse(fakeDims(m.bytes))
+      val real = m.kind match {
+        case "image" => imageDims(m.bytes)
+        case "audio" => wavMeta(m.bytes)
+        case "video" => mp4Dims(m.bytes)
+        case _ => None
+      }
+      val (w, h) = real.getOrElse(fakeDims(m.bytes))
       DecodedRow(m.doc_id, m.kind, m.bytes.length,
         m.bytes.take(4).map(b => f"${b & 0xff}%02x").mkString,
         w, h, batchIndex)

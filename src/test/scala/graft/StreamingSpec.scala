@@ -333,6 +333,48 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).width >= 1 && out(2).width <= 1920)
   }
 
+  test("multimodal audio/video codecs read true WAV/MP4 headers from fixture bytes") {
+    import operators.Multimodal
+    def u32le(v: Long): Seq[Int] =
+      Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+        ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def u16le(v: Int): Seq[Int] = Seq(v & 0xff, (v >> 8) & 0xff)
+    // minimal WAV: RIFF/WAVE + a JUNK chunk before fmt (walker must skip)
+    val fmt = u16le(1) ++ u16le(2) ++ u32le(44100L) ++ u32le(176400L) ++
+      u16le(4) ++ u16le(16)
+    val wav = ("RIFF".map(_.toInt) ++ u32le(60) ++ "WAVE".map(_.toInt) ++
+      "JUNK".map(_.toInt) ++ u32le(4) ++ Seq(0, 0, 0, 0) ++
+      "fmt ".map(_.toInt) ++ u32le(16) ++ fmt).map(_.toByte).toArray
+    assert(Multimodal.wavMeta(wav) === Some((44100, 2)))
+    assert(Multimodal.wavMeta("RIFFnope".getBytes("US-ASCII")) === None)
+
+    def u32be(v: Long): Seq[Int] =
+      Seq(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+        ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+    def box(tpe: String, payload: Seq[Int]): Seq[Int] =
+      u32be(8L + payload.length) ++ tpe.map(_.toInt) ++ payload
+    // minimal MP4: ftyp + moov(trak(tkhd v0 with 1280x720 at 16.16))
+    val tkhdPayload = Seq(0, 0, 0, 0) ++ // version 0 + flags
+      Seq.fill(72)(0) ++ // creation..matrix (width is at +76)
+      u32be(1280L << 16) ++ u32be(720L << 16)
+    val mp4 = (box("ftyp", "isom".map(_.toInt) ++ Seq.fill(8)(0)) ++
+      box("moov", box("trak", box("tkhd", tkhdPayload))))
+      .map(_.toByte).toArray
+    assert(Multimodal.mp4Dims(mp4) === Some((1280, 720)))
+    assert(Multimodal.mp4Dims("not a video".getBytes("US-ASCII")) === None)
+
+    // kind routing end-to-end through the batched decode
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav),
+      Multimodal.MediaRow(2L, "video", mp4),
+      Multimodal.MediaRow(3L, "audio", "static noise".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(out(0).width === 44100 && out(0).height === 2)
+    assert(out(1).width === 1280 && out(1).height === 720)
+    assert(out(2).width >= 1 && out(2).width <= 1920) // stub fallback
+  }
+
   test("multimodal decode keeps batch shape and deterministic metadata") {
     val out = operators.Multimodal.multimodalMeta(spark, sf)
     val docs = Tables.load(spark, sf, "documents").count()
