@@ -574,11 +574,18 @@ object Dedup {
     * cosine test as dedup_embedding, so precision is 1.0 by
     * construction; the probe radius only trades recall. */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String,
-                        planes: Int = EmbedLshPlanes,
+                        planes: Int = -1,
                         radius: Int = EmbedLshProbe): DataFrame = {
-    val v = graft.operators.Similarity.lshCodes(spark, dir, planes)
+    // default: self-scaling plane count (== EmbedLshPlanes at every
+    // tested SF; ceil(log2(n/500)) past ~8k vectors, so buckets grow
+    // with the corpus and per-bucket join cost stays flat)
+    val p =
+      if (planes > 0) planes
+      else graft.operators.Similarity.planesFor(
+        graft.Tables.load(spark, dir, "embeddings").count())
+    val v = graft.operators.Similarity.lshCodes(spark, dir, p)
       .select(col("vec_id"), col("q"), col("nn"), col("code"))
-    val masks = probeMasks(planes, radius)
+    val masks = probeMasks(p, radius)
     val indexed = v.select(col("vec_id"), col("code").as("bucket"))
     val probed = v.select(col("vec_id"),
       explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*))

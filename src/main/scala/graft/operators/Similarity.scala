@@ -26,6 +26,21 @@ object Similarity {
 
   val TopK = 10
   val NumQueries = 5
+  /** Planes sized so the EXPECTED BUCKET stays ~`target` vectors:
+    * ceil(log2(n / target)), floored at the 4 planes the sub-10k test
+    * corpora verify against (identical behavior at every tested SF —
+    * the derivation only kicks in beyond ~8k vectors). The count is a
+    * parquet-metadata job, not a scan. Raising planes leaves per-
+    * bucket cost flat while bucket count absorbs corpus growth — the
+    * knob a 100 TB corpus needs turned automatically. */
+  def planesFor(n: Long, target: Long = 500): Int = {
+    val buckets = math.max(1L, n / target)
+    val ceilLog2 =
+      if (buckets <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.max(4, ceilLog2)
+  }
+
   /** 4 hyperplanes → 16 buckets: each probe touches ~1/16 of the
     * corpus while leaving ~30 candidates per bucket at the 500-vector
     * test scale (8 planes starve recall on near-orthogonal vectors —
@@ -125,8 +140,11 @@ object Similarity {
     * either side). Probe fan-out rides on the tiny broadcast query
     * side; the corpus is still touched once per matching bucket. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val v = lshCodes(spark, dir)
-    val probes = array((0 to Planes).map(i =>
+    // self-scaling bucket count (identical to the fixed 4 planes at
+    // every tested SF; grows as ceil(log2(n/500)) past ~8k vectors)
+    val planes = planesFor(Tables.load(spark, dir, "embeddings").count())
+    val v = lshCodes(spark, dir, planes)
+    val probes = array((0 to planes).map(i =>
       if (i == 0) col("code") else col("code").bitwiseXOR(lit(1 << (i - 1)))): _*)
     val queries = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),

@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 /** ANN (#33–34) and text-analysis (#35–38) invariants. */
 class SimilarityTextSpec extends SparkSpec {
 
+  test("planesFor: fixed 4 at test scales, ceil-log2 growth beyond") {
+    import operators.Similarity.planesFor
+    assert(planesFor(500) === 4)    // sf0.001/sf0.01 corpus
+    assert(planesFor(2000) === 4)   // sf0.1 corpus
+    assert(planesFor(8499) === 4)   // ≤ 16 buckets
+    assert(planesFor(8500) === 5)   // 17 buckets → 5 planes
+    assert(planesFor(1000000) === 11)
+    assert(planesFor(1000000000L) === 21) // 100 TB-ish corpus: 2M buckets
+  }
+
   test("brute-force top-k is k rows per query, cosine-descending") {
     val out = operators.Similarity.annBruteforce(spark, sf).collect()
     val byQuery = out.groupBy(_.getLong(0))
