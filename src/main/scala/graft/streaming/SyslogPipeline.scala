@@ -163,6 +163,38 @@ object SyslogPipeline {
       }
       .start()
 
+  /** Spool DIRECTORY sink: the same parsed stream written as REAL
+    * spool files through the `graft-spool` streaming sink — one gzip
+    * CloudWatch record per file, flushed per (log_group, log_stream)
+    * whenever the accumulated JSON would breach the record cap
+    * (sink.py:167-186). Unlike [[spoolQuery]]'s parquet spool TABLE,
+    * this directory is the reference's own on-disk format: readable
+    * back with `spark.read.format("graft-spool")`, tail-able with
+    * `readStream`, closing the relay → spool → drain loop end to end.
+    * Record ids are deterministic (md5 of message ⊕ timestamp,
+    * left-padded to the reference's 56 digits) — the documented
+    * divergence from the reference's random ids. */
+  def spoolDirQuery(parsed: DataFrame, spoolDir: String,
+                    checkpointDir: String,
+                    config: graft.RelayConfig = graft.RelayConfig(),
+                    port: Int = 6514,
+                    maxRecordBytes: Long = Constants.MaxRecordSize): StreamingQuery =
+    parsed.select(
+        lit("000000000000").as("owner"),
+        lit(config.logGroup(port)).as("log_group"),
+        col("hostname").as("log_stream"),
+        lit("DATA_MESSAGE").as("message_type"),
+        array(lit(config.logGroup(port))).as("subscription_filters"),
+        lpad(conv(substring(md5(concat_ws("|", col("message"),
+          col("ts_ms"))), 1, 15), 16, 10), 56, "0").as("id"),
+        col("message"),
+        col("ts_ms").as("timestamp"))
+      .writeStream.format("graft-spool")
+      .option("checkpointLocation", checkpointDir)
+      .option("maxRecordBytes", maxRecordBytes.toString)
+      .trigger(Trigger.AvailableNow())
+      .start(spoolDir)
+
   /** Windowed-count sink for tests/metrics (in-memory table). */
   def countsQuery(parsed: DataFrame, tableName: String): StreamingQuery =
     windowedCounts(parsed).writeStream

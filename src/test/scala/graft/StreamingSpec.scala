@@ -301,6 +301,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming relay writes the real spool directory format, re-readable as a table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-relay-spool").toFile
+    val spool = new java.io.File(base, "spool").getAbsolutePath
+    val cp = new java.io.File(base, "cp").getAbsolutePath
+    val input = MemoryStream[String]
+    input.addData(
+      "<13>1 2024-01-05T00:00:00Z app01 authd - - - login ok",
+      "<13>1 2024-01-05T00:00:01Z app01 authd - - - login ok 2",
+      "<165>1 2024-01-05T00:00:02Z db9 postgres - - - checkpoint")
+    val q = graft.streaming.SyslogPipeline.spoolDirQuery(
+      graft.streaming.SyslogPipeline.parseLines(input.toDF()), spool, cp)
+    q.awaitTermination()
+    val back = spark.read.format("graft-spool").load(spool)
+    assert(back.count() === 3)
+    // per-stream records with the RelayConfig log group and 56-digit ids
+    val hosts = back.select("log_stream").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(hosts.toSeq === Seq("app01", "db9"))
+    assert(back.select("log_group").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("/kinesyslog/syslog/6514"))
+    assert(back.select("id").collect().forall(_.getString(0).length == 56))
+    // event payloads survive the spool round trip
+    assert(back.filter(col("message").contains("checkpoint")).count() === 1)
+  }
+
   test("multimodal image codec reads true JPEG/PNG dimensions from fixture bytes") {
     import operators.Multimodal
     // minimal PNG: signature + IHDR chunk with width=640, height=480
