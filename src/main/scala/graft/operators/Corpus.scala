@@ -420,8 +420,93 @@ object Corpus {
       |WHERE rn <= $DomainCap
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #76 corpus_pack — SEQUENCE PACKING: greedy-pack documents into
+  // training bins of ≤ PackTokens whitespace tokens (the example-
+  // packing step that turns a cleaned corpus into fixed-budget context
+  // windows; same greedy fold the Firehose batcher uses, sink-cap
+  // semantics: a bin closes when the next doc would breach the cap,
+  // an oversize doc occupies a bin alone).
+  // ---------------------------------------------------------------------
+
+  val PackTokens = 256L
+
+  /** Scale shape: one shuffle groups each source's docs; the
+    * sequential fold runs per source inside its task, bounded by
+    * docs-per-source — the exact plan of firehose_batches, which is
+    * also how the sequential nature of greedy packing is paid once per
+    * group, never globally. Token counts reuse text_tokens'
+    * whitespace measure, so packing and token accounting can't
+    * drift. */
+  def corpusPack(spark: SparkSession, dir: String,
+                 cap: Long = PackTokens): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(graft.functions.TextFunctions.normText(col("text")), " "))
+          .cast("long").as("t"))
+    val grouped = toks.groupBy("source")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("t")))).as("rs"))
+    val assigned = grouped.withColumn("bin_ids", expr(
+      s"""aggregate(
+         |  rs,
+         |  struct(CAST(array() AS ARRAY<BIGINT>) AS ids,
+         |         CAST(0 AS BIGINT) AS b,
+         |         CAST(0 AS BIGINT) AS c,
+         |         CAST(0 AS BIGINT) AS s),
+         |  (acc, x) -> CASE
+         |    WHEN acc.c > 0 AND acc.s + x.t > ${cap}L
+         |    THEN struct(array_append(acc.ids, acc.b + 1) AS ids,
+         |                acc.b + 1 AS b, CAST(1 AS BIGINT) AS c,
+         |                CAST(x.t AS BIGINT) AS s)
+         |    ELSE struct(array_append(acc.ids, acc.b) AS ids,
+         |                acc.b AS b, acc.c + 1 AS c, acc.s + x.t AS s)
+         |    END,
+         |  acc -> acc.ids)""".stripMargin))
+    assigned
+      .select(col("source"),
+        explode(arrays_zip(col("rs"), col("bin_ids"))).as("z"))
+      .select(col("source"), col("z.bin_ids").as("bin_id"),
+        col("z.rs.doc_id").as("doc_id"), col("z.rs.t").as("t"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("t").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source", "bin_id")
+  }
+
+  def corpusPackSql(cap: Long = PackTokens): String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    s"""WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split($norm, ' ')) AS BIGINT) AS t,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents
+      |),
+      |walk AS (
+      |  WITH RECURSIVE w(source, rn, doc_id, t, bin, bc, bs) AS (
+      |    SELECT source, rn, doc_id, t, CAST(0 AS BIGINT), CAST(1 AS BIGINT), t
+      |    FROM d WHERE rn = 1
+      |    UNION ALL
+      |    SELECT r.source, r.rn, r.doc_id, r.t,
+      |      CASE WHEN w.bs + r.t > $cap THEN w.bin + 1 ELSE w.bin END,
+      |      CASE WHEN w.bs + r.t > $cap THEN CAST(1 AS BIGINT) ELSE w.bc + 1 END,
+      |      CASE WHEN w.bs + r.t > $cap THEN r.t ELSE w.bs + r.t END
+      |    FROM w JOIN d r ON r.source = w.source AND r.rn = w.rn + 1
+      |  )
+      |  SELECT * FROM w
+      |)
+      |SELECT source, bin AS bin_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM walk
+      |GROUP BY source, bin
+      |ORDER BY source, bin_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean,
+    "corpus_pack" -> ((s: SparkSession, d: String) => corpusPack(s, d)),
     "corpus_passage_dedup" -> corpusPassageDedup,
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_domain_topk" -> corpusDomainTopk,
@@ -434,6 +519,7 @@ object Corpus {
     "corpus_passage_dedup" -> corpusPassageDedupSql,
     "corpus_domain_cap" -> corpusDomainCapSql,
     "corpus_domain_topk" -> corpusDomainTopkSql,
+    "corpus_pack" -> corpusPackSql(),
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql)

