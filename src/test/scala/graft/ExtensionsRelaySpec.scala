@@ -96,6 +96,24 @@ class ExtensionsRelaySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("TopKPerKey plans through the injected strategy (no self-registration)") {
+    // this session got TopKStrategy via GraftExtensions; confirm the
+    // node plans even though experimental.extraStrategies is untouched
+    assert(!spark.experimental.extraStrategies.contains(plans.TopKStrategy))
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val analyzed = docs.queryExecution.analyzed
+    val node = plans.TopKPerKeyNode(
+      Seq(analyzed.output(1)),
+      Seq(SortOrder(analyzed.output(0), Ascending)), 2, analyzed)
+    val out = GraftShims.ofRows(spark, node)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"), plan)
+  }
+
   test("relay end-to-end covers every event exactly once") {
     val out = operators.Relay.relayPipeline(spark, sf)
     val n = out.agg(sum("n_events")).collect().head.getLong(0)

@@ -32,6 +32,42 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("TopKPerKey shuffles only survivors: partial heaps cut the exchange to ~k·partitions·keys") {
+    import spark.implicits._
+    // AQE wraps stages in leaf QueryStageExec nodes, hiding the
+    // exchange from plan traversal; the metric is the same either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val parts = 8
+    val n = 200000
+    // one pathologically hot key + 50 cold keys
+    val df = spark.range(n)
+      .select((when(col("id") % 4 === 0, lit("hot"))
+        .otherwise(concat(lit("cold"), col("id") % 50))).as("key"),
+        col("id").as("v"))
+      .repartition(parts)
+    val out = plans.TopKPerKey.topK(df, Seq(col("key")), Seq(col("v")), 10)
+    val rows = out.collect()
+    // correctness on the hot key: global minima, not per-partition luck
+    assert(rows.filter(_.getString(0) == "hot").map(_.getLong(1)).sorted.toSeq
+      === (0 until 40 by 4).map(_.toLong))
+    // the scale property: the exchange moved only heap survivors
+    val executed = out.queryExecution.executedPlan
+    // take the exchange directly ABOVE TopKPartial (the repartition
+    // exchange below it moves all n rows by design)
+    val shuffled = executed.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.isInstanceOf[plans.TopKPartialExec] =>
+        e.metrics.collectFirst {
+          case (k, m) if k.toLowerCase.contains("recordswritten") => m.value
+        }.getOrElse(sys.error(s"no records metric in ${e.metrics.keys}"))
+    }.getOrElse(sys.error(s"no exchange above TopKPartial:\n$executed"))
+    val bound = 10L * parts * 51 // k × partitions × distinct keys
+    assert(shuffled <= bound && shuffled < n / 10,
+      s"shuffled $shuffled of $n rows (bound $bound)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
