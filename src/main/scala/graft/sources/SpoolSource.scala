@@ -122,8 +122,29 @@ class SpoolScanBuilder(path: String, options: CaseInsensitiveStringMap)
 }
 
 class SpoolScan(path: String, required: StructType, filters: Array[Filter],
-                maxPartitionBytes: Long) extends Scan with Batch {
+                maxPartitionBytes: Long) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Size statistics from file metadata (gzip bytes × a conservative
+    * 4× expansion) so Catalyst can pick broadcast joins for small
+    * spools instead of defaulting to unknown-size shuffles. */
+  override def estimateStatistics(): Statistics = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val bytes =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".gz"))
+        .map(_.getLen).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes * 4)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-spool $path ReadSchema: ${required.simpleString}, " +

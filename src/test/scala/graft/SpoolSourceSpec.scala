@@ -223,6 +223,18 @@ class SpoolSourceSpec extends SparkSpec {
     assert(files.map(_.take(12)).distinct.length === 2, files.mkString(","))
   }
 
+  test("reported statistics let Catalyst broadcast a small spool side") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => (s"10.0.0.${i % 9}", i.toLong))
+      .toDF("log_stream", "n")
+    val spoolDf = spark.read.format("graft-spool").load(fixture.getAbsolutePath)
+      .select("log_stream", "message")
+    val joined = big.join(spoolDf, "log_stream")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("spool_source query matches spool_read on the same inputs") {
     val viaSource = SparkEntry.queries("spool_source")(spark, sf).collect()
     val viaPlan = SparkEntry.queries("spool_read")(spark, sf).collect()
