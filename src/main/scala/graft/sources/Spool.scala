@@ -37,10 +37,14 @@ object Spool {
       .spoolBodies(spark, dir, graft.operators.Envelope.TestRecordSize)
       .select(col("source"), col("dest"), col("part_id"), col("gz"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        // Hadoop FS, not java.io: on a cluster `base` is a shared
+        // filesystem path and each executor writes its rows directly
+        val conf = new org.apache.hadoop.conf.Configuration()
         rows.foreach { r =>
           val name = s"${r.getAs[String]("source")}-${r.getAs[Int]("dest")}-" +
             s"${r.getAs[Long]("part_id")}.gz"
-          val out = new java.io.FileOutputStream(new File(base, name))
+          val p = new org.apache.hadoop.fs.Path(base, name)
+          val out = p.getFileSystem(conf).create(p, true)
           try out.write(r.getAs[Array[Byte]]("gz")) finally out.close()
         }
       }
