@@ -100,5 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan top-k-per-key operator (partial heap → shuffle →
     // final merge; see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // the row_number()-filter-drop idiom auto-rewrites to that
+    // operator (see graft.plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Top-k-per-key as a WHOLE-PLAN operator (logical node + planner
@@ -149,7 +149,9 @@ case class TopKFinalExec(keys: Seq[Expression], ordering: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    // empty keys = GLOBAL top-k: every partial survivor must meet in
+    // one place, or each partition would emit its own "global" k
+    if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
     val (kx, ox, kk, out) = (keys, ordering, k, child.output)

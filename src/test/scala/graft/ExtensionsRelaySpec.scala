@@ -114,6 +114,53 @@ class ExtensionsRelaySpec extends AnyFunSuite {
     assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"), plan)
   }
 
+  test("row_number-filter-drop idiom auto-rewrites to the TopK heap plan") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val idiom = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("doc_id")
+    idiom.collect()
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"), plan)
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "), plan)
+    // value-identical to the un-rewritten window in the plain session
+    val plain = SparkSpec.session
+    val expected = Tables.load(plain, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(idiom.collect().map(_.toSeq).toSeq === expected.toSeq)
+  }
+
+  test("TopK rewrite guards: kept rank or extra rn use leaves the window intact") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    // rank kept in the output → no rewrite
+    val keepsRank = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "rn")
+    keepsRank.collect()
+    assert(!keepsRank.queryExecution.executedPlan.toString.contains("TopKPartial"))
+    // residual conjunct composes: rewrite fires, extra filter survives
+    val mixed = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("n_chars") > 100).drop("rn")
+    mixed.collect()
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("TopKPartial"), mixedPlan)
+    val viaWindow = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("n_chars") > 100).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(mixed.collect().map(_.toSeq).toSet === viaWindow)
+  }
+
   test("relay end-to-end covers every event exactly once") {
     val out = operators.Relay.relayPipeline(spark, sf)
     val n = out.agg(sum("n_events")).collect().head.getLong(0)
