@@ -504,9 +504,79 @@ object Corpus {
       |ORDER BY source, bin_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #78 corpus_mix — DATA MIXING: subsample each language stratum so
+  // the output corpus matches target mixture weights (the mixing step
+  // that balances a multilingual pre-training corpus). Integer-exact:
+  // the achievable total is bound by the scarcest stratum
+  // (T = min_l floor(n_l·1000 / w_l)), each stratum keeps
+  // floor(T·w_l / 1000) docs by content-hash priority — deterministic,
+  // reproducible, and (like corpus_sample) duplicate content receives
+  // identical priority so mixing composes with dedup.
+  // ---------------------------------------------------------------------
+
+  /** Target per-mille weights; must cover every lang in the corpus. */
+  val MixWeights: Seq[(String, Int)] =
+    Seq("en" -> 400, "zh" -> 180, "de" -> 150, "es" -> 150, "fr" -> 120)
+
+  /** Scale shape: one count aggregate (5 rows, broadcast back), one
+    * per-lang window for the hash-priority rank, map-side everything
+    * else. The rank window partitions by lang — 5 partitions; at
+    * 100 TB partition-internal sort is the bound, and the TopKPerKey
+    * operator (#74) is the drop-in once kept_l fits its k budget. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val wCol = MixWeights.tail.foldLeft(
+      when(col("lang") === MixWeights.head._1, MixWeights.head._2)) {
+      case (acc, (l, w)) => acc.when(col("lang") === l, w)
+    }.otherwise(lit(null)).as("w")
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(graft.functions.TextFunctions.normText(col("text"))).as("pri"))
+      .withColumn("w", wCol)
+    // `div`, not `/`: Column./ is double division; the oracle's `//`
+    // is integer — they must floor identically
+    val counts = d.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .withColumn("t_l", expr("(n * 1000) div w"))
+    val t = counts.agg(min("t_l").as("t"))
+    val quota = counts.crossJoin(broadcast(t))
+      .select(col("lang"), expr("(t * w) div 1000").as("kept_l"))
+    val ranked = d.withColumn("mix_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("pri"), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(quota), "lang")
+      .select(col("doc_id"), col("lang"), col("mix_rank"),
+        (col("mix_rank") <= col("kept_l")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val corpusMixSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    val wCase = MixWeights.map { case (l, w) => s"WHEN '$l' THEN $w" }
+      .mkString("CASE lang ", " ", " END")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, md5($norm) AS pri, $wCase AS w
+      |  FROM documents
+      |), counts AS (
+      |  SELECT lang, w, COUNT(*) AS n, (COUNT(*) * 1000) // w AS t_l
+      |  FROM d GROUP BY lang, w
+      |), t AS (SELECT MIN(t_l) AS t FROM counts
+      |), quota AS (
+      |  SELECT lang, (t.t * w) // 1000 AS kept_l FROM counts, t
+      |), ranked AS (
+      |  SELECT doc_id, lang, pri,
+      |    row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS mix_rank
+      |  FROM d
+      |)
+      |SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank,
+      |  CASE WHEN r.mix_rank <= q.kept_l THEN 1 ELSE 0 END AS kept
+      |FROM ranked r JOIN quota q ON r.lang = q.lang
+      |ORDER BY r.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> corpusClean,
     "corpus_pack" -> ((s: SparkSession, d: String) => corpusPack(s, d)),
+    "corpus_mix" -> corpusMix,
     "corpus_passage_dedup" -> corpusPassageDedup,
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_domain_topk" -> corpusDomainTopk,
@@ -520,6 +590,7 @@ object Corpus {
     "corpus_domain_cap" -> corpusDomainCapSql,
     "corpus_domain_topk" -> corpusDomainTopkSql,
     "corpus_pack" -> corpusPackSql(),
+    "corpus_mix" -> corpusMixSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql)

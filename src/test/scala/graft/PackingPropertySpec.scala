@@ -61,4 +61,41 @@ class PackingPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("corpus_pack fold matches the reference greedy loop on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(5678)
+    for (round <- 1 to 3) {
+      val cap = (rnd.nextInt(400) + 50).toLong
+      val docs = for {
+        src <- Seq("a", "b", "c")
+        i <- 0 until rnd.nextInt(60) + 5
+      } yield {
+        // text with a known whitespace-token count (oversize possible)
+        val nTok = if (rnd.nextInt(15) == 0) cap.toInt + rnd.nextInt(50) + 1
+                   else rnd.nextInt(80) + 1
+        (i.toLong * 3 + Seq("a", "b", "c").indexOf(src), src,
+          Seq.fill(nTok)("w").mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-pack-prop").toString
+      docs.toDF("doc_id", "source", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = operators.Corpus.corpusPack(spark, dir, cap)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      docs.groupBy(_._2).foreach { case (src, ds) =>
+        val ordered = ds.sortBy(_._1)
+        val toks = ordered.map(_._3.split(" ").length.toLong)
+        // corpus_pack has no count cap: reuse greedy with maxCount = ∞
+        val bins = greedy(toks, Int.MaxValue, cap)
+        val expected = bins.zip(toks).groupBy(_._1)
+          .map { case (b, xs) => (src, b) -> (xs.length.toLong, xs.map(_._2).sum) }
+        expected.foreach { case (k, v) =>
+          assert(out(k) === v, s"round $round bin $k")
+        }
+      }
+    }
+  }
 }
