@@ -312,9 +312,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashPolySql: String = {
+  /** The minhash-poly CTE chain `d → sh → h → sig → sigl → bands →
+    * cand → m` (everything up to the per-pair match counts), shared by
+    * the #29b pair oracle and the #79 cluster oracle that builds its
+    * component closure on the same pairs. */
+  private def minhashPolyCtes: String = {
     val rows = MinhashSeeds / Bands
-    s"""WITH d AS (
+    s"""d AS (
       |  SELECT doc_id, string_split($normSql, ' ') AS words FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -350,12 +354,15 @@ object Dedup {
       |  SELECT doc_a, doc_b,
       |    len(list_filter(range(1, ${MinhashSeeds + 1}), i -> ma[i] = mb[i])) AS matches
       |  FROM cand
-      |)
+      |)""".stripMargin
+  }
+
+  val dedupMinhashPolySql: String =
+    s"""WITH $minhashPolyCtes
       |SELECT doc_a, doc_b, CAST(matches AS BIGINT) AS matches
       |FROM m
       |WHERE matches * 2 >= $MinhashSeeds
       |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // #30 dedup_simhash — 64-bit SimHash + rotated-chunk LSH (rows+spec)
@@ -611,6 +618,92 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------------------------------
+  // #79 dedup_clusters — connected-component canonicalization
+  // ---------------------------------------------------------------------
+
+  /** Near-dup PAIRS are only half the dedup story: to drop duplicates
+    * a pipeline must resolve the pair graph into components and keep
+    * one canonical doc per component — pair lists are not transitive
+    * (A~B and B~C commonly arrive without an A~C pair, and dropping
+    * "the b side of every pair" would then drop both B and C or
+    * neither deterministically). Min-label propagation over the
+    * #29b MinHash-LSH pairs: every suspect doc starts as its own
+    * label, each round takes the min over neighbours, fixpoint =
+    * component-minimum doc_id.
+    *
+    * Scale: only docs that appear in a pair enter the loop — the
+    * label frame is one long per duplicate SUSPECT, orders of
+    * magnitude smaller than the corpus; singletons join back once at
+    * the end. Each round is one join + one min-aggregate, both
+    * shuffling on doc_id. Rounds needed = component diameter, and LSH
+    * dup components are star/clique shaped (members share the hot
+    * band bucket), so the loop settles in 2–3 rounds; the hard cap
+    * bounds adversarial chains. Convergence is detected with a single
+    * SUM(label) scalar per round — labels only ever decrease, so an
+    * unchanged sum IS the per-row fixpoint (no comparison join). Each
+    * round's frame is cached and the predecessor unpersisted, so
+    * lineage stays one round deep. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashPoly(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("lbl", col("doc_id"))
+      .persist()
+    var prevSum = Option(labels.agg(sum("lbl")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val prop = edges.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.doc_id"))
+        .select(col("e.dst").as("doc_id"), col("l.lbl").as("lbl"))
+      val next = labels.select("doc_id", "lbl").union(prop)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .persist()
+      val s = Option(next.agg(sum("lbl")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
+    }
+    val out = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "d"),
+        col("doc_id") === col("d"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+    out
+  }
+
+  /** DuckDB witnesses the same components with a recursive closure
+    * (UNION-distinct terminates on cycles): reach(doc, r) enumerates
+    * every r that reaches doc through the pair graph; MIN(r) per doc
+    * is exactly the propagated fixpoint label. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPolyCtes,
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM m WHERE matches * 2 >= $MinhashSeeds
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |), reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+      |)
+      |SELECT doc_id, MIN(r) AS cluster_id,
+      |  CAST(CASE WHEN doc_id = MIN(r) THEN 1 ELSE 0 END AS INT) AS is_canonical
+      |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -619,12 +712,14 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_poly" -> dedupSimhashPoly,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)))
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),
+    "dedup_clusters" -> dedupClusters)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_poly" -> dedupMinhashPolySql,
     "dedup_simhash_poly" -> dedupSimhashPolySql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

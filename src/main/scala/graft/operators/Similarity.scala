@@ -443,14 +443,143 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #80 ann_int8 — scalar-quantized (SQ8) approximate pass + exact
+  // rerank, the FAISS-SQ recipe as a relational plan
+  // ---------------------------------------------------------------------
+
+  /** Rerank depth: the approximate pass keeps this many candidates
+    * per query before the exact pass re-scores them. */
+  val Int8Rerank = 50
+
+  /** Per-vector symmetric int8 codes from the SHARED integer
+    * quantization contract: scale s = max(1, max_i |q_i|), code
+    * c_i = ⌊q_i·127 / s⌋ ∈ [−127, 127]. The floor-div is spelled in
+    * pure integer algebra — (a − ((a % s + s) % s)) / s — because
+    * truncated `%` on negatives is engine-defined-identical (C
+    * semantics in both Spark and DuckDB) while a double division
+    * could round differently at quotient boundaries. */
+  private[graft] def int8Codes(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .withColumn("sc",
+        greatest(lit(1L), expr("array_max(transform(q, x -> abs(x)))")))
+      .withColumn("c8", expr(
+        "transform(q, x -> (x * 127 - (((x * 127) % sc) + sc) % sc) div sc)"))
+      .withColumn("n8", graft.functions.VectorFunctions.norm_sq_l(col("c8")))
+
+  /** SQ8 ANN: the candidate scan reads only (vec_id, c8, n8) — at
+    * scale that is the 8×-smaller codes sidecar, not the vector
+    * column — ranks by approximate int8 cosine, keeps `Int8Rerank`
+    * candidates per query, and re-scores ONLY those against the full
+    * quantized vectors (both rerank joins broadcast the ≤
+    * queries×Int8Rerank candidate rows; the corpus never shuffles).
+    * The top-k filters are written in the row_number ≤ k idiom, which
+    * the TopKRewrite rule plans as the bounded-heap TopKPerKey
+    * operator — no per-query sort of the whole candidate set. Both
+    * ranking keys (approx and exact cosine) are single IEEE
+    * expressions computed identically by the DuckDB oracle, so the
+    * entire encode → approx-rank → rerank pipeline is verified end to
+    * end. */
+  def annInt8(spark: SparkSession, dir: String): DataFrame = {
+    val c = int8Codes(spark, dir)
+    val cq = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("c8").as("q8"),
+        col("n8").as("n8q"))
+    val approx = c.select(col("vec_id"), col("c8"), col("n8"))
+      .join(broadcast(cq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.dot_l(col("c8"), col("q8")).as("adot"),
+        col("n8q"), col("n8").as("n8c"))
+      .withColumn("acos",
+        col("adot").cast("double") /
+          sqrt(col("n8q").cast("double") * col("n8c").cast("double")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("vec_id"))
+    val cand = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= Int8Rerank)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val v = quantized(spark, dir)
+    val qvec = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("nq"))
+    val candq = cand.join(broadcast(qvec), "query_id")
+    val rer = v.join(broadcast(candq), col("vec_id") === col("cand_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"),
+        col("nq"), col("nn").as("nc"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("dot"), col("nq"), col("nc"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annInt8Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn
+      |  FROM q
+      |), s AS (
+      |  SELECT vec_id, v, nn,
+      |    GREATEST(1, list_max(list_transform(v, x -> abs(x)))) AS sc
+      |  FROM n
+      |), c AS (
+      |  SELECT vec_id, nn,
+      |    list_transform(v, x -> (x * 127 - (((x * 127) % sc) + sc) % sc) // sc) AS c8
+      |  FROM s
+      |), cn AS (
+      |  SELECT vec_id, c8, list_sum(list_transform(c8, x -> x * x)) AS n8
+      |  FROM c
+      |), p AS (
+      |  SELECT qs.vec_id AS query_id, cc.vec_id AS vec_id,
+      |    list_sum(list_transform(range(1, 65), i -> qs.c8[i] * cc.c8[i])) AS adot,
+      |    qs.n8 AS n8q, cc.n8 AS n8c
+      |  FROM cn qs JOIN cn cc ON qs.vec_id < $NumQueries AND cc.vec_id <> qs.vec_id
+      |), ar AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(n8q AS DOUBLE) * CAST(n8c AS DOUBLE)) DESC,
+      |               vec_id) AS arank
+      |  FROM p
+      |), cand AS (
+      |  SELECT query_id, vec_id FROM ar WHERE arank <= $Int8Rerank
+      |), x AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+      |    CAST(a.nn AS BIGINT) AS nq, CAST(b.nn AS BIGINT) AS nc
+      |  FROM cand
+      |  JOIN n a ON a.vec_id = cand.query_id
+      |  JOIN n b ON b.vec_id = cand.vec_id
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+      |               vec_id) AS rank
+      |  FROM x
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
+      |FROM r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_lsh_poly" -> annLshPoly,
-    "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)))
+    "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
+    "ann_int8" -> annInt8)
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh_poly" -> annLshPolySql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "ann_int8" -> annInt8Sql)
 }

@@ -164,4 +164,40 @@ class DedupSpec extends SparkSpec {
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("dedup_clusters matches a brute-force union-find of the pair graph") {
+    val pairs = operators.Dedup.dedupMinhashPoly(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find over the (tiny) collected pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).toMap
+    val out = operators.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = out.map(t => t._1 -> t._2).toMap
+    // every doc present exactly once; suspects carry the component
+    // minimum, singletons label themselves
+    assert(out.length === Tables.load(spark, sf, "documents").count())
+    expected.foreach { case (d, root) =>
+      assert(got(d) === root, s"doc $d: got ${got(d)}, expected $root")
+    }
+    out.foreach { case (d, c, canon) =>
+      assert(c <= d)
+      if (!expected.contains(d)) assert(c === d)
+      assert(canon === (if (d == c) 1 else 0))
+    }
+    // exactly one canonical doc per cluster
+    val canonical = out.filter(_._3 == 1).map(_._1).toSet
+    assert(canonical === out.map(_._2).toSet)
+  }
 }

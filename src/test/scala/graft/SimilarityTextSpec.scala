@@ -147,4 +147,31 @@ class SimilarityTextSpec extends SparkSpec {
     val out = functions.TextFunctions.quality(spark, sf)
     assert(out.filter(col("quality_ok") === 1 && col("n_words") < 10).count() === 0)
   }
+
+  test("int8 codes stay in [-127, 127] and reranked scores are exact") {
+    val codes = operators.Similarity.int8Codes(spark, sf)
+      .select(expr("array_max(transform(c8, x -> abs(x)))").as("mx"))
+    assert(codes.agg(max("mx")).head.getLong(0) <= 127L)
+    val exact = operators.Similarity.annBruteforce(spark, sf)
+      .select("query_id", "vec_id", "dot", "nq", "nc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val sq = operators.Similarity.annInt8(spark, sf).collect()
+    assert(sq.length === operators.Similarity.NumQueries * operators.Similarity.TopK)
+    // the rerank pass re-scores with FULL vectors: any (query, vec)
+    // shared with brute force must carry identical dot/norms
+    var overlap = 0
+    sq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exact.get(key).foreach { case (d, nq, nc) =>
+        overlap += 1
+        assert(r.getLong(3) === d)
+        assert(r.getLong(4) === nq)
+        assert(r.getLong(5) === nc)
+      }
+    }
+    // SQ8 at 127 levels + 50-deep rerank recovers nearly all of the
+    // exact top-k (recall here is over all 5 queries jointly)
+    assert(overlap.toDouble / exact.size >= 0.8, s"recall=${overlap.toDouble / exact.size}")
+  }
 }
