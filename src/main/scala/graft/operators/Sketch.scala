@@ -76,9 +76,83 @@ object Sketch {
       |FROM k JOIN x ON k.source = x.source
       |ORDER BY k.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #81 sketch_heavy — Count-Min heavy hitters under fixed memory
+  // ---------------------------------------------------------------------
+
+  /** Count-Min geometry: d×w cells of 8 bytes is the WHOLE sketch
+    * state — 4×512 here. The affine row-hash family
+    * ((2j+3)·hv + 13j+5) mod P mod w reuses the minhash permutation
+    * family (P prime, multipliers non-zero mod P). */
+  val CmsRows = 4
+  val CmsWidth = 512
+  val CmsTopK = 20
+
+  /** Top-`CmsTopK` tokens by Count-Min estimate, with the exact count
+    * riding along as the accuracy witness (CMS only ever
+    * OVER-estimates: est ≥ exact, spec-asserted).
+    *
+    * Scale: token occurrences collapse to (tok, count) with one
+    * map-side-combined aggregate; the sketch itself aggregates to
+    * d·w = 2048 cells — the partial-agg state per task is bounded by
+    * the CELL count, not the token count, which is the entire point
+    * of CMS: at 100 TB the cells frame is still 2048 rows and
+    * broadcast back to the estimate join for free. The final top-k is
+    * a TakeOrderedAndProject (never a full sort). */
+  def sketchHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.load(spark, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt_exact"))
+      .withColumn("hv", poly_hash(col("tok")))
+    def bucket(j: org.apache.spark.sql.Column) =
+      ((col("hv") * (j * 2 + 3) + (j * 13 + 5)) % PolyP) % CmsWidth
+    val rows = occ.select(col("tok"), col("cnt_exact"), col("hv"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("j"))
+      .withColumn("bucket", bucket(col("j")))
+    val cells = rows.groupBy("j", "bucket")
+      .agg(sum("cnt_exact").as("cell"))
+    rows
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("tok", "cnt_exact").agg(min("cell").as("est"))
+      .select(col("tok"), col("est").cast("long").as("est"),
+        col("cnt_exact").cast("long").as("cnt_exact"))
+      .orderBy(col("est").desc, col("tok"))
+      .limit(CmsTopK)
+  }
+
+  val sketchHeavySql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split($normTextSql, ' ')) AS tok FROM documents
+      |), occ AS (
+      |  SELECT tok, COUNT(*) AS cnt_exact FROM toks GROUP BY tok
+      |), h AS (
+      |  SELECT tok, cnt_exact,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % $PolyP) AS hv
+      |  FROM occ
+      |), rows_ AS (
+      |  SELECT tok, cnt_exact, hv, j,
+      |    ((hv * (2*j + 3) + (13*j + 5)) % $PolyP) % $CmsWidth AS bucket
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, $CmsRows)) AS j)
+      |), cells AS (
+      |  SELECT j, bucket, SUM(cnt_exact) AS cell FROM rows_ GROUP BY j, bucket
+      |), est AS (
+      |  SELECT r.tok, r.cnt_exact, MIN(c.cell) AS est
+      |  FROM rows_ r JOIN cells c ON c.j = r.j AND c.bucket = r.bucket
+      |  GROUP BY r.tok, r.cnt_exact
+      |)
+      |SELECT tok, CAST(est AS BIGINT) AS est, CAST(cnt_exact AS BIGINT) AS cnt_exact
+      |FROM est
+      |ORDER BY est DESC, tok
+      |LIMIT $CmsTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_distinct" -> ((s, d) => sketchDistinct(s, d)))
+    "sketch_distinct" -> ((s, d) => sketchDistinct(s, d)),
+    "sketch_heavy" -> ((s, d) => sketchHeavy(s, d)))
 
   val oracle: Map[String, String] = Map(
-    "sketch_distinct" -> sketchDistinctSql)
+    "sketch_distinct" -> sketchDistinctSql,
+    "sketch_heavy" -> sketchHeavySql)
 }

@@ -235,4 +235,26 @@ class SequenceNgramsSketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("count-min heavy hitters: est >= exact, descending, and finds the true top tokens") {
+    val out = Sketch.sketchHeavy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === Sketch.CmsTopK)
+    // CMS only ever over-counts (collisions add, never subtract)
+    out.foreach { case (tok, est, exact) =>
+      assert(est >= exact, s"$tok est=$est < exact=$exact")
+    }
+    // output is (est DESC, tok) ordered
+    out.sliding(2).foreach { case Array((ta, ea, _), (tb, eb, _)) =>
+      assert(ea > eb || (ea == eb && ta < tb))
+    }
+    // with 2048 cells over a ~30-word vocabulary collisions are rare:
+    // the estimate's top set must contain the true top-5 tokens
+    val trueTop = Tables.load(spark, sf, "documents")
+      .select(explode(split(graft.functions.TextFunctions.normText(col("text")), " ")).as("tok"))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    assert(trueTop.subsetOf(out.map(_._1).toSet))
+  }
 }

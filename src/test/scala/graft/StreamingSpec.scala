@@ -123,6 +123,52 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.filter(col("doc_id") === 5L).count() === 1)
   }
 
+  test("streaming minhash-LSH flags cross-batch near-dups the batch job finds") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_mh_in")
+    val out = Files.createTempDirectory("graft_mh_out")
+    val ckpt = Files.createTempDirectory("graft_mh_ck")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    def drain(): Unit = {
+      val q = streaming.MinhashStream.dedupQuery(
+        spark, in.toString, schema, ckpt.toString, out.toString)
+      q.awaitTermination(120000)
+    }
+    // two increments split mid-corpus; the second drain restarts the
+    // query from the checkpoint, so cross-drop collisions prove the
+    // bucket-owner state survives restarts
+    val (first, second) = docs.partition(_._1 < 250)
+    feed(first.toSeq); drain()
+    feed(second.toSeq); drain()
+    val verdicts = spark.read.parquet(out.toString)
+    assert(verdicts.count() === docs.length)
+    // every batch-detected near-dup pair (a, b) shares at least one
+    // band bucket, and the stream hashes to the SAME buckets, so the
+    // larger doc must be flagged (owner <= a < b)
+    val pairs = operators.Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val flagged = verdicts.filter(col("admitted") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    pairs.foreach { case (a, b) =>
+      assert(flagged.contains(b), s"pair ($a,$b): $b not flagged")
+    }
+    // the corpus is not ALL duplicates: most docs are admitted
+    assert(verdicts.filter(col("admitted") === 1).count() > docs.length / 2)
+    // dup_of always points at an earlier doc
+    verdicts.filter(col("admitted") === 0).collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("dup_of")) < r.getLong(r.fieldIndex("doc_id")))
+    }
+  }
+
   test("gelf stream parses datagrams into the shared sink shape and spools under the gelf class") {
     val in = Files.createTempDirectory("graft_gelf_in")
     val spool = Files.createTempDirectory("graft_gelf_out")
