@@ -38,7 +38,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_embedding_lsh", "ann_bruteforce",
     "ann_ivf", "text_quality", "text_tokens", "text_pii_scrub",
     "corpus_ngrams", "text_keywords", "sketch_distinct",
-    "corpus_passage_dedup", "corpus_domain_topk", "corpus_pack")
+    "corpus_passage_dedup", "corpus_domain_topk", "corpus_pack",
+    "dedup_clusters", "ann_int8", "sketch_heavy")
 
   val TimedPasses = 3
 

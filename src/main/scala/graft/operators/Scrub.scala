@@ -133,11 +133,126 @@ object Scrub {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #83 text_gopher_rules — the Gopher/C4-style rule battery
+  // ---------------------------------------------------------------------
+
+  /** Common-word presence set (the "must contain 2 of these" rule). */
+  private val CommonWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The standard web-corpus rule battery (word-count bounds, mean
+    * word length, alpha-word fraction, symbol ratio, bullet/ellipsis
+    * line fractions, common-word presence) as ONE map-only scan —
+    * every threshold is a cross-multiplied integer comparison, so
+    * both engines decide each rule on identical integers and the
+    * whole battery is scan-bound at 100 TB (flags, not filters:
+    * composing pipelines choose which rules to enforce).
+    *
+    * Line-based rules read the RAW text (normalization collapses
+    * newlines); word-based rules read the shared normText. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id"))
+
+  /** Same battery over any (doc_id, text) frame — the spec feeds
+    * crafted docs that trip each rule individually. */
+  def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val cw = CommonWords.map(w => lit(w))
+    docs
+      .withColumn("norm", norm(col("text")))
+      .select(
+        col("doc_id"),
+        size(split(col("norm"), " ")).as("n_words"),
+        (length(col("norm")) - (size(split(col("norm"), " ")) - 1))
+          .as("word_chars"),
+        regexp_count(col("norm"), lit("(?:^| )[^ ]*?[a-z]")).as("n_alpha"),
+        (regexp_count(col("norm"), lit("#")) +
+          regexp_count(col("norm"), lit("\\.\\.\\."))).as("n_sym"),
+        size(split(col("text"), "\n")).as("n_lines"),
+        expr("size(filter(split(text, '\n'), " +
+          "l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'))").as("n_bullet"),
+        expr("size(filter(split(text, '\n'), " +
+          "l -> rtrim(l) LIKE '%...'))").as("n_ellipsis"),
+        least(size(array_intersect(
+          array_distinct(split(col("norm"), " ")), array(cw: _*))), lit(8))
+          .as("cw_hits"))
+      .withColumn("r_word_count",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("r_mean_word_len",
+        (col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10).cast("int"))
+      .withColumn("r_alpha",
+        (col("n_alpha") * 5 >= col("n_words") * 4).cast("int"))
+      .withColumn("r_symbol",
+        (col("n_sym") * 10 <= col("n_words")).cast("int"))
+      .withColumn("r_lines",
+        (col("n_bullet") * 10 <= col("n_lines") * 9 &&
+          col("n_ellipsis") * 10 <= col("n_lines") * 3).cast("int"))
+      .withColumn("r_common_words", (col("cw_hits") >= 2).cast("int"))
+      .withColumn("gopher_ok",
+        (col("r_word_count") === 1 && col("r_mean_word_len") === 1 &&
+          col("r_alpha") === 1 && col("r_symbol") === 1 &&
+          col("r_lines") === 1 && col("r_common_words") === 1).cast("int"))
+  }
+
+  val gopherRulesSql: String = {
+    val lex = CommonWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, text, $normSql AS norm,
+      |    string_split($normSql, ' ') AS toks,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INT) AS n_words,
+      |    CAST(length(norm) - (len(toks) - 1) AS INT) AS word_chars,
+      |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS INT)
+      |      AS n_alpha,
+      |    CAST(len(regexp_extract_all(norm, '#'))
+      |       + len(regexp_extract_all(norm, '\\.\\.\\.')) AS INT) AS n_sym,
+      |    CAST(len(lines) AS INT) AS n_lines,
+      |    CAST(len(list_filter(lines,
+      |      l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS INT) AS n_bullet,
+      |    CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS INT)
+      |      AS n_ellipsis,
+      |    CAST(LEAST(len(list_intersect(list_distinct(toks), $lex)), 8) AS INT)
+      |      AS cw_hits
+      |  FROM d
+      |)
+      |SELECT *,
+      |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT)
+      |    AS r_word_count,
+      |  CAST(CASE WHEN word_chars >= n_words * 3 AND word_chars <= n_words * 10
+      |       THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+      |  CAST(CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS INT)
+      |    AS r_alpha,
+      |  CAST(CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS INT) AS r_symbol,
+      |  CAST(CASE WHEN n_bullet * 10 <= n_lines * 9
+      |         AND n_ellipsis * 10 <= n_lines * 3
+      |       THEN 1 ELSE 0 END AS INT) AS r_lines,
+      |  CAST(CASE WHEN cw_hits >= 2 THEN 1 ELSE 0 END AS INT) AS r_common_words,
+      |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+      |         AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+      |         AND n_alpha * 5 >= n_words * 4
+      |         AND n_sym * 10 <= n_words
+      |         AND n_bullet * 10 <= n_lines * 9
+      |         AND n_ellipsis * 10 <= n_lines * 3
+      |         AND cw_hits >= 2
+      |       THEN 1 ELSE 0 END AS INT) AS gopher_ok
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> piiScrub,
-    "text_repetition" -> repetition)
+    "text_repetition" -> repetition,
+    "text_gopher_rules" -> gopherRules)
 
   val oracle: Map[String, String] = Map(
     "text_pii_scrub" -> piiScrubSql,
-    "text_repetition" -> repetitionSql)
+    "text_repetition" -> repetitionSql,
+    "text_gopher_rules" -> gopherRulesSql)
 }

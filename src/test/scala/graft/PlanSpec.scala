@@ -203,4 +203,25 @@ class PlanSpec extends SparkSpec {
     // shuffles: window by query_id + final sort only
     assert(shuffles(plan) <= 2, plan)
   }
+
+  test("ann_int8: codes-sidecar scan broadcasts queries; full vectors join back broadcast-only") {
+    val plan = planString(operators.Similarity.annInt8(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // approx pass: query codes broadcast against the corpus codes;
+    // rerank: candidate rows broadcast against the vector table —
+    // the corpus itself never hash-shuffles for a join
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // shuffles: approx top-R window, rerank top-k window, final sort
+    assert(shuffles(plan) <= 3, plan)
+  }
+
+  test("sketch_heavy: cells broadcast back; top-k never sorts all tokens") {
+    val plan = planString(operators.Sketch.sketchHeavy(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // token agg + cells agg (+ AQE may reuse); estimate min-agg
+    assert(shuffles(plan) <= 4, plan)
+    // the CmsTopK cut is a bounded TakeOrderedAndProject, not a sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
