@@ -264,7 +264,7 @@ object Corpus {
       |  SELECT doc_id, string_split($norm, ' ') AS words FROM documents
       |), g AS (
       |  SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(words) - ${DecontamN - 1}),
+      |    list_transform(range(1, len(words) - ${DecontamN - 2}),
       |      i -> array_to_string(words[i : i + ${DecontamN - 1}], ' '))
       |  )) AS gram
       |  FROM d
@@ -285,6 +285,107 @@ object Corpus {
       |    AS contaminated,
       |  CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared,
       |  hits.bench_id
+      |FROM train
+      |LEFT JOIN hits ON train.doc_id = hits.doc_id
+      |ORDER BY train.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // #84 corpus_decontaminate_bloom — the 100 TB decontamination path
+  // ---------------------------------------------------------------------
+
+  /** Bloom geometry: K hash rows × M positions. The "bit set" is the
+    * DISTINCT (row, position) pairs the benchmark n-grams light up —
+    * at most K·M rows no matter how large the eval set grows. */
+  val BloomK = 3
+  val BloomM = 65536
+
+  /** Bloom-filter decontamination: #55 broadcasts the benchmark
+    * n-gram STRINGS, which is exact but unbounded — a big eval suite
+    * at 100 TB scale outgrows a broadcast. Here the broadcast is the
+    * bloom position set instead (≤ K·M integer pairs, ~1.5 MB at this
+    * geometry, FIXED regardless of eval-set size); a train n-gram is
+    * flagged iff all K of its positions are lit. Classic bloom
+    * semantics: no false negatives (spec: flags ⊇ #55's exact flags),
+    * deterministic false positives from position collisions — the
+    * affine row-hash family over the shared poly gram hash is integer
+    * math both engines reproduce, so even the false positives are
+    * oracle-checked exactly. */
+  def corpusDecontaminateBloom(spark: SparkSession, dir: String,
+                               n: Int = DecontamN): DataFrame = {
+    import graft.functions.SketchFunctions.{poly_hash, PolyP}
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+      .select(col("doc_id"), ngrams(col("norm"), n).as("grams"))
+    def positions(df: DataFrame): DataFrame = {
+      val h = df.withColumn("hv", poly_hash(col("gram")))
+      h.select(h.columns.map(col) :+
+          explode(expr(s"sequence(0, ${BloomK - 1})")).as("j"): _*)
+        .withColumn("pos",
+          ((col("hv") * (col("j") * 2 + 3) + (col("j") * 13 + 5)) % PolyP)
+            % BloomM)
+    }
+    val bits = positions(
+      d.filter(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(col("grams")).as("gram")))
+      .select("j", "pos").distinct()
+    val train = d.filter(col("doc_id") % BenchmarkMod =!= 0)
+    val gramHits = positions(
+      train.select(col("doc_id"), explode(col("grams")).as("gram")))
+      .join(broadcast(bits), Seq("j", "pos"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("k_hits"))
+      .filter(col("k_hits") === BloomK)
+    val hits = gramHits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_gram_hits"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_gram_hits").isNotNull.cast("int").as("flagged"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDecontaminateBloomSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    val p = graft.functions.SketchFunctions.PolyP
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($norm, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(words) - ${DecontamN - 2}),
+      |      i -> array_to_string(words[i : i + ${DecontamN - 1}], ' '))
+      |  )) AS gram
+      |  FROM d
+      |  WHERE len(words) >= $DecontamN
+      |), h AS (
+      |  SELECT doc_id, gram,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(gram, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % $p) AS hv
+      |  FROM g
+      |), pos AS (
+      |  SELECT doc_id, gram, j,
+      |    ((hv * (2*j + 3) + (13*j + 5)) % $p) % $BloomM AS pos
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j)
+      |), bits AS (
+      |  SELECT DISTINCT j, pos FROM pos WHERE doc_id % $BenchmarkMod = 0
+      |), gh AS (
+      |  SELECT p.doc_id, p.gram
+      |  FROM pos p JOIN bits b ON p.j = b.j AND p.pos = b.pos
+      |  WHERE p.doc_id % $BenchmarkMod <> 0
+      |  GROUP BY p.doc_id, p.gram
+      |  HAVING COUNT(*) = $BloomK
+      |), hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_gram_hits FROM gh GROUP BY doc_id
+      |), train AS (
+      |  SELECT doc_id FROM d WHERE doc_id % $BenchmarkMod <> 0
+      |)
+      |SELECT train.doc_id,
+      |  CAST(CASE WHEN hits.n_gram_hits IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |    AS flagged,
+      |  CAST(COALESCE(hits.n_gram_hits, 0) AS BIGINT) AS n_gram_hits
       |FROM train
       |LEFT JOIN hits ON train.doc_id = hits.doc_id
       |ORDER BY train.doc_id""".stripMargin
@@ -582,7 +683,8 @@ object Corpus {
     "corpus_domain_topk" -> corpusDomainTopk,
     "corpus_split" -> corpusSplit,
     "corpus_sample" -> corpusSample,
-    "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)))
+    "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)),
+    "corpus_decontaminate_bloom" -> ((s: SparkSession, d: String) => corpusDecontaminateBloom(s, d)))
 
   val oracle: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
@@ -593,5 +695,6 @@ object Corpus {
     "corpus_mix" -> corpusMixSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
-    "corpus_decontaminate" -> corpusDecontaminateSql)
+    "corpus_decontaminate" -> corpusDecontaminateSql,
+    "corpus_decontaminate_bloom" -> corpusDecontaminateBloomSql)
 }

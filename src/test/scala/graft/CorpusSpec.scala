@@ -141,4 +141,25 @@ class CorpusSpec extends SparkSpec {
       .filter(col("max_dropped") > col("min_kept"))
     assert(bad.count() === 0)
   }
+
+  test("bloom decontamination never misses an exactly-contaminated doc") {
+    val exact = operators.Corpus.corpusDecontaminate(spark, sf)
+      .filter(col("contaminated") === 1)
+      .select("doc_id", "n_shared").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    val bloom = operators.Corpus.corpusDecontaminateBloom(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val flagged = bloom.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    // no false negatives: every truly shared n-gram lights all K of
+    // its own positions, so exact ⇒ bloom-flagged with at least as
+    // many gram hits
+    exact.foreach { case (doc, nShared) =>
+      assert(flagged.contains(doc), s"doc $doc exact but not bloom-flagged")
+      assert(flagged(doc) >= nShared, s"doc $doc hits ${flagged(doc)} < $nShared")
+    }
+    // both sides cover the same train split
+    assert(bloom.length ===
+      operators.Corpus.corpusDecontaminate(spark, sf).count())
+  }
 }
