@@ -94,11 +94,67 @@ object Ngrams {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #86 text_bigram_score — corpus-LM naturalness without a model
+  // ---------------------------------------------------------------------
+
+  /** Per-doc "does this read like the corpus" score from corpus-wide
+    * bigram statistics — the model-free stand-in for LM-perplexity
+    * quality filtering: a doc whose word bigrams are mostly corpus
+    * singletons (n_unique) is gibberish/OCR-noise-shaped, one whose
+    * bigram corpus frequencies are high is template/boilerplate-
+    * shaped. All ranking integers (no IEEE log): cf_sum is the
+    * summed corpus count of the doc's bigram OCCURRENCES, `natural`
+    * flags docs with ≤ 20 % corpus-unique bigrams.
+    *
+    * Scale: bigram counts are one map-side-combined aggregate (same
+    * shape as corpus_ngrams); the stats join shuffles (doc_id, bigram)
+    * pairs on the bigram key — linear in corpus size, uniform by
+    * construction; the per-doc roll-up shuffles on doc_id. */
+  def textBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.word_ngrams(
+          normText(col("text")), 2)).as("bg"))
+    val cnt = bi.groupBy("bg").agg(count(lit(1)).as("cf"))
+    bi.join(cnt, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("cf").as("cf_sum"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("natural_ok",
+        (col("n_unique") * 5 <= col("n_bigrams")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramScoreSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i+1])) AS bg
+      |  FROM d
+      |  WHERE len(w) >= 2
+      |), cnt AS (
+      |  SELECT bg, COUNT(*) AS cf FROM g GROUP BY bg
+      |)
+      |SELECT g.doc_id,
+      |  COUNT(*) AS n_bigrams,
+      |  CAST(SUM(cnt.cf) AS BIGINT) AS cf_sum,
+      |  CAST(SUM(CASE WHEN cnt.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(CASE WHEN SUM(CASE WHEN cnt.cf = 1 THEN 1 ELSE 0 END) * 5
+      |              <= COUNT(*) THEN 1 ELSE 0 END AS INT) AS natural_ok
+      |FROM g JOIN cnt ON g.bg = cnt.bg
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
-    "text_keywords" -> ((s, d) => textKeywords(s, d)))
+    "text_keywords" -> ((s, d) => textKeywords(s, d)),
+    "text_bigram_score" -> ((s, d) => textBigramScore(s, d)))
 
   val oracle: Map[String, String] = Map(
     "corpus_ngrams" -> corpusNgramsSql,
-    "text_keywords" -> textKeywordsSql)
+    "text_keywords" -> textKeywordsSql,
+    "text_bigram_score" -> textBigramScoreSql)
 }

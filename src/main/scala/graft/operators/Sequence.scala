@@ -177,13 +177,88 @@ object Sequence {
       | AND x.ts_s > p.ts_s AND x.ts_s - p.ts_s <= $RangeGapS
       |ORDER BY purchase_id, error_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #85 events_gap_quantiles — EXACT quantiles by value-histogram
+  // selection, never a global sort
+  // ---------------------------------------------------------------------
+
+  /** Exact p50/p90/p99 of per-user inter-event gaps, by event type.
+    *
+    * The naive exact-quantile plan (rank every gap with a window over
+    * the event type) sorts ALL rows inside a handful of partitions —
+    * the classic skew trap. Here the rank selection runs on the VALUE
+    * HISTOGRAM instead: gaps aggregate to (event_type, gap, count)
+    * with map-side combine — bounded by the gap value domain, not the
+    * row count — and the cumulative walk + quantile pick happen on
+    * that tiny frame. Same exact answer (smallest value whose
+    * cumulative count reaches ⌈n·p/100⌉, cross-multiplied integer
+    * test), 100 TB-safe: the only row-scale shuffle is the per-user
+    * lag window on the natural high-cardinality key.
+    *
+    * This is the discrete-domain exact path; for continuous domains
+    * swap the histogram for the KMV-style sketch (#63) and accept the
+    * estimate. */
+  def eventsGapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+    val perUser = Window.partitionBy("user_id", "event_type")
+      .orderBy("event_id")
+    val gaps = e
+      .withColumn("prev_ts", lag("ts_s", 1).over(perUser))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"), (col("ts_s") - col("prev_ts")).as("gap"))
+    val hist = gaps.groupBy("event_type", "gap")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("event_type").orderBy("gap")))
+    val n = hist.groupBy("event_type").agg(sum("cnt").as("n"))
+    def q(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("gap"))).as(s"p$p")
+    cum.join(n, "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n_gaps"), q(50), q(90), q(99))
+      .orderBy("event_type")
+  }
+
+  val eventsGapQuantilesSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_ns(ts)//1000000000 AS ts_s
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |    ts_s - lag(ts_s) OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY event_id) AS gap
+      |  FROM e
+      |), gg AS (
+      |  SELECT event_type, gap FROM g WHERE gap IS NOT NULL
+      |), hist AS (
+      |  SELECT event_type, gap, COUNT(*) AS cnt FROM gg GROUP BY event_type, gap
+      |), cum AS (
+      |  SELECT event_type, gap, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap) AS cum
+      |  FROM hist
+      |), n AS (
+      |  SELECT event_type, SUM(cnt) AS n FROM hist GROUP BY event_type
+      |)
+      |SELECT cum.event_type,
+      |  CAST(MAX(n.n) AS BIGINT) AS n_gaps,
+      |  MIN(CASE WHEN cum.cum * 100 >= n.n * 50 THEN cum.gap END) AS p50,
+      |  MIN(CASE WHEN cum.cum * 100 >= n.n * 90 THEN cum.gap END) AS p90,
+      |  MIN(CASE WHEN cum.cum * 100 >= n.n * 99 THEN cum.gap END) AS p99
+      |FROM cum JOIN n ON cum.event_type = n.event_type
+      |GROUP BY cum.event_type
+      |ORDER BY cum.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> ((s, d) => eventsAsof(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
-    "events_range_join" -> ((s, d) => eventsRangeJoin(s, d)))
+    "events_range_join" -> ((s, d) => eventsRangeJoin(s, d)),
+    "events_gap_quantiles" -> ((s, d) => eventsGapQuantiles(s, d)))
 
   val oracle: Map[String, String] = Map(
     "events_asof" -> eventsAsofSql,
     "events_funnel" -> eventsFunnelSql,
-    "events_range_join" -> eventsRangeJoinSql)
+    "events_range_join" -> eventsRangeJoinSql,
+    "events_gap_quantiles" -> eventsGapQuantilesSql)
 }

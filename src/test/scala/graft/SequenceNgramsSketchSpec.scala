@@ -236,6 +236,54 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     }
   }
 
+  test("text_bigram_score matches brute-force corpus bigram statistics") {
+    val perDoc = docs.map { case (id, norm) =>
+      id -> norm.split(" ").toList.sliding(2).collect {
+        case List(a, b) => s"$a $b"
+      }.toList
+    }.filter(_._2.nonEmpty)
+    val corpus = perDoc.flatMap(_._2).groupBy(identity).map {
+      case (bg, xs) => bg -> xs.length.toLong
+    }
+    val expected = perDoc.map { case (id, bgs) =>
+      id -> ((bgs.length.toLong, bgs.map(corpus).sum,
+        bgs.count(bg => corpus(bg) == 1L).toLong))
+    }.toMap
+    val out = operators.Ngrams.textBigramScore(spark, sf).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (n, cfSum, uniq) = expected(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === cfSum)
+      assert(r.getLong(3) === uniq)
+      assert(r.getInt(4) === (if (uniq * 5 <= n) 1 else 0))
+    }
+  }
+
+  test("events_gap_quantiles matches brute-force rank selection") {
+    val gapsByType = rawEvents
+      .groupBy(e => (e._2, e._3)) // (user_id, event_type)
+      .toSeq.flatMap { case ((_, tpe), es) =>
+        es.sortBy(_._1).map(_._4).toList.sliding(2).collect {
+          case List(a, b) => tpe -> (b - a)
+        }
+      }
+      .groupBy(_._1).map { case (tpe, xs) => tpe -> xs.map(_._2).sorted }
+    def pick(sorted: Seq[Long], p: Int): Long =
+      sorted((sorted.length * p + 99) / 100 - 1)
+    val out = operators.Sequence.eventsGapQuantiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val sorted = gapsByType(tpe)
+      assert(r.getLong(1) === sorted.length.toLong)
+      assert(r.getLong(2) === pick(sorted, 50), s"$tpe p50")
+      assert(r.getLong(3) === pick(sorted, 90), s"$tpe p90")
+      assert(r.getLong(4) === pick(sorted, 99), s"$tpe p99")
+    }
+    assert(out.map(_.getString(0)).toSet === gapsByType.keySet)
+  }
+
   test("count-min heavy hitters: est >= exact, descending, and finds the true top tokens") {
     val out = Sketch.sketchHeavy(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
