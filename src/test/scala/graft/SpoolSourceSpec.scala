@@ -240,4 +240,42 @@ class SpoolSourceSpec extends SparkSpec {
     val viaPlan = SparkEntry.queries("spool_read")(spark, sf).collect()
     assert(viaSource.map(_.toSeq).toSeq === viaPlan.map(_.toSeq).toSeq)
   }
+
+  test("streaming drain packs spool files under both caps, exactly once across restarts") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-drain-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val out = new File(dir, "_drainlog").getAbsolutePath
+    val cp = new File(dir, "_cp").getAbsolutePath
+    (1 to 9).foreach(i => writeGz(dir, f"r$i%03d.gz",
+      record("g/a", s"s$i", Seq((f"$i%03d", "m" + "x" * 50, i.toLong)))))
+    val sizes = dir.listFiles().filter(_.getName.endsWith(".gz"))
+      .map(f => f.getName -> f.length()).toMap
+    // caps chosen so neither bound alone explains the packing: at most
+    // 4 records AND at most 3.5 record-sizes per batch
+    val maxCount = 4
+    val maxSize = (sizes.values.max * 7) / 2
+    def drain(): Unit = {
+      val q = streaming.SpoolDrainStream.drainQuery(
+        spark, dir.getAbsolutePath, cp, out, maxCount, maxSize)
+      q.awaitTermination(60000)
+    }
+    drain()
+    val log1 = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(log1.map(_._3).sum === 9L) // every record drained once
+    log1.foreach { case (_, _, n, bytes) =>
+      assert(n <= maxCount)
+      assert(bytes <= maxSize)
+    }
+    assert(log1.length >= 3) // 9 records can't fit fewer batches than ⌈9/4⌉
+    // new spool files after the first drain: only THEY enter the next
+    // micro-batch (checkpointed watermark), drained under the same caps
+    (10 to 12).foreach(i => writeGz(dir, f"r$i%03d.gz",
+      record("g/a", s"s$i", Seq((f"$i%03d", "m" + "x" * 50, i.toLong)))))
+    drain()
+    val log2 = spark.read.parquet(out).collect()
+    assert(log2.map(r => r.getLong(2)).sum === 12L)
+  }
 }
