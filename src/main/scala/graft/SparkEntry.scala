@@ -28,6 +28,8 @@ object SparkEntry {
       operators.Sequence.queries ++
       operators.Ngrams.queries ++
       operators.Sketch.queries ++
+      operators.Skew.queries ++
+      operators.Bucketing.queries ++
       sources.Spool.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,6 +50,8 @@ object SparkEntry {
       operators.Corpus.oracle ++
       operators.Sequence.oracle ++
       operators.Ngrams.oracle ++
+      operators.Skew.oracle ++
+      operators.Bucketing.oracle ++
       operators.Sketch.oracle ++
       sources.Spool.oracle
 }

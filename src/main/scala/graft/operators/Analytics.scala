@@ -420,7 +420,44 @@ object Analytics {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #88 events_pivot — wide per-entity feature table via PIVOT
+  // ---------------------------------------------------------------------
+
+  /** Known pivot domain, listed EXPLICITLY — never derived: deriving
+    * it means a distinct-values job collected to the driver, which is
+    * unbounded on a 100 TB column. */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event-type count matrix — the "wide feature table" move
+    * every training pipeline makes before joining features. Spelled
+    * as conditional aggregates rather than `.pivot(...)`: with the
+    * domain known, `sum(when(...))` is ONE map-side-combined
+    * aggregate (one shuffle, PlanSpec-asserted), while Spark's pivot
+    * rewrite plans a two-level aggregate (two shuffles) even when the
+    * values are given. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val counts = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(counts.head, counts.tail: _*)
+      .orderBy("user_id")
+  }
+
+  val eventsPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+      |  $cols
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pivot" -> eventsPivot,
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
     "q5_local" -> q5Local,
@@ -434,6 +471,7 @@ object Analytics {
     "q22_global" -> q22Global)
 
   val oracle: Map[String, String] = Map(
+    "events_pivot" -> eventsPivotSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local" -> q5LocalSql,

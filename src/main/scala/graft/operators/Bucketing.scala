@@ -67,4 +67,35 @@ object Bucketing {
     spark.table(lt).join(spark.table(ot),
       org.apache.spark.sql.functions.col("l_orderkey") ===
         org.apache.spark.sql.functions.col("o_orderkey"))
+
+  /** #43 as an oracle-checked query: per-priority line counts and
+    * exact-decimal quantity sums THROUGH the bucketed tables — the
+    * oracle joins the raw parquet directly, proving the bucketed
+    * write+join is value-identical to the plain join (the spec
+    * separately asserts its plan is exchange-free). The scratch
+    * tables are per-application (see writeBucketedFacts), so Verify
+    * runs are isolated like any other caller. */
+  def bucketedJoinAgg(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (lt, ot) = writeBucketedFacts(spark, dir, buckets = 8)
+    bucketedJoin(spark, lt, ot)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(9,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinAggSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("bucketed_join" -> ((s, d) => bucketedJoinAgg(s, d)))
+
+  val oracle: Map[String, String] =
+    Map("bucketed_join" -> bucketedJoinAggSql)
 }

@@ -51,4 +51,41 @@ object Skew {
       Seq(collect_list(struct(order.as("o"), payload.as("p"))).as("part")),
       Seq(transform(array_sort(flatten(collect_list(col("part")))),
         x => x.getField("p")).as("items")))
+
+  /** #42 as an oracle-checked query: the 10 earliest event_ids per
+    * event_type through the salted two-stage collect. event_type is
+    * the textbook hot key (5 values over the whole table — a single
+    * reducer would take a fifth of the corpus); the salt spreads each
+    * type over 8 reducers and the oracle (a plain window rank) proves
+    * the two-stage result is EXACTLY the unsalted answer — salting
+    * changes the plan, never the algebra. */
+  val SkewTopN = 10
+
+  def skewSaltedCollect(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"))
+    saltedSortedCollect(e, Seq("event_type"), 8,
+      payload = col("event_id"), order = col("event_id"))
+      .select(col("event_type"),
+        posexplode(slice(col("items"), 1, SkewTopN)).as(Seq("pos", "event_id")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
+  val skewSaltedCollectSql: String =
+    s"""SELECT event_type, CAST(rn AS INT) AS rank, event_id
+      |FROM (
+      |  SELECT event_type, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= $SkewTopN
+      |ORDER BY event_type, rank""".stripMargin
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("skew_salted_collect" -> ((s, d) => skewSaltedCollect(s, d)))
+
+  val oracle: Map[String, String] =
+    Map("skew_salted_collect" -> skewSaltedCollectSql)
 }

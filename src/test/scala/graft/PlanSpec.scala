@@ -215,6 +215,31 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 3, plan)
   }
 
+  test("corpus_decontaminate_bloom: position set broadcast, no cartesian") {
+    val plan = planString(operators.Corpus.corpusDecontaminateBloom(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("events_gap_quantiles: histogram agg precedes the cumulative window") {
+    val plan = planString(operators.Sequence.eventsGapQuantiles(spark, sf))
+    // per-user lag window + histogram agg + tiny-frame cum window +
+    // final agg/sort — bounded budget, no cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(shuffles(plan) <= 6, plan)
+  }
+
+  test("events_pivot: one aggregation shuffle + presentation sort") {
+    val plan = planString(operators.Analytics.eventsPivot(spark, sf))
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("text_bigram_score: uniform bigram-keyed equality join, no cartesian") {
+    val plan = planString(operators.Ngrams.textBigramScore(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("sketch_heavy: cells broadcast back; top-k never sorts all tokens") {
     val plan = planString(operators.Sketch.sketchHeavy(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
