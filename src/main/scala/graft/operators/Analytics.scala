@@ -456,8 +456,52 @@ object Analytics {
       |ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #89 q17_smallqty — correlated scalar-aggregate subquery (Q17 shape)
+  // ---------------------------------------------------------------------
+
+  /** Q17: revenue from small-quantity orders of one brand's parts —
+    * the correlated `l_quantity < 0.2·avg(qty per part)` subquery,
+    * decorrelated the way the optimizer should: filter to the brand's
+    * lineitems ONCE (broadcast the brand's part keys), compute the
+    * per-part (sum, count) on that already-filtered relation, join it
+    * back, and compare with the cross-multiplied integer-decimal test
+    * `qty·n·5 < sum_qty` (0.2·avg as a division would round IEEE;
+    * the cross-multiply is exact in both engines). */
+  def q17Smallqty(spark: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val lb = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), money(col("l_quantity")).as("qty"),
+        money(col("l_extendedprice")).as("price"))
+    val perPart = lb.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_qty"))
+    lb.join(perPart, "l_partkey")
+      .filter(col("qty") * col("n_qty") * 5 < col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        (coalesce(sum(col("price")), lit(0).cast("decimal(9,2)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  val q17SmallqtySql: String =
+    """WITH lb AS (
+      |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(9,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(9,2)) AS price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#1'
+      |), pp AS (
+      |  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_qty
+      |  FROM lb GROUP BY l_partkey
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(COALESCE(SUM(lb.price), 0) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lb JOIN pp ON lb.l_partkey = pp.l_partkey
+      |WHERE lb.qty * pp.n_qty * 5 < pp.sum_qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot" -> eventsPivot,
+    "q17_smallqty" -> q17Smallqty,
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
     "q5_local" -> q5Local,
@@ -472,6 +516,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "events_pivot" -> eventsPivotSql,
+    "q17_smallqty" -> q17SmallqtySql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local" -> q5LocalSql,

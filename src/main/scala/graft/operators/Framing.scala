@@ -220,11 +220,36 @@ object Framing {
       |FROM events
       |ORDER BY user_id, seq""".stripMargin
 
+  /** #11 MIXED auto framing, oracle-checked: even event_ids arrive
+    * octet-counted, odd ones LF-terminated, interleaved in the same
+    * connection blob — the automaton's per-message auto-detection
+    * (digit → octet-counted, else terminator, protocol.py:175-191)
+    * must recover every message either way. The oracle is the same
+    * ground-truth projection as #10: framing style never changes the
+    * recovered payloads. */
+  def frameMixed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), msg.as("m"))
+      .withColumn("frame",
+        when(col("event_id") % 2 === 0,
+          concat(length(col("m")).cast("string"), lit(" "), col("m")))
+          .otherwise(concat(col("m"), lit("\n"))))
+    val blobs = e.groupBy("user_id").agg(orderedConcat(col("frame")).as("blob"))
+    blobs
+      .select(col("user_id"),
+        posexplode(syslogFrames(col("blob").cast("binary"))).as(Seq("seq", "b")))
+      .select(col("user_id"), col("seq").cast("long").as("seq"),
+        col("b").cast("string").as("message"))
+      .orderBy("user_id", "seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "frame_octet" -> frameOctet,
-    "frame_lines" -> frameLines)
+    "frame_lines" -> frameLines,
+    "frame_mixed" -> frameMixed)
 
   val oracle: Map[String, String] = Map(
     "frame_octet" -> frameOctetSql,
-    "frame_lines" -> frameLinesSql)
+    "frame_lines" -> frameLinesSql,
+    "frame_mixed" -> frameLinesSql)
 }

@@ -215,6 +215,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 3, plan)
   }
 
+  test("q17: brand part keys broadcast; correlated subquery decorrelated to one extra shuffle") {
+    val plan = planString(operators.Analytics.q17Smallqty(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-part agg + its join back + final single-row agg
+    assert(shuffles(plan) <= 4, plan)
+  }
+
   test("corpus_decontaminate_bloom: position set broadcast, no cartesian") {
     val plan = planString(operators.Corpus.corpusDecontaminateBloom(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
