@@ -532,6 +532,67 @@ object Corpus {
 
   val PackTokens = 256L
 
+  // ---------------------------------------------------------------------
+  // #90 corpus_chunks — overlapping-window chunking (the RAG/context-
+  // window prep step)
+  // ---------------------------------------------------------------------
+
+  /** Chunk geometry: `ChunkWords`-word windows advancing by
+    * `ChunkStride` (10-word overlap so no sentence is orphaned at a
+    * boundary). */
+  val ChunkWords = 50
+  val ChunkStride = 40
+
+  /** Chunk count per doc: one window if it all fits, else enough
+    * strides for the last window to reach the end. Spelled CASE-then-
+    * divide so the dividend is always positive — truncated (Spark)
+    * vs floored (DuckDB) integer division only disagree below zero. */
+  private val chunkCountSql: String =
+    s"""CASE WHEN len <= $ChunkWords THEN 1
+       | ELSE 1 + (len - ${ChunkWords - ChunkStride} - 1) DIV $ChunkStride END""".stripMargin
+
+  /** Split every doc into overlapping word windows — map-only (the
+    * explode fans out rows but nothing shuffles until the
+    * presentation sort), so chunking 100 TB is scan-bound exactly
+    * like the framing operators. Chunk ids are per-doc ordinals;
+    * (doc_id, chunk_id) is the downstream join key for chunk-level
+    * embeddings. */
+  def corpusChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(graft.functions.TextFunctions.normText(col("text")), " ").as("words"))
+      .withColumn("len", size(col("words")))
+      .withColumn("nchunks", expr(chunkCountSql.replace("DIV", "div")))
+      .select(col("doc_id"), col("words"),
+        posexplode(expr(
+          s"""transform(sequence(0, nchunks - 1),
+             |  k -> slice(words, k * $ChunkStride + 1, $ChunkWords))""".stripMargin))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(col("chunk")).as("n_words"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  val corpusChunksSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($norm, ' ') AS words,
+      |    len(string_split($norm, ' ')) AS len
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, words,
+      |    ${chunkCountSql.replace("DIV", "//")} AS nchunks
+      |  FROM d
+      |), k AS (
+      |  SELECT doc_id, words, unnest(range(0, nchunks)) AS k FROM c
+      |)
+      |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      |  CAST(len(words[k*$ChunkStride+1 : k*$ChunkStride+$ChunkWords]) AS INT) AS n_words,
+      |  array_to_string(words[k*$ChunkStride+1 : k*$ChunkStride+$ChunkWords], ' ') AS chunk_text
+      |FROM k
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** Scale shape: one shuffle groups each source's docs; the
     * sequential fold runs per source inside its task, bounded by
     * docs-per-source — the exact plan of firehose_batches, which is
@@ -684,7 +745,8 @@ object Corpus {
     "corpus_split" -> corpusSplit,
     "corpus_sample" -> corpusSample,
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)),
-    "corpus_decontaminate_bloom" -> ((s: SparkSession, d: String) => corpusDecontaminateBloom(s, d)))
+    "corpus_decontaminate_bloom" -> ((s: SparkSession, d: String) => corpusDecontaminateBloom(s, d)),
+    "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
 
   val oracle: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanSql,
@@ -696,5 +758,6 @@ object Corpus {
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
-    "corpus_decontaminate_bloom" -> corpusDecontaminateBloomSql)
+    "corpus_decontaminate_bloom" -> corpusDecontaminateBloomSql,
+    "corpus_chunks" -> corpusChunksSql)
 }

@@ -142,6 +142,33 @@ class CorpusSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("chunks tile every doc: stride positions, caps, and end coverage") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val out = operators.Corpus.corpusChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val W = operators.Corpus.ChunkWords
+    val S = operators.Corpus.ChunkStride
+    out.groupBy(_._1).foreach { case (doc, chunks) =>
+      val words = texts(doc)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0 until sorted.length))
+      sorted.foreach { case (_, k, n, text) =>
+        val expect = words.slice(k * S, math.min(k * S + W, words.length))
+        assert(text === expect.mkString(" "), s"doc $doc chunk $k")
+        assert(n === expect.length)
+      }
+      // the last chunk reaches the end of the doc; no useless extra
+      val last = sorted.last
+      assert(last._2 * S + last._3 === words.length)
+      if (sorted.length > 1)
+        assert((sorted.length - 2) * S + W < words.length)
+    }
+    assert(out.map(_._1).toSet === texts.keySet)
+  }
+
   test("bloom decontamination never misses an exactly-contaminated doc") {
     val exact = operators.Corpus.corpusDecontaminate(spark, sf)
       .filter(col("contaminated") === 1)
