@@ -39,7 +39,8 @@ object Bench {
     "ann_ivf", "text_quality", "text_tokens", "text_pii_scrub",
     "corpus_ngrams", "text_keywords", "sketch_distinct",
     "corpus_passage_dedup", "corpus_domain_topk", "corpus_pack",
-    "dedup_clusters", "ann_int8", "sketch_heavy")
+    "dedup_clusters", "ann_int8", "sketch_heavy",
+    "q17_smallqty", "events_pivot", "events_retention", "corpus_chunks")
 
   val TimedPasses = 3
 

@@ -499,8 +499,51 @@ object Analytics {
       |FROM lb JOIN pp ON lb.l_partkey = pp.l_partkey
       |WHERE lb.qty * pp.n_qty * 5 < pp.sum_qty""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #91 events_retention — cohort retention matrix
+  // ---------------------------------------------------------------------
+
+  /** Weekly cohort retention: users bucketed by signup week, activity
+    * bucketed by whole weeks since THAT user's signup, distinct-user
+    * counts per (cohort_week, week_offset) cell. The per-user anchor
+    * join shuffles on user_id (both sides the natural key — no
+    * broadcast assumption: at scale the anchor side is every user);
+    * pre-signup noise events are filtered BEFORE the division so the
+    * week arithmetic never touches the negative domain where the
+    * engines' integer divisions disagree. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_s"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_s").as("su"))
+    e.join(signup, "user_id")
+      .filter(col("ts_s") >= col("su"))
+      .select(expr("su div 604800").as("cohort_week"),
+        expr("(ts_s - su) div 604800").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS ts_s FROM events
+      |), s AS (
+      |  SELECT user_id, MIN(ts_s) AS su FROM e WHERE event_type = 'signup'
+      |  GROUP BY user_id
+      |)
+      |SELECT su // 604800 AS cohort_week,
+      |  (ts_s - su) // 604800 AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN s ON e.user_id = s.user_id
+      |WHERE ts_s >= su
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot" -> eventsPivot,
+    "events_retention" -> eventsRetention,
     "q17_smallqty" -> q17Smallqty,
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
@@ -516,6 +559,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "events_pivot" -> eventsPivotSql,
+    "events_retention" -> eventsRetentionSql,
     "q17_smallqty" -> q17SmallqtySql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
