@@ -99,18 +99,28 @@ object Sketch {
     * of CMS: at 100 TB the cells frame is still 2048 rows and
     * broadcast back to the estimate join for free. The final top-k is
     * a TakeOrderedAndProject (never a full sort). */
+  /** (tok, cnt_exact, hv) → one row per (tok, hash row j) with its
+    * cell coordinate. */
+  private[graft] def cmsRows(occ: DataFrame): DataFrame =
+    occ.select(col("tok"), col("cnt_exact"), col("hv"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("j"))
+      .withColumn("bucket",
+        ((col("hv") * (col("j") * 2 + 3) + (col("j") * 13 + 5)) % PolyP)
+          % CmsWidth)
+
+  /** The sketch itself: d×w cells. Partial-agg state per task is
+    * bounded by the CELL count — ScaleSpec measures the exchange
+    * above the partial aggregate to prove it. */
+  private[graft] def cmsCellsOf(rows: DataFrame): DataFrame =
+    rows.groupBy("j", "bucket").agg(sum("cnt_exact").as("cell"))
+
   def sketchHeavy(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.load(spark, dir, "documents")
       .select(explode(split(normText(col("text")), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt_exact"))
       .withColumn("hv", poly_hash(col("tok")))
-    def bucket(j: org.apache.spark.sql.Column) =
-      ((col("hv") * (j * 2 + 3) + (j * 13 + 5)) % PolyP) % CmsWidth
-    val rows = occ.select(col("tok"), col("cnt_exact"), col("hv"),
-        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("j"))
-      .withColumn("bucket", bucket(col("j")))
-    val cells = rows.groupBy("j", "bucket")
-      .agg(sum("cnt_exact").as("cell"))
+    val rows = cmsRows(occ)
+    val cells = cmsCellsOf(rows)
     rows
       .join(broadcast(cells), Seq("j", "bucket"))
       .groupBy("tok", "cnt_exact").agg(min("cell").as("est"))

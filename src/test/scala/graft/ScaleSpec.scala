@@ -68,6 +68,45 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("count-min cells: the sketch exchange is bounded by d·w·partitions, not tokens") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val parts = 8
+      val nTokens = 100000
+      // 100k distinct tokens with skewed counts — the relation whose
+      // CMS must NOT shuffle per token
+      val occ = spark.range(nTokens)
+        .select(concat(lit("tok"), col("id")).as("tok"),
+          (col("id") % 97 + 1).as("cnt_exact"))
+        .withColumn("hv", graft.functions.SketchFunctions.poly_hash(col("tok")))
+        .repartition(parts)
+      val cells = operators.Sketch.cmsCellsOf(operators.Sketch.cmsRows(occ))
+      val collected = cells.collect()
+      // the sketch is full: every (row, bucket) cell exists and the
+      // mass balances exactly
+      assert(collected.length === operators.Sketch.CmsRows * operators.Sketch.CmsWidth)
+      val mass = (1L to nTokens.toLong).map(i => (i - 1) % 97 + 1).sum
+      assert(collected.map(_.getLong(2)).sum === mass * operators.Sketch.CmsRows)
+      // the scale property: the aggregate's exchange carries partial
+      // cells (≤ d·w per task), never the d·nTokens input rows
+      val executed = cells.queryExecution.executedPlan
+      // the repartition exchange below carries all input rows by
+      // design; measure the exchange ABOVE the partial aggregate
+      val shuffled = executed.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          e.metrics.collectFirst {
+            case (k, m) if k.toLowerCase.contains("recordswritten") => m.value
+          }.getOrElse(sys.error(s"no records metric in ${e.metrics.keys}"))
+      }.getOrElse(sys.error(s"no exchange above a partial aggregate:\n$executed"))
+      val bound = operators.Sketch.CmsRows.toLong * operators.Sketch.CmsWidth * parts
+      assert(shuffled <= bound && shuffled < nTokens.toLong,
+        s"shuffled $shuffled rows (bound $bound, tokens $nTokens)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
