@@ -541,10 +541,268 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #92–98 round-6c analytics widening: Q8/Q9/Q10/Q13/Q14/Q15/Q19 shapes
+  // ---------------------------------------------------------------------
+
+  /** #92 TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    * in 1996-H1. Plan: orders is date-pruned at the scan, lineitem is
+    * returnflag-filtered before the join, nation (25 rows, O(1))
+    * broadcasts; customer is O(SF) so its join is left to AQE. The
+    * final top-20 is a TakeOrderedAndProject, never a global sort. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val n = Tables.load(spark, dir, "nation")
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revenueTerm).as("rev"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"), col("c_acctbal"), col("n_name"))
+  }
+
+  val q10ReturnsSql: String =
+    s"""SELECT c_custkey, c_name,
+      |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue, c_acctbal, n_name
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY SUM($revenueTermSql) DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** #93 TPC-H Q13 shape: distribution of per-customer order counts
+    * (left join keeps order-less customers as count 0). The schema has
+    * no o_comment, so the exclusion predicate is on o_orderpriority.
+    * Two shuffles by nature (per-customer count, then histogram);
+    * the second key space is tiny so its exchange is trivial. */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select("c_custkey")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** #94 TPC-H Q14 shape: promo revenue share for one ship month.
+    * Decimal-exact sums cast to double BEFORE the ratio so both
+    * engines divide the identical IEEE values. The conditional sum
+    * uses CASE-without-ELSE (nulls ignored by SUM in both engines) to
+    * avoid zero-literal decimal-typing differences. */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_type")
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenueTerm)).cast("double").as("promo_rev"),
+        sum(revenueTerm).cast("double").as("total_rev"))
+      .withColumn("promo_share", lit(100.0) * col("promo_rev") / col("total_rev"))
+  }
+
+  val q14PromoSql: String =
+    s"""SELECT promo_rev, total_rev, 100.0 * promo_rev / total_rev AS promo_share
+      |FROM (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueTermSql END) AS DOUBLE) AS promo_rev,
+      |    CAST(SUM($revenueTermSql) AS DOUBLE) AS total_rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-02-01') t""".stripMargin
+
+  /** #95 TPC-H Q15 shape: the supplier(s) hitting the max quarterly
+    * revenue. The max is a 1-row aggregate broadcast back into the
+    * per-supplier frame (exact decimal equality — cross-engine-safe,
+    * unlike double comparison); supplier joins after the filter so
+    * only winners reach it. */
+  def q15Topsupp(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey").agg(sum(revenueTerm).as("total"))
+    val mx = rev.agg(max("total").as("mx"))
+    val s = Tables.load(spark, dir, "supplier")
+    rev.join(broadcast(mx), col("total") === col("mx"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopsuppSql: String =
+    s"""WITH rev AS (
+      |  SELECT l_suppkey, SUM($revenueTermSql) AS total
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total = (SELECT MAX(total) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** #96 TPC-H Q19 shape: OR-of-ANDs over brand/size/quantity. The
+    * join predicate itself stays a plain equi-join on partkey; the
+    * disjunction is a post-join filter, so Catalyst still plans a
+    * hash join (not a nested-loop) and pushes the derivable
+    * per-side conjuncts (p_size >= 1, quantity bounds) to the scans. */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val l = Tables.load(spark, dir, "lineitem")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(coalesce(sum(revenueTerm), lit(0).cast("decimal(14,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19DisjunctSql: String =
+    s"""SELECT CAST(COALESCE(SUM($revenueTermSql), 0) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** #97 TPC-H Q8 shape: NATION_3's yearly share of the ASIA ECONOMY
+    * market. part is type-filtered before the lineitem join (AQE
+    * broadcasts the survivors); nation×2 and region broadcast
+    * unconditionally (O(1) dims); customer/supplier joins are left to
+    * AQE. Share = double ÷ double of exact decimal sums; a year with
+    * no NATION_3 sales yields NULL in both engines. */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nc = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val ns = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("sn_key"))
+      .groupBy(expr("year(o_orderdate)").cast("int").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", revenueTerm))
+          .cast("double").as("nation_rev"),
+        sum(revenueTerm).cast("double").as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy("o_year")
+  }
+
+  val q8ShareSql: String =
+    s"""SELECT o_year, nation_rev, total_rev, nation_rev / total_rev AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN $revenueTermSql END) AS DOUBLE) AS nation_rev,
+      |    CAST(SUM($revenueTermSql) AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region ON nc.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |  GROUP BY 1) t
+      |ORDER BY o_year""".stripMargin
+
+  /** #98 TPC-H Q9 shape: profit by supplier nation × order year for
+    * parts named like %red%. The schema has no partsupp, so supply
+    * cost is proxied as 10% of p_retailprice per unit — the oracle
+    * computes the identical proxy, and every term stays decimal-exact
+    * ((9,2)·(9,2)·(4,2) products are well inside precision 38 in both
+    * engines) until the final double cast. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), money(col("p_retailprice")).as("unit_price"))
+    val s = Tables.load(spark, dir, "supplier")
+    val ns = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val l = Tables.load(spark, dir, "lineitem")
+    val profit = revenueTerm -
+      money(col("l_quantity")) * col("unit_price") * rate(lit(0.10))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("supp_nation"),
+        expr("year(o_orderdate)").cast("int").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy("supp_nation", "o_year")
+  }
+
+  val q9ProfitSql: String =
+    s"""SELECT ns.n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM($revenueTermSql
+      |    - CAST(l_quantity AS DECIMAL(9,2)) * CAST(p_retailprice AS DECIMAL(9,2))
+      |      * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2
+      |ORDER BY supp_nation, o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot" -> eventsPivot,
     "events_retention" -> eventsRetention,
     "q17_smallqty" -> q17Smallqty,
+    "q10_returns" -> q10Returns,
+    "q13_custdist" -> q13Custdist,
+    "q14_promo" -> q14Promo,
+    "q15_topsupp" -> q15Topsupp,
+    "q19_disjunct" -> q19Disjunct,
+    "q8_share" -> q8Share,
+    "q9_profit" -> q9Profit,
     "q1_pricing" -> q1Pricing,
     "q3_shipping" -> q3Shipping,
     "q5_local" -> q5Local,
@@ -561,6 +819,13 @@ object Analytics {
     "events_pivot" -> eventsPivotSql,
     "events_retention" -> eventsRetentionSql,
     "q17_smallqty" -> q17SmallqtySql,
+    "q10_returns" -> q10ReturnsSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q14_promo" -> q14PromoSql,
+    "q15_topsupp" -> q15TopsuppSql,
+    "q19_disjunct" -> q19DisjunctSql,
+    "q8_share" -> q8ShareSql,
+    "q9_profit" -> q9ProfitSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local" -> q5LocalSql,

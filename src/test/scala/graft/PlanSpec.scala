@@ -257,4 +257,40 @@ class PlanSpec extends SparkSpec {
     // the CmsTopK cut is a bounded TakeOrderedAndProject, not a sort
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q10: returnflag + date filters pushed; top-20 is TakeOrdered, nation broadcast") {
+    val plan = planString(operators.Analytics.q10Returns(spark, sf))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q19: disjunctive filter keeps an equi hash join, no nested loop") {
+    // at spec SF the disjunction matches zero rows and AQE would
+    // collapse the whole tree to EmptyRelation — audit the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan =
+        operators.Analytics.q19Disjunct(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the OR is not pushable per-conjunct, but partkey equi-join remains
+      assert(plan.contains("HashJoin"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q15: max-revenue subquery broadcasts one row back; supplier joins after filter") {
+    val plan = planString(operators.Analytics.q15Topsupp(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-supplier agg + supplier join + presentation sort only
+    assert(shuffles(plan) <= 4, plan)
+  }
+
+  test("q13: left join preserves order-less customers; two agg shuffles by nature") {
+    val plan = planString(operators.Analytics.q13Custdist(spark, sf))
+    assert(plan.contains("LeftOuter") || plan.contains("BuildRight"), plan)
+    assert(shuffles(plan) <= 4, plan)
+  }
 }
