@@ -370,10 +370,13 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val annIvfSql: String = {
-    // one Lloyd iteration: assign to cen{k-1}, then per-component
-    // floor-average (exact in IEEE doubles on integer sums, so the
-    // trained centroids are bit-identical to the Spark side's)
+  /** Shared DuckDB CTE chain for k-means training: quantized vectors
+    * (q, n), seed centroids (cen0), KmeansIters Lloyd iterations
+    * (cen1..cenN) — one Lloyd iteration assigns to cen{k-1} then
+    * takes the per-component floor-average (exact in IEEE doubles on
+    * integer sums, so trained centroids are bit-identical to the
+    * Spark side's). Used by both annIvfSql and corpusDiversitySql. */
+  private def kmeansSqlCtes: String = {
     def iterBlock(k: Int): String = {
       val prev = s"cen${k - 1}"
       s"""dst$k AS (
@@ -397,8 +400,7 @@ object Similarity {
         |)""".stripMargin
     }
     val training = (1 to KmeansIters).map(iterBlock).mkString(",\n")
-    val fin = s"cen$KmeansIters"
-    s"""WITH q AS (
+    s"""q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |  FROM embeddings
@@ -409,7 +411,12 @@ object Similarity {
       |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
       |  WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + Centroids}
       |),
-      |$training,
+      |$training""".stripMargin
+  }
+
+  val annIvfSql: String = {
+    val fin = s"cen$KmeansIters"
+    s"""WITH $kmeansSqlCtes,
       |dist AS (
       |  SELECT n.vec_id, n.v, n.nn, c.cid,
       |    n.nn + c.cn
@@ -570,16 +577,85 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #99 corpus_diversity — cluster-balanced diversity selection (the
+  // SemDeDup-style curation step: cap how much of the corpus any one
+  // embedding mode contributes)
+  // ---------------------------------------------------------------------
+
+  /** Per-cluster representative quota. */
+  val DiversityQuota = 16
+
+  /** Cluster-balanced subsampling over the trained k-means space:
+    * every vector is assigned to its nearest trained centroid
+    * (broadcast k-row table, map-side argmin), then each cluster
+    * keeps its `DiversityQuota` most central members (d2 ASC, vec_id
+    * tiebreak). The rank is the `row_number ≤ k` idiom with the rank
+    * KEPT in the output (the oracle checks it), which is exactly the
+    * case plans/TopKRewrite.scala's guard must skip — instead Spark's
+    * own WindowGroupLimit kicks in: a PARTIAL group-limit above each
+    * task caps pre-shuffle state at quota rows per cluster, so a
+    * skewed mode that captures half the corpus still ships ≤
+    * quota·partitions rows (PlanSpec asserts the partial limit).
+    *
+    * 100 TB path: training touches the corpus KmeansIters+1 times
+    * (all map-side against broadcast centroids + one (cid,dim)
+    * shuffle per iteration); selection adds one bounded top-k
+    * exchange. Nothing corpus-sized is ever collected or cached. */
+  def corpusDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = kmeansCentroids(spark, dir)
+    val d = v.crossJoin(broadcast(cents))
+      .withColumn("d2", col("nn") + col("cn") -
+        lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    val w = Window.partitionBy("cid").orderBy(col("d2"), col("vec_id"))
+    d.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= DiversityQuota)
+      .select(col("cid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("d2"))
+      .orderBy("cid", "rank")
+  }
+
+  val corpusDiversitySql: String = {
+    val fin = s"cen$KmeansIters"
+    s"""WITH $kmeansSqlCtes,
+      |dist AS (
+      |  SELECT n.vec_id, c.cid,
+      |    n.nn + c.cn
+      |      - 2 * CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT)
+      |      AS d2
+      |  FROM n CROSS JOIN $fin c
+      |), assign AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1
+      |), r AS (
+      |  SELECT cid, vec_id, d2,
+      |    row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rank
+      |  FROM assign
+      |)
+      |SELECT cid, CAST(rank AS BIGINT) AS rank, vec_id, d2
+      |FROM r
+      |WHERE rank <= $DiversityQuota
+      |ORDER BY cid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_lsh_poly" -> annLshPoly,
     "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
-    "ann_int8" -> annInt8)
+    "ann_int8" -> annInt8,
+    "corpus_diversity" -> corpusDiversity)
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh_poly" -> annLshPolySql,
     "ann_ivf" -> annIvfSql,
-    "ann_int8" -> annInt8Sql)
+    "ann_int8" -> annInt8Sql,
+    "corpus_diversity" -> corpusDiversitySql)
 }

@@ -288,6 +288,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 4, plan)
   }
 
+  test("corpus_diversity: pre-shuffle state bounded by a partial WindowGroupLimit") {
+    val plan = planString(operators.Similarity.corpusDiversity(spark, sf))
+    // rank is kept in the output, so the TopKPerKey rewrite correctly
+    // skips this plan; Spark's two-phase WindowGroupLimit must bound
+    // the per-task rows to quota·keys before the cluster shuffle
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q13: left join preserves order-less customers; two agg shuffles by nature") {
     val plan = planString(operators.Analytics.q13Custdist(spark, sf))
     assert(plan.contains("LeftOuter") || plan.contains("BuildRight"), plan)
