@@ -249,14 +249,40 @@ object TextFunctions {
   def word_ngrams(c: Column, n: Int): Column =
     Exprs.toColumn(WordNgrams(Exprs.toExpression(c), n))
 
+  /** #100 Language-ID evaluation: confusion matrix of the n-gram
+    * classifier's predictions against the labeled `lang` column —
+    * the quality-measurement step a corpus pipeline runs before
+    * trusting langid-based filtering. One extra shuffle over #35
+    * (the tiny (label, pred) key space); the label join is by doc_id
+    * on the same single-sourced scan, so Catalyst collapses it to
+    * one pass over documents. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.load(spark, dir, "documents").select("doc_id", "lang")
+    langId(spark, dir).join(labels, "doc_id")
+      .groupBy(col("lang").as("label_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label_lang", "pred_lang")
+  }
+
+  val langIdEvalSql: String =
+    s"""WITH p AS (
+      |$langIdSql
+      |)
+      |SELECT d.lang AS label_lang, p.pred_lang, COUNT(*) AS n
+      |FROM p JOIN documents d USING (doc_id)
+      |GROUP BY 1, 2
+      |ORDER BY label_lang, pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId,
+    "text_langid_eval" -> langIdEval,
     "text_quality" -> quality,
     "text_tokens" -> tokenCounts,
     "text_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langIdSql,
+    "text_langid_eval" -> langIdEvalSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokenCountsSql,
     "text_fingerprint" -> fingerprintSql)

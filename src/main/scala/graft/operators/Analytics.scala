@@ -792,11 +792,44 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY supp_nation, o_year""".stripMargin
 
+  /** #101 Multi-level aggregate in ONE pass: the Q1 pricing summary
+    * with ROLLUP over (returnflag, linestatus) — detail rows,
+    * per-flag subtotals and the grand total share a single shuffle
+    * (Spark expands the grouping sets map-side; no re-aggregation
+    * job per level, which is what a hand-written UNION ALL of three
+    * GROUP BYs would cost at 100 TB). grouping_id disambiguates the
+    * NULL-key subtotal rows from genuine NULL data in both engines
+    * (same MSB-first bit encoding). */
+  def q1Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val discounted = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(discounted).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1RollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM($revenueTermSql) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot" -> eventsPivot,
     "events_retention" -> eventsRetention,
     "q17_smallqty" -> q17Smallqty,
     "q10_returns" -> q10Returns,
+    "q1_rollup" -> q1Rollup,
     "q13_custdist" -> q13Custdist,
     "q14_promo" -> q14Promo,
     "q15_topsupp" -> q15Topsupp,
@@ -820,6 +853,7 @@ object Analytics {
     "events_retention" -> eventsRetentionSql,
     "q17_smallqty" -> q17SmallqtySql,
     "q10_returns" -> q10ReturnsSql,
+    "q1_rollup" -> q1RollupSql,
     "q13_custdist" -> q13CustdistSql,
     "q14_promo" -> q14PromoSql,
     "q15_topsupp" -> q15TopsuppSql,
