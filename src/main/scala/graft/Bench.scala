@@ -40,7 +40,8 @@ object Bench {
     "corpus_ngrams", "text_keywords", "sketch_distinct",
     "corpus_passage_dedup", "corpus_domain_topk", "corpus_pack",
     "dedup_clusters", "ann_int8", "sketch_heavy",
-    "q17_smallqty", "events_pivot", "events_retention", "corpus_chunks")
+    "q17_smallqty", "events_pivot", "events_retention", "corpus_chunks",
+    "q10_returns", "q9_profit", "q8_share", "q1_rollup", "corpus_diversity")
 
   val TimedPasses = 3
 

@@ -158,11 +158,108 @@ object Sketch {
       |ORDER BY est DESC, tok
       |LIMIT $CmsTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #102 sketch_hll — HyperLogLog-style register sketch (per source)
+  // ---------------------------------------------------------------------
+
+  /** Register count m = 2^6. With poly-hash values < PolyP ≈ 2^30,
+    * the suffix w = hv div 64 carries < 2^24, so ρ ∈ [1, 24] and 25
+    * is the w=0 sentinel. */
+  val HllRegisters = 64
+  val HllMaxRho = 25
+  /** 2^HllMaxRho: scaling Σ2^-ρ by this turns the harmonic-mean
+    * denominator into an exact BIGINT sum (order-independent —
+    * a raw double Σ2^-ρ would round differently under Spark's
+    * nondeterministic add order vs DuckDB's). */
+  val HllScale = 1L << HllMaxRho
+
+  /** HyperLogLog cardinality registers per source: register j takes
+    * the max over tokens of ρ = 1 + trailing-zeros of the hash
+    * suffix. Everything is integer algebra — the lowest set bit is
+    * isolated with w & −w and matched against exact powers of two,
+    * and the estimate denominator is the scaled BIGINT sum — so both
+    * engines produce bit-identical registers AND estimates. Unlike
+    * KMV (#63) the sketch state is a FIXED 64-byte register file per
+    * group regardless of k or cardinality; the shuffle after the
+    * partial max carries ≤ m rows per (source, task). The exact
+    * distinct count deliberately does NOT ride along here — at
+    * 100 TB the register file is the whole shuffle. */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rhoCol = (1 until HllMaxRho).foldRight(lit(HllMaxRho): org.apache.spark.sql.Column) {
+      case (k, acc) => when(col("lb") === lit(1L << (k - 1)), lit(k)).otherwise(acc)
+    }
+    val regs = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(normText(col("text")), " ")).as("tok"))
+      .withColumn("hv", poly_hash(col("tok")))
+      .withColumn("j", col("hv") % HllRegisters)
+      .withColumn("w", expr(s"hv div $HllRegisters"))
+      .withColumn("lb", col("w").bitwiseAND(-col("w")))
+      .withColumn("rho", rhoCol)
+      .groupBy("source", "j").agg(max("rho").as("r"))
+    val grid = Tables.load(spark, dir, "documents").select("source").distinct()
+      .crossJoin(broadcast(
+        spark.range(HllRegisters).select(col("id").as("j"))))
+    val win = Window.partitionBy("source")
+    grid.join(regs, Seq("source", "j"), "left")
+      .na.fill(0, Seq("r"))
+      .withColumn("term", expr(s"shiftright(CAST($HllScale AS BIGINT), CAST(r AS INT))"))
+      .withColumn("ssum", sum("term").over(win))
+      .withColumn("zeros", sum(when(col("r") === 0, 1L).otherwise(0L)).over(win))
+      .withColumn("est_hll",
+        lit(0.709) * lit((HllRegisters.toLong * HllRegisters).toDouble) * lit(HllScale.toDouble) / col("ssum").cast("double"))
+      .select(col("source"), col("j"), col("r").cast("long").as("r"),
+        col("zeros"), col("est_hll"))
+      .orderBy("source", "j")
+  }
+
+  val sketchHllSql: String = {
+    val ladder = (1 until HllMaxRho)
+      .map(k => s"WHEN lb = ${1L << (k - 1)} THEN $k").mkString(" ")
+    s"""WITH toks AS (
+      |  SELECT source, unnest(string_split($normTextSql, ' ')) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT source,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % $PolyP) AS hv
+      |  FROM toks
+      |), b AS (
+      |  SELECT source, hv % $HllRegisters AS j, hv // $HllRegisters AS w FROM h
+      |), rho AS (
+      |  SELECT source, j,
+      |    CASE $ladder ELSE $HllMaxRho END AS rho
+      |  FROM (SELECT source, j, w, (w & (-w)) AS lb FROM b)
+      |), regs AS (
+      |  SELECT source, j, MAX(rho) AS r FROM rho GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT s.source, g.j
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN (SELECT unnest(range(0, $HllRegisters)) AS j) g
+      |), filled AS (
+      |  SELECT g.source, g.j, COALESCE(regs.r, 0) AS r
+      |  FROM grid g LEFT JOIN regs ON g.source = regs.source AND g.j = regs.j
+      |), s AS (
+      |  SELECT *, SUM($HllScale >> r) OVER (PARTITION BY source) AS ssum,
+      |    SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY source) AS zeros
+      |  FROM filled
+      |)
+      |SELECT source, j, CAST(r AS BIGINT) AS r, CAST(zeros AS BIGINT) AS zeros,
+      |  CAST(0.709 AS DOUBLE) * CAST(${HllRegisters * HllRegisters} AS DOUBLE) * CAST($HllScale AS DOUBLE)
+      |    / CAST(ssum AS DOUBLE) AS est_hll
+      |FROM s
+      |ORDER BY source, j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct" -> ((s, d) => sketchDistinct(s, d)),
-    "sketch_heavy" -> ((s, d) => sketchHeavy(s, d)))
+    "sketch_heavy" -> ((s, d) => sketchHeavy(s, d)),
+    "sketch_hll" -> ((s, d) => sketchHll(s, d)))
 
   val oracle: Map[String, String] = Map(
     "sketch_distinct" -> sketchDistinctSql,
-    "sketch_heavy" -> sketchHeavySql)
+    "sketch_heavy" -> sketchHeavySql,
+    "sketch_hll" -> sketchHllSql)
 }

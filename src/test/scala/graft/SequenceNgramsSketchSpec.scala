@@ -305,4 +305,40 @@ class SequenceNgramsSketchSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(trueTop.subsetOf(out.map(_._1).toSet))
   }
+
+  test("sketch_hll: full register grid, valid rho range, estimate within HLL error") {
+    val out = Sketch.sketchHll(spark, sf).collect()
+    val bySource = out.groupBy(_.getString(0))
+    // every source has the complete m-register grid
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length === Sketch.HllRegisters, src)
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (0L until Sketch.HllRegisters).toSeq, src)
+      rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= Sketch.HllMaxRho))
+    }
+    // the estimate is a per-source constant and lands within ~3σ of
+    // the exact distinct-token count (σ ≈ 1.04/√64 = 13%)
+    val exact = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        explode(split(graft.functions.TextFunctions.normText(col("text")), " ")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val ests = rows.map(_.getDouble(4)).distinct
+      assert(ests.length === 1, s"$src estimate not constant")
+      val zeros = rows.head.getLong(3)
+      assert(zeros === rows.count(_.getLong(2) == 0).toLong)
+      // the standard HLL small-range correction (linear counting) is
+      // applied by the CONSUMER from the emitted zeros column — the
+      // operator itself stays pure integer+fixed-double algebra so the
+      // oracle never has to reproduce a transcendental bit-for-bit
+      val m = Sketch.HllRegisters.toDouble
+      val corrected =
+        if (ests.head <= 2.5 * m && zeros > 0) m * math.log(m / zeros)
+        else ests.head
+      val n = exact(src).toDouble
+      assert(math.abs(corrected - n) <= 0.40 * n + 10,
+        s"$src est=${ests.head} corrected=$corrected exact=$n")
+    }
+  }
 }
