@@ -68,6 +68,70 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("AQE splits a skewed join partition (the skew story the big joins rely on)") {
+    import spark.implicits._
+    // one hot key owning ~95% of the left side, thresholds lowered so
+    // the skew optimizer can act at test scale
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_payload_payload_"), col("id")).as("pl"))
+      val right = spark.range(500).select(col("id").as("k"), col("id").as("v"))
+      val joined = left.join(right, "k")
+      // collect (not count) so AQE settles on THIS query execution
+      assert(joined.collect().length === 190000 + 25)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no skew-split marker in the settled plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("hll registers: the sketch exchange is bounded by m·groups·partitions, not tokens") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val parts = 8
+      val nTokens = 50000
+      val groups = 4
+      // 50k distinct tokens over 4 sources: the register aggregate's
+      // exchange must carry partial register files, never token rows
+      val toks = spark.range(nTokens)
+        .select(concat(lit("s"), col("id") % groups).as("source"),
+          concat(lit("tok"), col("id")).as("tok"))
+        .repartition(parts)
+        .withColumn("hv", graft.functions.SketchFunctions.poly_hash(col("tok")))
+        .withColumn("j", col("hv") % operators.Sketch.HllRegisters)
+        .withColumn("w", expr(s"hv div ${operators.Sketch.HllRegisters}"))
+        .withColumn("lb", col("w").bitwiseAND(-col("w")))
+        .withColumn("rho", lit(1)) // rank itself is irrelevant to the shuffle bound
+      val regs = toks.groupBy("source", "j").agg(max("rho").as("r"))
+      assert(regs.count() === groups.toLong * operators.Sketch.HllRegisters)
+      val executed = regs.queryExecution.executedPlan
+      val shuffled = executed.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          e.metrics.collectFirst {
+            case (k, m) if k.toLowerCase.contains("recordswritten") => m.value
+          }.getOrElse(sys.error(s"no records metric in ${e.metrics.keys}"))
+      }.getOrElse(sys.error(s"no exchange above a partial aggregate:\n$executed"))
+      val bound = groups.toLong * operators.Sketch.HllRegisters * parts
+      assert(shuffled <= bound && shuffled < nTokens.toLong,
+        s"shuffled $shuffled rows (bound $bound, tokens $nTokens)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("count-min cells: the sketch exchange is bounded by d·w·partitions, not tokens") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "false")
