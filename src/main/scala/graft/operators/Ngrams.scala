@@ -148,13 +148,66 @@ object Ngrams {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #103 vocab_merges — BPE merge candidates (first tokenizer-training
+  // iteration)
+  // ---------------------------------------------------------------------
+
+  val MergeTopK = 30
+
+  /** The first BPE iteration as a relational plan: adjacent
+    * character-pair frequencies over the corpus, weighted by word
+    * occurrence counts — the argmax pair is the merge a
+    * byte-pair-encoding trainer would apply first. The corpus
+    * collapses to its VOCABULARY before any pair generation (one
+    * map-side-combined aggregate), so the pair explosion is bounded
+    * by Σ|word| over distinct words — vocabulary-sized, not
+    * corpus-sized, which is what makes tokenizer training on 100 TB
+    * feasible in one pass. Output: pair, total weighted count,
+    * distinct word types containing it; final cut is a
+    * TakeOrderedAndProject. */
+  def vocabMerges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(col("word"), col("cnt"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .withColumn("pair", expr("substring(word, CAST(i AS INT), 2)"))
+      .groupBy("pair")
+      .agg(sum("cnt").as("total"), count_distinct(col("word")).as("n_word_types"))
+      .orderBy(desc("total"), asc("pair"))
+      .limit(MergeTopK)
+  }
+
+  val vocabMergesSql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split($normTextSql, ' ')) AS word FROM documents
+      |), vocab AS (
+      |  SELECT word, COUNT(*) AS cnt FROM toks
+      |  GROUP BY word HAVING length(word) >= 2
+      |), pairs AS (
+      |  SELECT word, cnt,
+      |    unnest(list_transform(range(1, length(word)), i ->
+      |      substring(word, CAST(i AS INT), 2))) AS pair
+      |  FROM vocab
+      |)
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(DISTINCT word) AS n_word_types
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY total DESC, pair
+      |LIMIT $MergeTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
     "text_keywords" -> ((s, d) => textKeywords(s, d)),
-    "text_bigram_score" -> ((s, d) => textBigramScore(s, d)))
+    "text_bigram_score" -> ((s, d) => textBigramScore(s, d)),
+    "vocab_merges" -> ((s, d) => vocabMerges(s, d)))
 
   val oracle: Map[String, String] = Map(
     "corpus_ngrams" -> corpusNgramsSql,
     "text_keywords" -> textKeywordsSql,
-    "text_bigram_score" -> textBigramScoreSql)
+    "text_bigram_score" -> textBigramScoreSql,
+    "vocab_merges" -> vocabMergesSql)
 }
