@@ -122,6 +122,22 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     assert(got.length < docs.length)
   }
 
+  test("vocab_merges matches brute-force BPE pair counting") {
+    val wordCnt = docs.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      .filter(_._1.length >= 2)
+    val pairStats = wordCnt.toSeq.flatMap { case (w, c) =>
+      (0 until w.length - 1).map(i => (w.substring(i, i + 2), w, c))
+    }.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.map(_._3).sum, xs.map(_._2).distinct.length.toLong)
+    }
+    val expected = pairStats.toSeq
+      .sortBy { case (p, tot, _) => (-tot, p) }.take(Ngrams.MergeTopK)
+    val got = Ngrams.vocabMerges(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+  }
+
   private def refPolyHash(s: String): Long = {
     var acc = 0L
     s.foreach(ch => acc = (acc * 131 + ch.toLong) % SketchFunctions.PolyP)
