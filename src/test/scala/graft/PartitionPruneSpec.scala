@@ -60,4 +60,30 @@ class PartitionPruneSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), s"no DPP subquery in:\n$plan")
   }
+
+  test("runtime bloom-filter join pruning: a selective build side injects might_contain on the probe scan") {
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val probe = Tables.events(spark, sf).select("event_id", "user_id")
+      val build = Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("eid"))
+      val joined = probe.join(build, col("event_id") === col("eid"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
