@@ -824,12 +824,242 @@ object Analytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #104–108 completing the TPC-H shape sweep: Q2/Q11/Q12/Q20/Q21
+  // (adapted — the schema has no partsupp/shipmode/receiptdate, so
+  // supply cost ⇒ s_acctbal, shipmode classes ⇒ returnflag, late ⇒
+  // shipped > 60 days after the order date)
+  // ---------------------------------------------------------------------
+
+  /** #104 Q2 shape: per part (size=10), the supplier(s) with the
+    * maximum account balance among those that actually shipped it,
+    * EUROPE only — the correlated-max decorrelated to a per-part
+    * aggregate joined back on exact decimal equality (doubles would
+    * be a cross-engine tie hazard). Top-20 by balance. */
+  def q2Mincost(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_size") === 10).select("p_partkey")
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val n = Tables.load(spark, dir, "nation")
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        money(col("s_acctbal")).as("bal"))
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("bal"))
+      .distinct()
+    val mx = pairs.groupBy(col("p_partkey").as("mk")).agg(max("bal").as("mb"))
+    pairs.join(mx, col("p_partkey") === col("mk") && col("bal") === col("mb"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
+        col("bal").cast("double").as("s_acctbal"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q2MincostSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
+      |    CAST(s_acctbal AS DECIMAL(9,2)) AS bal
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_size = 10 AND r_name = 'EUROPE'
+      |), mx AS (
+      |  SELECT p_partkey AS mk, MAX(bal) AS mb FROM pairs GROUP BY p_partkey
+      |)
+      |SELECT p_partkey, s_suppkey, s_name, n_name,
+      |  CAST(bal AS DOUBLE) AS s_acctbal
+      |FROM pairs JOIN mx ON p_partkey = mk AND bal = mb
+      |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+      |LIMIT 20""".stripMargin
+
+  /** #105 Q11 shape: parts whose inventory value (Σ qty·price)
+    * exceeds 1/10000 of the corpus total — the scalar-subquery
+    * HAVING, decided with cross-multiplied exact decimals (val·10000
+    * > total) instead of a rounded fraction. One-row total broadcasts
+    * back into the per-part frame. */
+  def q11Value(spark: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(money(col("l_quantity")) * money(col("l_extendedprice"))).as("value"))
+    val total = pv.agg(sum("value").as("total"))
+    pv.crossJoin(broadcast(total))
+      .filter(col("value") * 10000 > col("total"))
+      .select(col("l_partkey"), col("value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11ValueSql: String =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS value
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+      |FROM pv
+      |WHERE value * 10000 > (SELECT SUM(value) FROM pv)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** #106 Q12 shape: late-shipment priority accounting — for 1996
+    * ship dates more than 60 days after the order date, count
+    * critical (1-URGENT/2-HIGH) vs other orders per returnflag (the
+    * schema's stand-in for shipmode). The dual conditional counts
+    * share one aggregate. */
+  def q12Lateship(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate",
+      "o_orderpriority")
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12LateshipSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** #107 Q20 shape: suppliers that shipped more than 100 units of
+    * %red% parts in 1996 — the nested IN-subquery-with-HAVING,
+    * planned as a semi-join against the aggregated inner frame. */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("%red%")).select("p_partkey")
+    val heavy = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(money(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 100)
+    Tables.load(spark, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val q20ExcessSql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%red%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 100)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** #108 Q21 shape: the sole-blame supplier report — suppliers late
+    * on multi-supplier orders where NO other supplier was late. The
+    * EXISTS + NOT-EXISTS pair collapses to one per-order aggregate
+    * (n_supp ≥ 2 ∧ n_late = 1 ⟺ some other supplier exists and none
+    * of them was late), so Spark pays one extra join instead of two
+    * correlated probes; the oracle spells the same predicate with
+    * EXISTS/NOT EXISTS and DuckDB decorrelates it itself. */
+  def q21Blame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max((col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
+        .cast("int")).as("late"))
+    val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+    li.join(perOrder, col("l_orderkey") === col("ok"))
+      .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q21BlameSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |             THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey, l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.late = 1
+      |  AND EXISTS (SELECT 1 FROM li l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM li l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.late = 1)
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
+  /** #109 Q16 shape: supplier-diversity count per (brand, size) for
+    * mid-size parts, excluding blacklisted suppliers (NOT IN — the
+    * schema's stand-in for the complaints filter is a negative
+    * account balance), completing the 22/22 TPC-H shape sweep. The
+    * NOT IN plans as an anti-join BEFORE the distinct-count
+    * aggregate; supplier diversity shuffles once on the (brand,
+    * size) key space. */
+  def q16Partcount(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_size").between(20, 30))
+      .select("p_partkey", "p_brand", "p_size")
+    val bad = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_key"))
+    Tables.load(spark, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  val q16PartcountSql: String =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size BETWEEN 20 AND 30
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot" -> eventsPivot,
     "events_retention" -> eventsRetention,
     "q17_smallqty" -> q17Smallqty,
     "q10_returns" -> q10Returns,
     "q1_rollup" -> q1Rollup,
+    "q2_mincost" -> q2Mincost,
+    "q16_partcount" -> q16Partcount,
+    "q11_value" -> q11Value,
+    "q12_lateship" -> q12Lateship,
+    "q20_excess" -> q20Excess,
+    "q21_blame" -> q21Blame,
     "q13_custdist" -> q13Custdist,
     "q14_promo" -> q14Promo,
     "q15_topsupp" -> q15Topsupp,
@@ -854,6 +1084,12 @@ object Analytics {
     "q17_smallqty" -> q17SmallqtySql,
     "q10_returns" -> q10ReturnsSql,
     "q1_rollup" -> q1RollupSql,
+    "q2_mincost" -> q2MincostSql,
+    "q16_partcount" -> q16PartcountSql,
+    "q11_value" -> q11ValueSql,
+    "q12_lateship" -> q12LateshipSql,
+    "q20_excess" -> q20ExcessSql,
+    "q21_blame" -> q21BlameSql,
     "q13_custdist" -> q13CustdistSql,
     "q14_promo" -> q14PromoSql,
     "q15_topsupp" -> q15TopsuppSql,

@@ -297,6 +297,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q20: nested IN-with-HAVING plans as a semi-join against the aggregated frame") {
+    val plan = planString(operators.Analytics.q20Excess(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q16: NOT IN blacklist plans as an anti-join before the distinct count") {
+    // at spec SF the blacklist is empty and AQE (correctly) erases the
+    // anti-join entirely — audit the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = operators.Analytics.q16Partcount(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q13: left join preserves order-less customers; two agg shuffles by nature") {
     val plan = planString(operators.Analytics.q13Custdist(spark, sf))
     assert(plan.contains("LeftOuter") || plan.contains("BuildRight"), plan)
