@@ -41,7 +41,8 @@ object Bench {
     "corpus_passage_dedup", "corpus_domain_topk", "corpus_pack",
     "dedup_clusters", "ann_int8", "sketch_heavy",
     "q17_smallqty", "events_pivot", "events_retention", "corpus_chunks",
-    "q10_returns", "q9_profit", "q8_share", "q1_rollup", "corpus_diversity")
+    "q10_returns", "q9_profit", "q8_share", "q1_rollup", "corpus_diversity",
+    "q21_blame", "q16_partcount")
 
   val TimedPasses = 3
 
