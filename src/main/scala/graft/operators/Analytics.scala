@@ -986,9 +986,12 @@ object Analytics {
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max((col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
         .cast("int")).as("late"))
-    val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
-    li.join(perOrder, col("l_orderkey") === col("ok"))
+    // per-order supplier/lateness counts as whole-partition windows:
+    // one orderkey shuffle instead of a second aggregate + join-back
+    // (two shuffles) — the frame is already one row per (order, supp)
+    val w = Window.partitionBy("l_orderkey")
+    li.withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum("late").over(w))
       .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
       .join(Tables.load(spark, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
