@@ -315,6 +315,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("blanket audit: no declared query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin with a tiny broadcast side is a
+    // legitimate tool (ann query fan-out, centroid assignment); an
+    // un-broadcast CartesianProduct never is. Planning only — no
+    // execution — so the whole 100-query surface stays cheap to audit.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+  }
+
   test("q13: left join preserves order-less customers; two agg shuffles by nature") {
     val plan = planString(operators.Analytics.q13Custdist(spark, sf))
     assert(plan.contains("LeftOuter") || plan.contains("BuildRight"), plan)
