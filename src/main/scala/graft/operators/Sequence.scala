@@ -250,15 +250,70 @@ object Sequence {
       |GROUP BY cum.event_type
       |ORDER BY cum.event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #110 events_anomaly — 3σ outliers with exact-moment accumulation
+  // ---------------------------------------------------------------------
+
+  /** Per-type 3σ outlier flags with NUMERICALLY DETERMINISTIC
+    * moments: value is quantized to integer cents (exact — the
+    * corpus is 2-decimal money), the per-type count/Σv/Σv² are
+    * EXACT DECIMAL(38,0) sums (order-independent, unlike double
+    * accumulation, whose result depends on Spark's partition merge
+    * order — the cross-engine/cross-run hazard for any variance
+    * test), and doubles appear only in the final comparison
+    * (n·v−S)² > 9·(n·Q−S²), derived from identical exact inputs in
+    * both engines. The 5-row stats frame broadcasts back; the scan
+    * is one pass + one tiny aggregate. Σv² ≤ n·(10^4·v_max)² keeps
+    * DECIMAL(38,0) exact past 10^19 rows per type. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(9,2)") * 100).cast("decimal(18,0)").as("v"))
+    val stats = e.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("q"))
+    val nd = col("n").cast("double")
+    val vd = col("v").cast("double")
+    val sd = col("s").cast("double")
+    val qd = col("q").cast("double")
+    val dd = nd * vd - sd
+    e.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(dd * dd > lit(9.0) * (nd * qd - sd * sd))
+      .select(col("event_id"), col("event_type"), col("v").cast("long").as("v_cents"))
+      .orderBy("event_id")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(9,2)) * 100 AS DECIMAL(18,0)) AS v
+      |  FROM events
+      |), stats AS (
+      |  SELECT event_type AS et, COUNT(*) AS n,
+      |    SUM(CAST(v AS DECIMAL(38,0))) AS s,
+      |    SUM(CAST(v * v AS DECIMAL(38,0))) AS q
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT event_id, event_type, CAST(v AS BIGINT) AS v_cents
+      |FROM e JOIN stats ON event_type = et
+      |WHERE (CAST(n AS DOUBLE) * CAST(v AS DOUBLE) - CAST(s AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(v AS DOUBLE) - CAST(s AS DOUBLE))
+      |  > 9.0 * (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+      |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> ((s, d) => eventsAsof(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "events_range_join" -> ((s, d) => eventsRangeJoin(s, d)),
-    "events_gap_quantiles" -> ((s, d) => eventsGapQuantiles(s, d)))
+    "events_gap_quantiles" -> ((s, d) => eventsGapQuantiles(s, d)),
+    "events_anomaly" -> ((s, d) => eventsAnomaly(s, d)))
 
   val oracle: Map[String, String] = Map(
     "events_asof" -> eventsAsofSql,
     "events_funnel" -> eventsFunnelSql,
     "events_range_join" -> eventsRangeJoinSql,
-    "events_gap_quantiles" -> eventsGapQuantilesSql)
+    "events_gap_quantiles" -> eventsGapQuantilesSql,
+    "events_anomaly" -> eventsAnomalySql)
 }
