@@ -122,6 +122,28 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     assert(got.length < docs.length)
   }
 
+  test("events_anomaly matches a brute-force exact-moment 3-sigma scan") {
+    val vals = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toBigInt))
+    val byType = vals.groupBy(_._2)
+    val expected = vals.filter { case (_, t, v) =>
+      val g = byType(t)
+      val n = BigInt(g.length)
+      val s = g.map(_._3).sum
+      val q = g.map(x => x._3 * x._3).sum
+      val d = (n * v - s).toDouble
+      d * d > 9.0 * (n.toDouble * q.toDouble - s.toDouble * s.toDouble)
+    }.map(x => (x._1, x._2, x._3.toLong)).sortBy(_._1)
+    val got = Sequence.eventsAnomaly(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq)
+    // a 3-sigma cut must be selective but non-vacuous on skewed values
+    assert(got.nonEmpty && got.length < vals.length / 20)
+  }
+
   test("vocab_merges matches brute-force BPE pair counting") {
     val wordCnt = docs.flatMap(_._2.split(" "))
       .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
