@@ -704,7 +704,60 @@ object Dedup {
       |  CAST(CASE WHEN doc_id = MIN(r) THEN 1 ELSE 0 END AS INT) AS is_canonical
       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #111 dedup_fuzzy — edit-distance near-dup (prefix-blocked
+  // Levenshtein), the missing modality between exact and token-set
+  // ---------------------------------------------------------------------
+
+  /** Compared prefix length and edit budget. */
+  val FuzzyPrefix = 80
+  val FuzzyBlock = 12
+  val FuzzyMaxDist = 8
+
+  /** Edit-distance near-dup over normalized text prefixes: candidates
+    * are blocked on (lang, first FuzzyBlock chars) — docs whose edits
+    * touch the very head of the text are invisible to this blocker,
+    * the standard blocking trade-off, while OCR noise / trailing
+    * edits (the common near-dup mode) collide reliably — then
+    * verified with levenshtein ≤ FuzzyMaxDist on the first
+    * FuzzyPrefix chars (O(prefix²) per candidate, bounded). Both
+    * engines implement classic Levenshtein, so the verify predicate
+    * is oracle-exact. Scale: the block join shuffles on the block
+    * key; a hot prefix block (boilerplate headers) is the same skew
+    * class as a hot LSH bucket — cap block size or pre-salt exactly
+    * as dedup_minhash's scaladoc describes. */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(graft.functions.TextFunctions.normText(col("text")),
+          1, FuzzyPrefix).as("p"))
+      .withColumn("blk", substring(col("p"), 1, FuzzyBlock))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.p"), col("b.p")).as("dist"))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupFuzzySql: String =
+    s"""WITH n AS (
+      |  SELECT doc_id, lang,
+      |    substring(${graft.functions.TextFunctions.normTextSql}, 1, $FuzzyPrefix) AS p
+      |  FROM documents
+      |), b AS (
+      |  SELECT *, substring(p, 1, $FuzzyBlock) AS blk FROM n
+      |)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |  CAST(levenshtein(a.p, c.p) AS INT) AS dist
+      |FROM b a JOIN b c
+      |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.p, c.p) <= $FuzzyMaxDist
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy" -> dedupFuzzy,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
@@ -716,6 +769,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracle: Map[String, String] = Map(
+    "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_poly" -> dedupMinhashPolySql,

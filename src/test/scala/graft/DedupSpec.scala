@@ -200,4 +200,32 @@ class DedupSpec extends SparkSpec {
     val canonical = out.filter(_._3 == 1).map(_._1).toSet
     assert(canonical === out.map(_._2).toSet)
   }
+
+  test("dedup_fuzzy matches a brute-force blocked Levenshtein scan") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val norm = r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ")
+        (r.getLong(0), r.getString(1),
+          norm.substring(0, math.min(operators.Dedup.FuzzyPrefix, norm.length)))
+      }
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2 &&
+        a._3.take(operators.Dedup.FuzzyBlock) == b._3.take(operators.Dedup.FuzzyBlock)
+      d = lev(a._3, b._3) if d <= operators.Dedup.FuzzyMaxDist
+    } yield (a._1, b._1, d)).sortBy(t => (t._1, t._2))
+    val got = operators.Dedup.dedupFuzzy(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === expected.toSeq)
+  }
 }
