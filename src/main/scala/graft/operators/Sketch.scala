@@ -184,19 +184,30 @@ object Sketch {
     * partial max carries ≤ m rows per (source, task). The exact
     * distinct count deliberately does NOT ride along here — at
     * 100 TB the register file is the whole shuffle. */
-  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** HLL register file per key group: max-of-ρ per (keys, register).
+    * This is the MERGEABLE partial form — registers for a finer key
+    * split merge into the coarser sketch by plain register-max
+    * (spec-proven), which is exactly how 100 TB re-aggregation or
+    * day→month sketch rollups work without touching raw data. */
+  private[graft] def hllRegistersOf(toks: DataFrame, keys: String*): DataFrame = {
     val rhoCol = (1 until HllMaxRho).foldRight(lit(HllMaxRho): org.apache.spark.sql.Column) {
       case (k, acc) => when(col("lb") === lit(1L << (k - 1)), lit(k)).otherwise(acc)
     }
-    val regs = Tables.load(spark, dir, "documents")
-      .select(col("source"), explode(split(normText(col("text")), " ")).as("tok"))
+    toks
       .withColumn("hv", poly_hash(col("tok")))
       .withColumn("j", col("hv") % HllRegisters)
       .withColumn("w", expr(s"hv div $HllRegisters"))
       .withColumn("lb", col("w").bitwiseAND(-col("w")))
       .withColumn("rho", rhoCol)
-      .groupBy("source", "j").agg(max("rho").as("r"))
+      .groupBy(keys.head, keys.tail :+ "j": _*).agg(max("rho").as("r"))
+  }
+
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val regs = hllRegistersOf(
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), explode(split(normText(col("text")), " ")).as("tok")),
+      "source")
     val grid = Tables.load(spark, dir, "documents").select("source").distinct()
       .crossJoin(broadcast(
         spark.range(HllRegisters).select(col("id").as("j"))))

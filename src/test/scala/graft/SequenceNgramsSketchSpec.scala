@@ -122,6 +122,23 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     assert(got.length < docs.length)
   }
 
+  test("hll registers merge: per-(source,lang) partials max-merge into the per-source sketch") {
+    // the mergeability property that makes HLL the 100 TB rollup
+    // sketch: registers built on a FINER key split, merged by plain
+    // register-max, equal the registers built directly on the coarser
+    // key — no raw-data re-scan needed for re-aggregation
+    val toksFine = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("lang"),
+        explode(split(graft.functions.TextFunctions.normText(col("text")), " ")).as("tok"))
+    val fine = Sketch.hllRegistersOf(toksFine, "source", "lang")
+    val merged = fine.groupBy("source", "j").agg(max("r").as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val direct = Sketch.hllRegistersOf(
+        toksFine.select(col("source"), col("tok")), "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(merged === direct)
+  }
+
   test("events_anomaly matches a brute-force exact-moment 3-sigma scan") {
     val vals = Tables.events(spark, sf)
       .select("event_id", "event_type", "value").collect()
