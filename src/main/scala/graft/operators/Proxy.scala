@@ -55,7 +55,7 @@ object Proxy {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"),
         format_string("PROXY TCP4 10.0.0.%d 10.1.0.1 %d 514\r\npayload user=%d n=%d",
-          col("user_id"), col("user_id") + 1000, col("user_id"), col("n"))
+          col("user_id"), lit(1024) + col("user_id") % 60000, col("user_id"), col("n"))
           .as("stream"))
     streams.select(col("user_id"), proxyV1(col("stream")).as("p"))
       .select(col("user_id"),
@@ -73,7 +73,7 @@ object Proxy {
       |  'TCP4' AS proto,
       |  '10.0.0.' || user_id AS src_addr,
       |  '10.1.0.1' AS dst_addr,
-      |  CAST(user_id + 1000 AS INT) AS src_port,
+      |  CAST(1024 + user_id % 60000 AS INT) AS src_port,
       |  CAST(514 AS INT) AS dst_port,
       |  printf('payload user=%d n=%d', user_id, COUNT(*)) AS payload
       |FROM events
@@ -192,7 +192,7 @@ object Proxy {
           lit("21"), lit("11"), lit("000C"), // proxy/inet/stream, 12B addrs
           lpad(hex(lit(0x0a000000L) + col("user_id")), 8, "0"), // 10.0.0.x
           lit("0A010001"), // 10.1.0.1
-          lpad(hex(col("user_id") + 1000), 4, "0"),
+          lpad(hex(lit(1024) + col("user_id") % 60000), 4, "0"),
           lit("0202")) // 514
           .as("hex"),
         format_string("payload user=%d n=%d", col("user_id"), col("n")).as("payload"))
@@ -218,9 +218,13 @@ object Proxy {
       |  'proxy' AS command,
       |  'inet' AS family,
       |  'stream' AS protocol,
-      |  '10.0.0.' || user_id AS src_addr,
+      |  printf('%d.%d.%d.%d',
+      |    (167772160 + user_id) // 16777216 % 256,
+      |    (167772160 + user_id) // 65536 % 256,
+      |    (167772160 + user_id) // 256 % 256,
+      |    (167772160 + user_id) % 256) AS src_addr,
       |  '10.1.0.1' AS dst_addr,
-      |  CAST(user_id + 1000 AS INT) AS src_port,
+      |  CAST(1024 + user_id % 60000 AS INT) AS src_port,
       |  CAST(514 AS INT) AS dst_port,
       |  printf('payload user=%d n=%d', user_id, COUNT(*)) AS payload
       |FROM events
