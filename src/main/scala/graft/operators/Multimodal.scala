@@ -207,9 +207,149 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #112 media_resize — real-PNG decode → aspect-preserving fit
+  // ---------------------------------------------------------------------
+
+  /** Resize target box. */
+  val ResizeBox = 224
+
+  /** Aspect-preserving resize planning over REAL PNG headers
+    * synthesized in-query (sig + IHDR with doc_id-derived u32be
+    * dims), so the actual [[imageDims]] codec sits inside the
+    * oracle-verified path — the oracle re-derives the dims from the
+    * synthesis contract and replays the same integer fit math
+    * (truncating div on positives — engine-identical). The pixel
+    * resample itself is the stubbed stage (no raster libs in this
+    * container); what a 100 TB run needs verified is exactly this
+    * metadata path: decode → plan → (stub) kernel, map-only. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), lit("image").as("kind"),
+        unhex(concat(
+          lit("89504E470D0A1A0A"), // PNG signature
+          lit("0000000D"), lit("49484452"), // IHDR length + tag
+          lpad(hex((col("doc_id") % 1920 + 32).cast("int")), 8, "0"),
+          lpad(hex((col("doc_id") % 1080 + 32).cast("int")), 8, "0"),
+          lit("0806000000"))).as("bytes"))
+      .as[MediaRow]
+    decode(media).toDF()
+      .withColumn("out_w",
+        when(col("width") >= col("height"), lit(ResizeBox))
+          .otherwise(greatest(lit(1),
+            expr(s"(width * $ResizeBox) div height"))))
+      .withColumn("out_h",
+        when(col("width") >= col("height"), greatest(lit(1),
+          expr(s"(height * $ResizeBox) div width")))
+          .otherwise(lit(ResizeBox)))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w").cast("int").as("out_w"), col("out_h").cast("int").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  val mediaResizeSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 1920 + 32 AS INT) AS width,
+      |    CAST(doc_id % 1080 + 32 AS INT) AS height
+      |  FROM documents
+      |)
+      |SELECT doc_id, width, height,
+      |  CAST(CASE WHEN width >= height THEN $ResizeBox
+      |            ELSE GREATEST(1, (width * $ResizeBox) // height) END AS INT) AS out_w,
+      |  CAST(CASE WHEN width >= height THEN GREATEST(1, (height * $ResizeBox) // width)
+      |            ELSE $ResizeBox END AS INT) AS out_h
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #113 media_frames — stride frame sampling from typed metadata
+  // ---------------------------------------------------------------------
+
+  val FrameStride = 10
+
+  /** Frame-sample planning for video rows: every FrameStride-th frame
+    * index from the typed metadata (n_frames derived from payload
+    * size — the stand-in for a real container's stts entry count).
+    * Map-only explode: sampling 100 TB of video metadata is
+    * scan-bound, and the (doc_id, frame_idx) output is the join key
+    * the (stubbed) frame-decode kernel would consume. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2) // the corpus' video rows
+      .select(col("doc_id"),
+        (expr("octet_length(CAST(text AS BINARY))") .cast("long")
+          .as("nb")))
+      .withColumn("n_frames", expr("nb div 100") + 1)
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr(s"sequence(0, n_frames - 1, $FrameStride)")).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  val mediaFramesSql: String =
+    s"""WITH v AS (
+      |  SELECT doc_id,
+      |    octet_length(encode(text)) // 100 + 1 AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2
+      |)
+      |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(unnest(range(0, n_frames, $FrameStride)) AS BIGINT) AS frame_idx
+      |FROM v
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #114 media_features — per-asset byte histogram (feature-extract)
+  // ---------------------------------------------------------------------
+
+  /** Feature extraction over opaque binary: 16-bin high-nibble byte
+    * histogram per asset, computed by the same batched mapPartitions
+    * kernel shape a real featurizer (CLIP embedding, mel filterbank)
+    * would use — per-partition, bounded memory, assets never shuffle
+    * (only the 16-row-per-asset feature frame does). The oracle
+    * recomputes the histogram from the hex encoding, so the binary
+    * kernel is value-verified end to end. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaDataset(spark, dir)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val counts = new Array[Long](16)
+        m.bytes.foreach(b => counts((b & 0xff) >>> 4) += 1)
+        counts.iterator.zipWithIndex.collect {
+          case (c, bin) if c > 0 => (m.doc_id, bin, c)
+        }
+      }
+    }.toDF("doc_id", "bin", "cnt")
+      .select(col("doc_id"), col("bin").cast("int").as("bin"), col("cnt"))
+      .orderBy("doc_id", "bin")
+  }
+
+  val mediaFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+      |), n AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, length(hx) + 1, 2),
+      |      i -> substring(hx, CAST(i AS INT), 1))) AS ch
+      |  FROM b
+      |)
+      |SELECT doc_id,
+      |  CAST(strpos('0123456789ABCDEF', ch) - 1 AS INT) AS bin,
+      |  COUNT(*) AS cnt
+      |FROM n
+      |GROUP BY doc_id, ch
+      |ORDER BY doc_id, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> multimodalMetaChecked)
+    "multimodal_meta" -> multimodalMetaChecked,
+    "media_resize" -> mediaResize,
+    "media_frames" -> mediaFrames,
+    "media_features" -> mediaFeatures)
 
   val oracle: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "media_resize" -> mediaResizeSql,
+    "media_frames" -> mediaFramesSql,
+    "media_features" -> mediaFeaturesSql)
 }
