@@ -459,4 +459,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.exceptAll(again).count() === 0)
     assert(out.select("kind").distinct().count() === 3)
   }
+
+  test("media_resize: real PNG decode feeds aspect-preserved integer fits") {
+    val rows = operators.Multimodal.mediaResize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, h, ow, oh) =>
+      // dims came from the real IHDR parse of the synthesized header
+      assert(w === (id % 1920 + 32).toInt && h === (id % 1080 + 32).toInt)
+      assert(math.max(ow, oh) === operators.Multimodal.ResizeBox)
+      assert(ow >= 1 && oh >= 1)
+      // aspect preserved under truncating integer scaling
+      if (w >= h) assert(oh === math.max(1, h * operators.Multimodal.ResizeBox / w))
+      else assert(ow === math.max(1, w * operators.Multimodal.ResizeBox / h))
+    }
+  }
+
+  test("media_frames: stride covers [0, n_frames) exactly") {
+    val byDoc = operators.Multimodal.mediaFrames(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      val n = rs.head._2
+      val idx = rs.map(_._3).sorted.toSeq
+      assert(idx === (0L until n by operators.Multimodal.FrameStride.toLong).toSeq)
+    }
+  }
+
+  test("media_features: histogram mass equals payload bytes") {
+    val feats = operators.Multimodal.mediaFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val mass = feats.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val sizes = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr("octet_length(CAST(text AS BINARY))").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass.nonEmpty)
+    mass.foreach { case (d, m) => assert(m === sizes(d), s"doc $d") }
+    feats.foreach { case (_, bin, _) => assert(bin >= 0 && bin < 16) }
+  }
 }
