@@ -303,7 +303,48 @@ object Sequence {
       |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #115 events_paths — top-k 3-step behavior paths
+  // ---------------------------------------------------------------------
+
+  val PathTopK = 20
+
+  /** Most common 3-step event-type paths across users (the Sankey /
+    * behavior-flow source): consecutive triples via two lead()
+    * windows over each user's event_id order, then one
+    * map-side-combined count and a TakeOrderedAndProject cut. One
+    * user_id shuffle for the windows + one tiny aggregate — path
+    * mining 100 TB of clickstream is the window sort, nothing else.
+    * event_id is the total order (jointly monotone with ts per user,
+    * and unique — no timestamp ties to disambiguate). */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  val eventsPathsSql: String =
+    s"""WITH o AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS t3
+      |  FROM events
+      |)
+      |SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      |FROM o WHERE t3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT $PathTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_paths" -> ((s, d) => eventsPaths(s, d)),
     "events_asof" -> ((s, d) => eventsAsof(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "events_range_join" -> ((s, d) => eventsRangeJoin(s, d)),
@@ -311,6 +352,7 @@ object Sequence {
     "events_anomaly" -> ((s, d) => eventsAnomaly(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "events_paths" -> eventsPathsSql,
     "events_asof" -> eventsAsofSql,
     "events_funnel" -> eventsFunnelSql,
     "events_range_join" -> eventsRangeJoinSql,

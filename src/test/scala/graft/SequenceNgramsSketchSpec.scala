@@ -122,6 +122,19 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     assert(got.length < docs.length)
   }
 
+  test("events_paths matches brute-force per-user triple counting") {
+    val triples = rawEvents.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val types = es.sortBy(_._1).map(_._3)
+      types.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }
+    val expected = triples.groupBy(identity)
+      .map { case (p, xs) => (p, xs.length.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(Sequence.PathTopK)
+    val got = Sequence.eventsPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === expected)
+  }
+
   test("hll registers merge: per-(source,lang) partials max-merge into the per-source sketch") {
     // the mergeability property that makes HLL the 100 TB rollup
     // sketch: registers built on a FINER key split, merged by plain
