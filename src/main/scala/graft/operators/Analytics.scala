@@ -1051,6 +1051,69 @@ object Analytics {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+  /** #116 RFM customer segmentation: recency (days since last order,
+    * integer date math against the corpus max — no wall clock, so
+    * the result is reproducible), frequency (order count), monetary
+    * (exact decimal spend), each cut into quartiles over a TOTAL
+    * order (metric, custkey — a partial order would let the two
+    * engines tile ties differently).
+    *
+    * The quartiles are deliberately NOT `ntile(4).over(Window
+    * .orderBy(...))` — an un-partitioned window is a single-task
+    * global sort (the trap this library avoids everywhere). Each
+    * metric instead goes through [[Skew.globalRank]] (range-
+    * repartitioned parallel rank + broadcast partition offsets) and
+    * [[Skew.ntileOfRank]], whose integer algebra reproduces SQL
+    * NTILE bit-for-bit — which the DuckDB oracle, written with real
+    * NTILE, then PROVES. The 1-row max-date and n-row count
+    * subqueries broadcast. */
+  def customersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val maxd = o.agg(max("o_orderdate").as("maxd"))
+    val per = o.groupBy("o_custkey")
+      .agg(
+        max("o_orderdate").as("lastd"),
+        count(lit(1)).as("f_cnt"),
+        sum(money2(col("o_totalprice"))).as("m_total"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        expr("datediff(maxd, lastd)").cast("long").as("r_days"),
+        col("f_cnt"), col("m_total"))
+    val n = per.agg(count(lit(1)).as("__total"))
+    def tiled(df: DataFrame, tileName: String, sort: Column*): DataFrame =
+      Skew.globalRank(df, 8, sort: _*)
+        .crossJoin(broadcast(n))
+        .withColumn(tileName, Skew.ntileOfRank(col("rank"), col("__total"), 4))
+        .drop("rank", "__total")
+    val r1 = tiled(per, "r_tile", col("r_days"), col("o_custkey"))
+    val r2 = tiled(r1, "f_tile", col("f_cnt").desc, col("o_custkey"))
+    val r3 = tiled(r2, "m_tile", col("m_total").desc, col("o_custkey"))
+    r3.select(col("o_custkey"), col("r_days"), col("f_cnt"),
+        col("m_total").cast("double").as("m_total"),
+        col("r_tile"), col("f_tile"), col("m_tile"))
+      .orderBy("o_custkey")
+  }
+
+  val customersRfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    MAX(o_orderdate) AS lastd,
+      |    COUNT(*) AS f_cnt,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS m_total
+      |  FROM orders GROUP BY o_custkey
+      |), r AS (
+      |  SELECT o_custkey,
+      |    CAST(datediff('day', lastd, (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
+      |    f_cnt, m_total
+      |  FROM per
+      |)
+      |SELECT o_custkey, r_days, f_cnt, CAST(m_total AS DOUBLE) AS m_total,
+      |  CAST(NTILE(4) OVER (ORDER BY r_days, o_custkey) AS INT) AS r_tile,
+      |  CAST(NTILE(4) OVER (ORDER BY f_cnt DESC, o_custkey) AS INT) AS f_tile,
+      |  CAST(NTILE(4) OVER (ORDER BY m_total DESC, o_custkey) AS INT) AS m_tile
+      |FROM r
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pivot" -> eventsPivot,
     "events_retention" -> eventsRetention,
@@ -1058,6 +1121,7 @@ object Analytics {
     "q10_returns" -> q10Returns,
     "q1_rollup" -> q1Rollup,
     "q2_mincost" -> q2Mincost,
+    "customers_rfm" -> customersRfm,
     "q16_partcount" -> q16Partcount,
     "q11_value" -> q11Value,
     "q12_lateship" -> q12Lateship,
@@ -1088,6 +1152,7 @@ object Analytics {
     "q10_returns" -> q10ReturnsSql,
     "q1_rollup" -> q1RollupSql,
     "q2_mincost" -> q2MincostSql,
+    "customers_rfm" -> customersRfmSql,
     "q16_partcount" -> q16PartcountSql,
     "q11_value" -> q11ValueSql,
     "q12_lateship" -> q12LateshipSql,

@@ -83,6 +83,55 @@ object Skew {
       |WHERE rn <= $SkewTopN
       |ORDER BY event_type, rank""".stripMargin
 
+  /** Distributed GLOBAL rank without the single-partition window:
+    * `Window.orderBy(...)` with no partition key funnels every row
+    * through one task — the global-sort trap. This ranks in parallel
+    * instead: range-repartition on the sort key (Spark's sampled
+    * range partitioner keeps partitions balanced), rank within each
+    * partition, and add the partition's global offset (a
+    * `numPartitions`-row cumulative count, broadcast back). Two
+    * exchanges total — the range shuffle and the tiny offset frame —
+    * and every sort is partition-local.
+    *
+    * The sort key must be a TOTAL order (add a unique tiebreak
+    * column) or ranks are nondeterministic across engines and runs.
+    * Output: the input columns plus `rank` (1-based, dense over the
+    * total order). */
+  def globalRank(df: DataFrame, parts: Int, sortCols: Column*): DataFrame = {
+    val parted = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(w), lit(0L)))
+      .select("__pid", "__off")
+    val inPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__off") + row_number().over(inPart))
+      .drop("__pid", "__off")
+  }
+
+  /** NTILE(k) derived arithmetically from a 1-based global rank over
+    * n rows — bit-identical to SQL NTILE (first `n mod k` tiles get
+    * the extra row): with q = n div k and r = n mod k, ranks up to
+    * r·(q+1) land in tile ⌈rank/(q+1)⌉, the rest in
+    * r + ⌈(rank − r·(q+1))/q⌉. All-integer on positives. */
+  def ntileOfRank(rank: Column, n: Column, k: Int): Column = {
+    // exact integer division for positives: subtract the remainder
+    // first so the double division is of an exact multiple (Column./
+    // on longs is double division — floor(a/b) alone can round across
+    // the boundary at large magnitudes)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val qq = idiv(n, lit(k))
+    val r = n % k
+    val cut = r * (qq + 1)
+    when(rank <= cut, idiv(rank + qq, qq + 1))
+      .otherwise(r + idiv(rank - cut + qq - 1, qq))
+      .cast("int")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("skew_salted_collect" -> ((s, d) => skewSaltedCollect(s, d)))
 

@@ -68,6 +68,27 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("globalRank + ntileOfRank equal the single-partition window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sizes exercising every n mod k residue, including n < parts
+    for (n <- Seq(5, 97, 100, 1003)) {
+      val df = spark.range(n.toLong)
+        .select((col("id") * 37 % 101).as("metric"), col("id"))
+      val viaWindow = df
+        .withColumn("rank", row_number().over(Window.orderBy(col("metric"), col("id"))))
+        .withColumn("tile", ntile(4).over(Window.orderBy(col("metric"), col("id"))))
+        .select("id", "rank", "tile").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+      val viaRank = operators.Skew.globalRank(df, 8, col("metric"), col("id"))
+        .withColumn("tile",
+          operators.Skew.ntileOfRank(col("rank"), lit(n.toLong), 4))
+        .select("id", "rank", "tile").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      assert(viaRank.map(t => (t._1, t._2.toInt, t._3)).toSeq === viaWindow.toSeq, s"n=$n")
+    }
+  }
+
   test("AQE splits a skewed join partition (the skew story the big joins rely on)") {
     import spark.implicits._
     // one hot key owning ~95% of the left side, thresholds lowered so
