@@ -42,7 +42,9 @@ object Bench {
     "dedup_clusters", "ann_int8", "sketch_heavy",
     "q17_smallqty", "events_pivot", "events_retention", "corpus_chunks",
     "q10_returns", "q9_profit", "q8_share", "q1_rollup", "corpus_diversity",
-    "q21_blame", "q16_partcount")
+    "q21_blame", "q16_partcount",
+    "customers_rfm", "events_paths", "sketch_hll", "dedup_fuzzy",
+    "media_features")
 
   val TimedPasses = 3
 
