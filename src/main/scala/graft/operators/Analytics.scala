@@ -1051,6 +1051,76 @@ object Analytics {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+  /** #117 Market-basket pair mining (co-occurrence affinity): counts
+    * of part pairs bought in the same order, with item supports and a
+    * permille confidence P(b|a) = n_ab·1000 div n_a (integer on both
+    * engines; lift is consumer-derivable from n_ab/n_a/n_b without
+    * risking a BIGINT overflow on the n_ab·n_orders·10^6 product at
+    * 100 TB row counts).
+    *
+    * Candidate generation collapses each order to its sorted distinct
+    * part set (ONE fact-scale shuffle, on the natural high-cardinality
+    * l_orderkey; collect_set partials combine map-side) and explodes
+    * the C(|basket|, 2) ordered pairs from the array — fan-out is
+    * Σ|basket|², bounded by the per-order line cap (≤7 lines/order in
+    * this schema), NEVER an all-pairs part×part. The self-join
+    * formulation would shuffle the fact twice more (its distinct keys
+    * on (orderkey, partkey), which doesn't co-locate the orderkey
+    * join). A source without a basket-size cap gets one first (the
+    * corpus_domain_cap shape) because a single mega-basket fans
+    * quadratically. Supports reuse the basket arrays (no second fact
+    * scan); the O(|parts|) support frame is unhinted — AQE broadcasts
+    * it at bench SF, shuffle join at SF100 (same policy as the
+    * customer/supplier dims). Top-k via TakeOrderedAndProject over
+    * the (n_ab DESC, part_a, part_b) total order — never a full
+    * sort. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select("parts")
+    val support = baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_i"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (a, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            b -> struct(a AS part_a, b AS part_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(support.select(col("l_partkey").as("part_a"), col("n_i").as("n_a")), "part_a")
+      .join(support.select(col("l_partkey").as("part_b"), col("n_i").as("n_b")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("n_ab * 1000 div n_a").as("conf_pm"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  val basketPairsSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), support AS (
+      |  SELECT l_partkey, COUNT(*) AS n_i FROM li GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |         COUNT(*) AS n_ab
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT part_a, part_b, n_ab, sa.n_i AS n_a, sb.n_i AS n_b,
+      |  n_ab * 1000 // sa.n_i AS conf_pm
+      |FROM pairs
+      |JOIN support sa ON sa.l_partkey = part_a
+      |JOIN support sb ON sb.l_partkey = part_b
+      |ORDER BY n_ab DESC, part_a, part_b
+      |LIMIT 25""".stripMargin
+
   /** #116 RFM customer segmentation: recency (days since last order,
     * integer date math against the corpus max — no wall clock, so
     * the result is reproducible), frequency (order count), monetary
@@ -1115,6 +1185,7 @@ object Analytics {
       |ORDER BY o_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_pairs" -> basketPairs,
     "events_pivot" -> eventsPivot,
     "events_retention" -> eventsRetention,
     "q17_smallqty" -> q17Smallqty,
@@ -1146,6 +1217,7 @@ object Analytics {
     "q22_global" -> q22Global)
 
   val oracle: Map[String, String] = Map(
+    "basket_pairs" -> basketPairsSql,
     "events_pivot" -> eventsPivotSql,
     "events_retention" -> eventsRetentionSql,
     "q17_smallqty" -> q17SmallqtySql,

@@ -343,7 +343,62 @@ object Sequence {
       |ORDER BY n DESC, path
       |LIMIT $PathTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #118 events_actives — rolling 7-day distinct actives (DAU/WAU)
+  // ---------------------------------------------------------------------
+
+  /** Daily + rolling-7-day distinct active users (DAU / WAU) with a
+    * permille stickiness ratio (DAU·1000 div WAU — the product
+    * engagement metric, integer on both engines).
+    *
+    * A COUNT(DISTINCT) over a sliding range frame is unsupported as a
+    * window, and the usual emulation — a day×events range self-join —
+    * re-scans the fact once per window day. Here the fact first thins
+    * to DISTINCT (user, day) pairs: ONE map-side-combined aggregate
+    * whose output is bounded by |users|·|days|, not row count — at
+    * 100 TB this is the only row-scale shuffle. Each pair then fans
+    * out to the ≤7 window-END days it supports (a constant ×7 explode
+    * of the already-thinned frame), and a second distinct+count
+    * collapses users active on several days of the same window. Days
+    * outside the observed corpus vanish in the inner join with the
+    * DAU frame. */
+  def eventsActives(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000 div wau").as("stickiness_pm"))
+      .orderBy("day")
+  }
+
+  val eventsActivesSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_ns(ts)//1000000000//86400 AS day
+      |  FROM events
+      |), dau AS (
+      |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+      |), fan AS (
+      |  SELECT DISTINCT user_id, day + off AS wday
+      |  FROM ud CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6]) AS off) o
+      |), wau AS (
+      |  SELECT wday AS day, COUNT(*) AS wau FROM fan GROUP BY wday
+      |)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  dau.dau * 1000 // wau.wau AS stickiness_pm
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY dau.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_actives" -> ((s, d) => eventsActives(s, d)),
     "events_paths" -> ((s, d) => eventsPaths(s, d)),
     "events_asof" -> ((s, d) => eventsAsof(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
@@ -352,6 +407,7 @@ object Sequence {
     "events_anomaly" -> ((s, d) => eventsAnomaly(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "events_actives" -> eventsActivesSql,
     "events_paths" -> eventsPathsSql,
     "events_asof" -> eventsAsofSql,
     "events_funnel" -> eventsFunnelSql,

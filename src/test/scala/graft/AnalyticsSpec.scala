@@ -19,6 +19,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("basket_pairs matches brute-force within-order pair counting") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val support = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).sorted
+      for { i <- ps.indices; j <- (i + 1) until ps.length } yield (ps(i), ps(j))
+    }
+    val expected = pairs.groupBy(identity).toSeq
+      .map { case ((a, b), xs) =>
+        val nab = xs.length.toLong
+        (a, b, nab, support(a), support(b), nab * 1000 / support(a))
+      }
+      .sortBy { case (a, b, n, _, _, _) => (-n, a, b) }.take(25)
+    val got = Analytics.basketPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected)
+    // confidence is a permille of the antecedent's support
+    got.foreach { case (_, _, nab, na, nb, c) =>
+      assert(nab <= na && nab <= nb && c >= 0 && c <= 1000)
+    }
+  }
+
   test("q3_shipping returns top-10 sorted by revenue desc") {
     val rows = Analytics.q3Shipping(spark, sf).collect()
     assert(rows.length <= 10 && rows.nonEmpty)

@@ -141,6 +141,25 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 2, plan)
   }
 
+  test("basket_pairs: one fact shuffle to baskets, in-array pair explosion, top-k heap") {
+    val plan = planString(operators.Analytics.basketPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // basket groupBy + pair count + support count + (≤2) support joins;
+    // the fact itself crosses an exchange exactly once
+    assert(shuffles(plan) <= 5, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("events_actives: fact thins to distinct (user, day) in one shuffle; no range self-join") {
+    val plan = planString(operators.Sequence.eventsActives(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // distinct(user,day) + dau agg + post-explode distinct + wau agg +
+    // dau⋈wau + presentation sort — all on already-thinned frames
+    assert(shuffles(plan) <= 6, plan)
+  }
+
   test("events_range_join: bucketized to an equality hash join, never nested-loop") {
     val plan = planString(operators.Sequence.eventsRangeJoin(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)

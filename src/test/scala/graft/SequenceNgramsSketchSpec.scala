@@ -135,6 +135,22 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("events_actives matches brute-force rolling 7-day distinct actives") {
+    val ud = rawEvents.map(e => (e._2, e._4 / 86400)).distinct
+    val expected = ud.map(_._2).distinct.sorted.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(p => p._2 >= d - 6 && p._2 <= d)
+        .map(_._1).distinct.length.toLong
+      (d, dau, wau, dau * 1000 / wau)
+    }
+    val got = Sequence.eventsActives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    got.foreach { case (_, dau, wau, s) =>
+      assert(wau >= dau && s >= 0 && s <= 1000)
+    }
+  }
+
   test("hll registers merge: per-(source,lang) partials max-merge into the per-source sketch") {
     // the mergeability property that makes HLL the 100 TB rollup
     // sketch: registers built on a FINER key split, merged by plain
