@@ -392,6 +392,88 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // #119 corpus_decontaminate_fuzzy — NEAR-duplicate eval leakage via
+  // MinHash bands (paraphrase-level, where #55/#84 are exact n-gram)
+  // ---------------------------------------------------------------------
+
+  /** Stand-in eval selector for the fuzzy variant: denser than
+    * [[BenchmarkMod]] so the synthetic corpus' near-dup families
+    * actually straddle the train/bench cut at every test SF (a real
+    * pipeline passes its own eval set). */
+  val FuzzyBenchMod = 7
+
+  /** Fuzzy decontamination: flag TRAINING documents that are
+    * NEAR-duplicates of a benchmark document — the guard the exact
+    * n-gram variants (#55 broadcast grams, #84 bloom positions) can't
+    * give, since a paraphrased or lightly-edited eval answer shares no
+    * verbatim 5-gram. Reuses the oracle-proven MinHash-poly banding
+    * frame ([[Dedup.minhashPolyBands]]): candidates are train×bench
+    * band-hash collisions ONLY (never train×train — the join is
+    * asymmetric, so cost is |corpus|·|eval|/buckets, not |corpus|²),
+    * verified by the exact signature match count (est. J ≥ 0.5, the
+    * #29b threshold). The bench side is an eval set — small by nature —
+    * so its bands broadcast and the corpus never shuffles for the
+    * join; the signature aggregate is the same one map-side-combined
+    * shuffle the dedup family already pays. */
+  def corpusDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Dedup.minhashPolyBands(spark, dir)
+    val bench = bands.filter(col("doc_id") % FuzzyBenchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("sig").as("sb"),
+        col("band"), col("band_hash"))
+    val hits = bands.filter(col("doc_id") % FuzzyBenchMod =!= 0)
+      .join(broadcast(bench), Seq("band", "band_hash"))
+      .select(col("doc_id"), col("bench_id"), col("sig"), col("sb"))
+      .dropDuplicates("doc_id", "bench_id")
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sig, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("matches") * 2 >= Dedup.MinhashSeeds)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("matches").cast("long")).as("best_matches"),
+        min("bench_id").as("bench_id"))
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % FuzzyBenchMod =!= 0)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_matches").isNotNull.cast("int").as("contaminated"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_matches"), lit(0L)).as("best_matches"),
+        coalesce(col("bench_id"), lit(-1L)).as("bench_id"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDecontaminateFuzzySql: String =
+    s"""WITH ${Dedup.minhashBandsCtes}, cand AS (
+      |  SELECT DISTINCT t.doc_id AS doc_id, b2.doc_id AS bench_id,
+      |    t.ms AS ma, b2.ms AS mb
+      |  FROM bands t JOIN bands b2
+      |    ON t.b = b2.b AND t.bh = b2.bh
+      |  WHERE t.doc_id % $FuzzyBenchMod <> 0
+      |    AND b2.doc_id % $FuzzyBenchMod = 0
+      |), m AS (
+      |  SELECT doc_id, bench_id,
+      |    len(list_filter(range(1, ${Dedup.MinhashSeeds + 1}),
+      |        i -> ma[i] = mb[i])) AS matches
+      |  FROM cand
+      |), v AS (
+      |  SELECT doc_id, COUNT(*) AS n_matches, MAX(matches) AS best_matches,
+      |    MIN(bench_id) AS bench_id
+      |  FROM m WHERE matches * 2 >= ${Dedup.MinhashSeeds}
+      |  GROUP BY doc_id
+      |)
+      |SELECT t.doc_id,
+      |  CAST(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |    AS contaminated,
+      |  COALESCE(v.n_matches, 0) AS n_matches,
+      |  COALESCE(v.best_matches, 0) AS best_matches,
+      |  COALESCE(v.bench_id, -1) AS bench_id
+      |FROM (SELECT doc_id FROM documents
+      |      WHERE doc_id % $FuzzyBenchMod <> 0) t
+      |LEFT JOIN v ON t.doc_id = v.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // #70 corpus_passage_dedup — passage-level exact dedup over fixed
   // word windows (the document-internal cousin of dedup_exact: a
   // boilerplate passage repeated across thousands of pages is removed
@@ -746,6 +828,7 @@ object Corpus {
     "corpus_sample" -> corpusSample,
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)),
     "corpus_decontaminate_bloom" -> ((s: SparkSession, d: String) => corpusDecontaminateBloom(s, d)),
+    "corpus_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => corpusDecontaminateFuzzy(s, d)),
     "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -759,5 +842,6 @@ object Corpus {
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
     "corpus_decontaminate_bloom" -> corpusDecontaminateBloomSql,
+    "corpus_decontaminate_fuzzy" -> corpusDecontaminateFuzzySql,
     "corpus_chunks" -> corpusChunksSql)
 }

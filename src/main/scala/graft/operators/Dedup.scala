@@ -278,7 +278,10 @@ object Dedup {
         s"""aggregate(split(tok, ''), CAST(0 AS BIGINT),
            |  (acc, ch) -> (acc * 131 + ascii(ch)) % $PolyP)""".stripMargin))
 
-  def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig, band, band_hash) for every document under the
+    * portable hash family — the shared banding frame consumed by the
+    * #29b pair join and the fuzzy decontamination (Corpus #119). */
+  private[operators] def minhashPolyBands(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashSeeds / Bands
     val h = polyHashed(spark, dir)
     // h < p and a < 70 keep a·h + b far below 2^63 in both engines
@@ -291,12 +294,16 @@ object Dedup {
     // Horner fold over exactly the band's `rows` signature slots —
     // derived from the constants, so changing MinhashSeeds/Bands can
     // never silently hash across band boundaries or drop slots
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"""transform(sequence(0, ${Bands - 1}), b ->
            |  aggregate(slice(sig, b * $rows + 1, $rows), CAST(0 AS BIGINT),
            |            (acc, x) -> (acc * 131 + x) % $PolyP))""".stripMargin))
         .as(Seq("band", "band_hash")))
+  }
+
+  def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashPolyBands(spark, dir)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -312,11 +319,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The minhash-poly CTE chain `d → sh → h → sig → sigl → bands →
-    * cand → m` (everything up to the per-pair match counts), shared by
-    * the #29b pair oracle and the #79 cluster oracle that builds its
-    * component closure on the same pairs. */
-  private def minhashPolyCtes: String = {
+  /** The shared minhash-poly CTE prefix `d → sh → h → sig → sigl →
+    * bands` (per-doc signatures + band hashes) — consumed by
+    * [[minhashPolyCtes]] and by the fuzzy decontamination oracle
+    * (Corpus #119), which joins train bands against bench bands
+    * instead of the doc_a < doc_b pair join. */
+  private[operators] def minhashBandsCtes: String = {
     val rows = MinhashSeeds / Bands
     s"""d AS (
       |  SELECT doc_id, string_split($normSql, ' ') AS words FROM documents
@@ -345,7 +353,15 @@ object Dedup {
       |      (acc, x) -> (acc * 131 + x) % $PolyP) AS bh,
       |    ms
       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b)
-      |), cand AS (
+      |)""".stripMargin
+  }
+
+  /** The minhash-poly CTE chain `d → sh → h → sig → sigl → bands →
+    * cand → m` (everything up to the per-pair match counts), shared by
+    * the #29b pair oracle and the #79 cluster oracle that builds its
+    * component closure on the same pairs. */
+  private def minhashPolyCtes: String =
+    s"""$minhashBandsCtes, cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |    a.ms AS ma, b2.ms AS mb
       |  FROM bands a JOIN bands b2
@@ -355,7 +371,6 @@ object Dedup {
       |    len(list_filter(range(1, ${MinhashSeeds + 1}), i -> ma[i] = mb[i])) AS matches
       |  FROM cand
       |)""".stripMargin
-  }
 
   val dedupMinhashPolySql: String =
     s"""WITH $minhashPolyCtes

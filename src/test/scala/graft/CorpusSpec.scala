@@ -14,6 +14,33 @@ class CorpusSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("corpus_decontaminate_fuzzy flags exactly the train docs minhash-paired with a bench doc") {
+    val mod = operators.Corpus.FuzzyBenchMod
+    def isBench(id: Long) = id % mod == 0
+    // the oracle-proven #29b pair join is the ground truth: a train doc
+    // is contaminated iff it appears in a verified pair with a bench doc
+    val pairs = operators.Dedup.dedupMinhashPoly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (pairs.collect { case (a, b, m) if !isBench(a) && isBench(b) => (a, b, m) } ++
+      pairs.collect { case (a, b, m) if isBench(a) && !isBench(b) => (b, a, m) })
+      .groupBy(_._1)
+    val got = operators.Corpus.corpusDecontaminateFuzzy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val flagged = got.filter(_._2 == 1)
+    assert(flagged.map(_._1).toSet === expected.keySet)
+    flagged.foreach { case (id, _, n, best, bid) =>
+      val g = expected(id)
+      assert(n === g.length.toLong)
+      assert(best === g.map(_._3).max)
+      assert(bid === g.map(_._2).min)
+    }
+    // selective but non-vacuous; clean rows carry zeroed sentinels
+    assert(flagged.nonEmpty && flagged.length < got.length / 5)
+    got.filter(_._2 == 0).foreach { case (_, _, n, b, bid) =>
+      assert(n === 0L && b === 0L && bid === -1L)
+    }
+  }
+
   test("near-dup drops are exactly the Jaccard pair higher ids") {
     val out = operators.Corpus.corpusClean(spark, sf)
     val dropped = out.filter(col("verdict") === "near_dup")
