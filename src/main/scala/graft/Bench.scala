@@ -44,7 +44,8 @@ object Bench {
     "q10_returns", "q9_profit", "q8_share", "q1_rollup", "corpus_diversity",
     "q21_blame", "q16_partcount",
     "customers_rfm", "events_paths", "sketch_hll", "dedup_fuzzy",
-    "media_features", "basket_pairs", "events_actives")
+    "media_features", "basket_pairs", "events_actives",
+    "corpus_decontaminate_fuzzy", "events_actives_hll")
 
   val TimedPasses = 3
 

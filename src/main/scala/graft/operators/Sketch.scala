@@ -264,13 +264,104 @@ object Sketch {
       |ORDER BY source, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #120 events_actives_hll — rolling 7-day distinct actives from
+  // MERGED day sketches (the long-window scale path)
+  // ---------------------------------------------------------------------
+
+  /** Rolling 7-day distinct-active-user estimate per day from
+    * MERGEABLE day-level HLL register files: the fact is scanned ONCE
+    * into per-(day, j) registers — 64 longs per day is the entire
+    * reduction state — and each window is a register-MAX merge of its
+    * ≤7 day sketches, never a re-scan or re-shuffle of raw
+    * (user, day) pairs. This is the production path when the exact
+    * day-explode (#118) stops being cheap: a 90-day MAU window
+    * re-aggregates 90×64 longs per day instead of fanning the thinned
+    * fact ×90, and closed days' sketches are reusable indefinitely
+    * (the mergeability the HLL spec proves: max-merge of finer-key
+    * partials equals the coarser-key registers). Same integer-exact
+    * algebra as #102: scaled-BIGINT harmonic sum (order-independent),
+    * zero-register count emitted for consumer-side linear counting,
+    * doubles only in the final division of identical exact inputs. */
+  def eventsActivesHll(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(expr("ts_s div 86400").as("day"),
+        col("user_id").cast("string").as("tok"))
+    val dayRegs = hllRegistersOf(ud, "day")
+    val winRegs = dayRegs
+      .select(explode(sequence(col("day"), col("day") + lit(6))).as("day"),
+        col("j"), col("r"))
+      .groupBy("day", "j").agg(max("r").as("r"))
+    val grid = ud.select("day").distinct()
+      .crossJoin(broadcast(
+        spark.range(HllRegisters).select(col("id").as("j"))))
+    grid.join(winRegs, Seq("day", "j"), "left")
+      .na.fill(0, Seq("r"))
+      .withColumn("term",
+        expr(s"shiftright(CAST($HllScale AS BIGINT), CAST(r AS INT))"))
+      .groupBy("day")
+      .agg(sum("term").as("ssum"),
+        sum(when(col("r") === 0, 1L).otherwise(0L)).as("zeros"))
+      .withColumn("est_wau",
+        lit(0.709) * lit((HllRegisters.toLong * HllRegisters).toDouble) *
+          lit(HllScale.toDouble) / col("ssum").cast("double"))
+      .select(col("day"), col("ssum"), col("zeros"), col("est_wau"))
+      .orderBy("day")
+  }
+
+  val eventsActivesHllSql: String = {
+    val ladder = (1 until HllMaxRho)
+      .map(k => s"WHEN lb = ${1L << (k - 1)} THEN $k").mkString(" ")
+    s"""WITH ud AS (
+      |  SELECT epoch_ns(ts)//1000000000//86400 AS day,
+      |         CAST(user_id AS VARCHAR) AS tok
+      |  FROM events
+      |), h AS (
+      |  SELECT day,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % $PolyP) AS hv
+      |  FROM ud
+      |), b AS (
+      |  SELECT day, hv % $HllRegisters AS j, hv // $HllRegisters AS w FROM h
+      |), rho AS (
+      |  SELECT day, j, CASE $ladder ELSE $HllMaxRho END AS rho
+      |  FROM (SELECT day, j, w, (w & (-w)) AS lb FROM b)
+      |), dayregs AS (
+      |  SELECT day, j, MAX(rho) AS r FROM rho GROUP BY 1, 2
+      |), winregs AS (
+      |  SELECT day + off AS day, j, MAX(r) AS r
+      |  FROM dayregs CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6]) AS off) o
+      |  GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.day, g.j
+      |  FROM (SELECT DISTINCT day FROM ud) d
+      |  CROSS JOIN (SELECT unnest(range(0, $HllRegisters)) AS j) g
+      |), filled AS (
+      |  SELECT grid.day, grid.j, COALESCE(w.r, 0) AS r
+      |  FROM grid LEFT JOIN winregs w
+      |    ON grid.day = w.day AND grid.j = w.j
+      |)
+      |SELECT day, CAST(SUM($HllScale >> r) AS BIGINT) AS ssum,
+      |  CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+      |  CAST(0.709 AS DOUBLE) * CAST(${HllRegisters * HllRegisters} AS DOUBLE)
+      |    * CAST($HllScale AS DOUBLE)
+      |    / CAST(SUM($HllScale >> r) AS DOUBLE) AS est_wau
+      |FROM filled
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct" -> ((s, d) => sketchDistinct(s, d)),
     "sketch_heavy" -> ((s, d) => sketchHeavy(s, d)),
-    "sketch_hll" -> ((s, d) => sketchHll(s, d)))
+    "sketch_hll" -> ((s, d) => sketchHll(s, d)),
+    "events_actives_hll" -> ((s, d) => eventsActivesHll(s, d)))
 
   val oracle: Map[String, String] = Map(
     "sketch_distinct" -> sketchDistinctSql,
     "sketch_heavy" -> sketchHeavySql,
-    "sketch_hll" -> sketchHllSql)
+    "sketch_hll" -> sketchHllSql,
+    "events_actives_hll" -> eventsActivesHllSql)
 }

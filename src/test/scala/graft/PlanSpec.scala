@@ -242,6 +242,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 4, plan)
   }
 
+  test("corpus_decontaminate_fuzzy: bench bands broadcast — the corpus never shuffles for the join") {
+    val plan = planString(operators.Corpus.corpusDecontaminateFuzzy(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // signature agg on doc_id + hit agg + left join-back + final sort;
+    // the train×bench candidate join itself is broadcast, shuffle-free
+    assert(shuffles(plan) <= 5, plan)
+  }
+
   test("corpus_decontaminate_bloom: position set broadcast, no cartesian") {
     val plan = planString(operators.Corpus.corpusDecontaminateBloom(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)

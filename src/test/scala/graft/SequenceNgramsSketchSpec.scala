@@ -168,6 +168,36 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("events_actives_hll: window registers are exactly the max-merge of day registers") {
+    val toks = Tables.events(spark, sf)
+      .select(expr("ts_s div 86400").as("day"),
+        col("user_id").cast("string").as("tok"))
+    val dayRegs = Sketch.hllRegistersOf(toks, "day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val m = Sketch.HllRegisters.toLong
+    val expected = dayRegs.map(_._1).distinct.sorted.map { d =>
+      val regs = dayRegs.filter(p => p._1 >= d - 6 && p._1 <= d)
+        .groupBy(_._2).map { case (j, xs) => j -> xs.map(_._3).max }
+      val ssum = (0L until m).map(j => Sketch.HllScale >> regs.getOrElse(j, 0)).sum
+      val zeros = (0L until m).count(j => regs.getOrElse(j, 0) == 0).toLong
+      (d, ssum, zeros)
+    }
+    val got = Sketch.eventsActivesHll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expected.toSeq)
+    // the corrected estimate tracks the exact rolling WAU (#118):
+    // m=64 gives ~13% standard error, LC covers the small range
+    val exact = Sequence.eventsActives(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (d, _, zeros, raw) =>
+      val est =
+        if (zeros > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / zeros)
+        else raw
+      val ex = exact(d).toDouble
+      assert(est > 0.5 * ex && est < 2.0 * ex, s"day $d est $est exact $ex")
+    }
+  }
+
   test("events_anomaly matches a brute-force exact-moment 3-sigma scan") {
     val vals = Tables.events(spark, sf)
       .select("event_id", "event_type", "value").collect()
