@@ -642,52 +642,17 @@ object Dedup {
     * one canonical doc per component — pair lists are not transitive
     * (A~B and B~C commonly arrive without an A~C pair, and dropping
     * "the b side of every pair" would then drop both B and C or
-    * neither deterministically). Min-label propagation over the
-    * #29b MinHash-LSH pairs: every suspect doc starts as its own
-    * label, each round takes the min over neighbours, fixpoint =
-    * component-minimum doc_id.
-    *
-    * Scale: only docs that appear in a pair enter the loop — the
-    * label frame is one long per duplicate SUSPECT, orders of
-    * magnitude smaller than the corpus; singletons join back once at
-    * the end. Each round is one join + one min-aggregate, both
-    * shuffling on doc_id. Rounds needed = component diameter, and LSH
-    * dup components are star/clique shaped (members share the hot
-    * band bucket), so the loop settles in 2–3 rounds; the hard cap
-    * bounds adversarial chains. Convergence is detected with a single
-    * SUM(label) scalar per round — labels only ever decrease, so an
-    * unchanged sum IS the per-row fixpoint (no comparison join). Each
-    * round's frame is cached and the predecessor unpersisted, so
-    * lineage stays one round deep. */
+    * neither deterministically). Components are resolved with
+    * alternating large-star/small-star ([[connectedComponents]]):
+    * round count is O(log d) in the component diameter — a 100 TB
+    * near-dup graph routinely has chain-shaped components (serial
+    * crawls of the same article) that defeat any fixed-round
+    * min-label propagation — and non-convergence is a loud error,
+    * never a silently wrong cluster id. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashPoly(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("lbl", col("doc_id"))
-      .persist()
-    var prevSum = Option(labels.agg(sum("lbl")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val prop = edges.as("e")
-        .join(labels.as("l"), col("e.src") === col("l.doc_id"))
-        .select(col("e.dst").as("doc_id"), col("l.lbl").as("lbl"))
-      val next = labels.select("doc_id", "lbl").union(prop)
-        .groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .persist()
-      val s = Option(next.agg(sum("lbl")).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
-      rounds += 1
-    }
-    val out = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val labels = connectedComponents(pairs)
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "d"),
         col("doc_id") === col("d"), "left")
       .select(col("doc_id"),
@@ -695,7 +660,95 @@ object Dedup {
       .withColumn("is_canonical",
         (col("doc_id") === col("cluster_id")).cast("int"))
       .orderBy("doc_id")
-    out
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): edges are kept in canonical large→small orientation;
+    * large-star hangs every node's larger neighbours off its
+    * neighbourhood minimum, small-star re-parents its smaller
+    * neighbours the same way. Each round halves chain depth in the
+    * style of pointer doubling, so the fixpoint arrives in O(log d)
+    * rounds (vs O(d) for per-round min-label propagation), and the
+    * fixpoint is a star forest: every non-root node carries exactly
+    * one edge to its component minimum.
+    *
+    * Scale: only nodes that appear in a pair enter the loop (the
+    * suspect set, orders of magnitude smaller than the corpus); each
+    * round is two groupBy-min + join stages shuffling on node id. Each
+    * round's frame is `localCheckpoint`ed — the star operators
+    * reference their input several times, so without TRUNCATING the
+    * logical plan (persist alone does not) the analysis tree grows
+    * ~10× per round and Catalyst, not the data, becomes the
+    * bottleneck; checkpointing keeps every round's plan constant-size
+    * (the standard Spark iterative-graph pattern; superseded round
+    * blocks are freed by the ContextCleaner). Convergence is detected
+    * by an edge
+    * multiset checksum (count + hash sum — one tiny aggregate, no
+    * comparison join) and then PROVEN structurally: the final edge set
+    * must be chain-free (no label is itself relabelled), a
+    * `require` that turns any silent under-convergence into a loud
+    * failure. The round cap is a backstop far above the O(log d)
+    * bound, not a correctness knob.
+    *
+    * @param pairs 2-column frame of undirected edges (long ids)
+    * @return (doc_id, lbl) for every NON-ROOT node in the pair graph,
+    *   lbl = its component's minimum id; roots (the minima) are absent
+    *   — callers coalesce missing ids to themselves. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq.map(col)
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    // (count, order-independent hash XOR — overflow-free under ANSI
+    // arithmetic) — equality between rounds detects the fixpoint of
+    // the edge SET cheaply; the structural star-forest assertion below
+    // is the correctness gate
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // large-star: for each node u emit (v, min(N(u) ∪ {u})) for every
+    // neighbour v > u — larger neighbours re-hang off the local min
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: for each node u (edges oriented u > v) emit
+    // (v, min(N⁻(u))) for every smaller neighbour plus (u, min) itself
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("u").agg(min("v").as("m"))
+      canon(edges.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v"))))
+    }
+    var edges = canon(pairs.select(ca.as("u"), cb.as("v"))).localCheckpoint()
+    var chk = checksum(edges)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val c = checksum(next)
+      edges = next
+      converged = c == chk
+      chk = c
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint within $maxRounds rounds")
+    // structural proof of convergence: a star forest has no chains —
+    // no assigned label (v) may appear as a relabelled node (u)
+    require(edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"), "left_semi")
+      .isEmpty,
+      "connectedComponents: fixpoint edge set is not a star forest")
+    edges.select(col("u").as("doc_id"), col("v").as("lbl"))
   }
 
   /** DuckDB witnesses the same components with a recursive closure
@@ -728,6 +781,9 @@ object Dedup {
   val FuzzyPrefix = 80
   val FuzzyBlock = 12
   val FuzzyMaxDist = 8
+  /** Per-block participant cap: at most this many docs of any one
+    * (lang, prefix) block enter the candidate self-join. */
+  val FuzzyBlockCap = 256
 
   /** Edit-distance near-dup over normalized text prefixes: candidates
     * are blocked on (lang, first FuzzyBlock chars) — docs whose edits
@@ -735,19 +791,40 @@ object Dedup {
     * the standard blocking trade-off, while OCR noise / trailing
     * edits (the common near-dup mode) collide reliably — then
     * verified with levenshtein ≤ FuzzyMaxDist on the first
-    * FuzzyPrefix chars (O(prefix²) per candidate, bounded). Both
-    * engines implement classic Levenshtein, so the verify predicate
-    * is oracle-exact. Scale: the block join shuffles on the block
-    * key; a hot prefix block (boilerplate headers) is the same skew
-    * class as a hot LSH bucket — cap block size or pre-salt exactly
-    * as dedup_minhash's scaladoc describes. */
-  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    * FuzzyPrefix chars (O(prefix²) per candidate, bounded).
+    *
+    * Hot-block cap: on web text a templated boilerplate head
+    * ("<!doctype html><h" …) makes one block a constant fraction of
+    * the corpus, and that block alone is O(f²·n²) candidate pairs
+    * into a single reducer — AQE's skew split rescues the shuffle,
+    * not the row count. Each block therefore admits only its
+    * FuzzyBlockCap lowest doc_ids (rank within block, deterministic,
+    * so the DuckDB oracle reproduces the cut bit-for-bit): candidate
+    * pairs per block are bounded by cap²/2 regardless of corpus
+    * size, and the rank pass itself moves O(block) slim rows — never
+    * pairs. Docs cut from a hot block lose near-dup detection against
+    * that boilerplate prefix only, the standard cap trade-off.
+    *
+    * Both engines implement classic Levenshtein, so the verify
+    * predicate is oracle-exact. */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
+    dedupFuzzyFrom(
+      Tables.load(spark, dir, "documents").select("doc_id", "lang", "text"))
+
+  /** As [[dedupFuzzy]], over any (doc_id, lang, text) frame — the
+    * scale spec feeds a crafted boilerplate corpus through this. */
+  def dedupFuzzyFrom(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), col("lang"),
         substring(graft.functions.TextFunctions.normText(col("text")),
           1, FuzzyPrefix).as("p"))
       .withColumn("blk", substring(col("p"), 1, FuzzyBlock))
-    d.as("a").join(d.as("b"),
+    val w = Window.partitionBy("lang", "blk").orderBy("doc_id")
+    val capped = d
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= FuzzyBlockCap)
+      .drop("rnk")
+    capped.as("a").join(capped.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -763,10 +840,15 @@ object Dedup {
       |  FROM documents
       |), b AS (
       |  SELECT *, substring(p, 1, $FuzzyBlock) AS blk FROM n
+      |), capped AS (
+      |  SELECT doc_id, lang, p, blk FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY lang, blk ORDER BY doc_id) AS rnk
+      |    FROM b)
+      |  WHERE rnk <= $FuzzyBlockCap
       |)
       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
       |  CAST(levenshtein(a.p, c.p) AS INT) AS dist
-      |FROM b a JOIN b c
+      |FROM capped a JOIN capped c
       |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
       |WHERE levenshtein(a.p, c.p) <= $FuzzyMaxDist
       |ORDER BY doc_a, doc_b""".stripMargin

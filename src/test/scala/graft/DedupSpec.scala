@@ -201,6 +201,28 @@ class DedupSpec extends SparkSpec {
     assert(canonical === out.map(_._2).toSet)
   }
 
+  test("connectedComponents resolves a 40-hop chain (deeper than any fixed round cap)") {
+    // chain-shaped components (serial crawls of one article) defeat
+    // per-round min-label propagation under ANY fixed round cap: a
+    // 40-hop chain needs 40 propagation rounds but only ~log₂(40)
+    // large-star/small-star rounds. Ids are permuted (i·37 mod 41) so
+    // min-labels must travel AGAINST the chain direction too.
+    import spark.implicits._
+    def perm(i: Long): Long = (i * 37) % 41
+    val pairs = (0L until 40L).map(i => (perm(i), perm(i + 1))).toDF("a", "b")
+    val labels = operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component, minimum id 0: every non-root node labels 0
+    assert(labels.size === 40)
+    assert(labels.values.toSet === Set(0L))
+    assert(!labels.contains(0L))
+    // and a multi-component graph keeps components separate
+    val two = Seq((5L, 9L), (9L, 7L), (20L, 30L)).toDF("a", "b")
+    val l2 = operators.Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 === Map(9L -> 5L, 7L -> 5L, 30L -> 20L))
+  }
+
   test("dedup_fuzzy matches a brute-force blocked Levenshtein scan") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

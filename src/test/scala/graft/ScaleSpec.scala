@@ -192,6 +192,25 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_fuzzy caps hot boilerplate blocks: pairs bounded by cap²/2, not corpus²") {
+    // a crafted boilerplate corpus: 3·cap docs share one (lang,
+    // 12-char prefix) block — the templated-header skew mode. Without
+    // the per-block cap the candidate join emits C(3·cap, 2) ≈ 294k
+    // pairs through one reducer; with it, exactly C(cap, 2) from the
+    // cap lowest doc_ids.
+    import spark.implicits._
+    import operators.Dedup.{FuzzyBlockCap => cap}
+    val n = 3L * cap
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"), lit("en").as("lang"),
+      concat(lit("<!doctype html><head><title>boilerplate page "),
+        lit("x".repeat(operators.Dedup.FuzzyPrefix))).as("text"))
+    val out = operators.Dedup.dedupFuzzyFrom(docs)
+    assert(out.count() === cap.toLong * (cap - 1) / 2)
+    // only the cap lowest doc_ids of the block participate
+    assert(out.agg(max("doc_b")).head.getLong(0) === cap - 1L)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
