@@ -45,7 +45,8 @@ object Bench {
     "q21_blame", "q16_partcount",
     "customers_rfm", "events_paths", "sketch_hll", "dedup_fuzzy",
     "media_features", "basket_pairs", "events_actives",
-    "corpus_decontaminate_fuzzy", "events_actives_hll")
+    "corpus_decontaminate_fuzzy", "events_actives_hll",
+    "gelf_chunks_packed")
 
   val TimedPasses = 3
 

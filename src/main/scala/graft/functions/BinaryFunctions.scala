@@ -65,23 +65,29 @@ object BinaryFunctions {
       copy(child = c)
   }
 
-  /** Magic-sniffing decompress: gzip 0x1f8b → gunzip, zlib 0x78 →
-    * inflate, anything else passes through unchanged; a payload whose
-    * magic matches but fails to decompress yields null (the reference
-    * logs and drops it). */
+  /** JVM-side magic-sniff decompress — gzip 0x1f8b → gunzip, zlib
+    * 0x78 → inflate, anything else passes through unchanged; a payload
+    * whose magic matches but fails to decompress yields null (the
+    * reference logs and drops it). Shared by the [[AutoDecompress]]
+    * expression and the streaming chunk reassembly, which must run the
+    * REASSEMBLED buffer back through this sniff exactly as the
+    * reference feeds it back through data_received
+    * (protocol.py:281-287 → 217-224). */
+  def autoDecompress(data: Array[Byte]): Array[Byte] =
+    try {
+      if (data.length >= 2 && data(0) == Constants.GzipMagic(0) &&
+          data(1) == Constants.GzipMagic(1)) gunzip(data)
+      else if (data.length >= 1 && data(0) == Constants.ZlibMagic)
+        zlibDecompress(data)
+      else data
+    } catch { case _: Exception => null }
+
+  /** Magic-sniffing decompress as a Catalyst expression. */
   case class AutoDecompress(child: Expression) extends UnaryExpression
       with CodegenFallback {
     override def dataType: DataType = BinaryType
-    override def nullSafeEval(v: Any): Any = {
-      val data = v.asInstanceOf[Array[Byte]]
-      try {
-        if (data.length >= 2 && data(0) == Constants.GzipMagic(0) &&
-            data(1) == Constants.GzipMagic(1)) gunzip(data)
-        else if (data.length >= 1 && data(0) == Constants.ZlibMagic)
-          zlibDecompress(data)
-        else data
-      } catch { case _: Exception => null }
-    }
+    override def nullSafeEval(v: Any): Any =
+      autoDecompress(v.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): AutoDecompress =
       copy(child = c)
   }

@@ -184,6 +184,79 @@ object Gelf {
       |WHERE NOT (doc_id % 7 = 0 AND (n_chars % 3 + 1) > 1)
       |ORDER BY doc_id""".stripMargin
 
+  // -- #8b gelf_chunks_packed — chunked AND compressed composition ------
+
+  /** Chunked messages whose payload is the zlib/gzip-COMPRESSED
+    * document: real graylog senders compress the whole GELF document
+    * first and chunk the compressed bytes, so the receiver must
+    * reassemble BEFORE it sniffs and decompresses — the reference
+    * feeds the reassembled chunk buffer back through its magic-sniff
+    * path (protocol.py:281-287 → 217-224). Chunk payloads are split
+    * on COMPRESSED byte offsets (a chunk boundary lands mid-stream;
+    * per-chunk decompression would see garbage), reassembly
+    * byte-concatenates in seq order, and only the complete blob goes
+    * through decompress_auto → UTF-8. Every 3rd doc zlib, every 3rd
+    * gzip, the rest uncompressed (the sniff's pass-through arm);
+    * the #8 drop/duplicate quirks (lost last chunk every 7th
+    * multi-chunk doc, duplicated first chunk every 5th) apply
+    * unchanged. `roundtrip_ok` proves byte-exact recovery per row. */
+  def gelfChunksPacked(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("total", (col("n_chars") % 3 + 1).cast("int"))
+      .withColumn("raw", col("text").cast("binary"))
+      .withColumn("packed",
+        when(col("doc_id") % 3 === 0, zlib_compress(col("raw")))
+          .when(col("doc_id") % 3 === 1, gzip_compress(col("raw")))
+          .otherwise(col("raw")))
+      .withColumn("plen", octet_length(col("packed")))
+    val chunks = d
+      .select(col("doc_id"), col("packed"), col("plen"), col("total"),
+        explode(sequence(lit(0), col("total") - 1)).as("seq"))
+      .withColumn("start",
+        (col("seq") * col("plen") / col("total")).cast("int") + 1)
+      .withColumn("end",
+        ((col("seq") + 1) * col("plen") / col("total")).cast("int"))
+      .withColumn("payload",
+        col("packed").substr(col("start"), col("end") - col("start") + 1))
+      .filter(!(col("doc_id") % 7 === 0 && col("total") > 1 &&
+        col("seq") === col("total") - 1))
+    val dup = chunks.filter(col("doc_id") % 5 === 0 && col("seq") === 0)
+    val withHeader = chunks.unionAll(dup)
+      .withColumn("hex",
+        concat(lit("1E0F"),
+          lpad(hex(col("doc_id")), 16, "0"),
+          lpad(hex(col("seq")), 2, "0"),
+          lpad(hex(col("total")), 2, "0")))
+      .withColumn("datagram", concat(unhex(col("hex")), col("payload")))
+    // --- the operator under test: reassemble, THEN sniff+decompress ---
+    withHeader
+      .select(gelf_chunk_parse(col("datagram")).as("c"))
+      .select(col("c.id").as("id"), col("c.seq").as("seq"),
+        col("c.total").as("total"), col("c.payload").as("payload"))
+      .groupBy("id")
+      .agg(
+        array_sort(array_distinct(collect_list(struct(col("seq"), col("payload")))))
+          .as("parts"),
+        max("total").as("total"))
+      .filter(size(col("parts")) === col("total"))
+      .withColumn("blob", expr(
+        "aggregate(parts.payload, cast('' AS binary), (acc, x) -> concat(acc, x))"))
+      .withColumn("out", decompress_auto(col("blob")))
+      .select(col("id").as("doc_id"),
+        (col("id") % 3).cast("int").as("codec"),
+        col("out").cast("string").as("message"))
+      .orderBy("doc_id")
+  }
+
+  val gelfChunksPackedSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 3 AS INT) AS codec,
+      |  text AS message
+      |FROM documents
+      |WHERE NOT (doc_id % 7 = 0 AND (n_chars % 3 + 1) > 1)
+      |ORDER BY doc_id""".stripMargin
+
   // -- #12 decompress_auto ----------------------------------------------
 
   /** Magic-sniff decompression round-trip. Output columns are all
@@ -220,10 +293,12 @@ object Gelf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gelf_parse" -> ((s: SparkSession, d: String) => gelfParse(s, d)),
     "gelf_chunks" -> gelfChunks,
+    "gelf_chunks_packed" -> gelfChunksPacked,
     "decompress_auto" -> decompressAuto)
 
   val oracle: Map[String, String] = Map(
     "gelf_parse" -> gelfParseSql,
     "gelf_chunks" -> gelfChunksSql,
+    "gelf_chunks_packed" -> gelfChunksPackedSql,
     "decompress_auto" -> decompressAutoSql)
 }

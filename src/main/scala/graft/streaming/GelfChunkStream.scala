@@ -25,9 +25,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object GelfChunkStream {
 
-  case class Chunk(id: Long, seq: Int, total: Int, payload: String,
+  case class Chunk(id: Long, seq: Int, total: Int, payload: Array[Byte],
                    event_time: java.sql.Timestamp)
-  case class ChunkState(parts: Map[Int, String], total: Int, first_ms: Long)
+  case class ChunkState(parts: Map[Int, Array[Byte]], total: Int,
+                        first_ms: Long)
   case class Assembled(id: Long, message: String, n_chunks: Int)
 
   /** GELF chunk-reassembly window (protocol.py:292 / GELF spec). */
@@ -51,8 +52,18 @@ object GelfChunkStream {
       }
       if (st.total > 0 && (0 until st.total).forall(st.parts.contains)) {
         state.remove()
-        Iterator.single(Assembled(
-          id, (0 until st.total).map(st.parts).mkString, st.total))
+        // the REASSEMBLED buffer goes back through the magic sniff —
+        // graylog senders compress the whole GELF document and chunk
+        // the COMPRESSED bytes, so decompression must follow
+        // reassembly (reference protocol.py:281-287 → 217-224); a
+        // payload whose magic matches but fails to inflate is dropped
+        // exactly as the reference logs-and-drops it
+        val blob = java.nio.ByteBuffer
+          .allocate((0 until st.total).map(st.parts(_).length).sum)
+        (0 until st.total).foreach(i => blob.put(st.parts(i)))
+        Option(graft.functions.BinaryFunctions.autoDecompress(blob.array()))
+          .map(b => Assembled(id, new String(b, "UTF-8"), st.total))
+          .iterator
       } else {
         state.update(st)
         state.setTimeoutTimestamp(st.first_ms + ReassemblySeconds * 1000L)
@@ -75,7 +86,9 @@ object GelfChunkStream {
 
   /** Datagram-level entry: parse the 12-byte binary chunk headers with
     * the SAME codegen'd expression the batch path uses, then assemble.
-    * Input: (datagram binary, event_time timestamp). */
+    * Payloads stay BINARY through reassembly (a compressed chunk is
+    * not valid UTF-8 — a string round-trip would corrupt it before the
+    * post-reassembly sniff). Input: (datagram binary, event_time). */
   def assembleDatagrams(datagrams: DataFrame): Dataset[Assembled] = {
     import datagrams.sparkSession.implicits._
     val chunks = datagrams
@@ -84,7 +97,7 @@ object GelfChunkStream {
       .filter(col("c").isNotNull)
       .select(col("c.id").as("id"), col("c.seq").cast("int").as("seq"),
         col("c.total").cast("int").as("total"),
-        col("c.payload").cast("string").as("payload"), col("event_time"))
+        col("c.payload").as("payload"), col("event_time"))
       .as[Chunk]
     assemble(chunks)
   }

@@ -240,7 +240,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     def ch(id: Long, seq: Int, total: Int, payload: String, ts: Long) =
-      Chunk(id, seq, total, payload, new java.sql.Timestamp(ts * 1000L))
+      Chunk(id, seq, total, payload.getBytes("UTF-8"),
+        new java.sql.Timestamp(ts * 1000L))
     val input = MemoryStream[Chunk]
     val q = GelfChunkStream.assemble(input.toDS()).writeStream
       .format("memory").queryName("gelf_asm").outputMode("append").start()
@@ -343,6 +344,50 @@ class StreamingSpec extends SparkSpec {
       assert(out.length === 1)
       assert(out.head.getLong(0) === 42L)
       assert(out.head.getString(1) === "hello world")
+      assert(out.head.getInt(2) === 2)
+    } finally q.stop()
+  }
+
+  test("chunked+COMPRESSED GELF decompresses after reassembly (reference protocol.py:281-287)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GelfChunkStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dgram(id: Long, seq: Int, total: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      bb.put(0x1e.toByte).put(0x0f.toByte).putLong(id)
+        .put(seq.toByte).put(total.toByte).put(payload)
+      bb.array()
+    }
+    // zlib-compress the WHOLE GELF document, then chunk the compressed
+    // bytes mid-stream — per-chunk decompression would see garbage;
+    // only reassemble-then-sniff recovers the message
+    val msg = """{"version":"1.1","host":"deflated","short_message":"compressed then chunked"}"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(bos)
+    dos.write(msg.getBytes("UTF-8")); dos.close()
+    val packed = bos.toByteArray
+    val cut = packed.length / 2
+    val input = MemoryStream[(Array[Byte], Long)]
+    val df = input.toDF().selectExpr("_1 AS datagram",
+      "timestamp_seconds(_2) AS event_time")
+    val q = GelfChunkStream.assembleDatagrams(df).writeStream
+      .format("memory").queryName("gelf_zchunk_asm").outputMode("append").start()
+    try {
+      // the two compressed halves arrive in separate micro-batches,
+      // out of order; a corrupt single-chunk message (zlib magic but
+      // truncated body) must be dropped, not emitted as garbage
+      val corrupt = packed.take(4)
+      input.addData((dgram(77, 1, 2, packed.drop(cut)), 100L),
+        (dgram(78, 0, 1, corrupt), 100L))
+      q.processAllAvailable()
+      assert(spark.table("gelf_zchunk_asm").count() === 0)
+      input.addData((dgram(77, 0, 2, packed.take(cut)), 101L))
+      q.processAllAvailable()
+      val out = spark.table("gelf_zchunk_asm").collect()
+      assert(out.length === 1)
+      assert(out.head.getLong(0) === 77L)
+      assert(out.head.getString(1) === msg)
       assert(out.head.getInt(2) === 2)
     } finally q.stop()
   }
