@@ -10,6 +10,13 @@ object Verify {
     // optional third arg: comma-separated query subset (local iteration);
     // the driver's 2-arg invocation dumps everything as before
     val subset = if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a typo'd subset name would silently filter everything out and
+    // write no parquet — fail loudly instead of looking like a no-op
+    subset.foreach { s =>
+      val unknown = s.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = GraftSession.create()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -1140,6 +1140,16 @@ object Analytics {
   def customersRfm(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val maxd = o.agg(max("o_orderdate").as("maxd"))
+    // per is materialized once (localCheckpoint, eager): it feeds both
+    // the row-count scalar and the 3-stage rank chain, and each
+    // globalRank stage checkpoints its own ranged frame — so the three
+    // range-boundary sampling passes read fixed blocks instead of
+    // re-executing the growing lineage (~6 recomputes for 3 sorts
+    // before). The frames are slim (customer-cardinality, 6 narrow
+    // columns), so materializing them is cheap at any SF. (Plain
+    // persist() is NOT safe here: it defeats exchange reuse inside
+    // globalRank and the duplicated range exchanges can sample
+    // divergent boundaries — see Skew.globalRank.)
     val per = o.groupBy("o_custkey")
       .agg(
         max("o_orderdate").as("lastd"),
@@ -1149,6 +1159,7 @@ object Analytics {
       .select(col("o_custkey"),
         expr("datediff(maxd, lastd)").cast("long").as("r_days"),
         col("f_cnt"), col("m_total"))
+      .localCheckpoint()
     val n = per.agg(count(lit(1)).as("__total"))
     def tiled(df: DataFrame, tileName: String, sort: Column*): DataFrame =
       Skew.globalRank(df, 8, sort: _*)

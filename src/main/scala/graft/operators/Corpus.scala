@@ -411,17 +411,20 @@ object Corpus {
     * band-hash collisions ONLY (never train×train — the join is
     * asymmetric, so cost is |corpus|·|eval|/buckets, not |corpus|²),
     * verified by the exact signature match count (est. J ≥ 0.5, the
-    * #29b threshold). The bench side is an eval set — small by nature —
-    * so its bands broadcast and the corpus never shuffles for the
-    * join; the signature aggregate is the same one map-side-combined
-    * shuffle the dedup family already pays. */
+    * #29b threshold). A REAL eval set is small by nature and its bands
+    * broadcast; the stand-in selector here makes the bench side ~1/7
+    * of the corpus (8 band rows per doc, each carrying the 32-long
+    * signature), so no explicit broadcast hint is forced — AQE decides
+    * from the measured size, broadcasting a true eval set and falling
+    * back to a shuffle join rather than failing when the build side
+    * outgrows the broadcast limit. */
   def corpusDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val bands = Dedup.minhashPolyBands(spark, dir)
     val bench = bands.filter(col("doc_id") % FuzzyBenchMod === 0)
       .select(col("doc_id").as("bench_id"), col("sig").as("sb"),
         col("band"), col("band_hash"))
     val hits = bands.filter(col("doc_id") % FuzzyBenchMod =!= 0)
-      .join(broadcast(bench), Seq("band", "band_hash"))
+      .join(bench, Seq("band", "band_hash"))
       .select(col("doc_id"), col("bench_id"), col("sig"), col("sb"))
       .dropDuplicates("doc_id", "bench_id")
       .withColumn("matches", expr(

@@ -561,7 +561,9 @@ object Envelope {
     // span of the spooled events, in seconds.
     val spoolLines = withEnvelopeCols(spark, dir)
       .agg(coalesce(max("ts_s") - min("ts_s"), lit(0L)).as("age"))
-      .crossJoin(records.agg(count(lit(1)).as("c")))
+      // 1-row build side: hint it explicitly rather than relying on
+      // AQE's runtime fallback (uniform with every other scalar join)
+      .crossJoin(broadcast(records.agg(count(lit(1)).as("c"))))
       .select(explode(array(
         format_string(
           "kinesyslog_spool_count{path=\"%s\"} %d", lit(SpoolPath), col("c")),

@@ -292,7 +292,11 @@ object Sketch {
       .select(explode(sequence(col("day"), col("day") + lit(6))).as("day"),
         col("j"), col("r"))
       .groupBy("day", "j").agg(max("r").as("r"))
-    val grid = ud.select("day").distinct()
+    // day domain from the aggregated sketches, NOT from `ud` — every
+    // observed day has at least one register, so the result is
+    // identical and the fact really is scanned once (a distinct() on
+    // the uncached `ud` plan would re-scan the events table)
+    val grid = dayRegs.select("day").distinct()
       .crossJoin(broadcast(
         spark.range(HllRegisters).select(col("id").as("j"))))
     grid.join(winRegs, Seq("day", "j"), "left")

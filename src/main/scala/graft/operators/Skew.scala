@@ -98,13 +98,29 @@ object Skew {
     * Output: the input columns plus `rank` (1-based, dense over the
     * total order). */
   def globalRank(df: DataFrame, parts: Int, sortCols: Column*): DataFrame = {
+    // MATERIALIZED once: the offsets count and the rank join both
+    // consume `parted`, and each would otherwise plan its own range
+    // exchange. Range-boundary sampling is seeded by the underlying
+    // RDD id, so two exchanges can draw DIFFERENT boundaries —
+    // exchange reuse usually dedups them, but is not guaranteed (it
+    // observably breaks over an InMemoryRelation input), and
+    // divergent boundaries make __pid inconsistent between the two
+    // branches → corrupt ranks. The checkpoint pins one partition
+    // assignment for both consumers, and as a bonus truncates
+    // lineage so chained globalRank calls never re-sample their
+    // whole upstream chain.
     val parted = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val w = org.apache.spark.sql.expressions.Window.orderBy("__pid")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum("__n").over(w), lit(0L)))
-      .select("__pid", "__off")
+      .localCheckpoint()
+    // per-partition offsets via a triangle join over the ≤ `parts`-row
+    // counts frame (parts² tiny rows) — NOT an unpartitioned running
+    // window, which would both emit the scary "No Partition Defined"
+    // warning and add an Exchange SinglePartition for 8 rows
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
     val inPart = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(sortCols: _*)
     parted.join(broadcast(offsets), "__pid")
