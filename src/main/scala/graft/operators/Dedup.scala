@@ -217,6 +217,33 @@ object Dedup {
   val MinhashSeeds = 32
   val Bands = 8 // 8 bands × 4 rows
 
+  /** Per-bucket participant cap for every LSH band self-join: at most
+    * this many docs of any one band bucket enter the candidate join.
+    * On real web text a degenerate bucket (empty-ish documents all
+    * minhashing to the same signature, a boilerplate-saturated chunk)
+    * is the same skew class as dedup_fuzzy's hot prefix block — that
+    * bucket alone is O(f²·n²) candidate pairs into one reducer, and
+    * AQE's skew split rescues the shuffle, not the row count. Admitting
+    * only the cap lowest doc_ids bounds pairs per bucket by cap²/2
+    * regardless of corpus size; the rank pass moves O(bucket) slim
+    * rows, never pairs. The cut is deterministic (lowest doc_ids), so
+    * the DuckDB oracles reproduce it bit-for-bit. Docs cut from a hot
+    * bucket keep their OTHER bands (minhash has 8, simhash 4/3), so a
+    * true near-dup pair only goes undetected if it loses ALL its
+    * shared buckets to the cap — the standard banding-cap trade-off. */
+  val BandBucketCap = 1024
+
+  /** Keep the `cap` lowest ids of each bucket (deterministic rank
+    * within the bucket key). One window pass over slim rows; the
+    * sort is per-bucket and bounded by the hot bucket itself. */
+  private[graft] def capPerBucket(df: DataFrame, keys: Seq[String],
+                                  cap: Int, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(idCol)
+    df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= cap)
+      .drop("__rnk")
+  }
+
   /** Signatures via explode + 32 codegen'd min(xxhash64(seed, base))
     * aggregates: each shingle is string-hashed ONCE, the per-seed
     * variants hash the resulting long. Partial aggregation (map-side
@@ -242,8 +269,9 @@ object Dedup {
         s"""transform(sequence(0, ${Bands - 1}),
            |  b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))""".stripMargin))
         .as(Seq("band", "band_hash")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val capped = capPerBucket(bands, Seq("band", "band_hash"), BandBucketCap)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -303,9 +331,10 @@ object Dedup {
   }
 
   def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashPolyBands(spark, dir)
-    bands.as("a")
-      .join(bands.as("b"),
+    val capped = capPerBucket(minhashPolyBands(spark, dir),
+      Seq("band", "band_hash"), BandBucketCap)
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -361,10 +390,15 @@ object Dedup {
     * the #29b pair oracle and the #79 cluster oracle that builds its
     * component closure on the same pairs. */
   private def minhashPolyCtes: String =
-    s"""$minhashBandsCtes, cand AS (
+    s"""$minhashBandsCtes, capped AS (
+      |  SELECT doc_id, b, bh, ms FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rnk
+      |    FROM bands)
+      |  WHERE rnk <= $BandBucketCap
+      |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |    a.ms AS ma, b2.ms AS mb
-      |  FROM bands a JOIN bands b2
+      |  FROM capped a JOIN capped b2
       |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
       |), m AS (
       |  SELECT doc_a, doc_b,
@@ -418,8 +452,9 @@ object Dedup {
            |  k -> (simhash >> (k * $SimhashChunkBits))
            |       & ${(1L << SimhashChunkBits) - 1})""".stripMargin))
         .as(Seq("k", "chunk")))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    val capped = capPerBucket(chunks, Seq("k", "chunk"), BandBucketCap)
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -464,8 +499,9 @@ object Dedup {
            |  k -> (sh >> (k * $SimPolyChunkBits))
            |       & ${(1L << SimPolyChunkBits) - 1})""".stripMargin))
         .as(Seq("k", "chunk")))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    val capped = capPerBucket(chunks, Seq("k", "chunk"), BandBucketCap)
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -503,10 +539,15 @@ object Dedup {
       |  SELECT doc_id, k,
       |    (s >> (k * $SimPolyChunkBits)) & ${(1L << SimPolyChunkBits) - 1} AS chunk, s
       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $SimPolyChunks)) AS k)
+      |), capped AS (
+      |  SELECT doc_id, k, chunk, s FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY k, chunk ORDER BY doc_id) AS rnk
+      |    FROM ch)
+      |  WHERE rnk <= $BandBucketCap
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
-      |  FROM ch a JOIN ch b
+      |  FROM capped a JOIN capped b
       |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id
       |)
       |SELECT doc_a, doc_b, hamming

@@ -211,6 +211,27 @@ class ScaleSpec extends SparkSpec {
     assert(out.agg(max("doc_b")).head.getLong(0) === cap - 1L)
   }
 
+  test("LSH band buckets are capped: only the cap lowest ids of a hot bucket survive") {
+    // a degenerate LSH bucket (empty-ish docs minhashing identically,
+    // boilerplate-saturated chunks) is the dedup_fuzzy skew class in
+    // band space: one bucket a constant fraction of the corpus. The
+    // shared capPerBucket pass bounds every band self-join in the
+    // minhash/simhash family; here a 300-doc hot bucket next to cold
+    // singleton buckets keeps exactly its cap lowest doc_ids while the
+    // cold buckets pass through untouched.
+    val hot = spark.range(300).select(lit(0L).as("band"),
+      lit(42L).as("band_hash"), col("id").as("doc_id"))
+    val cold = spark.range(10).select(lit(1L).as("band"),
+      col("id").as("band_hash"), (col("id") + 1000L).as("doc_id"))
+    val capped = operators.Dedup.capPerBucket(
+      hot.unionAll(cold), Seq("band", "band_hash"), 64)
+    assert(capped.count() === 74)
+    assert(capped.filter(col("band") === 0L).count() === 64)
+    assert(capped.filter(col("band") === 0L)
+      .agg(max("doc_id")).head.getLong(0) === 63L)
+    assert(capped.filter(col("band") === 1L).count() === 10)
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
