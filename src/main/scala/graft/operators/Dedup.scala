@@ -723,14 +723,19 @@ object Dedup {
     * ~10× per round and Catalyst, not the data, becomes the
     * bottleneck; checkpointing keeps every round's plan constant-size
     * (the standard Spark iterative-graph pattern; superseded round
-    * blocks are freed by the ContextCleaner). Convergence is detected
-    * by an edge
-    * multiset checksum (count + hash sum — one tiny aggregate, no
-    * comparison join) and then PROVEN structurally: the final edge set
-    * must be chain-free (no label is itself relabelled), a
-    * `require` that turns any silent under-convergence into a loud
-    * failure. The round cap is a backstop far above the O(log d)
-    * bound, not a correctness knob.
+    * blocks are freed by the ContextCleaner). Convergence is the
+    * structural star-forest test itself — no label may appear as a
+    * relabelled node (one semi-join + isEmpty per round) — which is
+    * BOTH the stopping rule and the correctness proof: a star forest
+    * is a fixpoint of the alternation and, since every round preserves
+    * components (Kiveris Thm. 1), its roots are exactly the component
+    * minima. Testing doneness directly beats the edge-multiset
+    * checksum alternative structurally (a checksum only detects the
+    * fixpoint one no-change round AFTER it is reached — a full wasted
+    * large+small-star round at the scale where rounds are the cost)
+    * and keeps silent under-convergence impossible by construction.
+    * The round cap is a backstop far above the O(log d) bound, not a
+    * correctness knob.
     *
     * @param pairs 2-column frame of undirected edges (long ids)
     * @return (doc_id, lbl) for every NON-ROOT node in the pair graph,
@@ -742,24 +747,36 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-    // (count, order-independent hash XOR — overflow-free under ANSI
-    // arithmetic) — equality between rounds detects the fixpoint of
-    // the edge SET cheaply; the structural star-forest assertion below
-    // is the correctness gate
-    def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // star forest ⇔ no assigned label (v) is itself relabelled (u)
+    // AND no node carries two labels (out-degree 1). BOTH halves
+    // matter: a chain fails only the first, a node inside two pair
+    // edges ((9,5),(9,7)) fails only the second, and either shape
+    // still changes under another star round. One action over two
+    // semi-joins (isEmpty is a limit-1 probe, so a violation
+    // short-circuits); this is the convergence test AND the
+    // correctness proof in one pass.
+    def isStarForest(df: DataFrame): Boolean = {
+      val chains = df.as("e1")
+        .join(df.as("e2"), col("e1.v") === col("e2.u"), "left_semi")
+      val multi = df.as("e1")
+        .join(df.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"),
+          "left_semi")
+      chains.unionAll(multi).isEmpty
     }
     // large-star: for each node u emit (v, min(N(u) ∪ {u})) for every
-    // neighbour v > u — larger neighbours re-hang off the local min
+    // neighbour v > u — larger neighbours re-hang off the local min.
+    // Output is canonically oriented by construction (v > u ≥ m) but
+    // NOT dedup'd: duplicate edges are harmless to small-star's min
+    // aggregation and its canon dedups the round's result, so a
+    // distinct here would be a pure extra shuffle per round.
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      canon(sym.join(mins, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
     }
     // small-star: for each node u (edges oriented u > v) emit
     // (v, min(N⁻(u))) for every smaller neighbour plus (u, min) itself
@@ -770,25 +787,15 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v"))))
     }
     var edges = canon(pairs.select(ca.as("u"), cb.as("v"))).localCheckpoint()
-    var chk = checksum(edges)
-    var converged = edges.isEmpty
+    var converged = isStarForest(edges)
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val c = checksum(next)
-      edges = next
-      converged = c == chk
-      chk = c
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      converged = isStarForest(edges)
       rounds += 1
     }
     require(converged,
-      s"connectedComponents: no fixpoint within $maxRounds rounds")
-    // structural proof of convergence: a star forest has no chains —
-    // no assigned label (v) may appear as a relabelled node (u)
-    require(edges.as("e1")
-      .join(edges.as("e2"), col("e1.v") === col("e2.u"), "left_semi")
-      .isEmpty,
-      "connectedComponents: fixpoint edge set is not a star forest")
+      s"connectedComponents: not a star forest within $maxRounds rounds")
     edges.select(col("u").as("doc_id"), col("v").as("lbl"))
   }
 
