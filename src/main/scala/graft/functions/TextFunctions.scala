@@ -175,16 +175,16 @@ object TextFunctions {
   // #38 document fingerprint — rolling polynomial hash + md5
   // ---------------------------------------------------------------------
 
-  /** acc' = (acc·131 + charcode) mod 1e9+7 over the normalized text. */
+  /** acc' = (acc·131 + charcode) mod 1e9+7 over the normalized text,
+    * via the codegen'd [[SketchFunctions.PolyHash]] kernel (the
+    * interpreted `aggregate(split(…))` HOF computes the same value
+    * ~50× slower on document-length strings). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), norm(col("text")).as("norm"))
       .select(
         col("doc_id"),
-        expr(
-          """aggregate(split(norm, ''), CAST(0 AS BIGINT),
-            |  (acc, ch) -> (acc * 131 + ascii(ch)) % 1000000007)""".stripMargin)
-          .as("poly_hash"),
+        SketchFunctions.poly_hash(col("norm")).as("poly_hash"),
         md5(col("norm")).as("md5_fp"),
         length(col("norm")).as("n_chars_norm"))
       .orderBy("doc_id")

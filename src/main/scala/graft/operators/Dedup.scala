@@ -298,13 +298,17 @@ object Dedup {
   private val PolyP = 1000000007L
 
   /** Exploded shingles with the portable rolling poly hash — shared by
-    * the minhash and simhash portable twins. */
+    * the minhash and simhash portable twins. Hashing is the codegen'd
+    * [[graft.functions.SketchFunctions.PolyHash]] expression, not the
+    * equivalent `aggregate(split(tok,''),…)` HOF: the lambda form is
+    * interpreted per CHARACTER, and on the token-exploded fact it was
+    * the dominant cost of every portable-hash pipeline (minhash/simhash
+    * twins, fuzzy decontamination, dedup_clusters). Same value, same
+    * DuckDB oracle, one codegen'd kernel call per token. */
   private def polyHashed(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("hv", expr(
-        s"""aggregate(split(tok, ''), CAST(0 AS BIGINT),
-           |  (acc, ch) -> (acc * 131 + ascii(ch)) % $PolyP)""".stripMargin))
+      .withColumn("hv", graft.functions.SketchFunctions.poly_hash(col("tok")))
 
   /** (doc_id, sig, band, band_hash) for every document under the
     * portable hash family — the shared banding frame consumed by the
