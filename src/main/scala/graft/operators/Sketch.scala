@@ -357,15 +357,121 @@ object Sketch {
       |ORDER BY day""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #121 sketch_gap_quantiles — bounded log-bucket quantile sketch
+  // (HDR-histogram / DDSketch family), the scale twin of #85
+  // ---------------------------------------------------------------------
+
+  /** (event_type, key, est, cnt) log-bucket histogram of per-user
+    * inter-event gaps. Bucketing is PURE INTEGER algebra so both
+    * engines agree bit-for-bit (no log()/log2() — float rounding at
+    * power-of-2 boundaries would flip buckets between JVMs/engines):
+    * for v = gap+1, msb = length(bin(v))-1, ex = max(msb-4, 0),
+    * sub = v >> ex ∈ [16,31] (v itself below 32); key = ex·16+sub is
+    * monotone in v and the bucket midpoint (sub<<ex) + 2^(ex-1) is
+    * within 1/32 relative of every v in the bucket. Exposed for the
+    * mergeability spec: the histogram of a union is the per-key SUM
+    * of the parts' histograms. */
+  private[graft] def gapBucketsOf(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy("user_id", "event_type")
+      .orderBy("event_id")
+    e.withColumn("prev_ts", lag("ts_s", 1).over(perUser))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"), (col("ts_s") - col("prev_ts") + 1).as("v"))
+      .withColumn("ex",
+        greatest(length(bin(col("v"))).cast("long") - 5, lit(0L)))
+      .withColumn("sub", expr("shiftright(v, CAST(ex AS INT))"))
+      .select(col("event_type"), (col("ex") * 16 + col("sub")).as("key"),
+        expr("""shiftleft(sub, CAST(ex AS INT))
+               |  + shiftright(shiftleft(CAST(1 AS BIGINT), CAST(ex AS INT)), 1)
+               |  - 1""".stripMargin).as("est"))
+      .groupBy("event_type", "key")
+      .agg(min("est").as("est"), count(lit(1)).as("cnt"))
+  }
+
+  private[graft] def gapBuckets(spark: SparkSession, dir: String): DataFrame =
+    gapBucketsOf(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_s")))
+
+  /** Approximate gap quantiles (p50/p90/p99, ≤ 1/32 relative error)
+    * from the bounded histogram — the 100 TB path where #85's exact
+    * per-(type, gap) histogram stops being cheap: the reduction state
+    * here is ≤ 16 buckets per OCTAVE of gap range per type (a few
+    * hundred rows total, independent of data size), map-side combined
+    * in one shuffle; closed-period histograms are mergeable by per-key
+    * sum, so a day's sketch is computed once and reused, never
+    * re-scanned. Same threshold selection as the exact twin, over
+    * bucket midpoints — integer-deterministic end to end. */
+  def sketchGapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = gapBuckets(spark, dir)
+    val cum = hist.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("event_type").orderBy("key")))
+    val n = hist.groupBy("event_type")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("n_buckets"))
+    def q(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("est"))).as(s"p${p}_est")
+    cum.join(n, "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n_gaps"), max("n_buckets").as("n_buckets"),
+        q(50), q(90), q(99))
+      .orderBy("event_type")
+  }
+
+  val sketchGapQuantilesSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_ns(ts)//1000000000 AS ts_s
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |    ts_s - lag(ts_s) OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY event_id) AS gap
+      |  FROM e
+      |), v AS (
+      |  SELECT event_type, gap + 1 AS v FROM g WHERE gap IS NOT NULL
+      |), k AS (
+      |  SELECT event_type,
+      |    GREATEST(CAST(length(bin(v)) AS BIGINT) - 5, 0) AS ex, v
+      |  FROM v
+      |), key AS (
+      |  SELECT event_type, ex * 16 + (v >> ex) AS key,
+      |    ((v >> ex) << ex) + ((CAST(1 AS BIGINT) << ex) >> 1) - 1 AS est
+      |  FROM k
+      |), hist AS (
+      |  SELECT event_type, key, MIN(est) AS est, COUNT(*) AS cnt
+      |  FROM key GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, key, est, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY key) AS cum
+      |  FROM hist
+      |), n AS (
+      |  SELECT event_type, SUM(cnt) AS n, COUNT(*) AS n_buckets FROM hist
+      |  GROUP BY 1
+      |)
+      |SELECT cum.event_type,
+      |  CAST(MAX(n.n) AS BIGINT) AS n_gaps,
+      |  CAST(MAX(n.n_buckets) AS BIGINT) AS n_buckets,
+      |  MIN(CASE WHEN cum.cum * 100 >= n.n * 50 THEN cum.est END) AS p50_est,
+      |  MIN(CASE WHEN cum.cum * 100 >= n.n * 90 THEN cum.est END) AS p90_est,
+      |  MIN(CASE WHEN cum.cum * 100 >= n.n * 99 THEN cum.est END) AS p99_est
+      |FROM cum JOIN n ON cum.event_type = n.event_type
+      |GROUP BY cum.event_type
+      |ORDER BY cum.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct" -> ((s, d) => sketchDistinct(s, d)),
     "sketch_heavy" -> ((s, d) => sketchHeavy(s, d)),
     "sketch_hll" -> ((s, d) => sketchHll(s, d)),
-    "events_actives_hll" -> ((s, d) => eventsActivesHll(s, d)))
+    "events_actives_hll" -> ((s, d) => eventsActivesHll(s, d)),
+    "sketch_gap_quantiles" -> ((s, d) => sketchGapQuantiles(s, d)))
 
   val oracle: Map[String, String] = Map(
     "sketch_distinct" -> sketchDistinctSql,
     "sketch_heavy" -> sketchHeavySql,
     "sketch_hll" -> sketchHllSql,
-    "events_actives_hll" -> eventsActivesHllSql)
+    "events_actives_hll" -> eventsActivesHllSql,
+    "sketch_gap_quantiles" -> sketchGapQuantilesSql)
 }

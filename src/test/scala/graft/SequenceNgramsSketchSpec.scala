@@ -455,4 +455,75 @@ class SequenceNgramsSketchSpec extends SparkSpec {
         s"$src est=${ests.head} corrected=$corrected exact=$n")
     }
   }
+
+  test("sketch_gap_quantiles: within bucket error of exact quantiles, bounded state") {
+    val gapsByType = rawEvents
+      .groupBy(e => (e._2, e._3))
+      .toSeq.flatMap { case ((_, tpe), es) =>
+        es.sortBy(_._1).map(_._4).toList.sliding(2).collect {
+          case List(a, b) => tpe -> (b - a)
+        }
+      }
+      .groupBy(_._1).map { case (tpe, xs) => tpe -> xs.map(_._2).sorted }
+    def pick(sorted: Seq[Long], p: Int): Long =
+      sorted((sorted.length * p + 99) / 100 - 1)
+    val out = Sketch.sketchGapQuantiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).toSet === gapsByType.keySet)
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val sorted = gapsByType(tpe)
+      assert(r.getLong(1) === sorted.length.toLong, s"$tpe n_gaps")
+      // bounded reduction state: 16 sub-buckets per octave of gap
+      // range — a few hundred rows at ANY data size
+      assert(r.getLong(2) <= 700, s"$tpe n_buckets=${r.getLong(2)}")
+      def ok(est: Long, p: Int): Unit = {
+        val exact = pick(sorted, p)
+        // the exact rank-value lands inside the selected bucket, so
+        // the midpoint is within a half-width: 1/32 relative (+1 slack
+        // for the integer midpoint of odd-width buckets)
+        assert(math.abs(est - exact) <= (exact + 1) / 32 + 1,
+          s"$tpe p$p est=$est exact=$exact")
+      }
+      ok(r.getLong(3), 50); ok(r.getLong(4), 90); ok(r.getLong(5), 99)
+    }
+  }
+
+  test("gap-bucket histograms merge by per-key sum; bucket algebra sound on a wide synthetic range") {
+    // mergeability on real data: user_id-parity split keeps per-user
+    // sequences intact, so part histograms must sum to the full one
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_s")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val full = toMap(Sketch.gapBucketsOf(e).collect())
+    val parts = Seq(0, 1).map(p =>
+      toMap(Sketch.gapBucketsOf(e.filter(col("user_id") % 2 === p)).collect()))
+    val merged = parts.flatMap(_.toSeq)
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.head._2._1, vs.map(_._2._2).sum) }
+    assert(merged === full)
+    // synthetic single-user stream with gaps 0..5000 (v spans 12
+    // octaves): per-bucket counts, midpoints and bounds recomputed
+    // exactly in Scala from the published integer algebra
+    import spark.implicits._
+    val gaps = (0 to 5000).map(_.toLong)
+    val ts = gaps.scanLeft(0L)(_ + _).tail
+    val syn = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong + 1, 1L, "t", t) }
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+    val hist = Sketch.gapBucketsOf(syn).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(hist.values.map(_._2).sum === gaps.length.toLong - 1)
+    hist.foreach { case (key, (est, cnt)) =>
+      val ex = math.max(key / 16 - 1, 0L)
+      val sub = key - ex * 16
+      val low = sub << ex
+      val up = ((sub + 1) << ex) - 1
+      assert(est === low + ((1L << ex) >> 1) - 1, s"key=$key midpoint")
+      val expect = gaps.tail.map(_ + 1).count(v => v >= low && v <= up)
+      assert(cnt === expect.toLong, s"key=$key [$low,$up]")
+    }
+  }
 }
