@@ -395,6 +395,24 @@ object Sketch {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_s")))
 
+  /** The same bucket algebra as the SQL above, as a Scala kernel for
+    * the streaming twin ([[graft.streaming.GapQuantileStream]]):
+    * key = ex·16 + (v >> ex) with ex = max(bitlength(v) − 5, 0). The
+    * synthetic-range spec recomputes bounds/midpoints independently,
+    * pinning kernel ⇄ SQL equivalence. */
+  private[graft] def gapBucketKey(v: Long): Long = {
+    val ex = math.max(64 - java.lang.Long.numberOfLeadingZeros(v) - 5, 0)
+    ex.toLong * 16 + (v >> ex)
+  }
+
+  /** Bucket midpoint estimate for a key (inverse of [[gapBucketKey]]'s
+    * (ex, sub) packing), as a GAP (the v = gap+1 shift undone). */
+  private[graft] def gapBucketEst(key: Long): Long = {
+    val ex = math.max(key / 16 - 1, 0L)
+    val sub = key - ex * 16
+    (sub << ex) + ((1L << ex) >> 1) - 1
+  }
+
   /** Approximate gap quantiles (p50/p90/p99, ≤ 1/32 relative error)
     * from the bounded histogram — the 100 TB path where #85's exact
     * per-(type, gap) histogram stops being cheap: the reduction state

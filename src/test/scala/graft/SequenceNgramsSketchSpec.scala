@@ -526,4 +526,53 @@ class SequenceNgramsSketchSpec extends SparkSpec {
       assert(cnt === expect.toLong, s"key=$key [$low,$up]")
     }
   }
+
+  test("streaming gap buckets: increments sum to the batch histogram across a restart") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_gap_in")
+    val ckpt = Files.createTempDirectory("graft_gap_ck")
+    val out = Files.createTempDirectory("graft_gap_out")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("user_id", "long")
+      .add("event_type", "string").add("ts_s", "long")
+    // two users × two types, gap magnitudes spanning several octaves;
+    // the LAST event of each drop-1 sequence pairs with the FIRST of
+    // drop 2, so correctness REQUIRES the carried (event_id, ts)
+    // state — a stateless recompute of drop 2 alone would miss those
+    // cross-drop gaps
+    val gapsOf = Map(
+      (1L, "a") -> Seq(3L, 17L, 250L, 4000L, 9L),
+      (1L, "b") -> Seq(1L, 1L, 70000L, 2L),
+      (2L, "a") -> Seq(0L, 31L, 32L, 1023L, 1024L, 5L))
+    val all = gapsOf.toSeq.flatMap { case ((uid, tpe), gs) =>
+      val ts = gs.scanLeft(1000L)(_ + _)
+      ts.zipWithIndex.map { case (t, i) =>
+        // per-user-type monotone event ids, disjoint across keys
+        (uid * 1000 + tpe.hashCode.abs % 100 * 10 + i.toLong, uid, tpe, t)
+      }
+    }
+    def feed(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts_s").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    def drain(): Unit = {
+      val q = streaming.GapQuantileStream.gapQuery(
+        spark, in.toString, schema, ckpt.toString, out.toString)
+      q.awaitTermination(60000)
+    }
+    val (drop1, drop2) = all.partition { case (eid, _, _, _) => eid % 10 < 3 }
+    feed(drop1); drain()
+    feed(drop2); drain() // fresh query, SAME checkpoint: state carries
+    val streamed = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("key")) ->
+        (r.getAs[Long]("est"), r.getAs[Long]("cnt")))
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> (xs.head._2._1, xs.map(_._2._2).sum) }
+    val batch = Sketch.gapBucketsOf(
+      all.toDF("event_id", "user_id", "event_type", "ts_s")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
 }
