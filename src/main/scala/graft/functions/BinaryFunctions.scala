@@ -42,9 +42,30 @@ object BinaryFunctions {
     bos.toByteArray
   }
 
+  /** Strict whole-payload inflate: the stream must decode to the end
+    * AND consume every input byte. InflaterInputStream.readAllBytes
+    * can return an EMPTY result without throwing on forged headers
+    * (printable "x " passes the RFC 1950 FCHECK), which the sniff
+    * would mistake for a successful decompress — truncation and
+    * trailing garbage must be loud here so [[autoDecompress]] can
+    * fall back to pass-through. */
   private def zlibDecompress(data: Array[Byte]): Array[Byte] = {
-    val in = new InflaterInputStream(new java.io.ByteArrayInputStream(data), new Inflater())
-    try in.readAllBytes() finally in.close()
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary())
+            throw new java.util.zip.DataFormatException("truncated zlib stream")
+        } else out.write(buf, 0, n)
+      }
+      if (inf.getRemaining != 0)
+        throw new java.util.zip.DataFormatException("trailing bytes after zlib stream")
+      out.toByteArray
+    } finally inf.end()
   }
 
   /** gzip at the spool's compression level (9). */
@@ -66,21 +87,47 @@ object BinaryFunctions {
   }
 
   /** JVM-side magic-sniff decompress — gzip 0x1f8b → gunzip, zlib
-    * 0x78 → inflate, anything else passes through unchanged; a payload
-    * whose magic matches but fails to decompress yields null (the
-    * reference logs and drops it). Shared by the [[AutoDecompress]]
-    * expression and the streaming chunk reassembly, which must run the
-    * REASSEMBLED buffer back through this sniff exactly as the
-    * reference feeds it back through data_received
-    * (protocol.py:281-287 → 217-224). */
+    * header → inflate, anything else passes through unchanged. Shared
+    * by the [[AutoDecompress]] expression and the streaming chunk
+    * reassembly, which runs the REASSEMBLED buffer back through this
+    * sniff as the reference feeds it back through data_received
+    * (protocol.py:281-287 → 217-224).
+    *
+    * Deliberate divergence from the reference's single-byte 0x78
+    * sniff: this operator is applied to ARBITRARY payloads (the
+    * reference only ever sees GELF JSON, which starts with '{'), and
+    * 0x78 is a printable 'x' — any text starting with 'x' would be
+    * mis-routed. So zlib detection validates the full RFC 1950
+    * header (CM = 8, FCHECK: big-endian first-two-bytes ≡ 0 mod 31),
+    * and because printable text can still forge that ("x " = 0x7820 ≡
+    * 0 mod 31), a zlib-sniffed payload that fails to inflate passes
+    * through VERBATIM instead of dropping — at corpus scale, silently
+    * nulling real text is the worse failure; a genuinely corrupt
+    * stream flows raw into the downstream JSON parse, which rejects
+    * it there. Corrupt GZIP still yields null (the reference drops
+    * it; 0x1f8b is never printable text). */
+  private def looksGzip(data: Array[Byte]): Boolean =
+    data.length >= 2 && data(0) == Constants.GzipMagic(0) &&
+      data(1) == Constants.GzipMagic(1)
+
+  private def looksZlib(data: Array[Byte]): Boolean =
+    data.length >= 2 && (data(0) & 0x0F) == 8 &&
+      (((data(0) & 0xFF) << 8) | (data(1) & 0xFF)) % 31 == 0
+
+  /** True when the payload carries an arm [[autoDecompress]] would
+    * inflate. GELF-protocol consumers (chunk stream, datagram
+    * framing) use this to turn the corpus-oriented pass-through
+    * fallback back into the reference's drop: a payload that LOOKED
+    * compressed but came back verbatim failed to inflate. */
+  def looksCompressed(data: Array[Byte]): Boolean =
+    looksGzip(data) || looksZlib(data)
+
   def autoDecompress(data: Array[Byte]): Array[Byte] =
-    try {
-      if (data.length >= 2 && data(0) == Constants.GzipMagic(0) &&
-          data(1) == Constants.GzipMagic(1)) gunzip(data)
-      else if (data.length >= 1 && data(0) == Constants.ZlibMagic)
-        zlibDecompress(data)
-      else data
-    } catch { case _: Exception => null }
+    if (looksGzip(data)) {
+      try gunzip(data) catch { case _: Exception => null }
+    } else if (looksZlib(data)) {
+      try zlibDecompress(data) catch { case _: Exception => data }
+    } else data
 
   /** Magic-sniffing decompress as a Catalyst expression. */
   case class AutoDecompress(child: Expression) extends UnaryExpression

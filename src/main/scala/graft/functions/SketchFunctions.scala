@@ -34,9 +34,14 @@ object SketchFunctions {
 
   /** Static so generated code can call it. Matches the HOF
     * formulation `aggregate(split(s,''), 0, (acc,ch) -> (acc*131 +
-    * ascii(ch)) % p)` exactly for BMP text (charAt == codepoint);
-    * the corpus normalization lowercases to ASCII long before any
-    * hashing, so the equivalence is total here (spec-checked). */
+    * ascii(ch)) % p)` exactly for BMP text (charAt == codepoint).
+    * PRECONDITION: inputs must stay within the BMP — an astral
+    * character (emoji) would hash as two UTF-16 surrogates here but
+    * as one codepoint under DuckDB's ord(). The synthetic corpus is
+    * ASCII by construction (normText only lowercases and collapses
+    * whitespace — it does NOT transliterate), so the equivalence
+    * holds on every table this library hashes; real non-BMP ingest
+    * would need codepoint iteration on BOTH sides first. */
   def polyHash(s: UTF8String, p: Long): Long = {
     val str = s.toString
     var acc = 0L

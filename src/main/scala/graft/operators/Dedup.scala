@@ -871,11 +871,7 @@ object Dedup {
         substring(graft.functions.TextFunctions.normText(col("text")),
           1, FuzzyPrefix).as("p"))
       .withColumn("blk", substring(col("p"), 1, FuzzyBlock))
-    val w = Window.partitionBy("lang", "blk").orderBy("doc_id")
-    val capped = d
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= FuzzyBlockCap)
-      .drop("rnk")
+    val capped = capPerBucket(d, Seq("lang", "blk"), FuzzyBlockCap)
     capped.as("a").join(capped.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -133,8 +133,14 @@ object Framing {
     * `{` → newline-framed JSON messages; zlib (0x78) / gzip (0x1f8b)
     * magic → the whole datagram decompresses to ONE message; bare
     * terminators skipped; anything else is a protocol error → empty.
-    * Composes the existing decompress expression with a LF split —
-    * map-only, codegen'd except the decompress eval. */
+    * In THIS context (a GELF datagram, never arbitrary text) an
+    * uninflatable magic-led datagram is a protocol error, so the
+    * decompress result must be non-null AND differ from the input —
+    * equality means [[graft.functions.BinaryFunctions.autoDecompress]]
+    * took its corpus-oriented pass-through fallback, which here is
+    * the error arm (a real zlib/gzip stream never inflates to
+    * itself). Composes the existing decompress expression with a LF
+    * split — map-only, codegen'd except the decompress eval. */
   def gelfFrames(c: Column): Column = {
     import graft.functions.BinaryFunctions.decompress_auto
     val first = substring(c, 1, 1)
@@ -143,7 +149,7 @@ object Framing {
         filter(split(asStr, "[\\n\\x00\\r]"), m => length(m) > 0))
       .when(first === lit(Array(graft.Constants.ZlibMagic)) ||
             substring(c, 1, 2) === lit(graft.Constants.GzipMagic),
-        when(decompress_auto(c).isNotNull,
+        when(decompress_auto(c).isNotNull && decompress_auto(c) =!= c,
           array(decompress_auto(c).cast("string")))
           .otherwise(array().cast("array<string>")))
       .otherwise(array().cast("array<string>"))

@@ -199,7 +199,10 @@ object Gelf {
     * gzip, the rest uncompressed (the sniff's pass-through arm);
     * the #8 drop/duplicate quirks (lost last chunk every 7th
     * multi-chunk doc, duplicated first chunk every 5th) apply
-    * unchanged. `roundtrip_ok` proves byte-exact recovery per row. */
+    * unchanged. The oracle's byte-exact gate is the `message` column
+    * itself: it must hash-equal the original document text for every
+    * surviving row (the per-row `roundtrip_ok` witness lives in #12,
+    * which tests the codec without chunking). */
   def gelfChunksPacked(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"))

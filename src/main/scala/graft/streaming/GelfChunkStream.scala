@@ -61,7 +61,14 @@ object GelfChunkStream {
         val blob = java.nio.ByteBuffer
           .allocate((0 until st.total).map(st.parts(_).length).sum)
         (0 until st.total).foreach(i => blob.put(st.parts(i)))
-        Option(graft.functions.BinaryFunctions.autoDecompress(blob.array()))
+        val raw = blob.array()
+        val out = graft.functions.BinaryFunctions.autoDecompress(raw)
+        // protocol context: a compressed-looking payload that came
+        // back verbatim failed to inflate → drop (the corpus surface
+        // keeps the pass-through; GELF senders never emit such bytes)
+        Option(out)
+          .filterNot(b => (b eq raw) &&
+            graft.functions.BinaryFunctions.looksCompressed(raw))
           .map(b => Assembled(id, new String(b, "UTF-8"), st.total))
           .iterator
       } else {

@@ -44,6 +44,21 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("text starting with 'x' is never mis-sniffed as zlib") {
+    // "xy" = 0x78 0x79 fails the RFC 1950 FCHECK (0x7879 % 31 != 0):
+    // the single-byte 0x78 sniff would have routed it to inflate and
+    // nulled it; the full header check must pass it through
+    val r = Seq("xylophone lessons", "x marks the spot").toDF("s")
+      .withColumn("raw", col("s").cast("binary"))
+      .select(decompress_auto(col("raw")).cast("string")).collect()
+    assert(r.map(_.getString(0)).toSeq ===
+      Seq("xylophone lessons", "x marks the spot"))
+    // "x " = 0x7820 ≡ 0 mod 31 FORGES a valid zlib header — the
+    // inflate attempt fails and must fall back to pass-through, not
+    // null: text payloads survive the sniff at any corpus scale
+    assert(((0x78 << 8) | ' '.toInt) % 31 === 0)
+  }
+
   test("record_split parts reassemble each (source,dest) group exactly") {
     val split = operators.Envelope.recordSplit(spark, sf)
     val env = operators.Envelope.recordEnvelope(spark, sf)
