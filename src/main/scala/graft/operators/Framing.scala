@@ -139,8 +139,11 @@ object Framing {
     * equality means [[graft.functions.BinaryFunctions.autoDecompress]]
     * took its corpus-oriented pass-through fallback, which here is
     * the error arm (a real zlib/gzip stream never inflates to
-    * itself). Composes the existing decompress expression with a LF
-    * split — map-only, codegen'd except the decompress eval. */
+    * itself). The decompress is bound ONCE per row through a
+    * 1-element array (it is CodegenFallback, so repeating the
+    * expression would inflate the datagram once per reference).
+    * Composes the existing decompress expression with a LF split —
+    * map-only, codegen'd except the decompress eval. */
   def gelfFrames(c: Column): Column = {
     import graft.functions.BinaryFunctions.decompress_auto
     val first = substring(c, 1, 1)
@@ -149,9 +152,10 @@ object Framing {
         filter(split(asStr, "[\\n\\x00\\r]"), m => length(m) > 0))
       .when(first === lit(Array(graft.Constants.ZlibMagic)) ||
             substring(c, 1, 2) === lit(graft.Constants.GzipMagic),
-        when(decompress_auto(c).isNotNull && decompress_auto(c) =!= c,
-          array(decompress_auto(c).cast("string")))
-          .otherwise(array().cast("array<string>")))
+        transform(
+          filter(array(decompress_auto(c)),
+            d => d.isNotNull && d =!= c),
+          d => d.cast("string")))
       .otherwise(array().cast("array<string>"))
   }
 
