@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Spool {
 
-  private def scratchDir(spark: SparkSession, dir: String): File =
-    new File(sys.props("java.io.tmpdir"),
+  /** Scratch base for the round-trip queries. Resolved from
+    * `spark.graft.spool.scratch` when set (REQUIRED on a multi-node
+    * cluster: it must name a shared filesystem path — the driver's
+    * java.io.tmpdir default is node-local, so executor writes would
+    * land on executor disks and the driver-side read-back would see
+    * none of them); the default serves the local-mode oracle gate. */
+  private def scratchDir(spark: SparkSession, dir: String): File = {
+    val base = spark.conf.getOption("spark.graft.spool.scratch")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    new File(base,
       s"graft-spool-${spark.sparkContext.applicationId}-${new File(dir).getName}")
+  }
 
   /** Write one `.gz` file per spool record under `scratch`
     * (idempotent: the directory is cleared first). */
@@ -33,13 +42,17 @@ object Spool {
       Option(scratch.listFiles()).foreach(_.foreach(_.delete()))
     } else scratch.mkdirs()
     val base = scratch.getAbsolutePath
+    val ser = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
     graft.operators.Envelope
       .spoolBodies(spark, dir, graft.operators.Envelope.TestRecordSize)
       .select(col("source"), col("dest"), col("part_id"), col("gz"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        // Hadoop FS, not java.io: on a cluster `base` is a shared
-        // filesystem path and each executor writes its rows directly
-        val conf = new org.apache.hadoop.conf.Configuration()
+        // Hadoop FS, not java.io: with spark.graft.spool.scratch on a
+        // shared filesystem each executor writes its rows directly;
+        // the session conf ships with the closure so spark.hadoop.*
+        // settings survive to the executor
+        val conf = ser.value
         rows.foreach { r =>
           val name = s"${r.getAs[String]("source")}-${r.getAs[Int]("dest")}-" +
             s"${r.getAs[Long]("part_id")}.gz"

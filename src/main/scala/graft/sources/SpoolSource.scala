@@ -175,19 +175,48 @@ class SpoolScan(path: String, required: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SpoolReaderFactory(required, filters)
+    new SpoolReaderFactory(required, filters,
+      SerializableHadoopConf.fromSession())
 
   /** Streaming read: tail the spool directory the way the reference's
     * drain loop does (spool.py:105-130 — list, process, remember).
-    * The offset is the lexicographically-largest processed file name;
-    * spool writers name files in arrival order (the reference embeds
-    * a timestamp; SpoolDataWriter's part-/task-/seq names are
-    * monotone per task), so each micro-batch is exactly the files
-    * that sort after the watermark. State is one string — no
-    * per-file seen-set to grow without bound at 100 TB. */
+    *
+    * Two offset modes, both one compact string (no per-file seen-set
+    * to grow without bound at 100 TB):
+    *
+    *  - SEALED-EPOCH mode (directories written by the streaming
+    *    spool sink): concurrent writer tasks publish epoch files in
+    *    arbitrary name order, so a name watermark taken mid-epoch
+    *    would permanently skip any file that publishes later with a
+    *    smaller name. The sink's driver-side epoch commit — which
+    *    runs strictly after every task of the epoch has published —
+    *    drops an `epoch-NNNNNN.sealed` marker, and the offset here is
+    *    the largest SEALED epoch number (numeric, wrap-proof): a
+    *    micro-batch is whole epochs, never a slice of one.
+    *  - NAME mode (reference-style spools: one writer appending in
+    *    arrival order, like the relay's drain directory or the test
+    *    fixtures): the offset is the lexicographically-largest
+    *    processed file name and each micro-batch is the files sorting
+    *    after it — valid exactly because a single writer publishes in
+    *    name order.
+    *
+    * The mode is chosen per micro-batch by marker presence; a
+    * directory must stay in one writer family (mixing a batch
+    * writer's plain names into a sealed-epoch dir is unsupported —
+    * the names interleave unsortably). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SpoolMicroBatchStream(path, required, filters, maxPartitionBytes)
+}
+
+object SpoolMicroBatchStream {
+  /** Offset prefix distinguishing sealed-epoch watermarks from plain
+    * file-name watermarks (no legal file name starts with "e:"). */
+  val EpochPrefix = "e:"
+  val EpochFileRe: scala.util.matching.Regex = "^epoch-(\\d+)-.*".r
+  val SealRe: scala.util.matching.Regex = "^epoch-(\\d+)\\.sealed$".r
+  /** Marker name the streaming sink's epoch commit publishes. */
+  def sealName(epochId: Long): String = f"epoch-$epochId%06d.sealed"
 }
 
 class SpoolOffset(val watermark: String)
@@ -204,29 +233,60 @@ class SpoolMicroBatchStream(path: String, required: StructType,
                             filters: Array[Filter], maxPartitionBytes: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+  import SpoolMicroBatchStream.{EpochFileRe, EpochPrefix, SealRe}
 
-  private def listNames(): Seq[(String, String, Long)] = {
+  /** (data files sorted by name, sealed epoch ids) in ONE listing —
+    * offset choice and batch planning must see a consistent snapshot. */
+  private def listDir(): (Seq[(String, String, Long)], Set[Long]) = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".gz"))
+    if (!fs.exists(p)) return (Seq.empty, Set.empty)
+    val all = fs.listStatus(p).toSeq.filter(_.isFile)
+    val data = all
+      .filter(_.getPath.getName.endsWith(".gz"))
       .map(s => (s.getPath.getName, s.getPath.toString, s.getLen))
       .sortBy(_._1)
+    val sealedEpochs = all.flatMap(s => s.getPath.getName match {
+      case SealRe(n) => Some(n.toLong)
+      case _ => None
+    }).toSet
+    (data, sealedEpochs)
   }
+
+  private def epochOf(name: String): Option[Long] = name match {
+    case EpochFileRe(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  private def parseEpochMark(w: String): Long =
+    if (w.startsWith(EpochPrefix)) w.drop(EpochPrefix.length).toLong else -1L
 
   override def initialOffset(): Offset = new SpoolOffset("")
   override def deserializeOffset(json: String): Offset = new SpoolOffset(json)
   override def latestOffset(): Offset = {
-    val names = listNames()
-    new SpoolOffset(if (names.isEmpty) "" else names.last._1)
+    val (names, sealedEpochs) = listDir()
+    if (sealedEpochs.nonEmpty)
+      new SpoolOffset(EpochPrefix + sealedEpochs.max)
+    else if (names.exists(n => epochOf(n._1).isDefined))
+      // epoch-named files with NO seal yet: epoch mode with nothing
+      // consumable — a name watermark here would slice the in-flight
+      // epoch and skip its late-publishing files forever
+      new SpoolOffset(EpochPrefix + "-1")
+    else new SpoolOffset(if (names.isEmpty) "" else names.last._1)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SpoolOffset].watermark
     val hi = end.asInstanceOf[SpoolOffset].watermark
-    val batch = listNames().filter { case (n, _, _) => n > lo && n <= hi }
+    val (names, _) = listDir()
+    val batch =
+      if (hi.startsWith(EpochPrefix)) {
+        val (loE, hiE) = (parseEpochMark(lo), parseEpochMark(hi))
+        names.filter { case (n, _, _) =>
+          epochOf(n).exists(e => e > loE && e <= hiE)
+        }
+      } else names.filter { case (n, _, _) => n > lo && n <= hi }
     val parts = ArrayBuffer.empty[SpoolInputPartition]
     val cur = ArrayBuffer.empty[String]
     var curBytes = 0L
@@ -241,24 +301,28 @@ class SpoolMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SpoolReaderFactory(required, filters)
+    new SpoolReaderFactory(required, filters,
+      SerializableHadoopConf.fromSession())
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class SpoolInputPartition(files: Array[String]) extends InputPartition
 
-class SpoolReaderFactory(required: StructType, filters: Array[Filter])
+class SpoolReaderFactory(required: StructType, filters: Array[Filter],
+                         conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SpoolPartitionReader(
-      partition.asInstanceOf[SpoolInputPartition].files, required, filters)
+      partition.asInstanceOf[SpoolInputPartition].files, required, filters,
+      conf)
 }
 
 /** Streams one partition's files: gunzip → parse record JSON →
   * record-level filter → emit one pruned InternalRow per logEvent. */
 class SpoolPartitionReader(files: Array[String], required: StructType,
-                           filters: Array[Filter])
+                           filters: Array[Filter],
+                           serConf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -270,8 +334,13 @@ class SpoolPartitionReader(files: Array[String], required: StructType,
   private var current: InternalRow = _
 
   private def headerPasses(): Boolean = filters.forall {
-    case EqualTo(a, v) => header.get(a).contains(v.toString)
-    case In(a, vs) => header.get(a).exists(h => vs.exists(_.toString == h))
+    // null literals (Catalyst keeps them for three-valued IN/EqualTo
+    // semantics) can never MATCH a header value — guard rather than
+    // NPE on .toString; a null-only comparison simply filters the file
+    case EqualTo(a, v) =>
+      v != null && header.get(a).contains(v.toString)
+    case In(a, vs) =>
+      header.get(a).exists(h => vs.exists(v => v != null && v.toString == h))
     case IsNotNull(a) => header.get(a).isDefined
     case _ => true
   }
@@ -285,7 +354,10 @@ class SpoolPartitionReader(files: Array[String], required: StructType,
   private def nextFile(): Boolean = {
     while (fileIdx < files.length) {
       val f = files(fileIdx); fileIdx += 1
-      val conf = new Configuration()
+      // session-resolved conf shipped from the driver — a bare
+      // Configuration() here would drop spark.hadoop.* (object-store
+      // credentials) on executors
+      val conf = serConf.value
       val p = new Path(f)
       val in = new GZIPInputStream(p.getFileSystem(conf).open(p))
       val rec = try mapper.readTree(in) finally in.close()

@@ -22,27 +22,33 @@ import org.apache.spark.sql.types._
   * Each writer task re-implements the reference sink's flush rule
   * (sink.py:148-217): events buffer per (log_group, log_stream)
   * header and a CloudWatch record file is flushed whenever the
-  * accumulated JSON would exceed the record cap (`maxRecordBytes`
-  * option, default 4 MiB like MAX_RECORD_SIZE) — so no spool file
-  * ever outgrows the Firehose record limit, no matter how hot a
-  * stream is.
+  * accumulated UTF-8 JSON — record envelope included — would exceed
+  * the record cap (`maxRecordBytes` option, default the Firehose
+  * per-record limit MAX_RECORD_SIZE = 1,024,000, reference
+  * constant.py) — so no spool file ever outgrows the Firehose record
+  * limit, no matter how hot a stream is.
   *
   * Scale: writers are per-task (no driver funnel); a task's state is
   * bounded by (#headers in its partition × record cap). Partition the
   * frame by (log_group, log_stream) upstream to get one writer per
-  * stream and per-stream file locality. Files are written directly
-  * under `path` with task-unique names (`part-{pid}-{tid}-{seq}.gz`),
-  * so speculative duplicates cannot collide; abort() removes the
-  * task's files.
+  * stream and per-stream file locality. Files are written to a
+  * dot-prefixed temp name and RENAMED into their final task-unique
+  * name (`part-{pid}-{tid}-{seq}.gz`) on close, so a concurrently
+  * tailing drain never lists a partial gzip; speculative duplicates
+  * cannot collide; abort() removes the task's published files (an
+  * unrenamed temp from a hard crash is invisible to readers — the
+  * listing filters on the `.gz` suffix).
   */
 class SpoolWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder {
   override def build(): Write = new SpoolWrite(path, info.schema(),
     Option(info.options.get("maxRecordBytes")).map(_.toLong)
-      .getOrElse(4L * 1024 * 1024))
+      .getOrElse(graft.Constants.MaxRecordSize.toLong),
+    SerializableHadoopConf.fromSession())
 }
 
-class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long)
+class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long,
+                 conf: SerializableHadoopConf)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   SpoolWrite.requireWritable(schema)
@@ -50,7 +56,7 @@ class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long)
   override def useCommitCoordinator(): Boolean = true
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SpoolWriterFactory(path, schema, maxRecordBytes)
+    new SpoolWriterFactory(path, schema, maxRecordBytes, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -64,18 +70,29 @@ class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long)
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new SpoolStreamingWriterFactory(path, schema, maxRecordBytes)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    new SpoolStreamingWriterFactory(path, schema, maxRecordBytes, conf)
+
+  /** Seal the epoch: runs on the DRIVER strictly after every task of
+    * the epoch has published its files, so the marker's presence
+    * guarantees no epoch-N file can still appear — the invariant the
+    * drain's sealed-epoch watermark rests on (SpoolMicroBatchStream).
+    * Overwrite makes a replayed commit idempotent. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path, SpoolMicroBatchStream.sealName(epochId))
+    val out = p.getFileSystem(conf.value).create(p, true)
+    out.close()
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class SpoolStreamingWriterFactory(path: String, schema: StructType,
-                                  maxRecordBytes: Long)
+                                  maxRecordBytes: Long,
+                                  conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new SpoolDataWriter(path, schema, maxRecordBytes, partitionId, taskId,
-      namePrefix = f"epoch-$epochId%06d-")
+      namePrefix = f"epoch-$epochId%06d-", conf)
 }
 
 object SpoolWrite {
@@ -95,17 +112,19 @@ object SpoolWrite {
     }
 }
 
-class SpoolWriterFactory(path: String, schema: StructType, maxRecordBytes: Long)
+class SpoolWriterFactory(path: String, schema: StructType, maxRecordBytes: Long,
+                         conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SpoolDataWriter(path, schema, maxRecordBytes, partitionId, taskId,
-      namePrefix = "")
+      namePrefix = "", conf)
 }
 
 case class SpoolCommit(files: Seq[String]) extends WriterCommitMessage
 
 class SpoolDataWriter(path: String, schema: StructType, maxRecordBytes: Long,
-                      partitionId: Int, taskId: Long, namePrefix: String)
+                      partitionId: Int, taskId: Long, namePrefix: String,
+                      serConf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   private val idx = SpoolWrite.Required.map { case (n, _) =>
@@ -119,7 +138,7 @@ class SpoolDataWriter(path: String, schema: StructType, maxRecordBytes: Long,
   private val buf = mutable.LinkedHashMap.empty[Header, (mutable.ArrayBuffer[String], Long)]
   private val written = mutable.ArrayBuffer.empty[String]
   private var seq = 0
-  private val conf = new Configuration()
+  private val conf: Configuration = serConf.value
 
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
@@ -154,33 +173,54 @@ class SpoolDataWriter(path: String, schema: StructType, maxRecordBytes: Long,
       else row.getLong(idx("timestamp")).toString
     val ev = s"""{"id":${jstr(str("id"))},""" +
       s""""message":${jstr(str("message"))},"timestamp":$ts}"""
-    val (events, bytes) = buf.getOrElseUpdate(h, (mutable.ArrayBuffer.empty, 0L))
+    // size in UTF-8 BYTES (non-ASCII payloads are up to 4 bytes/char —
+    // char counting would let a buffer serialize past the cap), and
+    // the buffer starts at the rendered envelope's size so the
+    // flushed record NEVER exceeds maxRecordBytes, wrapper included
+    val evBytes = ev.getBytes("UTF-8").length.toLong
+    val (events, bytes) =
+      buf.getOrElseUpdate(h, (mutable.ArrayBuffer.empty, envelopeBytes(h)))
     // flush-before-append keeps every record under the cap (the
     // reference sizes the gzipped record; uncompressed JSON is the
     // deterministic, strictly-conservative bound)
-    if (events.nonEmpty && bytes + ev.length + 1 > maxRecordBytes) flush(h)
-    val (events2, bytes2) = buf.getOrElseUpdate(h, (mutable.ArrayBuffer.empty, 0L))
+    if (events.nonEmpty && bytes + evBytes + 1 > maxRecordBytes) flush(h)
+    val (events2, bytes2) =
+      buf.getOrElseUpdate(h, (mutable.ArrayBuffer.empty, envelopeBytes(h)))
     events2 += ev
-    buf(h) = (events2, bytes2 + ev.length + 1)
+    buf(h) = (events2, bytes2 + evBytes + 1)
   }
+
+  private def render(h: Header, eventsJson: String): String = {
+    val subsJson = h.subs.map(jstr).mkString(",")
+    s"""{"owner":${jstr(h.owner)},"logGroup":${jstr(h.group)},""" +
+      s""""logStream":${jstr(h.stream)},"subscriptionFilters":[$subsJson],""" +
+      s""""messageType":${jstr(h.msgType)},""" +
+      s""""logEvents":[$eventsJson]}"""
+  }
+
+  private def envelopeBytes(h: Header): Long =
+    render(h, "").getBytes("UTF-8").length.toLong
 
   private def flush(h: Header): Unit = buf.remove(h).foreach { case (events, _) =>
     if (events.nonEmpty) {
-      val subsJson = h.subs.map(jstr).mkString(",")
-      val record =
-        s"""{"owner":${jstr(h.owner)},"logGroup":${jstr(h.group)},""" +
-          s""""logStream":${jstr(h.stream)},"subscriptionFilters":[$subsJson],""" +
-          s""""messageType":${jstr(h.msgType)},""" +
-          s""""logEvents":[${events.mkString(",")}]}"""
+      val record = render(h, events.mkString(","))
       val name = f"${namePrefix}part-$partitionId%05d-$taskId-$seq%05d.gz"
       seq += 1
       val bos = new ByteArrayOutputStream()
       val gz = new GZIPOutputStream(bos) { `def`.setLevel(Deflater.BEST_COMPRESSION) }
       gz.write(record.getBytes("UTF-8")); gz.close()
-      val p = new Path(path, name)
-      val out = p.getFileSystem(conf).create(p, false)
+      // write to a dot-prefixed temp and rename: publication is atomic
+      // on local/HDFS filesystems, so a concurrently tailing drain can
+      // never open a half-written gzip (the listing filter also skips
+      // non-.gz names, covering filesystems with copy-based rename)
+      val tmp = new Path(path, s".$name.tmp")
+      val fin = new Path(path, name)
+      val fs = tmp.getFileSystem(conf)
+      val out = fs.create(tmp, false)
       try out.write(bos.toByteArray) finally out.close()
-      written += p.toString
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"spool publish failed: $tmp -> $fin")
+      written += fin.toString
     }
   }
 

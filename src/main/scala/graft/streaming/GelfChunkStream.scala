@@ -73,7 +73,15 @@ object GelfChunkStream {
           .iterator
       } else {
         state.update(st)
-        state.setTimeoutTimestamp(st.first_ms + ReassemblySeconds * 1000L)
+        // clamp above the current watermark: Spark THROWS on a timeout
+        // below it (killing the whole query), and a partial whose
+        // first chunk lags the watermark by more than the window —
+        // late first chunks reach flatMapGroupsWithState unfiltered —
+        // would otherwise be that poison pill; the clamp expires it at
+        // the next watermark tick instead
+        state.setTimeoutTimestamp(
+          math.max(st.first_ms + ReassemblySeconds * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
         Iterator.empty
       }
     }

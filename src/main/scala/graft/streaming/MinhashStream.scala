@@ -19,20 +19,31 @@ import org.apache.spark.sql.types.StructType
   * doc hashes to the same (band, band_hash) buckets in both engines
   * (spec-asserted: every batch-detected pair collides in the stream).
   *
-  * The only keyed state is one owner doc-id per CLAIMED LSH bucket —
-  * ≤ `Bands` longs per distinct document seen, hash-partitioned by
-  * bucket exactly like the batch band join's shuffle. At 100 TB the
-  * horizon is the knob: swap NoTimeout for an ingest-time timeout so
-  * buckets expire past the dedup window (the batch LSH pass over the
-  * spooled corpus owns history beyond it).
+  * Keyed state is one owner per CLAIMED LSH bucket — its doc-id PLUS
+  * its 32-long signature (≈264 bytes/bucket, ≤ `Bands` buckets per
+  * distinct document seen), hash-partitioned by bucket exactly like
+  * the batch band join's shuffle. The signature rides along because a
+  * band collision is only a CANDIDATE: the batch job verifies every
+  * candidate pair with the signature-agreement filter
+  * (matches·2 ≥ seeds, est J ≥ 0.5 — Dedup.scala), and without the
+  * same verify here any 1-of-8-band collision (p ≈ 1% per dissimilar
+  * pair) would falsely reject unique documents at stream scale.
+  * Verification is against the bucket OWNER (the cluster's streaming
+  * representative) — the one admission-semantics divergence from the
+  * batch all-pairs candidate set. At 100 TB the horizon is the knob:
+  * swap NoTimeout for an ingest-time timeout so buckets expire past
+  * the dedup window (the batch LSH pass over the spooled corpus owns
+  * history beyond it).
   */
 object MinhashStream {
 
-  case class BandRow(doc_id: Long, band: Int, band_hash: Long)
-  case class BucketOwner(owner: Long)
+  case class BandRow(doc_id: Long, band: Int, band_hash: Long,
+                     sig: Array[Long])
+  case class BucketOwner(owner: Long, sig: Array[Long])
   /** One row per (incoming doc, band): which doc owns the bucket this
-    * band landed in (owner == doc_id means this doc claimed it). */
-  case class BandObs(doc_id: Long, band: Int, owner: Long)
+    * band landed in (owner == doc_id means this doc claimed it) and
+    * how many signature slots agree with that owner. */
+  case class BandObs(doc_id: Long, band: Int, owner: Long, matches: Int)
 
   private val RowsPerBand = MinhashSeeds / Bands
 
@@ -48,16 +59,18 @@ object MinhashStream {
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${MinhashSeeds - 1}),
            |  i -> array_min(transform(base, h -> xxhash64(i, h))))""".stripMargin))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), col("sig"), posexplode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |  b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin))
         .as(Seq("band", "band_hash")))
-      .select(col("doc_id"), col("band").cast("int").as("band"), col("band_hash"))
+      .select(col("doc_id"), col("band").cast("int").as("band"),
+        col("band_hash"), col("sig"))
       .as[BandRow]
   }
 
-  /** First writer claims each bucket; everyone reports the owner.
-    * Within a micro-batch the smallest doc_id claims (deterministic
+  /** First writer claims each bucket (with its signature); everyone
+    * reports the owner and their signature agreement with it. Within
+    * a micro-batch the smallest doc_id claims (deterministic
     * regardless of arrival order inside the batch). */
   def bandObservations(docs: DataFrame): Dataset[BandObs] = {
     import docs.sparkSession.implicits._
@@ -67,18 +80,29 @@ object MinhashStream {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, rows, state) =>
         val sorted = rows.toArray.sortBy(_.doc_id)
-        val owner =
-          if (state.exists) state.get.owner else sorted.head.doc_id
-        if (!state.exists) state.update(BucketOwner(owner))
-        sorted.iterator.map(r => BandObs(r.doc_id, r.band, owner))
+        val st =
+          if (state.exists) state.get
+          else BucketOwner(sorted.head.doc_id, sorted.head.sig)
+        if (!state.exists) state.update(st)
+        sorted.iterator.map { r =>
+          var m = 0
+          var i = 0
+          while (i < r.sig.length) {
+            if (r.sig(i) == st.sig(i)) m += 1
+            i += 1
+          }
+          BandObs(r.doc_id, r.band, st.owner, m)
+        }
       }
   }
 
   /** File-based ingest: per-band observations collapse to one verdict
     * row per doc in foreachBatch — `dup_of` = smallest colliding
-    * owner, null means every bucket was fresh and the doc is ADMITTED
-    * (batch_id stamps the increment; the parquet log is the admission
-    * record). */
+    * owner whose signature agreement passes the batch job's verify
+    * threshold (matches·2 ≥ seeds, est J ≥ 0.5; an unverified band
+    * collision is a candidate, not a duplicate), null means the doc
+    * is ADMITTED (batch_id stamps the increment; the parquet log is
+    * the admission record). */
   def dedupQuery(spark: SparkSession, inputDir: String, schema: StructType,
                  checkpointDir: String, outDir: String): StreamingQuery =
     bandObservations(
@@ -90,7 +114,8 @@ object MinhashStream {
       .foreachBatch { (batch: Dataset[BandObs], batchId: Long) =>
         batch.toDF()
           .groupBy("doc_id")
-          .agg(min(when(col("owner") =!= col("doc_id"), col("owner")))
+          .agg(min(when(col("owner") =!= col("doc_id") &&
+              col("matches") * 2 >= MinhashSeeds, col("owner")))
             .as("dup_of"))
           .withColumn("admitted", col("dup_of").isNull.cast("int"))
           .withColumn("batch_id", lit(batchId))

@@ -56,7 +56,14 @@ object Sessionize {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp((s.last_s + gap) * 1000L)
+        // clamp above the current watermark: Spark THROWS on a timeout
+        // below it, so one event arriving > gap behind the watermark
+        // (late rows reach flatMapGroupsWithState unfiltered) would
+        // kill the whole query; clamped, the stale session closes at
+        // the next watermark tick instead
+        state.setTimeoutTimestamp(
+          math.max((s.last_s + gap) * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
       }
       closed.result().iterator
     }

@@ -189,6 +189,98 @@ class SpoolSourceSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("sealed-epoch drain: whole epochs only, unsealed files invisible until their seal lands") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-seal-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val cp = new File(dir, "_cp").getAbsolutePath
+    def seal(e: Long): Unit =
+      new FileOutputStream(
+        new File(dir, graft.sources.SpoolMicroBatchStream.sealName(e))).close()
+    // epoch 1 published OUT of name order by "two tasks": the larger
+    // part name lands first — under a name watermark the second file
+    // would be skipped forever; under sealed epochs neither is
+    // visible until the seal, then BOTH drain
+    writeGz(dir, "epoch-000001-part-00003-9-00000.gz",
+      record("g", "s1", Seq(("011", "m11", 1L))))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-spool")
+        .load(dir.getAbsolutePath)
+        .select("id")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getString(0))); ()
+        }
+        .option("checkpointLocation", cp).start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    assert(seen.isEmpty, "unsealed epoch must not drain")
+    writeGz(dir, "epoch-000001-part-00001-7-00000.gz",
+      record("g", "s1", Seq(("012", "m12", 2L))))
+    seal(1L)
+    drain()
+    assert(seen.toArray(Array.empty[String]).sorted === Array("011", "012"))
+    // restart from checkpoint: a later sealed epoch drains exactly once
+    seen.clear()
+    writeGz(dir, "epoch-000002-part-00001-8-00000.gz",
+      record("g", "s1", Seq(("021", "m21", 3L))))
+    seal(2L)
+    drain()
+    assert(seen.toArray(Array.empty[String]).toSeq === Seq("021"))
+  }
+
+  test("streaming sink epoch commit writes the seal marker the drain keys on") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-sealw-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val cp = new File(dir, "_cp").getAbsolutePath
+    val input = MemoryStream[(String, String, Long)]
+    val q = input.toDF().toDF("id", "message", "timestamp")
+      .withColumn("owner", lit("o"))
+      .withColumn("log_group", lit("g/1"))
+      .withColumn("log_stream", lit("s1"))
+      .withColumn("message_type", lit("DATA_MESSAGE"))
+      .writeStream.format("graft-spool")
+      .option("checkpointLocation", cp)
+      .start(dir.getAbsolutePath)
+    input.addData(("001", "m1", 1L))
+    q.processAllAvailable()
+    input.addData(("002", "m2", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val names = dir.listFiles().map(_.getName)
+    val seals = names.filter(_.endsWith(".sealed")).sorted
+    assert(seals.length === 2, names.mkString(","))
+    // every published data file's epoch is covered by a seal
+    val dataEpochs = names.filter(_.endsWith(".gz"))
+      .flatMap(n => graft.sources.SpoolMicroBatchStream.EpochFileRe
+        .findFirstMatchIn(n).map(_.group(1).toLong)).toSet
+    val sealedEpochs = seals
+      .flatMap(n => graft.sources.SpoolMicroBatchStream.SealRe
+        .findFirstMatchIn(n).map(_.group(1).toLong)).toSet
+    assert(dataEpochs.subsetOf(sealedEpochs), names.mkString(","))
+    // and the sealed directory round-trips through the streaming drain
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cp2 = new File(dir, "_cp2").getAbsolutePath
+    val q2 = spark.readStream.format("graft-spool")
+      .load(dir.getAbsolutePath)
+      .select("id")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.add(r.getString(0))); ()
+      }
+      .option("checkpointLocation", cp2).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.toArray(Array.empty[String]).sorted === Array("001", "002"))
+  }
+
   test("streaming sink: writeStream spools micro-batches, batch read returns them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
