@@ -129,10 +129,14 @@ object BinaryFunctions {
       try zlibDecompress(data) catch { case _: Exception => data }
     } else data
 
-  /** Magic-sniffing decompress as a Catalyst expression. */
+  /** Magic-sniffing decompress as a Catalyst expression. Nullable
+    * regardless of the child: corrupt gzip evaluates to null, and
+    * inheriting non-nullability would let NullPropagation fold a
+    * caller's defensive isNotNull guard to literal true. */
   case class AutoDecompress(child: Expression) extends UnaryExpression
       with CodegenFallback {
     override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =
       autoDecompress(v.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): AutoDecompress =

@@ -28,6 +28,10 @@ object GelfFunctions {
       StructField("seq", IntegerType, nullable = false),
       StructField("total", IntegerType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
+    // short / bad-magic datagrams evaluate to null even over a
+    // non-null child — declare it, or the optimizer folds callers'
+    // isNotNull guards away and null structs reach field accessors
+    override def nullable: Boolean = true
 
     override def nullSafeEval(v: Any): Any = {
       val data = v.asInstanceOf[Array[Byte]]

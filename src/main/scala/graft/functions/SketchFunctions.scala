@@ -72,9 +72,12 @@ object SketchFunctions {
     else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
 
   /** KMV estimate from a sorted ascending min-k array: exact when the
-    * sketch never filled, (k−1)·M/h₍k₎ integer division otherwise. */
+    * sketch never filled, (k−1)·M/h₍k₎ integer division otherwise.
+    * h₍k₎ = 0 (possible: polyHash("") == 0, reachable with k = 1 on
+    * an empty-string token) would divide by zero — every hash is then
+    * ≤ 0, i.e. the single value 0, so the exact count IS the answer. */
   def kmvEstimate(mins: Array[Long], k: Int): Long =
-    if (mins.length < k) mins.length.toLong
+    if (mins.length < k || mins(k - 1) == 0L) mins.length.toLong
     else (k - 1).toLong * PolyP / mins(k - 1)
 
   /** The k smallest distinct BIGINT values of the group, as a sorted

@@ -117,8 +117,14 @@ object SyslogFunctions {
   def severityName(pri: Column): Column =
     element_at(array(SeverityNames.map(lit): _*), severity(pri) + 1)
 
+  /** Null past the 24 RFC facilities: priRaw admits 3-digit PRIs up
+    * to 999 (facility ≤ 124), and under Spark 4's default ANSI mode
+    * an unguarded element_at would fail the whole job on one such
+    * line — DuckDB's out-of-bounds list index yields NULL, so the
+    * guard also keeps the two engines aligned. */
   def facilityName(pri: Column): Column =
-    element_at(array(FacilityNames.map(lit): _*), facility(pri) + 1)
+    when(facility(pri) <= lit(FacilityNames.length - 1),
+      element_at(array(FacilityNames.map(lit): _*), facility(pri) + 1))
 
   /** SQL list literals of the same name tables (DuckDB oracle side). */
   val severityNamesSql: String =

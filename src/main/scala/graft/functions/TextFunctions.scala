@@ -46,7 +46,11 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "les", "et", "est", "une"))
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered langid predictions — shared by the #35 query (which
+    * adds its deterministic output sort) and #100's confusion matrix
+    * (whose join + groupBy destroy ordering, so inheriting the global
+    * sort would be a wasted corpus-wide range shuffle per eval run). */
+  private def langIdUnordered(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), norm(col("text")).as("norm"))
       .withColumn("toks", array_distinct(split(col("norm"), " ")))
@@ -62,8 +66,10 @@ object TextFunctions {
     withHits
       .select((Seq(col("doc_id"), pred.as("pred_lang")) ++
         Lexicons.map { case (l, _) => col(s"${l}_hits").as(s"${l}_hits") }): _*)
-      .orderBy("doc_id")
   }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdUnordered(spark, dir).orderBy("doc_id")
 
   val langIdSql: String = {
     val lex = Lexicons.map { case (l, ws) =>
@@ -258,7 +264,7 @@ object TextFunctions {
     * one pass over documents. */
   def langIdEval(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables.load(spark, dir, "documents").select("doc_id", "lang")
-    langId(spark, dir).join(labels, "doc_id")
+    langIdUnordered(spark, dir).join(labels, "doc_id")
       .groupBy(col("lang").as("label_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label_lang", "pred_lang")

@@ -104,9 +104,14 @@ object VectorFunctions {
     code
   }
 
-  /** Hyperplane-LSH bucket code of an ARRAY<BIGINT> vector. */
+  /** Hyperplane-LSH bucket code of an ARRAY<BIGINT> vector. The code
+    * is an Int bitset, so planes is capped at 31: `1 << 32` wraps to
+    * 1 and plane 32 would silently alias plane 0, colliding genuinely
+    * different vectors into one bucket with no error. */
   case class HyperplaneCode(child: Expression, planes: Int)
       extends UnaryExpression {
+    require(planes >= 1 && planes <= 31,
+      s"planes must be in [1, 31] (Int bitset), got $planes")
     override def dataType: DataType = IntegerType
     override def nullSafeEval(v: Any): Any =
       hyperCode(v.asInstanceOf[ArrayData], planes)

@@ -84,13 +84,16 @@ object Multimodal {
     def u32le(i: Int): Long = u16le(i).toLong | (u16le(i + 2).toLong << 16)
     if (bytes.length < 36 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
       return None
-    var i = 12
+    var i = 12L
     while (i + 8 <= bytes.length) {
-      val id = ascii(i, 4)
-      val size = u32le(i + 4)
+      val id = ascii(i.toInt, 4)
+      val size = u32le(i.toInt + 4)
       if (id == "fmt " && size >= 16 && i + 16 <= bytes.length)
-        return Some((u32le(i + 12).toInt, u16le(i + 10)))
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        return Some((u32le(i.toInt + 12).toInt, u16le(i.toInt + 10)))
+      // Long arithmetic: a corrupt u32 size near 2^32 truncated to Int
+      // would advance by <= 0 (infinite loop) or index negatively —
+      // the walk must terminate and fall back to fakeDims instead
+      i += 8L + size + (size & 1)
     }
     None
   }
@@ -125,6 +128,9 @@ object Multimodal {
       (moovStart, moovEnd) <- findBox(0, end, "moov")
       (trakStart, trakEnd) <- findBox(moovStart, moovEnd, "trak")
       (tkhdStart, tkhdEnd) <- findBox(trakStart, trakEnd, "tkhd")
+      // an empty tkhd (size 8) puts start == end at the buffer edge —
+      // guard before the version read, not just before the dims read
+      if tkhdStart < tkhdEnd
       version = u8(tkhdStart.toInt)
       off = tkhdStart + (if (version == 1) 88 else 76)
       if off + 8 <= tkhdEnd

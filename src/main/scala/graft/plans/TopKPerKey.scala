@@ -51,8 +51,13 @@ object TopKPerKey {
     * sessions built without GraftExtensions too. */
   def topK(df: DataFrame, keys: Seq[Column], ordering: Seq[Column], k: Int): DataFrame = {
     val exp = df.sparkSession.experimental
-    if (!exp.extraStrategies.contains(TopKStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    // extraStrategies is a plain var: serialize the check-then-append
+    // so concurrent callers can't lose a third strategy's registration
+    // (or double-register this one) in the read-modify-write race
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    }
     def toExpr(c: Column) = GraftShims.expression(df.sparkSession, c)
     val sortOrders = ordering.map(c => toExpr(c) match {
       case so: SortOrder => so
@@ -94,7 +99,6 @@ private[graft] object TopKHeap {
     val heapOrd: Ordering[InternalRow] = (a: InternalRow, b: InternalRow) =>
       ord.compare(a, b)
     val state = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-    val flushed = mutable.ArrayBuffer.empty[InternalRow]
 
     def drain(): Iterator[InternalRow] = {
       val out = state.valuesIterator.flatMap { q =>
@@ -105,20 +109,37 @@ private[graft] object TopKHeap {
       out.iterator
     }
 
-    iter.foreach { row =>
-      val key = keyProj(row)
-      state.get(key) match {
-        case Some(q) =>
-          if (q.size < k) q.enqueue(row.copy())
-          else if (ord.compare(row, q.head) < 0) { q.dequeue(); q.enqueue(row.copy()) }
-        case None =>
-          if (state.size >= maxKeys) flushed ++= drain()
-          val q = mutable.PriorityQueue.empty[InternalRow](heapOrd)
-          q.enqueue(row.copy())
-          state.put(key.copy(), q)
-      }
+    // Lazily interleave flushes with consumption: a flush's rows are
+    // YIELDED downstream before more input is read, so retained memory
+    // is one drained snapshot (≤ maxKeys·k rows) regardless of key
+    // cardinality — buffering flushes to the end would retain
+    // ~distinctKeys·k rows and defeat the cap it implements.
+    new Iterator[InternalRow] {
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private var done = false
+      private def advance(): Unit =
+        while (!pending.hasNext && !done) {
+          if (!iter.hasNext) { pending = drain(); done = true }
+          else {
+            val row = iter.next()
+            val key = keyProj(row)
+            state.get(key) match {
+              case Some(q) =>
+                if (q.size < k) q.enqueue(row.copy())
+                else if (ord.compare(row, q.head) < 0) {
+                  q.dequeue(); q.enqueue(row.copy())
+                }
+              case None =>
+                if (state.size >= maxKeys) pending = drain()
+                val q = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+                q.enqueue(row.copy())
+                state.put(key.copy(), q)
+            }
+          }
+        }
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): InternalRow = { advance(); pending.next() }
     }
-    flushed.iterator ++ drain()
   }
 }
 
