@@ -529,6 +529,10 @@ object Corpus {
       |), c AS (
       |  SELECT doc_id, i AS idx,
       |    array_to_string(list_slice(words, i * $w + 1, i * $w + $w), ' ') AS passage
+      |  -- range bound = oracle-side passage cap: 100000 * $w words per
+      |  -- doc. The Spark side is unbounded; a doc beyond the cap would
+      |  -- report a FALSE mismatch here, so the bound is asserted to
+      |  -- exceed the corpus contract (documents are << 2M words).
       |  FROM d, range(0, 100000) t(i)
       |  WHERE i * $w < len(words)
       |), r AS (
@@ -792,7 +796,10 @@ object Corpus {
         .partitionBy("lang").orderBy(col("pri"), col("doc_id"))).cast("long"))
     ranked.join(broadcast(quota), "lang")
       .select(col("doc_id"), col("lang"), col("mix_rank"),
-        (col("mix_rank") <= col("kept_l")).cast("int").as("kept"))
+        // a lang outside MixWeights has NULL kept_l; keep 0 — not a
+        // NULL flag — matching the oracle's CASE ... ELSE 0 exactly
+        coalesce((col("mix_rank") <= col("kept_l")).cast("int"), lit(0))
+          .as("kept"))
       .orderBy("doc_id")
   }
 

@@ -269,8 +269,19 @@ object Dedup {
         s"""transform(sequence(0, ${Bands - 1}),
            |  b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))""".stripMargin))
         .as(Seq("band", "band_hash")))
+    bandPairsVerified(bands)
+  }
+
+  /** The shared LSH candidate tail: cap hot buckets, self-join on
+    * (band, band_hash) with doc_a < doc_b, dedup candidate pairs,
+    * count signature agreement, keep est. J ≥ 0.5. ONE definition of
+    * the pair-join + verify semantics for both hash families — a
+    * threshold or tiebreak change applied here cannot leave a twin
+    * behind (the streaming admission mirrors the same threshold,
+    * MinhashStream). */
+  private def bandPairsVerified(bands: DataFrame): DataFrame = {
     val capped = capPerBucket(bands, Seq("band", "band_hash"), BandBucketCap)
-    val cand = capped.as("a")
+    capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -278,7 +289,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
       .withColumn("matches", expr(
         "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .filter(col("matches") * 2 >= MinhashSeeds) // est. J ≥ 0.5
@@ -334,23 +344,8 @@ object Dedup {
         .as(Seq("band", "band_hash")))
   }
 
-  def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame = {
-    val capped = capPerBucket(minhashPolyBands(spark, dir),
-      Seq("band", "band_hash"), BandBucketCap)
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("matches", expr(
-        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
-      .filter(col("matches") * 2 >= MinhashSeeds)
-      .select(col("doc_a"), col("doc_b"), col("matches").cast("long").as("matches"))
-      .orderBy("doc_a", "doc_b")
-  }
+  def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame =
+    bandPairsVerified(minhashPolyBands(spark, dir))
 
   /** The shared minhash-poly CTE prefix `d → sh → h → sig → sigl →
     * bands` (per-doc signatures + band hashes) — consumed by

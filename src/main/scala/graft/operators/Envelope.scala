@@ -136,11 +136,15 @@ object Envelope {
       .withColumn("size", sum("bytes").over(grp))
       // ⌈size/max⌉ even parts of ⌊n/parts⌋ events (sink.py:179-186);
       // the trailing remainder spills into one extra part exactly as
-      // the reference's `while start < len` loop does.
-      .withColumn("split_count", ((col("size") + maxRecord - 1) / maxRecord).cast("long"))
+      // the reference's `while start < len` loop does. Integer `div`,
+      // not `/`+cast: Column./ is IEEE double division, whose rounding
+      // can cross an integer boundary at large magnitudes and diverge
+      // from the oracle's `//` floor (the house rule Skew/Corpus cite).
+      .withColumn("split_count",
+        expr(s"(size + ${maxRecord - 1}) div $maxRecord"))
       .withColumn("part_len",
-        greatest(lit(1L), (col("n") / col("split_count")).cast("long")))
-      .withColumn("part_id", (col("rn0") / col("part_len")).cast("long"))
+        greatest(lit(1L), expr("n div split_count")))
+      .withColumn("part_id", expr("rn0 div part_len"))
   }
 
   def recordSplit(spark: SparkSession, dir: String,

@@ -54,7 +54,9 @@ object Multimodal {
     else if (bytes.length >= 10 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
       var res: Option[(Int, Int)] = None
-      while (res.isEmpty && i + 9 < bytes.length && u8(i) == 0xff) {
+      // i+9 <= length: the SOF dims end at bytes(i+8), so a JPEG
+      // truncated right after the X-samples field still parses
+      while (res.isEmpty && i + 9 <= bytes.length && u8(i) == 0xff) {
         val marker = u8(i + 1)
         if (marker == 0xff) i += 1 // fill byte before a marker
         else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9))
@@ -143,8 +145,12 @@ object Multimodal {
   /** STUB dims for unrecognizable payloads: deterministic
     * pseudo-dimensions from the content bytes. */
   def fakeDims(bytes: Array[Byte]): (Int, Int) = {
+    // floorMod, not abs: the fold wraps freely, and
+    // math.abs(Long.MinValue) is still negative — abs-based dims
+    // would break the documented [1,1920]x[1,1080] bound there
     val h = bytes.take(16).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
-    ((math.abs(h) % 1920).toInt + 1, (math.abs(h / 1920) % 1080).toInt + 1)
+    (java.lang.Math.floorMod(h, 1920L).toInt + 1,
+      java.lang.Math.floorMod(h / 1920, 1080L).toInt + 1)
   }
 
   /** Batch codec: real header parse per kind — JPEG/PNG dimensions

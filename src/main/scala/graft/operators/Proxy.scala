@@ -130,16 +130,23 @@ object Proxy {
       var (familyName, srcA, dstA, srcP, dstP, tlvStart) =
         ("", null: String, null: String, -1, -1, 16)
       if (commandName == "proxy") {
+        // addrLen must cover the family's fixed address block BEFORE
+        // any read: a malformed header declaring addrLen 0 with an
+        // inet family would otherwise index past the 16-byte buffer
+        // (AIOOBE killing the task) instead of parsing to null
         family match {
           case 0x10 =>
+            if (addrLen < 12) return null
             familyName = "inet"
             srcA = ip4(16); dstA = ip4(20); srcP = u16(24); dstP = u16(26)
             tlvStart = 28
           case 0x20 =>
+            if (addrLen < 36) return null
             familyName = "inet6"
             srcA = ip6(16); dstA = ip6(32); srcP = u16(48); dstP = u16(50)
             tlvStart = 52
           case 0x30 =>
+            if (addrLen < 216) return null
             familyName = "unix"
             srcA = new String(b.slice(16, 124), "US-ASCII").takeWhile(_ != 0)
             dstA = new String(b.slice(124, 232), "US-ASCII").takeWhile(_ != 0)
@@ -156,7 +163,11 @@ object Proxy {
         TlvNames.get(t).foreach { name =>
           if (name != "PP2_TYPE_NOOP") {
             tlvKeys += UTF8String.fromString(name)
-            tlvVals += b.slice(p + 3, math.min(p + 3 + len, b.length))
+            // clamp to the header (tlvEnd), not the buffer: a corrupt
+            // TLV length must not read application-payload bytes —
+            // those are emitted separately via drop(tlvEnd)
+            tlvVals += b.slice(p + 3,
+              math.min(p + 3 + len, math.min(tlvEnd, b.length)))
           }
         }
         p += 3 + len

@@ -25,6 +25,26 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   val TopK = 10
+
+  /** The shared ANN ranking tail over a candidate frame with columns
+    * (query_id, vec_id, dot, nq, nc): exact cosine from the integer
+    * dot/norms, per-query row_number with the vec_id tiebreak, keep
+    * TopK, deterministic output order. ONE definition for every ANN
+    * variant — a tiebreak or scoring change here cannot leave one of
+    * the five pipelines behind. */
+  private def rankTopK(cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
+        col("nq"), col("nc"))
+      .orderBy("query_id", "rank")
+  }
   val NumQueries = 5
   /** Planes sized so the EXPECTED BUCKET stays ~`target` vectors:
     * ceil(log2(n / target)), floored at the 4 planes the sub-10k test
@@ -62,20 +82,9 @@ object Similarity {
     val v = quantized(spark, dir)
     val queries = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nn").as("nq"))
-    val pairs = v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    rankTopK(v.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
-        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          sqrt(col("nq").cast("double") * col("nc").cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    pairs
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        col("dot"), col("nq"), col("nc"))
-      .orderBy("query_id", "rank")
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot")))
   }
 
   val annBruteforceSql: String =
@@ -149,22 +158,11 @@ object Similarity {
     val queries = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("nq"), explode(probes).as("qcode"))
-    val cand = v.join(broadcast(queries),
+    rankTopK(v.join(broadcast(queries),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
-        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          sqrt(col("nq").cast("double") * col("nc").cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
-        col("nq"), col("nc"))
-      .orderBy("query_id", "rank")
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot")))
   }
 
   // ---------------------------------------------------------------------
@@ -198,22 +196,11 @@ object Similarity {
     val queries = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("nq"), explode(probes).as("qcode"))
-    val cand = v.join(broadcast(queries),
+    rankTopK(v.join(broadcast(queries),
         col("code") === col("qcode") && col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
-        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          sqrt(col("nq").cast("double") * col("nc").cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
-        col("nq"), col("nc"))
-      .orderBy("query_id", "rank")
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot")))
   }
 
   val annLshPolySql: String =
@@ -353,21 +340,10 @@ object Similarity {
       .filter(col("pr") <= NProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("nq"), col("cid"))
-    val cand = assigned.join(broadcast(probes),
+    rankTopK(assigned.join(broadcast(probes),
         assigned("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("nq"), col("nn").as("nc"),
-        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          sqrt(col("nq").cast("double") * col("nc").cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
-        col("nq"), col("nc"))
-      .orderBy("query_id", "rank")
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot")))
   }
 
   /** Shared DuckDB CTE chain for k-means training: quantized vectors
@@ -510,20 +486,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("nq"))
     val candq = cand.join(broadcast(qvec), "query_id")
-    val rer = v.join(broadcast(candq), col("vec_id") === col("cand_id"))
+    rankTopK(v.join(broadcast(candq), col("vec_id") === col("cand_id"))
       .select(col("query_id"), col("vec_id"),
         graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"),
-        col("nq"), col("nn").as("nc"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          sqrt(col("nq").cast("double") * col("nc").cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    rer.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        col("dot"), col("nq"), col("nc"))
-      .orderBy("query_id", "rank")
+        col("nq"), col("nn").as("nc")))
   }
 
   val annInt8Sql: String =
