@@ -88,7 +88,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the same line as a FILE artifact: log-scraping the metric out of
+    // an sbt/log4j-interleaved stdout is fragile (the driver's parsed
+    // field came back null two rounds running), a file is not
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${failed.reverse.mkString(", ")}")

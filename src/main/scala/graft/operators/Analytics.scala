@@ -1140,7 +1140,7 @@ object Analytics {
   def customersRfm(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val maxd = o.agg(max("o_orderdate").as("maxd"))
-    // per is materialized once (localCheckpoint, eager): it feeds both
+    // per is materialized once (Checkpoints.pin, eager): it feeds both
     // the row-count scalar and the 3-stage rank chain, and each
     // globalRank stage checkpoints its own ranged frame — so the three
     // range-boundary sampling passes read fixed blocks instead of
@@ -1150,7 +1150,7 @@ object Analytics {
     // persist() is NOT safe here: it defeats exchange reuse inside
     // globalRank and the duplicated range exchanges can sample
     // divergent boundaries — see Skew.globalRank.)
-    val per = o.groupBy("o_custkey")
+    val per = graft.Checkpoints.pin(o.groupBy("o_custkey")
       .agg(
         max("o_orderdate").as("lastd"),
         count(lit(1)).as("f_cnt"),
@@ -1158,8 +1158,7 @@ object Analytics {
       .crossJoin(broadcast(maxd))
       .select(col("o_custkey"),
         expr("datediff(maxd, lastd)").cast("long").as("r_days"),
-        col("f_cnt"), col("m_total"))
-      .localCheckpoint()
+        col("f_cnt"), col("m_total")))
     val n = per.agg(count(lit(1)).as("__total"))
     def tiled(df: DataFrame, tileName: String, sort: Column*): DataFrame =
       Skew.globalRank(df, 8, sort: _*)

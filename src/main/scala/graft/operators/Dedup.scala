@@ -716,7 +716,9 @@ object Dedup {
     * Scale: only nodes that appear in a pair enter the loop (the
     * suspect set, orders of magnitude smaller than the corpus); each
     * round is two groupBy-min + join stages shuffling on node id. Each
-    * round's frame is `localCheckpoint`ed — the star operators
+    * round's frame is pinned ([[graft.Checkpoints]]: reliable
+    * checkpoint when `spark.graft.checkpoint.dir` is set, else
+    * localCheckpoint) — the star operators
     * reference their input several times, so without TRUNCATING the
     * logical plan (persist alone does not) the analysis tree grows
     * ~10× per round and Catalyst, not the data, becomes the
@@ -724,7 +726,8 @@ object Dedup {
     * (the standard Spark iterative-graph pattern; superseded round
     * blocks are freed by the ContextCleaner). Convergence is the
     * structural star-forest test itself — no label may appear as a
-    * relabelled node (one semi-join + isEmpty per round) — which is
+    * relabelled node (one per-node aggregation + isEmpty per round) —
+    * which is
     * BOTH the stopping rule and the correctness proof: a star forest
     * is a fixpoint of the alternation and, since every round preserves
     * components (Kiveris Thm. 1), its roots are exactly the component
@@ -750,19 +753,21 @@ object Dedup {
     // AND no node carries two labels (out-degree 1). BOTH halves
     // matter: a chain fails only the first, a node inside two pair
     // edges ((9,5),(9,7)) fails only the second, and either shape
-    // still changes under another star round. One action over two
-    // semi-joins (isEmpty is a limit-1 probe, so a violation
-    // short-circuits); this is the convergence test AND the
-    // correctness proof in one pass.
-    def isStarForest(df: DataFrame): Boolean = {
-      val chains = df.as("e1")
-        .join(df.as("e2"), col("e1.v") === col("e2.u"), "left_semi")
-      val multi = df.as("e1")
-        .join(df.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"),
-          "left_semi")
-      chains.unionAll(multi).isEmpty
-    }
+    // still changes under another star round. Probed as ONE per-node
+    // aggregation over the checkpointed round (each edge contributes
+    // its u to the relabelled side and its v to the label side; a
+    // node is a violation iff it is relabelled twice — two labels —
+    // or appears on both sides — a chain): one map-side-combined
+    // shuffle of slim rows, vs the two self-semi-joins (4 exchanges)
+    // this replaces — the probe was doubling driver round-trips in
+    // the library's most iterative operator. Still the convergence
+    // test AND the correctness proof in one pass.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("u"), lit(1L).as("cu"), lit(0L).as("cv"))
+        .unionAll(df.select(col("v").as("u"), lit(0L).as("cu"), lit(1L).as("cv")))
+        .groupBy("u").agg(sum("cu").as("cu"), sum("cv").as("cv"))
+        .where(col("cu") > 1 || (col("cu") > 0 && col("cv") > 0))
+        .isEmpty
     // large-star: for each node u emit (v, min(N(u) ∪ {u})) for every
     // neighbour v > u — larger neighbours re-hang off the local min.
     // Output is canonically oriented by construction (v > u ≥ m) but
@@ -785,11 +790,11 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v"))))
     }
-    var edges = canon(pairs.select(ca.as("u"), cb.as("v"))).localCheckpoint()
+    var edges = graft.Checkpoints.pin(canon(pairs.select(ca.as("u"), cb.as("v"))))
     var converged = isStarForest(edges)
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = graft.Checkpoints.pin(smallStar(largeStar(edges)))
       converged = isStarForest(edges)
       rounds += 1
     }

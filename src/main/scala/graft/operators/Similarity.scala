@@ -288,13 +288,20 @@ object Similarity {
     * each centroid with the per-component floor-average of its
     * members (empty clusters drop out, same as the SQL GROUP BY).
     *
-    * Each iteration's k-row centroid table is CACHED: without it,
-    * every downstream reference (the next iteration, the final
-    * assignment, the probe ranking) replays the whole training chain
-    * from the seed — measured 3 extra corpus passes at 2 iterations.
-    * Only the O(k) centroids are ever cached, never corpus-sized
-    * data, so the pattern is safe at 100 TB (it is exactly what a
-    * k-means fit materializes between iterations). */
+    * Each iteration's k-row centroid table is PINNED
+    * ([[graft.Checkpoints]]): without it, every downstream reference
+    * (the next iteration, the final assignment, the probe ranking)
+    * replays the whole training chain from the seed — measured 3
+    * extra corpus passes at 2 iterations. Only the O(k) centroids are
+    * ever materialized, never corpus-sized data, so the pattern is
+    * safe at 100 TB (it is exactly what a k-means fit materializes
+    * between iterations). The pin deliberately bypasses `.cache()`:
+    * CacheManager keys on the canonicalized plan, so a re-built
+    * identical query (another bench pass, a second operator sharing
+    * the training chain) would silently REUSE the first run's
+    * centroids — mistimed benchmarks plus a stream of "already
+    * cached" warnings — where checkpointed blocks are private to
+    * this call. */
   def kmeansCentroids(spark: SparkSession, dir: String,
                       iters: Int = KmeansIters): DataFrame = {
     val v = quantized(spark, dir)
@@ -306,12 +313,11 @@ object Similarity {
         .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
         .select(col("cid"), col("dim"),
           floor(col("s").cast("double") / col("cnt")).cast("long").as("c"))
-      cents = sums.groupBy("cid")
+      cents = graft.Checkpoints.pin(sums.groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
           .as("cq"))
         .withColumn("cn", graft.functions.VectorFunctions.norm_sq_l(col("cq")))
-        .select(col("cid"), col("cq"), col("cn"))
-        .cache()
+        .select(col("cid"), col("cq"), col("cn")))
     }
     cents
   }

@@ -371,7 +371,16 @@ object Sketch {
     * monotone in v and the bucket midpoint (sub<<ex) + 2^(ex-1) is
     * within 1/32 relative of every v in the bucket. Exposed for the
     * mergeability spec: the histogram of a union is the per-key SUM
-    * of the parts' histograms. */
+    * of the parts' histograms.
+    *
+    * Contract (same as the streaming twin documents): ts_s must be
+    * non-decreasing in event_id within a (user, type) stream. A feed
+    * that violates it yields NEGATIVE gaps, and bin() of a negative
+    * long is its 64-bit two's-complement — ex=59 garbage octaves that
+    * would silently skew every quantile (and both engines would agree,
+    * so the oracle could never catch it). Out-of-order gaps are
+    * therefore dropped (v ≥ 1) on BOTH sides rather than folded into
+    * the histogram. */
   private[graft] def gapBucketsOf(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perUser = Window.partitionBy("user_id", "event_type")
@@ -379,6 +388,7 @@ object Sketch {
     e.withColumn("prev_ts", lag("ts_s", 1).over(perUser))
       .filter(col("prev_ts").isNotNull)
       .select(col("event_type"), (col("ts_s") - col("prev_ts") + 1).as("v"))
+      .filter(col("v") >= 1)
       .withColumn("ex",
         greatest(length(bin(col("v"))).cast("long") - 5, lit(0L)))
       .withColumn("sub", expr("shiftright(v, CAST(ex AS INT))"))
@@ -449,7 +459,8 @@ object Sketch {
       |                           ORDER BY event_id) AS gap
       |  FROM e
       |), v AS (
-      |  SELECT event_type, gap + 1 AS v FROM g WHERE gap IS NOT NULL
+      |  SELECT event_type, gap + 1 AS v FROM g
+      |  WHERE gap IS NOT NULL AND gap >= 0
       |), k AS (
       |  SELECT event_type,
       |    GREATEST(CAST(length(bin(v)) AS BIGINT) - 5, 0) AS ex, v

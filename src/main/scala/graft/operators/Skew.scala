@@ -105,13 +105,15 @@ object Skew {
     // exchange reuse usually dedups them, but is not guaranteed (it
     // observably breaks over an InMemoryRelation input), and
     // divergent boundaries make __pid inconsistent between the two
-    // branches → corrupt ranks. The checkpoint pins one partition
+    // branches → corrupt ranks. The pin fixes one partition
     // assignment for both consumers, and as a bonus truncates
     // lineage so chained globalRank calls never re-sample their
-    // whole upstream chain.
-    val parted = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // whole upstream chain ([[graft.Checkpoints]]: reliable
+    // checkpoint when spark.graft.checkpoint.dir is set, else
+    // localCheckpoint).
+    val parted = graft.Checkpoints.pin(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     // per-partition offsets via a triangle join over the ≤ `parts`-row
     // counts frame (parts² tiny rows) — NOT an unpartitioned running
     // window, which would both emit the scary "No Partition Defined"

@@ -26,22 +26,33 @@ object Spool {
     * cluster: it must name a shared filesystem path — the driver's
     * java.io.tmpdir default is node-local, so executor writes would
     * land on executor disks and the driver-side read-back would see
-    * none of them); the default serves the local-mode oracle gate. */
-  private def scratchDir(spark: SparkSession, dir: String): File = {
+    * none of them); the default serves the local-mode oracle gate.
+    * Resolved and manipulated as a Hadoop Path end to end — the same
+    * abstraction the executor-side writes and the DSv2 read-back use —
+    * so URI-schemed values (hdfs://, s3a://) work exactly like POSIX
+    * paths instead of being mangled by java.io.File. */
+  private def scratchPath(spark: SparkSession, dir: String,
+                          prefix: String): org.apache.hadoop.fs.Path = {
     val base = spark.conf.getOption("spark.graft.spool.scratch")
       .getOrElse(sys.props("java.io.tmpdir"))
-    new File(base,
-      s"graft-spool-${spark.sparkContext.applicationId}-${new File(dir).getName}")
+    new org.apache.hadoop.fs.Path(base,
+      s"$prefix-${spark.sparkContext.applicationId}-${new File(dir).getName}")
+  }
+
+  /** (Re)create `p` empty, through its own FileSystem. */
+  private def resetDir(spark: SparkSession,
+                       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    p
   }
 
   /** Write one `.gz` file per spool record under `scratch`
     * (idempotent: the directory is cleared first). */
-  private[graft] def writeSpoolDir(spark: SparkSession, dir: String): File = {
-    val scratch = scratchDir(spark, dir)
-    if (scratch.exists()) {
-      Option(scratch.listFiles()).foreach(_.foreach(_.delete()))
-    } else scratch.mkdirs()
-    val base = scratch.getAbsolutePath
+  private[graft] def writeSpoolDir(spark: SparkSession, dir: String): String = {
+    val scratch = resetDir(spark, scratchPath(spark, dir, "graft-spool"))
+    val base = scratch.toString
     val ser = new SerializableHadoopConf(
       spark.sessionState.newHadoopConf())
     graft.operators.Envelope
@@ -61,7 +72,7 @@ object Spool {
           try out.write(r.getAs[Array[Byte]]("gz")) finally out.close()
         }
       }
-    scratch
+    base
   }
 
   /** Read a spool directory back to the per-event oracle shape. */
@@ -76,10 +87,8 @@ object Spool {
         col("timestamp").as("ts_ms"))
       .orderBy("event_id")
 
-  def spoolSource(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = writeSpoolDir(spark, dir)
-    readBack(spark, scratch.getAbsolutePath)
-  }
+  def spoolSource(spark: SparkSession, dir: String): DataFrame =
+    readBack(spark, writeSpoolDir(spark, dir))
 
   /** #72 spool_sink — the WRITE direction through the DataSourceV2
     * writer: event rows flow through
@@ -93,11 +102,7 @@ object Spool {
     * regardless of how rows were partitioned across writers. */
   def spoolSink(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Envelope.{GroupPrefix, MessageClass, Owner}
-    val scratch = new File(sys.props("java.io.tmpdir"),
-      s"graft-spoolsink-${spark.sparkContext.applicationId}-${new File(dir).getName}")
-    if (scratch.exists()) {
-      Option(scratch.listFiles()).foreach(_.foreach(_.delete()))
-    } else scratch.mkdirs()
+    val scratch = resetDir(spark, scratchPath(spark, dir, "graft-spoolsink"))
     val group = concat_ws("/", lit(GroupPrefix), lit(MessageClass), col("dest"))
     graft.operators.Envelope.withEnvelopeCols(spark, dir)
       .select(
@@ -113,8 +118,8 @@ object Spool {
       .repartition(col("log_group"), col("log_stream"))
       .write.format("graft-spool")
       .option("maxRecordBytes", graft.operators.Envelope.TestRecordSize.toString)
-      .mode("append").save(scratch.getAbsolutePath)
-    readBack(spark, scratch.getAbsolutePath)
+      .mode("append").save(scratch.toString)
+    readBack(spark, scratch.toString)
   }
 
   /** Identical shape to spool_read's oracle: the DSv2 path must

@@ -203,7 +203,18 @@ class SpoolScan(path: String, required: StructType, filters: Array[Filter],
     * The mode is chosen per micro-batch by marker presence; a
     * directory must stay in one writer family (mixing a batch
     * writer's plain names into a sealed-epoch dir is unsupported —
-    * the names interleave unsortably). */
+    * the names interleave unsortably).
+    *
+    * NAME mode is for single-writer, name-ordered spools ONLY. A dir
+    * being filled by the BATCH spool writer must not be tailed even
+    * on its own: batch tasks publish `part-{pid}-{tid}-{seq}.gz`
+    * concurrently and taskId is unpadded, so names do not appear in
+    * lexicographic order and a watermark taken mid-write permanently
+    * skips the files that publish later with smaller names. Drain
+    * batch-written dirs after the batch job returns (its commit is
+    * the completion marker), or produce them with the STREAMING
+    * writer, whose sealed epochs exist precisely to make concurrent
+    * publication tail-safe. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SpoolMicroBatchStream(path, required, filters, maxPartitionBytes)

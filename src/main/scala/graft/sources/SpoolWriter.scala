@@ -76,10 +76,34 @@ class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long,
     * the epoch has published its files, so the marker's presence
     * guarantees no epoch-N file can still appear — the invariant the
     * drain's sealed-epoch watermark rests on (SpoolMicroBatchStream).
-    * Overwrite makes a replayed commit idempotent. */
+    * Overwrite makes a replayed commit idempotent.
+    *
+    * Restart guard: epochIds are per-checkpoint, so a query restarted
+    * with a FRESH checkpoint into a non-empty spool dir starts again
+    * at epoch 0 — its seals land below the dir's existing max, and a
+    * drain whose watermark is already past that max would silently
+    * never pick the new epochs up. That is data loss by
+    * configuration, so committing an epoch at or below an existing
+    * higher seal fails loudly instead: resume from the original
+    * checkpoint, or point the fresh query at a fresh spool dir. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val dir = new Path(path)
+    val maxSealed =
+      if (!fs.exists(dir)) -1L
+      else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+        case SpoolMicroBatchStream.SealRe(n) => Some(n.toLong)
+        case _ => None
+      }).foldLeft(-1L)(math.max)
+    if (maxSealed > epochId)
+      throw new IllegalStateException(
+        s"graft-spool: committing epoch $epochId but $path already holds " +
+          s"seals up to epoch $maxSealed — this query was restarted with a " +
+          "fresh checkpoint into a non-empty spool dir, and a sealed-epoch " +
+          "drain past the old watermark would never read the new epochs. " +
+          "Resume from the original checkpoint or use a fresh spool dir.")
     val p = new Path(path, SpoolMicroBatchStream.sealName(epochId))
-    val out = p.getFileSystem(conf.value).create(p, true)
+    val out = fs.create(p, true)
     out.close()
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

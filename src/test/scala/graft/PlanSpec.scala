@@ -205,7 +205,7 @@ class PlanSpec extends SparkSpec {
 
   test("spool source scan: pruning and header pushdown visible in the plan") {
     val scratch = graft.sources.Spool.writeSpoolDir(spark, sf)
-    val df = spark.read.format("graft-spool").load(scratch.getAbsolutePath)
+    val df = spark.read.format("graft-spool").load(scratch)
       .filter(org.apache.spark.sql.functions.col("log_stream") === "10.0.0.1")
       .select("message")
     val plan = df.queryExecution.executedPlan.toString

@@ -527,6 +527,21 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     }
   }
 
+  test("gap buckets drop out-of-order (negative) gaps instead of folding garbage octaves") {
+    import spark.implicits._
+    // ts NOT monotone in event_id: events 1→2→3 have ts 100→50→150,
+    // producing gaps -50 and +100. bin() of a negative long is its
+    // 64-bit two's complement, so an unguarded pipeline would emit an
+    // ex=59 octave bucket; the guard must keep ONLY the +100 gap
+    val syn = Seq(
+      (1L, 1L, "t", 100L), (2L, 1L, "t", 50L), (3L, 1L, "t", 150L))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+    val hist = Sketch.gapBucketsOf(syn).collect()
+    assert(hist.map(_.getLong(3)).sum === 1L, hist.mkString(","))
+    val key = hist.head.getLong(1)
+    assert(key === Sketch.gapBucketKey(101L), s"key=$key") // v = gap+1
+  }
+
   test("streaming gap buckets: increments sum to the batch histogram across a restart") {
     import spark.implicits._
     import java.nio.file.Files

@@ -281,6 +281,30 @@ class SpoolSourceSpec extends SparkSpec {
     assert(seen.toArray(Array.empty[String]).sorted === Array("001", "002"))
   }
 
+  test("streaming sink epoch commit refuses a fresh-checkpoint restart into a sealed dir") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-restart-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    // a previous run sealed up to epoch 5
+    new File(dir, graft.sources.SpoolMicroBatchStream.sealName(5L)).createNewFile()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("owner", "string").add("log_group", "string")
+      .add("log_stream", "string").add("message_type", "string")
+      .add("id", "string").add("message", "string").add("timestamp", "long")
+    val w = new graft.sources.SpoolWrite(dir.getAbsolutePath, schema, 1000L,
+      graft.sources.SerializableHadoopConf.fromSession())
+    // a fresh checkpoint restarts epochs at 0: committing below the
+    // existing max seal would publish epochs the drain never reads
+    val none = Array.empty[org.apache.spark.sql.connector.write.WriterCommitMessage]
+    val e = intercept[IllegalStateException] { w.commit(0L, none) }
+    assert(e.getMessage.contains("epoch 5"), e.getMessage)
+    // replay of the max epoch is idempotent; advancing past it is normal
+    w.commit(5L, none)
+    w.commit(6L, none)
+    assert(new File(dir, graft.sources.SpoolMicroBatchStream.sealName(6L)).exists())
+  }
+
   test("streaming sink: writeStream spools micro-batches, batch read returns them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
