@@ -6,7 +6,6 @@ import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream, GZIPOutpu
 import graft.Constants
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.Exprs
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
@@ -17,11 +16,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * magics on inbound GELF datagrams, dropping payloads that fail to
   * decompress (protocol.py:246-261, constant.py:9-10).
   *
-  * All are evaluated expressions (CodegenFallback): per-row
-  * compression is inherently imperative, and the surrounding plan
-  * stages stay codegen'd. Map-only — no shuffle at any scale.
+  * The per-row work is inherently imperative (JVM zlib), but each
+  * expression still implements doGenCode as a static call into this
+  * object: a CodegenFallback in the projection forces the generated
+  * stage to materialize an InternalRow and dispatch through the
+  * interpreted `eval` per row — on the 100 TB relay parse path, the
+  * one map stage that dominates the job. Map-only — no shuffle at any
+  * scale.
   */
 object BinaryFunctions {
+
+  /** Public static surfaces for generated code (doGenCode below). */
+  def gzip9(data: Array[Byte]): Array[Byte] = gzip(data, 9)
+  def zlib6(data: Array[Byte]): Array[Byte] = zlibCompress(data, 6)
 
   private def gzip(data: Array[Byte], level: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream(data.length / 2 + 64)
@@ -69,19 +76,25 @@ object BinaryFunctions {
   }
 
   /** gzip at the spool's compression level (9). */
-  case class GzipCompress(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class GzipCompress(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any = gzip(v.asInstanceOf[Array[Byte]], 9)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.BinaryFunctions$$.MODULE$$.gzip9($c)")
     override protected def withNewChildInternal(c: Expression): GzipCompress =
       copy(child = c)
   }
 
-  case class ZlibCompress(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class ZlibCompress(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any =
       zlibCompress(v.asInstanceOf[Array[Byte]], 6)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.BinaryFunctions$$.MODULE$$.zlib6($c)")
     override protected def withNewChildInternal(c: Expression): ZlibCompress =
       copy(child = c)
   }
@@ -132,13 +145,20 @@ object BinaryFunctions {
   /** Magic-sniffing decompress as a Catalyst expression. Nullable
     * regardless of the child: corrupt gzip evaluates to null, and
     * inheriting non-nullability would let NullPropagation fold a
-    * caller's defensive isNotNull guard to literal true. */
-  case class AutoDecompress(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+    * caller's defensive isNotNull guard to literal true. The codegen
+    * must re-check for that null (defineCodeGen alone would leave
+    * isNull false on a null value and NPE downstream). */
+  case class AutoDecompress(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =
       autoDecompress(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.BinaryFunctions$$.MODULE$$.autoDecompress($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
     override protected def withNewChildInternal(c: Expression): AutoDecompress =
       copy(child = c)
   }

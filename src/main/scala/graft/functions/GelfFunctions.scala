@@ -4,7 +4,6 @@ import graft.Constants
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.Exprs
 import org.apache.spark.sql.types._
 
@@ -19,10 +18,25 @@ import org.apache.spark.sql.types._
   */
 object GelfFunctions {
 
+  /** Static parse kernel, shared by the interpreted eval and the
+    * generated code: chunk datagram → InternalRow(id, seq, total,
+    * payload), or null on bad magic / short datagram. */
+  def parseChunk(data: Array[Byte]): InternalRow =
+    if (data.length < 12 ||
+        data(0) != Constants.GelfMagic(0) || data(1) != Constants.GelfMagic(1)) {
+      null
+    } else {
+      val bb = java.nio.ByteBuffer.wrap(data, 2, 10) // big-endian (!)
+      val id = bb.getLong
+      val seq = bb.get() & 0xff
+      val total = bb.get() & 0xff
+      InternalRow(id, seq, total, data.drop(12))
+    }
+
   /** Parse one chunk datagram → struct(id, seq, total, payload);
     * null when the magic doesn't match or the datagram is too short. */
-  case class GelfChunkParse(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class GelfChunkParse(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: DataType = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("seq", IntegerType, nullable = false),
@@ -33,19 +47,13 @@ object GelfFunctions {
     // isNotNull guards away and null structs reach field accessors
     override def nullable: Boolean = true
 
-    override def nullSafeEval(v: Any): Any = {
-      val data = v.asInstanceOf[Array[Byte]]
-      if (data.length < 12 ||
-          data(0) != Constants.GelfMagic(0) || data(1) != Constants.GelfMagic(1)) {
-        null
-      } else {
-        val bb = java.nio.ByteBuffer.wrap(data, 2, 10) // big-endian (!)
-        val id = bb.getLong
-        val seq = bb.get() & 0xff
-        val total = bb.get() & 0xff
-        InternalRow(id, seq, total, data.drop(12))
-      }
-    }
+    override def nullSafeEval(v: Any): Any =
+      parseChunk(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.GelfFunctions$$.MODULE$$.parseChunk($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
     override protected def withNewChildInternal(c: Expression): GelfChunkParse =
       copy(child = c)
   }

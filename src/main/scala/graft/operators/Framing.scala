@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Constants, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
@@ -113,14 +112,24 @@ object Framing {
     out.result()
   }
 
+  /** [[frameStream]] boxed for Catalyst — shared by the interpreted
+    * eval and the generated code. */
+  def frameStreamData(buf: Array[Byte]): GenericArrayData =
+    new GenericArrayData(frameStream(buf).toArray)
+
   /** Catalyst expression: BINARY blob → ARRAY<BINARY> of messages.
-    * Evaluated (CodegenFallback) — the automaton is iterative; the
-    * surrounding synthesis/explode stages stay codegen'd. */
-  case class SyslogFrames(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+    * The automaton is iterative JVM code, but doGenCode keeps the
+    * stage in whole-stage codegen as a static call (a CodegenFallback
+    * here forced an InternalRow materialization + interpreted eval on
+    * the relay's hottest map stage). */
+  case class SyslogFrames(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      new GenericArrayData(frameStream(v.asInstanceOf[Array[Byte]]).toArray)
+      frameStreamData(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.operators.Framing$$.MODULE$$.frameStreamData($c)")
     override protected def withNewChildInternal(c: Expression): SyslogFrames =
       copy(child = c)
   }
@@ -140,8 +149,9 @@ object Framing {
     * took its corpus-oriented pass-through fallback, which here is
     * the error arm (a real zlib/gzip stream never inflates to
     * itself). The decompress is bound ONCE per row through a
-    * 1-element array (it is CodegenFallback, so repeating the
-    * expression would inflate the datagram once per reference).
+    * 1-element array (repeating the expression would inflate the
+    * datagram once per reference — subexpression elimination is not
+    * guaranteed inside conditional branches).
     * Composes the existing decompress expression with a LF split —
     * map-only, codegen'd except the decompress eval. */
   def gelfFrames(c: Column): Column = {

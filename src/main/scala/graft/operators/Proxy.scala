@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Exprs
@@ -91,24 +90,10 @@ object Proxy {
     0x20 -> "PP2_TYPE_SSL", 0x26 -> "PP2_TYPE_NETNS",
     0xea -> "PP2_TYPE_AWS")
 
-  /** Binary v2 parse → struct(command, family, protocol, src_addr,
-    * dst_addr, src_port, dst_port, tlvs map<string,binary>, payload);
-    * null for bad magic/version/command/family. */
-  case class ProxyV2Parse(child: Expression) extends UnaryExpression
-      with CodegenFallback {
-    override def dataType: DataType = StructType(Seq(
-      StructField("command", StringType),
-      StructField("family", StringType),
-      StructField("protocol", StringType),
-      StructField("src_addr", StringType),
-      StructField("dst_addr", StringType),
-      StructField("src_port", IntegerType),
-      StructField("dst_port", IntegerType),
-      StructField("tlvs", MapType(StringType, BinaryType)),
-      StructField("payload", BinaryType)))
-
-    override def nullSafeEval(v: Any): Any = {
-      val b = v.asInstanceOf[Array[Byte]]
+  /** Static v2 parse kernel, shared by the interpreted eval and the
+    * generated code: header bytes → InternalRow, or null for bad
+    * magic/version/command/family. */
+  def v2Parse(b: Array[Byte]): InternalRow = {
       if (b.length < 16 || !b.take(12).sameElements(V2Magic)) return null
       val version = b(12) & 0xf0
       val command = b(12) & 0x0f
@@ -184,7 +169,34 @@ object Proxy {
           new GenericArrayData(tlvKeys.result().toArray[Any]),
           new GenericArrayData(tlvVals.result().toArray[Any])),
         b.drop(tlvEnd))
-    }
+  }
+
+  /** Binary v2 parse → struct(command, family, protocol, src_addr,
+    * dst_addr, src_port, dst_port, tlvs map<string,binary>, payload);
+    * null for bad magic/version/command/family. doGenCode keeps the
+    * stage in whole-stage codegen via the static [[v2Parse]] kernel. */
+  case class ProxyV2Parse(child: Expression) extends UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = StructType(Seq(
+      StructField("command", StringType),
+      StructField("family", StringType),
+      StructField("protocol", StringType),
+      StructField("src_addr", StringType),
+      StructField("dst_addr", StringType),
+      StructField("src_port", IntegerType),
+      StructField("dst_port", IntegerType),
+      StructField("tlvs", MapType(StringType, BinaryType)),
+      StructField("payload", BinaryType)))
+    // bad headers parse to null over a non-null child
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(v: Any): Any =
+      v2Parse(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.operators.Proxy$$.MODULE$$.v2Parse($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
     override protected def withNewChildInternal(c: Expression): ProxyV2Parse =
       copy(child = c)
   }

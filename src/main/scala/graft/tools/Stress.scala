@@ -1,0 +1,129 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness (VERDICT r7 #1): synthesize a ×N id-shifted
+  * stress corpus from sf0.1 in a SCRATCH dir (never the read-only
+  * testdata), then run the skew-sensitive operator set against it,
+  * reporting wall time, output rows, and per-task peaks (execution
+  * memory, shuffle read/write) so "the caps hold beyond sf0.1" is a
+  * measured claim, not an asserted one.
+  *
+  * The union-of-shifted-copies construction is deliberately MORE
+  * adversarial than a real ×N corpus: every document gains N−1
+  * byte-identical twins, so every minhash/simhash band bucket, fuzzy
+  * block and connected component is ×N hotter than organic growth
+  * would make it — exactly the skew the caps and the O(log d)
+  * components were built for.
+  *
+  *   sbt "runMain graft.tools.Stress gen   [srcDir] [outDir] [copies]"
+  *   sbt "runMain graft.tools.Stress sweep [outDir]"
+  */
+object Stress {
+
+  /** Per-copy id shifts, far above any real id at sf0.1 (doc_id < 5e3,
+    * o_orderkey < 6e5, o_custkey < 1.5e4, vec_id < 2e3). */
+  val ShiftDoc = 1000000L
+  val ShiftOrder = 10000000L
+  val ShiftCust = 1000000L
+  val ShiftVec = 1000000L
+
+  /** The skew-sensitive set the r7 verdict named, plus the LSH/ANN
+    * embedding path and the jaccard inverted index (both cap/prefix
+    * bounded, both quadratic if those bounds ever broke). */
+  val SweepQueries: Seq[String] = Seq(
+    "dedup_minhash_poly", "dedup_minhash", "dedup_simhash_poly",
+    "dedup_jaccard", "dedup_fuzzy", "dedup_clusters",
+    "dedup_embedding_lsh", "basket_pairs", "customers_rfm",
+    "corpus_decontaminate_fuzzy")
+
+  def gen(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    def build(table: String, shifts: Map[String, Long]): Unit = {
+      val base = Tables.load(spark, src, table)
+      (0 until copies)
+        .map { i =>
+          shifts.foldLeft(base) { case (df, (c, s)) =>
+            df.withColumn(c, col(c) + lit(i * s))
+          }
+        }
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[stress] wrote $out/$table.parquet (${copies}x $src)")
+    }
+    build("documents", Map("doc_id" -> ShiftDoc))
+    build("lineitem", Map("l_orderkey" -> ShiftOrder))
+    build("orders", Map("o_orderkey" -> ShiftOrder, "o_custkey" -> ShiftCust))
+    build("embeddings", Map("vec_id" -> ShiftVec))
+  }
+
+  /** Max-over-tasks metrics, reset per query: a cap that stopped
+    * holding shows up here as a task whose peak memory or shuffle
+    * volume grows with corpus² instead of corpus. */
+  private class PeakListener extends SparkListener {
+    @volatile var peakMem = 0L
+    @volatile var maxShufRead = 0L
+    @volatile var maxShufWrite = 0L
+    def reset(): Unit = { peakMem = 0L; maxShufRead = 0L; maxShufWrite = 0L }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        peakMem = math.max(peakMem, m.peakExecutionMemory)
+        maxShufRead = math.max(maxShufRead, m.shuffleReadMetrics.totalBytesRead)
+        maxShufWrite = math.max(maxShufWrite, m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  def sweep(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.load(spark, dir, "documents").count()
+    val li = Tables.load(spark, dir, "lineitem").count()
+    println(s"[stress] corpus: documents=$docs lineitem=$li")
+    val listener = new PeakListener
+    spark.sparkContext.addSparkListener(listener)
+    var failed = List.empty[String]
+    SweepQueries.foreach { name =>
+      try {
+        val fn = SparkEntry.queries(name)
+        fn(spark, dir).write.format("noop").mode("overwrite").save() // warmup
+        System.gc()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events post asynchronously (no public flush API);
+        // the peaks are diagnostics, a settle pause is enough
+        Thread.sleep(1000)
+        println(f"[stress] $name: $sec%.1f s, $rows rows, " +
+          f"taskPeakMem=${listener.peakMem / 1048576} MiB, " +
+          f"maxTaskShufRead=${listener.maxShufRead / 1048576} MiB, " +
+          f"maxTaskShufWrite=${listener.maxShufWrite / 1048576} MiB")
+      } catch {
+        case e: Throwable =>
+          println(s"[stress] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= name
+      }
+    }
+    if (failed.nonEmpty) {
+      println(s"[stress] FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("sweep")
+    val spark = GraftSession.create()
+    mode match {
+      case "gen" =>
+        gen(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
+          args.lift(2).getOrElse("/tmp/graft-stress"),
+          args.lift(3).map(_.toInt).getOrElse(10))
+      case "sweep" =>
+        sweep(spark, args.lift(1).getOrElse("/tmp/graft-stress"))
+      case other => sys.error(s"unknown mode $other (gen|sweep)")
+    }
+    spark.stop()
+  }
+}
