@@ -1,8 +1,24 @@
 package graft
 
-/** Diagnostic main: sweep dedup_embedding_lsh (planes, radius) configs,
-  * reporting recall vs the exact all-pairs result and candidate-stage
-  * cost, to pick the bucket/probe operating point empirically.
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: measured recall/cost operating curves for the four
+  * LSH-bucketed families (VERDICT r7 #8), so a user choosing
+  * bands/chunks/planes/probes has data rather than constants:
+  *
+  *  - embedding near-dup: (planes, probe radius) vs the exact
+  *    all-pairs cosine result;
+  *  - minhash: band count (match-window length) vs the TRUE
+  *    shingle-Jaccard ≥ 0.5 pair set (end-to-end recall: signature
+  *    estimation error + banding misses, the number a user sees);
+  *  - simhash: chunk count vs the true hamming ≤ MaxHamming pair set
+  *    (k chunks pigeonhole-cover hamming ≤ k−1);
+  *  - ANN: hyperplane plane count and IVF probe depth vs the
+  *    brute-force top-k.
+  *
+  * Recall is computed at `recallDir` (small enough for exact
+  * all-pairs ground truth); cost is a timed pass at `timeDir`
+  * (bench SF or a Stress-generated corpus).
   *
   *   sbt "runMain graft.LshSweep [recallDir] [timeDir]"
   */
@@ -11,25 +27,82 @@ object LshSweep {
     val recallDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val timeDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.create()
-    val exact = operators.Dedup.dedupEmbedding(spark, recallDir)
-      .select("vec_a", "vec_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val configs = Seq((4, 2), (6, 2), (6, 3), (8, 3), (10, 3))
-    configs.foreach { case (p, r) =>
-      val lsh = operators.Dedup.dedupEmbeddingLsh(spark, recallDir, p, r)
-        .select("vec_a", "vec_b").collect()
-        .map(row => (row.getLong(0), row.getLong(1))).toSet
-      val recall = (exact & lsh).size.toDouble / exact.size
-      // timed pass at the bench SF (one warmup + one timed)
+
+    def timed(f: => org.apache.spark.sql.DataFrame): Double = {
       def pass(): Double = {
         val t0 = System.nanoTime()
-        operators.Dedup.dedupEmbeddingLsh(spark, timeDir, p, r)
-          .write.format("noop").mode("overwrite").save()
+        f.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      pass()
-      val secs = Seq(pass(), pass()).min
-      println(f"[sweep] planes=$p radius=$r recall=$recall%.3f time=$secs%.2f s")
+      pass() // warmup
+      Seq(pass(), pass()).min
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame,
+                a: String, b: String): Set[(Long, Long)] =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+
+    // --- embedding near-dup: (planes, radius) ------------------------
+    val exactEmb = pairSet(
+      operators.Dedup.dedupEmbedding(spark, recallDir), "vec_a", "vec_b")
+    Seq((4, 2), (6, 2), (6, 3), (8, 3), (10, 3)).foreach { case (p, r) =>
+      val rec = recallOf(pairSet(
+        operators.Dedup.dedupEmbeddingLsh(spark, recallDir, p, r),
+        "vec_a", "vec_b"), exactEmb)
+      val secs = timed(operators.Dedup.dedupEmbeddingLsh(spark, timeDir, p, r))
+      println(f"[sweep] embedding planes=$p radius=$r recall=$rec%.3f time=$secs%.2f s")
+    }
+
+    // --- minhash: band count vs true Jaccard >= 0.5 ------------------
+    val sh = operators.Dedup.shingled(spark, recallDir)
+    val jTruth = pairSet(sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).cast("long").as("shared"),
+        size(col("a.toks")).cast("long").as("na"),
+        size(col("b.toks")).cast("long").as("nb"))
+      // J = shared/(na+nb-shared) >= 1/2  <=>  2*shared >= na+nb-shared
+      .where(col("shared") * 2 >= col("na") + col("nb") - col("shared")),
+      "doc_a", "doc_b")
+    Seq(4, 8, 16).foreach { b =>
+      val rec = recallOf(pairSet(
+        operators.Dedup.dedupMinhash(spark, recallDir, b), "doc_a", "doc_b"), jTruth)
+      val secs = timed(operators.Dedup.dedupMinhash(spark, timeDir, b))
+      println(f"[sweep] minhash bands=$b recall=$rec%.3f time=$secs%.2f s (truth=${jTruth.size})")
+    }
+
+    // --- simhash: chunk count vs true hamming <= MaxHamming ----------
+    val sig = operators.Dedup.simhashSignatures(spark, recallDir)
+    val hTruth = pairSet(sig.as("a").crossJoin(sig.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        <= operators.Dedup.MaxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+      "doc_a", "doc_b")
+    Seq(2, 4, 8).foreach { c =>
+      val rec = recallOf(pairSet(
+        operators.Dedup.dedupSimhash(spark, recallDir, c), "doc_a", "doc_b"), hTruth)
+      val secs = timed(operators.Dedup.dedupSimhash(spark, timeDir, c))
+      println(f"[sweep] simhash chunks=$c recall=$rec%.3f time=$secs%.2f s (truth=${hTruth.size})")
+    }
+
+    // --- ANN: hyperplane planes and IVF probe depth vs brute force ---
+    val annTruth = pairSet(
+      operators.Similarity.annBruteforce(spark, recallDir), "query_id", "vec_id")
+    Seq(2, 4, 6).foreach { p =>
+      val rec = recallOf(pairSet(
+        operators.Similarity.annLsh(spark, recallDir, p), "query_id", "vec_id"),
+        annTruth)
+      val secs = timed(operators.Similarity.annLsh(spark, timeDir, p))
+      println(f"[sweep] ann_lsh planes=$p recall=$rec%.3f time=$secs%.2f s")
+    }
+    Seq(1, 2, 4).foreach { np =>
+      val rec = recallOf(pairSet(
+        operators.Similarity.annIvf(spark, recallDir, nProbe = np),
+        "query_id", "vec_id"), annTruth)
+      val secs = timed(operators.Similarity.annIvf(spark, timeDir, nProbe = np))
+      println(f"[sweep] ann_ivf nprobe=$np recall=$rec%.3f time=$secs%.2f s")
     }
     spark.stop()
   }

@@ -59,7 +59,7 @@ object Dedup {
     array_distinct(graft.functions.TextFunctions.word_ngrams(norm, 2))
 
   /** doc_id + distinct word-2-gram shingle array. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", shinglesOf(col("norm")))
       .select("doc_id", "toks")
@@ -261,15 +261,22 @@ object Dedup {
         array((0 until MinhashSeeds).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val rows = MinhashSeeds / Bands
+  /** `nBands`/`cap` default to the production constants; the overrides
+    * exist for [[graft.LshSweep]]'s operating-curve measurements (more
+    * bands = longer match windows per band = higher recall at J 0.5,
+    * more candidates; the cap trades tail recall for a hard per-bucket
+    * pair bound). */
+  def dedupMinhash(spark: SparkSession, dir: String,
+                   nBands: Int = Bands, cap: Int = BandBucketCap): DataFrame = {
+    require(MinhashSeeds % nBands == 0, s"bands $nBands must divide $MinhashSeeds")
+    val rows = MinhashSeeds / nBands
     val sigs = minhashSignatures(spark, dir).select("doc_id", "sig")
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
-        s"""transform(sequence(0, ${Bands - 1}),
+        s"""transform(sequence(0, ${nBands - 1}),
            |  b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))""".stripMargin))
         .as(Seq("band", "band_hash")))
-    bandPairsVerified(bands)
+    bandPairsVerified(bands, cap)
   }
 
   /** The shared LSH candidate tail: cap hot buckets, self-join on
@@ -279,8 +286,9 @@ object Dedup {
     * threshold or tiebreak change applied here cannot leave a twin
     * behind (the streaming admission mirrors the same threshold,
     * MinhashStream). */
-  private def bandPairsVerified(bands: DataFrame): DataFrame = {
-    val capped = capPerBucket(bands, Seq("band", "band_hash"), BandBucketCap)
+  private def bandPairsVerified(bands: DataFrame,
+                                cap: Int = BandBucketCap): DataFrame = {
+    val capped = capPerBucket(bands, Seq("band", "band_hash"), cap)
     capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") &&
@@ -419,7 +427,6 @@ object Dedup {
   val SimhashBits = 64
   val SimhashChunks = 4 // 4 × 16-bit chunks: covers hamming ≤ 3
   val MaxHamming = 3
-  private val SimhashChunkBits = SimhashBits / SimhashChunks
 
   /** 64 codegen'd per-bit sign sums (map-side combined), folded into
     * the signature long with one cheap 64-element HOF per doc. */
@@ -441,15 +448,22 @@ object Dedup {
       .select("doc_id", "simhash")
   }
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** `nChunks` defaults to the production constant; the override is
+    * [[graft.LshSweep]]'s recall/cost knob — k chunks pigeonhole-cover
+    * hamming ≤ k−1, so fewer chunks miss some ≤-MaxHamming pairs and
+    * more chunks find them all at a higher candidate cost. */
+  def dedupSimhash(spark: SparkSession, dir: String,
+                   nChunks: Int = SimhashChunks): DataFrame = {
+    require(SimhashBits % nChunks == 0, s"chunks $nChunks must divide $SimhashBits")
+    val chunkBits = SimhashBits / nChunks
     val sigs = simhashSignatures(spark, dir).select("doc_id", "simhash")
     // chunk width/mask derived from the constants so changing the
     // signature size or chunk count can never silently misalign
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
-        s"""transform(sequence(0, ${SimhashChunks - 1}),
-           |  k -> (simhash >> (k * $SimhashChunkBits))
-           |       & ${(1L << SimhashChunkBits) - 1})""".stripMargin))
+        s"""transform(sequence(0, ${nChunks - 1}),
+           |  k -> (simhash >> (k * $chunkBits))
+           |       & ${if (chunkBits == 64) -1L else (1L << chunkBits) - 1})""".stripMargin))
         .as(Seq("k", "chunk")))
     val capped = capPerBucket(chunks, Seq("k", "chunk"), BandBucketCap)
     capped.as("a")
@@ -634,7 +648,23 @@ object Dedup {
     * 64-long vectors join back AFTER pair dedup, so the fan-out never
     * shuffles vector payloads. Verification is the same exact integer
     * cosine test as dedup_embedding, so precision is 1.0 by
-    * construction; the probe radius only trades recall. */
+    * construction; the probe radius only trades recall.
+    *
+    * Duplicate collapse (round-8 stress finding): byte-identical
+    * quantized vectors land in the SAME bucket by construction, so a
+    * duplicate-heavy corpus — the normal state of web-scale data, and
+    * the ×32 stress corpus's worst case — multiplies every index row,
+    * probe row and candidate pair by the copy count (the local sweep
+    * turned that into an unbounded sort spill). The pipeline therefore
+    * buckets only one REPRESENTATIVE per distinct q (grouping on the
+    * exact array — collision-free), verifies rep pairs, and expands
+    * back through the identity groups afterwards: candidates scale
+    * with DISTINCT vectors, while the expansion emits exactly the
+    * pairs the all-pairs twin defines (copies are near-dups of each
+    * other by identity: dot = na = nb passes the threshold always).
+    * The index side additionally runs through [[capPerBucket]] — the
+    * same deterministic hot-bucket bound as the minhash/simhash
+    * bands — for near-identical floods that are not byte-identical. */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String,
                         planes: Int = -1,
                         radius: Int = EmbedLshProbe): DataFrame = {
@@ -645,32 +675,60 @@ object Dedup {
       if (planes > 0) planes
       else graft.operators.Similarity.planesFor(
         graft.Tables.load(spark, dir, "embeddings").count())
-    val v = graft.operators.Similarity.lshCodes(spark, dir, p)
+    // ONE window definition for the collapse: both consumers (the
+    // member map and the rep set) read the same subtree, so the
+    // per-q exchange plans once and is reused, not recomputed
+    val tagged = graft.operators.Similarity.quantized(spark, dir)
+      .withColumn("rep", min("vec_id").over(Window.partitionBy("q")))
+    val mem = tagged.select(col("vec_id"), col("rep"), col("nn"))
+    val reps = tagged
+      .filter(col("vec_id") === col("rep"))
+      .withColumn("code", graft.operators.Similarity.codeExpr(p))
       .select(col("vec_id"), col("q"), col("nn"), col("code"))
     val masks = probeMasks(p, radius)
-    val indexed = v.select(col("vec_id"), col("code").as("bucket"))
-    val probed = v.select(col("vec_id"),
+    val indexed = capPerBucket(
+      reps.select(col("vec_id"), col("code").as("bucket")),
+      Seq("bucket"), BandBucketCap, idCol = "vec_id")
+    val probed = reps.select(col("vec_id"),
       explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*))
         .as("bucket"))
     val cand = indexed.as("a")
       .join(probed.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"))
+      .dropDuplicates("ra", "rb")
     // join-back side needs no bucket codes — derive from the quantized
-    // vectors directly so the code computation runs on 2 branches, not 3
-    val vecs = graft.operators.Similarity.quantized(spark, dir)
-      .select(col("vec_id"), col("q"), col("nn"))
-    cand
-      .join(vecs.as("va"), col("vec_a") === col("va.vec_id"))
-      .join(vecs.as("vb"), col("vec_b") === col("vb.vec_id"))
-      .select(col("vec_a"), col("vec_b"),
+    // vectors directly so the code computation runs on the rep branch
+    // only; all frames here are rep-level (distinct vectors)
+    val vecs = reps.select(col("vec_id"), col("q"), col("nn"))
+    val repPairs = cand
+      .join(vecs.as("va"), col("ra") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("rb") === col("vb.vec_id"))
+      .select(col("ra"), col("rb"),
         graft.functions.VectorFunctions.dot_l(col("va.q"), col("vb.q")).as("dot"),
         col("va.nn").as("na"), col("vb.nn").as("nb"))
       .filter(col("dot") >= 0 &&
         lit(400) * col("dot") * col("dot") >= lit(49) * col("na") * col("nb"))
-      .orderBy("vec_a", "vec_b")
+    // expansion: every member pair across two verified rep groups is a
+    // near-dup with the same dot (members are byte-identical to their
+    // rep); swap na/nb when member ids invert the rep order
+    val cross = repPairs
+      .join(mem.as("ma"), col("ra") === col("ma.rep"))
+      .join(mem.as("mb"), col("rb") === col("mb.rep"))
+      .select(
+        least(col("ma.vec_id"), col("mb.vec_id")).as("vec_a"),
+        greatest(col("ma.vec_id"), col("mb.vec_id")).as("vec_b"),
+        col("dot"),
+        when(col("ma.vec_id") < col("mb.vec_id"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("ma.vec_id") < col("mb.vec_id"), col("nb")).otherwise(col("na")).as("nb"))
+    // within-group pairs: identical vectors, dot = na = nb = ‖q‖²
+    val within = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.nn").as("dot"), col("x.nn").as("na"), col("y.nn").as("nb"))
+    cross.unionAll(within).orderBy("vec_a", "vec_b")
   }
 
   // ---------------------------------------------------------------------
@@ -905,9 +963,9 @@ object Dedup {
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
-    "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_minhash_poly" -> dedupMinhashPoly,
-    "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_simhash_poly" -> dedupSimhashPoly,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),

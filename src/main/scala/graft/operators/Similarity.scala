@@ -148,10 +148,14 @@ object Similarity {
     * recovery for hyperplane LSH (a vector near a hyperplane lands on
     * either side). Probe fan-out rides on the tiny broadcast query
     * side; the corpus is still touched once per matching bucket. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String,
+             planesOverride: Int = 0): DataFrame = {
     // self-scaling bucket count (identical to the fixed 4 planes at
-    // every tested SF; grows as ceil(log2(n/500)) past ~8k vectors)
-    val planes = planesFor(Tables.load(spark, dir, "embeddings").count())
+    // every tested SF; grows as ceil(log2(n/500)) past ~8k vectors);
+    // a positive override pins it for LshSweep's operating curves
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else planesFor(Tables.load(spark, dir, "embeddings").count())
     val v = lshCodes(spark, dir, planes)
     val probes = array((0 to planes).map(i =>
       if (i == 0) col("code") else col("code").bitwiseXOR(lit(1 << (i - 1)))): _*)
@@ -332,7 +336,7 @@ object Similarity {
     * candidate join shuffles on cid only; hot lists are bounded by
     * raising Centroids (list size ≈ corpus/K) or salting. */
   def annIvf(spark: SparkSession, dir: String,
-             iters: Int = KmeansIters): DataFrame = {
+             iters: Int = KmeansIters, nProbe: Int = NProbe): DataFrame = {
     val cents = kmeansCentroids(spark, dir, iters)
     val v = quantized(spark, dir)
     val assigned = assignTo(v, cents)
@@ -343,7 +347,7 @@ object Similarity {
       .withColumn("d2", col("nn") + col("cn") -
         lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= NProbe)
+      .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("nq"), col("cid"))
     rankTopK(assigned.join(broadcast(probes),
@@ -618,7 +622,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
-    "ann_lsh" -> annLsh,
+    "ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "ann_lsh_poly" -> annLshPoly,
     "ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "ann_int8" -> annInt8,

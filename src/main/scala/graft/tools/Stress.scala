@@ -77,14 +77,15 @@ object Stress {
     }
   }
 
-  def sweep(spark: SparkSession, dir: String): Unit = {
+  def sweep(spark: SparkSession, dir: String,
+            subset: Option[Set[String]] = None): Unit = {
     val docs = Tables.load(spark, dir, "documents").count()
     val li = Tables.load(spark, dir, "lineitem").count()
     println(s"[stress] corpus: documents=$docs lineitem=$li")
     val listener = new PeakListener
     spark.sparkContext.addSparkListener(listener)
     var failed = List.empty[String]
-    SweepQueries.foreach { name =>
+    SweepQueries.filter(q => subset.forall(_.contains(q))).foreach { name =>
       try {
         val fn = SparkEntry.queries(name)
         fn(spark, dir).write.format("noop").mode("overwrite").save() // warmup
@@ -121,7 +122,8 @@ object Stress {
           args.lift(2).getOrElse("/tmp/graft-stress"),
           args.lift(3).map(_.toInt).getOrElse(10))
       case "sweep" =>
-        sweep(spark, args.lift(1).getOrElse("/tmp/graft-stress"))
+        sweep(spark, args.lift(1).getOrElse("/tmp/graft-stress"),
+          args.lift(2).map(_.split(",").toSet))
       case other => sys.error(s"unknown mode $other (gen|sweep)")
     }
     spark.stop()

@@ -110,8 +110,12 @@ class PlanSpec extends SparkSpec {
     // join keyed on the code), never a cartesian/nested-loop product
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // probe explode + bucket join + pair dedup + sort stay in budget
-    assert(shuffles(plan) <= 6, plan)
+    // duplicate-collapse window + bucket cap + probe explode + bucket
+    // join + pair dedup + group expansion joins + sort stay in budget:
+    // every exchange here moves slim rep/id rows, and the collapse is
+    // what keeps duplicate-heavy corpora from multiplying the
+    // candidate stage (round-8 stress finding)
+    assert(shuffles(plan) <= 10, plan)
   }
 
   test("dedup_jaccard: prefix-filtered candidates, no cartesian") {
