@@ -158,19 +158,56 @@ object Dedup {
     dedupJaccardFrom(docs(spark, dir))
 
   def dedupJaccardFrom(d: DataFrame): DataFrame = {
-    val full = d
+    // Duplicate collapse (the §4b scale pattern, as in
+    // dedupEmbeddingLsh): byte-identical normalized texts carry
+    // identical token sets, so every df count, prefix row and
+    // candidate pair multiplies by the copy count on duplicate-heavy
+    // corpora. Collapse to one representative per (lang, source,
+    // norm), run the prefix-filtered index on reps only, expand the
+    // verified pairs through the identity groups after. The output is
+    // EXACTLY the full-corpus result — provable, unlike the capped
+    // band families: the prefix theorem is lossless under ANY fixed
+    // global token order (so the rep-level df order changes candidates
+    // but never the verified J ≥ 0.8 set), a within-group pair is
+    // J = 1 by identity (shared = na = nb), and a cross-group pair has
+    // its reps' exact J. The sf-gate oracle hash-compares this against
+    // the uncollapsed full-corpus SQL, pinning the equivalence.
+    val wG = Window.partitionBy("lang", "source", "norm")
+    val tagged = d.withColumn("rep", min("doc_id").over(wG))
+    val mem = tagged.select(col("doc_id"), col("rep"))
+    val reps = tagged.filter(col("doc_id") === col("rep"))
+      .select("doc_id", "lang", "source", "norm")
+    val full = reps
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("nt", size(col("toks")))
-    jaccardCandidatesFrom(d)
+    val repPairs = jaccardCandidatesFrom(reps)
       .join(full.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(full.as("fb"), col("doc_b") === col("fb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
         size(array_intersect(col("fa.toks"), col("fb.toks")))
           .cast("long").as("shared"),
         col("fa.nt").cast("long").as("na"), col("fb.nt").cast("long").as("nb"))
       .filter(lit(JaccDen) * col("shared") >=
         lit(JaccNum) * (col("na") + col("nb") - col("shared")))
-      .orderBy("doc_a", "doc_b")
+    val cross = repPairs
+      .join(mem.as("ma"), col("ra") === col("ma.rep"))
+      .join(mem.as("mb"), col("rb") === col("mb.rep"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("shared"),
+        when(col("ma.doc_id") < col("mb.doc_id"), col("na"))
+          .otherwise(col("nb")).as("na"),
+        when(col("ma.doc_id") < col("mb.doc_id"), col("nb"))
+          .otherwise(col("na")).as("nb"))
+    val within = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(full.select(col("doc_id").as("rep"), col("nt")), "rep")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("nt").cast("long").as("shared"),
+        col("nt").cast("long").as("na"), col("nt").cast("long").as("nb"))
+    cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
   val dedupJaccardSql: String =
