@@ -21,6 +21,14 @@ import org.apache.spark.sql.DataFrame
   * Both are EAGER: callers rely on pin-time materialization so later
   * consumers (range-boundary sampling, star rounds) read fixed blocks
   * rather than re-executing a growing plan.
+  *
+  * Cleanup note for the reliable path: Spark does not delete
+  * checkpoint files when the frame goes out of scope unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set at
+  * context creation — iterative callers (connected components pins a
+  * frame per round) should set it, or point the dir at
+  * storage with a TTL/lifecycle rule; otherwise rounds accumulate
+  * until the application exits.
   */
 object Checkpoints {
   def pin(df: DataFrame): DataFrame = {

@@ -707,11 +707,18 @@ object Dedup {
                         radius: Int = EmbedLshProbe): DataFrame = {
     // default: self-scaling plane count (== EmbedLshPlanes at every
     // tested SF; ceil(log2(n/500)) past ~8k vectors, so buckets grow
-    // with the corpus and per-bucket join cost stays flat)
+    // with the corpus and per-bucket join cost stays flat). Sized
+    // from the DISTINCT vector count: the collapse below means reps
+    // are what populate buckets, and sizing from the raw count would
+    // over-plane a duplicate-heavy corpus by log2(dup factor) bits —
+    // recall drops with every extra plane (§4b sweep). One
+    // map-combined approx-distinct scan; the query scans the same
+    // data right after.
     val p =
       if (planes > 0) planes
       else graft.operators.Similarity.planesFor(
-        graft.Tables.load(spark, dir, "embeddings").count())
+        graft.operators.Similarity.quantized(spark, dir)
+          .agg(approx_count_distinct(col("q")).as("n")).head.getLong(0))
     // ONE window definition for the collapse: both consumers (the
     // member map and the rep set) read the same subtree, so the
     // per-q exchange plans once and is reused, not recomputed
