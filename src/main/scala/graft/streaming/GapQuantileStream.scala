@@ -50,8 +50,15 @@ object GapQuantileStream {
             if (state.exists) Some(state.get) else None
           sorted.foreach { e =>
             last.foreach { st =>
-              val key = Sketch.gapBucketKey(e.ts_s - st.lastTs + 1)
-              counts(key) = counts.getOrElse(key, 0L) + 1L
+              // same out-of-order guard as the batch operator
+              // (Sketch.gapBucketsOf): a ts regression yields v < 1,
+              // whose bin() is a garbage octave — drop the gap, still
+              // advance the state, exactly like batch lag() does
+              val v = e.ts_s - st.lastTs + 1
+              if (v >= 1) {
+                val key = Sketch.gapBucketKey(v)
+                counts(key) = counts.getOrElse(key, 0L) + 1L
+              }
             }
             last = Some(GapState(e.event_id, e.ts_s))
           }

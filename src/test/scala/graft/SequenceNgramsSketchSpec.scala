@@ -559,7 +559,9 @@ class SequenceNgramsSketchSpec extends SparkSpec {
     val gapsOf = Map(
       (1L, "a") -> Seq(3L, 17L, 250L, 4000L, 9L),
       (1L, "b") -> Seq(1L, 1L, 70000L, 2L),
-      (2L, "a") -> Seq(0L, 31L, 32L, 1023L, 1024L, 5L))
+      // the -3 regression pins batch/stream parity on the
+      // out-of-order guard: both sides must DROP that gap
+      (2L, "a") -> Seq(0L, 31L, -3L, 32L, 1023L, 1024L, 5L))
     val all = gapsOf.toSeq.flatMap { case ((uid, tpe), gs) =>
       val ts = gs.scanLeft(1000L)(_ + _)
       ts.zipWithIndex.map { case (t, i) =>
