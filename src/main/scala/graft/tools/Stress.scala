@@ -25,20 +25,29 @@ import org.apache.spark.sql.functions._
 object Stress {
 
   /** Per-copy id shifts, far above any real id at sf0.1 (doc_id < 5e3,
-    * o_orderkey < 6e5, o_custkey < 1.5e4, vec_id < 2e3). */
+    * o_orderkey < 6e5, o_custkey < 1.5e4, vec_id < 2e3,
+    * event_id ≤ 1e5, user_id < 2e3). */
   val ShiftDoc = 1000000L
   val ShiftOrder = 10000000L
   val ShiftCust = 1000000L
   val ShiftVec = 1000000L
+  val ShiftEvent = 1000000000L
+  val ShiftUser = 1000000L
 
   /** The skew-sensitive set the r7 verdict named, plus the LSH/ANN
-    * embedding path and the jaccard inverted index (both cap/prefix
-    * bounded, both quadratic if those bounds ever broke). */
+    * embedding path, the jaccard inverted index (both cap/prefix
+    * bounded, both quadratic if those bounds ever broke), and the
+    * events-family state/skew operators: event_type keeps its 5 hot
+    * values while rows multiply, so the salted collect's hot key and
+    * the session/active/path state scale are stressed directly. */
   val SweepQueries: Seq[String] = Seq(
     "dedup_minhash_poly", "dedup_minhash", "dedup_simhash_poly",
     "dedup_jaccard", "dedup_fuzzy", "dedup_clusters",
     "dedup_embedding_lsh", "basket_pairs", "customers_rfm",
-    "corpus_decontaminate_fuzzy")
+    "corpus_decontaminate_fuzzy",
+    "skew_salted_collect", "events_sessions", "events_actives",
+    "events_paths", "events_funnel", "events_anomaly",
+    "events_gap_quantiles", "sketch_gap_quantiles")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     def build(table: String, shifts: Map[String, Long]): Unit = {
@@ -57,6 +66,21 @@ object Stress {
     build("lineitem", Map("l_orderkey" -> ShiftOrder))
     build("orders", Map("o_orderkey" -> ShiftOrder, "o_custkey" -> ShiftCust))
     build("embeddings", Map("vec_id" -> ShiftVec))
+    // events carries TIMESTAMP(NANOS) parquet — go through
+    // Tables.events (nanosAsLong) and write ts back as the raw ns
+    // long, which Tables.events reads identically. user_id shifts per
+    // copy (per-user streams stay intact, users multiply); event_type
+    // and ts deliberately do NOT shift, so the 5 hot type keys and the
+    // time range stay fixed while rows multiply — maximal key skew and
+    // window density.
+    val ev = Tables.events(spark, src).drop("ts_s")
+    (0 until copies)
+      .map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * ShiftEvent))
+        .withColumn("user_id", col("user_id") + lit(i * ShiftUser)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"[stress] wrote $out/events.parquet (${copies}x $src)")
   }
 
   /** Max-over-tasks metrics, reset per query: a cap that stopped
