@@ -34,7 +34,13 @@ class JaccardPropertySpec extends SparkSpec {
         if (rnd.nextDouble() < 0.1) word() else w)
       ((nDocs + k).toLong, lang, src, ws.mkString(" "))
     }
-    base ++ planted
+    // plant EXACT duplicates: guarantees the round-8 collapse-and-
+    // expand path (groups > 1) is exercised against the brute force
+    val copies = (0 until nDocs / 10).map { k =>
+      val (_, lang, src, text) = base(rnd.nextInt(nDocs))
+      ((nDocs + nDocs / 5 + k).toLong, lang, src, text)
+    }
+    base ++ planted ++ copies
   }
 
   test("prefix filtering is lossless on randomized Zipf corpora with planted near-dups") {

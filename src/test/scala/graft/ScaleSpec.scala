@@ -232,6 +232,32 @@ class ScaleSpec extends SparkSpec {
     assert(capped.filter(col("band") === 1L).count() === 10)
   }
 
+  test("embedding LSH collapses byte-identical vectors and expands exact pairs back") {
+    // 5 + 3 + 1 copies of three orthogonal vectors: the collapse must
+    // bucket 3 reps (not 9 rows), cross-group pairs must fail the
+    // cosine threshold (cos = 0), and the expansion must emit exactly
+    // the within-group identity pairs with dot = na = nb
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_elsh").toString
+    def vec(axis: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) 1f else 0f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, vec(0))) ++
+      (5 until 8).map(i => (i.toLong, vec(1))) ++
+      Seq((8L, vec(2)))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = operators.Dedup.dedupEmbeddingLsh(spark, dir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect =
+      (for { a <- 0 until 5; b <- a + 1 until 5 } yield (a.toLong, b.toLong)).toSet ++
+      (for { a <- 5 until 8; b <- a + 1 until 8 } yield (a.toLong, b.toLong)).toSet
+    assert(pairs === expect)
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) && r.getLong(3) === r.getLong(4), r)
+    }
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
