@@ -172,7 +172,12 @@ object Dedup {
     // J = 1 by identity (shared = na = nb), and a cross-group pair has
     // its reps' exact J. The sf-gate oracle hash-compares this against
     // the uncollapsed full-corpus SQL, pinning the equivalence.
-    val wG = Window.partitionBy("lang", "source", "norm")
+    //
+    // The collapse window partitions on md5(norm) — the same digest
+    // grouping dedup_exact uses — so the shuffle key is lang, source
+    // and a 16-byte digest instead of the full document body; norm
+    // rides along as a data column only.
+    val wG = Window.partitionBy(col("lang"), col("source"), md5(col("norm")))
     val tagged = d.withColumn("rep", min("doc_id").over(wG))
     val mem = tagged.select(col("doc_id"), col("rep"))
     val reps = tagged.filter(col("doc_id") === col("rep"))

@@ -52,6 +52,10 @@ class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long,
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   SpoolWrite.requireWritable(schema)
+  /** Max epoch seal known present in the dir; None until the first
+    * streaming commit lists the directory (see commit's Scaladoc).
+    * Driver-only state — StreamingWrite commits run serially there. */
+  private var sealHighWater: Option[Long] = None
   // both parent traits default this; re-state to disambiguate
   override def useCommitCoordinator(): Boolean = true
   override def toBatch: BatchWrite = this
@@ -85,16 +89,24 @@ class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long,
     * never pick the new epochs up. That is data loss by
     * configuration, so committing an epoch at or below an existing
     * higher seal fails loudly instead: resume from the original
-    * checkpoint, or point the fresh query at a fresh spool dir. */
+    * checkpoint, or point the fresh query at a fresh spool dir.
+    *
+    * The guard's directory listing runs ONCE, on the first commit of
+    * this writer's lifetime: seals and data files accumulate for the
+    * stream's life, so an every-epoch listStatus would make commit
+    * latency grow with the directory (pathological on object stores).
+    * After that first check this writer is the only seal producer, so
+    * an in-memory high-water mark carries the invariant forward. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     val dir = new Path(path)
-    val maxSealed =
+    val maxSealed = sealHighWater.getOrElse {
       if (!fs.exists(dir)) -1L
       else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
         case SpoolMicroBatchStream.SealRe(n) => Some(n.toLong)
         case _ => None
       }).foldLeft(-1L)(math.max)
+    }
     if (maxSealed > epochId)
       throw new IllegalStateException(
         s"graft-spool: committing epoch $epochId but $path already holds " +
@@ -105,6 +117,7 @@ class SpoolWrite(path: String, schema: StructType, maxRecordBytes: Long,
     val p = new Path(path, SpoolMicroBatchStream.sealName(epochId))
     val out = fs.create(p, true)
     out.close()
+    sealHighWater = Some(math.max(maxSealed, epochId))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

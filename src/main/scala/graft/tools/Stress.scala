@@ -115,16 +115,26 @@ object Stress {
         fn(spark, dir).write.format("noop").mode("overwrite").save() // warmup
         System.gc()
         listener.reset()
+        // Time the same noop-format write Bench uses: count() would let
+        // Catalyst drop final sorts and prune columns, so the timed plan
+        // (and the task peaks below) would be lighter than the
+        // benchmarked one. The row count comes from a separate untimed
+        // pass so the printed line stays comparable to bench numbers.
         val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         // listener events post asynchronously (no public flush API);
-        // the peaks are diagnostics, a settle pause is enough
+        // the peaks are diagnostics, a settle pause is enough. Snapshot
+        // them before the row-count pass so its (lighter) tasks can't
+        // inflate the reported write-plan peaks.
         Thread.sleep(1000)
+        val (peakMem, shufR, shufW) =
+          (listener.peakMem, listener.maxShufRead, listener.maxShufWrite)
+        val rows = fn(spark, dir).count()
         println(f"[stress] $name: $sec%.1f s, $rows rows, " +
-          f"taskPeakMem=${listener.peakMem / 1048576} MiB, " +
-          f"maxTaskShufRead=${listener.maxShufRead / 1048576} MiB, " +
-          f"maxTaskShufWrite=${listener.maxShufWrite / 1048576} MiB")
+          f"taskPeakMem=${peakMem / 1048576} MiB, " +
+          f"maxTaskShufRead=${shufR / 1048576} MiB, " +
+          f"maxTaskShufWrite=${shufW / 1048576} MiB")
       } catch {
         case e: Throwable =>
           println(s"[stress] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
