@@ -16,11 +16,21 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a raw ns LONG and derive `ts_s`
-    * (epoch seconds, exact integer math — mirrors DuckDB's
-    * epoch_ns(ts)//1e9). Downstream operators use `ts_s`/`ts` (ns long)
-    * so no µs-vs-ns precision skew can reach an oracle comparison.
+  /** events.ts normalized to the ns-since-epoch LONG contract every
+    * operator is written against, regardless of which parquet flavor
+    * the generator emitted:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so the
+    *    `nanosAsLong` legacy flag (set here and in [[GraftSession]])
+    *    reads the raw ns long directly — no conversion needed.
+    *  - TIMESTAMP(MICROS), NTZ or UTC-adjusted: cast to the session
+    *    (UTC) instant and widen `unix_micros × 1000` back to ns. The
+    *    ×1000 is exact integer math, and DuckDB's `epoch_ns(ts)` on
+    *    the same naive-µs column produces the identical value, so no
+    *    µs-vs-ns precision skew can reach an oracle comparison.
+    *
+    * `ts_s` (epoch seconds) is `ts div 1e9` in both cases — mirrors
+    * DuckDB's epoch_ns(ts)//1e9 exactly.
     *
     * NOTE: `nanosAsLong` is a session-global flag, normally set once at
     * session construction by [[GraftSession]]. The set here is a
@@ -29,7 +39,13 @@ object Tables {
     * the session. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_s", org.apache.spark.sql.functions.expr("ts div 1000000000"))
+    val raw = load(spark, dir, "events")
+    val ns = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // ns long already
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+    }
+    ns.withColumn("ts_s", org.apache.spark.sql.functions.expr("ts div 1000000000"))
   }
 }
