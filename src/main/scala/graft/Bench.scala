@@ -97,6 +97,11 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // reprint AFTER spark.stop(): shutdown logging interleaves with
+    // the first print, so the canonical line must also be the LAST
+    // stdout line for a tail-scraping driver (VERDICT r10 #7)
+    println(json)
+    System.out.flush()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${failed.reverse.mkString(", ")}")
       sys.exit(1)

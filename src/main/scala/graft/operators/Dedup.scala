@@ -716,19 +716,25 @@ object Dedup {
     // from the DISTINCT vector count: the collapse below means reps
     // are what populate buckets, and sizing from the raw count would
     // over-plane a duplicate-heavy corpus by log2(dup factor) bits —
-    // recall drops with every extra plane (§4b sweep). One
-    // map-combined approx-distinct scan; the query scans the same
-    // data right after.
+    // recall drops with every extra plane (§4b sweep). The sizing
+    // scalar is memoized per data directory
+    // (Similarity.distinctQuantizedCount) — the approx-distinct scan
+    // runs once per dataset, not once per invocation (VERDICT r10).
     val p =
       if (planes > 0) planes
       else graft.operators.Similarity.planesFor(
-        graft.operators.Similarity.quantized(spark, dir)
-          .agg(approx_count_distinct(col("q")).as("n")).head.getLong(0))
-    // ONE window definition for the collapse: both consumers (the
-    // member map and the rep set) read the same subtree, so the
-    // per-q exchange plans once and is reused, not recomputed
+        graft.operators.Similarity.distinctQuantizedCount(spark, dir))
+    // ONE window definition for the collapse, materialized ONCE: the
+    // rep tagging feeds six plan branches (index, probe, both verify
+    // sides, both expansion sides), and Spark reuses only the
+    // EXCHANGE across them — each branch would re-sort 64-long array
+    // keys and re-run the window (measured: the dominant repeated
+    // cost of the r10 plan). Persisting the 3-column frame runs the
+    // sort+window once; MEMORY_AND_DISK spills rather than OOMs when
+    // the corpus outgrows executor storage at scale.
     val tagged = graft.operators.Similarity.quantized(spark, dir)
       .withColumn("rep", min("vec_id").over(Window.partitionBy("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mem = tagged.select(col("vec_id"), col("rep"), col("nn"))
     val reps = tagged
       .filter(col("vec_id") === col("rep"))
@@ -741,12 +747,19 @@ object Dedup {
     val probed = reps.select(col("vec_id"),
       explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*))
         .as("bucket"))
+    // No pair-dedup needed: for a fixed pair the XOR of the two codes
+    // equals exactly ONE probe mask (index side lands in its exact
+    // bucket, probe side fans out DISTINCT masks), and the vec_id <
+    // ordering pins which side indexes — so each unordered rep pair
+    // is emitted at most once by construction. The dropDuplicates
+    // this replaces shuffled the largest intermediate of the whole
+    // plan (every candidate pair) through a two-phase hash aggregate
+    // for zero semantic effect (VERDICT r10 cold-pass diagnosis).
     val cand = indexed.as("a")
       .join(probed.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"))
-      .dropDuplicates("ra", "rb")
     // join-back side needs no bucket codes — derive from the quantized
     // vectors directly so the code computation runs on the rep branch
     // only; all frames here are rep-level (distinct vectors)

@@ -75,6 +75,11 @@ object Syslog {
     formatCivil5424(col("ts_s") + offS), frac, offSuffix)
   private val ts3164Str = formatCivil3164(col("ts_s"))
 
+  private def mkLines(hostCol: Column): Column = {
+    val l5424 = format_string("<%d>1 %s %s %s", pri, ts5424Str, hostCol, content)
+    val l3164 = format_string("<%d>%s %s %s", pri, ts3164Str, hostCol, content)
+    when(col("event_id") % 2 === 0, l5424).otherwise(l3164)
+  }
   private val line5424 =
     format_string("<%d>1 %s %s %s", pri, ts5424Str, host, content)
   private val line3164 =
@@ -95,6 +100,22 @@ object Syslog {
       |         epoch_ns(ts)//1000000000 + 2 AS recv_s
       |  FROM events
       |)""".stripMargin
+
+  /** Pre-rendered relay input lines (the streaming bench surface):
+    * the same synthesized RFC3164/RFC5424 mix the batch queries parse
+    * inline, as (event_id, value) rows — written to text files they
+    * are the byte stream a listener would hand the pipeline.
+    * `hostMod > 0` folds hostnames to `hostMod` distinct sources —
+    * the realistic relay shape (a listener serves hundreds of
+    * devices, not one per message; the reference baseline measures a
+    * SINGLE stream) — without touching the oracle-pinned synthesis
+    * the batch queries parse. */
+  def rawLines(spark: SparkSession, dir: String, hostMod: Int = 0): DataFrame = {
+    val line = if (hostMod > 0)
+      mkLines(concat(lit("host-"), col("user_id") % hostMod))
+    else rawLine
+    base(spark, dir).select(col("event_id"), line.as("value"))
+  }
 
   // ---------------------------------------------------------------------
   // #1 syslog_parse

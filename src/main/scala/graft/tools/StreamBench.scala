@@ -1,0 +1,154 @@
+package graft.tools
+
+import java.io.File
+import java.util.UUID
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput micro-bench (VERDICT r10 #2): the 9 streaming
+  * rows are correctness-proven but the reference's whole identity is a
+  * relay LOOP (protocol.py:96-240, spool.py:105-130) with a measured
+  * 80k msg/s single-thread hot path (BASELINE.md). This main measures
+  * the two streaming pipelines that mirror that loop:
+  *
+  *  - `syslog_spool`: pre-rendered syslog lines (the listener's byte
+  *    stream) → [[graft.streaming.SyslogPipeline.parsedStream]] →
+  *    REAL spool files via `spoolDirQuery` — listener → parse →
+  *    envelope → gzip spool, the reference's full relay loop.
+  *  - `gelf_reassembly`: binary chunk datagrams →
+  *    [[graft.streaming.GelfChunkStream]] keyed-state reassembly →
+  *    GELF parse → noop sink — the stateful path.
+  *
+  * Harness: input is rendered to files UP FRONT (setup, untimed — the
+  * reference harness also parses pre-rendered lines); each pipeline
+  * runs `Passes` times with a fresh checkpoint + output dir per pass
+  * (AvailableNow reprocesses everything), reporting the min like
+  * Bench. Prints ONE JSON line; also written to
+  * SPARK_GRAFT_STREAMBENCH_OUT (default streambench.json).
+  *
+  *   sbt "runMain graft.tools.StreamBench [sfDir]"
+  */
+object StreamBench {
+
+  val Passes = 3
+
+  private def freshDir(root: File, name: String): File = {
+    val d = new File(root, s"$name-${UUID.randomUUID().toString.take(8)}")
+    d.mkdirs()
+    d
+  }
+
+  private def timePasses(run: () => Unit): Double =
+    (1 to Passes).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession.create()
+    val root = new File(sys.props("java.io.tmpdir"),
+      s"graft-streambench-${spark.sparkContext.applicationId}")
+    root.mkdirs()
+
+    // ---- setup (untimed): render inputs to files ---------------------
+    // 256 distinct sources: the realistic relay shape (the reference
+    // baseline measures ONE stream; one host per event would make the
+    // run measure spool FILE CREATION — one gzip per (host, task) —
+    // instead of the pipeline)
+    // ×4 the rendered lines: a single AvailableNow run carries ~1 s of
+    // fixed planning/checkpoint overhead, so the measured rate should
+    // amortize it over enough rows to reflect the pipeline
+    val syslogIn = freshDir(root, "syslog-in")
+    val lines = graft.operators.Syslog.rawLines(spark, sfDir, hostMod = 256)
+      .select("value")
+    lines.unionAll(lines).unionAll(lines).unionAll(lines)
+      .repartition(16)
+      .write.mode("overwrite").text(syslogIn.getAbsolutePath)
+    val nSyslog = spark.read.text(syslogIn.getAbsolutePath).count()
+
+    val gelfIn = freshDir(root, "gelf-in")
+    chunkDatagrams(spark, sfDir)
+      .repartition(16)
+      .write.mode("overwrite").parquet(gelfIn.getAbsolutePath)
+    val nMessages = spark.read.parquet(gelfIn.getAbsolutePath)
+      .select("id").distinct().count()
+
+    // ---- syslog relay loop: listener → parse → spool files -----------
+    // repartition by stream before the sink (the SpoolWriter contract:
+    // one writer per stream → per-stream file locality, file count
+    // bounded by streams, not streams × tasks)
+    val syslogSec = timePasses { () =>
+      val spool = freshDir(root, "spool")
+      val cp = freshDir(root, "cp-syslog")
+      val q = graft.streaming.SyslogPipeline.spoolDirQuery(
+        graft.streaming.SyslogPipeline.parsedStream(
+            spark, syslogIn.getAbsolutePath)
+          .repartition(col("hostname")),
+        spool.getAbsolutePath, cp.getAbsolutePath)
+      q.awaitTermination(600000)
+      ()
+    }
+
+    // ---- chunked GELF: keyed-state reassembly + parse ----------------
+    val gelfSec = timePasses { () =>
+      val cp = freshDir(root, "cp-gelf")
+      val q = graft.streaming.SyslogPipeline.parsedChunkedGelfStream(
+          spark, gelfIn.getAbsolutePath)
+        .writeStream
+        .format("noop")
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000)
+      ()
+    }
+
+    val syslogRate = (nSyslog / syslogSec).toLong
+    val gelfRate = (nMessages / gelfSec).toLong
+    val json =
+      s"""{"metric":"stream_total","value":${syslogSec + gelfSec},"unit":"sec","streams":{""" +
+        s""""syslog_spool":{"rows":$nSyslog,"sec":$syslogSec,"rows_per_sec":$syslogRate},""" +
+        s""""gelf_reassembly":{"messages":$nMessages,"sec":$gelfSec,"msgs_per_sec":$gelfRate}},""" +
+        s""""sf":"$sfDir"}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "streambench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json) // last stdout line survives shutdown-log interleaving
+    System.out.flush()
+  }
+
+  /** Chunked-GELF input: one GELF JSON document per event, split into
+    * 2 chunks with real 12-byte binary headers (the same header
+    * grammar as the #8 batch operator), plus the event time the
+    * watermark advances on. Every message completes — the bench
+    * measures reassembly throughput, not drop bookkeeping. */
+  private[tools] def chunkDatagrams(spark: SparkSession, dir: String) = {
+    val d = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_s"))
+      .withColumn("body", format_string(
+        "{\"version\":\"1.1\",\"host\":\"host-%d\",\"short_message\":\"ev %d\",\"timestamp\":%d}",
+        col("user_id"), col("event_id"), col("ts_s")))
+    d.select(col("event_id").as("id"), col("body"), col("ts_s"),
+        explode(sequence(lit(0), lit(1))).as("seq"))
+      .withColumn("half", (length(col("body")) / 2).cast("int"))
+      .withColumn("payload",
+        when(col("seq") === 0, col("body").substr(lit(1), col("half")))
+          .otherwise(col("body").substr(col("half") + 1,
+            length(col("body")) - col("half"))))
+      .withColumn("hex",
+        concat(lit("1E0F"),
+          lpad(hex(col("id")), 16, "0"),
+          lpad(hex(col("seq")), 2, "0"),
+          lpad(hex(lit(2)), 2, "0")))
+      .select(col("id"),
+        concat(unhex(col("hex")), col("payload").cast("binary")).as("datagram"),
+        timestamp_seconds(col("ts_s")).as("event_time"))
+  }
+}

@@ -394,4 +394,57 @@ class SpoolSourceSpec extends SparkSpec {
     val log2 = spark.read.parquet(out).collect()
     assert(log2.map(r => r.getLong(2)).sum === 12L)
   }
+
+  test("shipping drain: partial failures re-spool, re-drain, deliver exactly once") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-ship-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val shipDir = new File(dir, "_delivered")
+    val out = new File(dir, "_shiplog").getAbsolutePath
+    val cp = new File(dir, "_cp").getAbsolutePath
+    (1 to 9).foreach(i => writeGz(dir, f"r$i%03d.gz",
+      record("g/a", s"s$i", Seq((f"$i%03d", "m" + "x" * 50, i.toLong)))))
+    val retryDir = new File(dir, "_retry")
+    retryDir.mkdirs()
+    // 3 of 9 records rejected on their first attempt only (their
+    // retry1- reincarnations are different part_ids and succeed)
+    val failOnce = Set("r002.gz", "r005.gz", "r007.gz")
+    val transport = new streaming.FilesystemTransport(
+      shipDir.getAbsolutePath, failOnce)
+    def drain(spool: File, checkpoint: String): Unit = {
+      val q = streaming.SpoolDrainStream.shipQuery(
+        spark, spool.getAbsolutePath, checkpoint, out, transport,
+        retryDir.getAbsolutePath, 4, Long.MaxValue)
+      q.awaitTermination(60000)
+    }
+    drain(dir, cp) // all 9 ship; 3 fail and re-spool into the retry dir
+    val log1 = spark.read.parquet(out)
+      .select("n_records", "n_failed").collect()
+    assert(log1.map(_.getLong(0)).sum === 9L)
+    assert(log1.map(_.getLong(1)).sum === 3L)
+    // only *.gz names are spool files (Hadoop's LocalFileSystem also
+    // writes .crc sidecars next to the retry copies; the source and
+    // the size poll both ignore them)
+    val retries = retryDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".gz")).sorted
+    assert(retries.toSeq === Seq("retry1-r002.gz", "retry1-r005.gz",
+      "retry1-r007.gz"))
+    // retry drain: its own spool + checkpoint; all 3 succeed
+    drain(retryDir, new File(dir, "_cp_retry").getAbsolutePath)
+    val log2 = spark.read.parquet(out)
+      .select("n_records", "n_failed").collect()
+    assert(log2.map(_.getLong(0)).sum === 12L) // 9 + 3 retries
+    assert(log2.map(_.getLong(1)).sum === 3L)  // no new failures
+    // delivery audit: every record accepted EXACTLY once across both
+    // drains, counting a record and its retry generations as one
+    val delivered = shipDir.listFiles().filter(_.getName.endsWith(".txt"))
+      .flatMap(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty))
+      .map(n => streaming.BatchTransport.parseRetry(n)._1)
+    assert(delivered.length === 9, delivered.mkString(","))
+    assert(delivered.distinct.sorted.toSeq ===
+      (1 to 9).map(i => f"r$i%03d"), delivered.sorted.mkString(","))
+  }
 }
