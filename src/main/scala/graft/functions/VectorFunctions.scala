@@ -68,6 +68,48 @@ object VectorFunctions {
   def norm_sq_l(a: Column): Column =
     Exprs.toColumn(NormSqL(Exprs.toExpression(a)))
 
+  /** Static so generated code can call it: the near-dup cosine
+    * verdict in ONE pass — dot ≥ 0 ∧ num·dot² ≥ thr·na·nb, all Long
+    * arithmetic, bit-identical to the three-expression SQL spelling. */
+  def cosineGate(l: ArrayData, r: ArrayData, na: Long, nb: Long,
+                 num: Long, thr: Long): Boolean = {
+    val d = dot(l, r)
+    d >= 0 && num * d * d >= thr * na * nb
+  }
+
+  /** The embedding near-dup verification predicate as a single
+    * expression. Spelled as column arithmetic
+    * (`dot >= 0 && 400·dot² >= 49·na·nb` over `dot = dot_l(...)`),
+    * Catalyst pushes the filter into the candidate join's CONDITION,
+    * where codegen does no common-subexpression elimination — the
+    * 64-element dot loop ran THREE times per candidate pair (measured:
+    * the dominant cost of dedup_embedding_lsh's verify stage at
+    * sf0.1's ~30M candidates). One expression, one loop. */
+  case class CosineGateL(qa: Expression, qb: Expression,
+                         na: Expression, nb: Expression,
+                         num: Long, thr: Long)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def first: Expression = qa
+    override def second: Expression = qb
+    override def third: Expression = na
+    override def fourth: Expression = nb
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullSafeEval(a: Any, b: Any, x: Any, y: Any): Any =
+      cosineGate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        x.asInstanceOf[Long], y.asInstanceOf[Long], num, thr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, x, y) =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.cosineGate($a, $b, $x, $y, ${num}L, ${thr}L)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): CosineGateL =
+      copy(qa = f, qb = s, na = t, nb = q)
+  }
+
+  def cosine_gate_l(qa: Column, qb: Column, na: Column, nb: Column,
+                    num: Long, thr: Long): Column =
+    Exprs.toColumn(CosineGateL(Exprs.toExpression(qa), Exprs.toExpression(qb),
+      Exprs.toExpression(na), Exprs.toExpression(nb), num, thr))
+
   /** Hyperplane sign matrix: sign(j, i) ⟺ (xxhash64(j, i) & 1) = 1 —
     * the EXACT values the SQL `xxhash64(j, i)` formulation derives, so
     * codes are bit-identical to the HOF version this replaces

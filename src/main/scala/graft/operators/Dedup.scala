@@ -764,14 +764,18 @@ object Dedup {
     // vectors directly so the code computation runs on the rep branch
     // only; all frames here are rep-level (distinct vectors)
     val vecs = reps.select(col("vec_id"), col("q"), col("nn"))
+    // verification gate FIRST (one fused expression — the dot loop
+    // runs once per candidate; see CosineGateL), then the survivors'
+    // dot is materialized for the output (survivors are few)
     val repPairs = cand
       .join(vecs.as("va"), col("ra") === col("va.vec_id"))
       .join(vecs.as("vb"), col("rb") === col("vb.vec_id"))
+      .filter(graft.functions.VectorFunctions.cosine_gate_l(
+        col("va.q"), col("vb.q"), col("va.nn"), col("vb.nn"),
+        num = 400L, thr = 49L))
       .select(col("ra"), col("rb"),
         graft.functions.VectorFunctions.dot_l(col("va.q"), col("vb.q")).as("dot"),
         col("va.nn").as("na"), col("vb.nn").as("nb"))
-      .filter(col("dot") >= 0 &&
-        lit(400) * col("dot") * col("dot") >= lit(49) * col("na") * col("nb"))
     // expansion: every member pair across two verified rep groups is a
     // near-dup with the same dot (members are byte-identical to their
     // rep); swap na/nb when member ids invert the rep order

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * would make it — exactly the skew the caps and the O(log d)
   * components were built for.
   *
-  *   sbt "runMain graft.tools.Stress gen   [srcDir] [outDir] [copies]"
-  *   sbt "runMain graft.tools.Stress sweep [outDir]"
-  */
+  *   sbt "runMain graft.tools.Stress gen   [srcDir] [outDir] [copies] [tables]"
+  *   sbt "runMain graft.tools.Stress sweep [outDir] [queries]"
+  *
+  * `tables` (comma-separated, default all) bounds generation to a
+  * subset — the ×100 events sweep needs 10M events, not 60M lineitem
+  * rows alongside them. */
 object Stress {
 
   /** Per-copy id shifts, far above any real id at sf0.1 (doc_id < 5e3,
@@ -49,8 +52,10 @@ object Stress {
     "events_paths", "events_funnel", "events_anomaly",
     "events_gap_quantiles", "sketch_gap_quantiles")
 
-  def gen(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
-    def build(table: String, shifts: Map[String, Long]): Unit = {
+  def gen(spark: SparkSession, src: String, out: String, copies: Int,
+          tables: Option[Set[String]] = None): Unit = {
+    def wanted(t: String): Boolean = tables.forall(_.contains(t))
+    def build(table: String, shifts: Map[String, Long]): Unit = if (wanted(table)) {
       val base = Tables.load(spark, src, table)
       (0 until copies)
         .map { i =>
@@ -73,14 +78,16 @@ object Stress {
     // and ts deliberately do NOT shift, so the 5 hot type keys and the
     // time range stay fixed while rows multiply — maximal key skew and
     // window density.
-    val ev = Tables.events(spark, src).drop("ts_s")
-    (0 until copies)
-      .map(i => ev
-        .withColumn("event_id", col("event_id") + lit(i * ShiftEvent))
-        .withColumn("user_id", col("user_id") + lit(i * ShiftUser)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
-    println(s"[stress] wrote $out/events.parquet (${copies}x $src)")
+    if (wanted("events")) {
+      val ev = Tables.events(spark, src).drop("ts_s")
+      (0 until copies)
+        .map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * ShiftEvent))
+          .withColumn("user_id", col("user_id") + lit(i * ShiftUser)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"[stress] wrote $out/events.parquet (${copies}x $src)")
+    }
   }
 
   /** Max-over-tasks metrics, reset per query: a cap that stopped
@@ -103,9 +110,15 @@ object Stress {
 
   def sweep(spark: SparkSession, dir: String,
             subset: Option[Set[String]] = None): Unit = {
-    val docs = Tables.load(spark, dir, "documents").count()
-    val li = Tables.load(spark, dir, "lineitem").count()
-    println(s"[stress] corpus: documents=$docs lineitem=$li")
+    // subset corpora (e.g. the ×100 events-only gen) carry only the
+    // tables their queries read — absent tables print as "-"
+    def tryCount(t: String): String =
+      scala.util.Try(
+        if (t == "events") Tables.events(spark, dir).count()
+        else Tables.load(spark, dir, t).count()
+      ).map(_.toString).getOrElse("-")
+    println(s"[stress] corpus: documents=${tryCount("documents")} " +
+      s"lineitem=${tryCount("lineitem")} events=${tryCount("events")}")
     val listener = new PeakListener
     spark.sparkContext.addSparkListener(listener)
     var failed = List.empty[String]
@@ -154,7 +167,8 @@ object Stress {
       case "gen" =>
         gen(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
           args.lift(2).getOrElse("/tmp/graft-stress"),
-          args.lift(3).map(_.toInt).getOrElse(10))
+          args.lift(3).map(_.toInt).getOrElse(10),
+          args.lift(4).map(_.split(",").toSet))
       case "sweep" =>
         sweep(spark, args.lift(1).getOrElse("/tmp/graft-stress"),
           args.lift(2).map(_.split(",").toSet))

@@ -175,4 +175,27 @@ class EnvelopeSpec extends SparkSpec {
         l.split(" ").last.toLong }.get
     assert(inf === cnt && buckets.last._2 <= inf)
   }
+
+  test("StatsServer serves the #50 exposition text over HTTP") {
+    val server = tools.StatsServer.serve(spark, sf, port = 0)
+    try {
+      val url = java.net.URI
+        .create(s"http://127.0.0.1:${server.boundPort}/metrics").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      val served = body.split("\n").filter(_.nonEmpty).toSeq
+      val expected = operators.Envelope.statsExport(spark, sf)
+        .collect().map(_.getString(0)).toSeq
+      assert(served === expected)
+      // a second scrape re-renders (the pull model): same stable data,
+      // same body
+      val conn2 = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val body2 = new String(conn2.getInputStream.readAllBytes(), "UTF-8")
+      assert(body2 === body)
+    } finally server.stop()
+  }
 }

@@ -9,6 +9,7 @@ magnitude is reported on mismatch. Usage: check.py <sfDir> <verifyOutDir>
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -18,7 +19,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = f.split("/")[-1].removesuffix(".parquet")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # driver testdata tables are single files; Stress-generated corpora
+    # are Spark parquet DIRECTORIES of part files
+    pat = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
