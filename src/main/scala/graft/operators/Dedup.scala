@@ -109,12 +109,23 @@ object Dedup {
   def jaccardPrefix(spark: SparkSession, dir: String): DataFrame =
     jaccardPrefixFrom(docs(spark, dir))
 
+  /** (doc_id, lang, source, toks, nt): the shingled view every
+    * jaccard stage derives from. Split out so a caller holding many
+    * consumers (dedupJaccardFrom) can shingle ONCE into a cached
+    * frame — the shingle projection (regex normalization upstream,
+    * 2-gram construction, distinct, sort) is the most expensive
+    * per-row step in the pipeline. */
+  private def shingledDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), col("source"), toks.as("toks"))
+      .withColumn("nt", size(col("toks")))
+
   /** As [[jaccardPrefix]], over any (doc_id, lang, source, norm)
     * frame — the property spec feeds randomized corpora through this. */
-  def jaccardPrefixFrom(d: DataFrame): DataFrame = {
-    val t = d
-      .select(col("doc_id"), col("lang"), col("source"), toks.as("toks"))
-      .withColumn("nt", size(col("toks")))
+  def jaccardPrefixFrom(d: DataFrame): DataFrame =
+    jaccardPrefixShingled(shingledDocs(d))
+
+  private def jaccardPrefixShingled(s: DataFrame): DataFrame = {
+    val t = s
       .select(col("doc_id"), col("lang"), col("source"), col("nt"),
         explode(col("toks")).as("tok"))
     val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -134,8 +145,11 @@ object Dedup {
   def jaccardCandidates(spark: SparkSession, dir: String): DataFrame =
     jaccardCandidatesFrom(docs(spark, dir))
 
-  def jaccardCandidatesFrom(d: DataFrame): DataFrame = {
-    val pfx = jaccardPrefixFrom(d)
+  def jaccardCandidatesFrom(d: DataFrame): DataFrame =
+    jaccardCandidatesShingled(shingledDocs(d))
+
+  private def jaccardCandidatesShingled(s: DataFrame): DataFrame = {
+    val pfx = jaccardPrefixShingled(s)
     pfx.as("a")
       .join(pfx.as("b"),
         col("a.tok") === col("b.tok") &&
@@ -177,15 +191,33 @@ object Dedup {
     // grouping dedup_exact uses — so the shuffle key is lang, source
     // and a 16-byte digest instead of the full document body; norm
     // rides along as a data column only.
+    // Materialize the collapse ONCE (the embedding-LSH §6 finding,
+    // same shape here): tagged feeds the member map and the rep set,
+    // and Spark reuses only the exchange across those branches — each
+    // would re-run the window AND the regex normalization it rides
+    // on. The shingled rep view `full` is then computed ONCE into a
+    // cached frame that EVERY downstream consumer derives from — the
+    // prefix index, both verify sides, and the within-group
+    // expansion: shingling (2-gram construction + distinct + sort
+    // over the full text) is the most expensive per-row step in the
+    // pipeline (~16 CPU-s at ×10), and the uncached plan evaluated it
+    // in three separate branches. The explicit partition count
+    // matters as much as the cache: the collapse shuffle is slim in
+    // BYTES, so AQE coalesces it to 1-3 partitions, and the
+    // compute-heavy shingle fill would run on one task (measured:
+    // 16 s single-task stages; AQE also coalesces a bare
+    // repartition(col), so the count is pinned).
     val wG = Window.partitionBy(col("lang"), col("source"), md5(col("norm")))
     val tagged = d.withColumn("rep", min("doc_id").over(wG))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mem = tagged.select(col("doc_id"), col("rep"))
-    val reps = tagged.filter(col("doc_id") === col("rep"))
-      .select("doc_id", "lang", "source", "norm")
-    val full = reps
-      .select(col("doc_id"), toks.as("toks"))
-      .withColumn("nt", size(col("toks")))
-    val repPairs = jaccardCandidatesFrom(reps)
+    val nPart = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val full = shingledDocs(
+        tagged.filter(col("doc_id") === col("rep"))
+          .select("doc_id", "lang", "source", "norm")
+          .repartition(nPart, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = jaccardCandidatesShingled(full)
       .join(full.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(full.as("fb"), col("doc_b") === col("fb.doc_id"))
       .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
@@ -996,12 +1028,17 @@ object Dedup {
           1, FuzzyPrefix).as("p"))
       .withColumn("blk", substring(col("p"), 1, FuzzyBlock))
     val capped = capPerBucket(d, Seq("lang", "blk"), FuzzyBlockCap)
+    // thresholded levenshtein (banded DP, returns -1 past the budget):
+    // O(prefix·(2k+1)) with early exit instead of the full O(prefix²)
+    // table per pair — most pairs in a capped hot block are dissimilar
+    // and exit after a few rows. Surviving rows and their distances
+    // are identical to the unthresholded spelling (oracle-pinned).
     capped.as("a").join(capped.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.p"), col("b.p")).as("dist"))
-      .filter(col("dist") <= FuzzyMaxDist)
+        levenshtein(col("a.p"), col("b.p"), FuzzyMaxDist).as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy("doc_a", "doc_b")
   }
 
