@@ -22,9 +22,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          // several operators persist multi-consumer frames (jaccard
+          // shingles, embedding rep windows, IVF centroids); drop them
+          // between queries so a 114-query session's cache never
+          // outlives the query that built it
+          spark.catalog.clearCache()
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

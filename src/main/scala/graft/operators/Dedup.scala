@@ -706,7 +706,7 @@ object Dedup {
     * combinatorially (Σ C(planes, w) masks) — never by filtering the
     * full 2^planes range, which stops being enumerable at the 20+
     * planes a 100 TB corpus needs. */
-  private[operators] def probeMasks(planes: Int, radius: Int): Seq[Int] =
+  private[graft] def probeMasks(planes: Int, radius: Int): Seq[Int] =
     (0 to radius).flatMap(w =>
       (0 until planes).combinations(w)
         .map(_.foldLeft(0)((m, b) => m | (1 << b))).toSeq)

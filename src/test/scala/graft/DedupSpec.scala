@@ -165,6 +165,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("lsh pair emission is unique by construction (the removed dropDuplicates)") {
+    // The r11 plan drops the pair dedup on a proof: the index side
+    // lands in its exact bucket, the probe side fans out DISTINCT xor
+    // masks, so a fixed pair collides on exactly one mask and the
+    // vec_id ordering pins which side indexes. If banding or probing
+    // ever changes that, duplicate rows appear here first.
+    val rows = operators.Dedup.dedupEmbeddingLsh(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.distinct.length,
+      s"${rows.length - rows.distinct.length} duplicate pairs emitted")
+    // and the mask set itself is duplicate-free at representative
+    // plane counts (the combinatorial generator's invariant)
+    Seq(4, 8, 20).foreach { p =>
+      val masks = operators.Dedup.probeMasks(p, 2)
+      assert(masks.length === masks.distinct.length)
+      assert(masks.length === 1 + p + p * (p - 1) / 2)
+      assert(masks.forall(m => java.lang.Integer.bitCount(m) <= 2))
+    }
+  }
+
   test("dedup_clusters matches a brute-force union-find of the pair graph") {
     val pairs = operators.Dedup.dedupMinhashPoly(spark, sf)
       .select("doc_a", "doc_b").collect()
