@@ -362,15 +362,32 @@ object Dedup {
     * MinhashStream). */
   private def bandPairsVerified(bands: DataFrame,
                                 cap: Int = BandBucketCap): DataFrame = {
-    val capped = capPerBucket(bands, Seq("band", "band_hash"), cap)
-    capped.as("a")
+    // Slim rows through the hot path (round 11): the cap window, the
+    // bucket self-join and the pair dedup move (doc_id, band,
+    // band_hash) only — the 32-slot signatures previously rode
+    // through every one of those exchanges, multiplying shuffle bytes
+    // ~15× for data whose only consumer is the verify step.
+    // Signatures join back AFTER the pair dedup from the doc-level
+    // sig view; its dropDuplicates sits on the signature
+    // aggregation's existing doc_id partitioning, so the slimming
+    // costs no extra pass over the expensive subtree (the doc_id
+    // exchange is reused across both branches).
+    val slim = bands.select("doc_id", "band", "band_hash")
+    val capped = capPerBucket(slim, Seq("band", "band_hash"), cap)
+    val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // every band row of a doc carries the same sig: any row serves
+    val sigs = bands.select("doc_id", "sig").dropDuplicates("doc_id")
+    cand
+      .join(sigs.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(sigs.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("fa.sig").as("sa"), col("fb.sig").as("sb"))
       .withColumn("matches", expr(
         "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .filter(col("matches") * 2 >= MinhashSeeds) // est. J ≥ 0.5
