@@ -107,7 +107,7 @@ object TextFunctions {
     * same integers as filtering the token array, minus the
     * interpreted-HOF cost (filter/array_contains lambdas never enter
     * whole-stage codegen and dominated this map-only scan ~2×). */
-  private val StopTokRe = s"(?<= )(${EnStop.mkString("|")})(?= )"
+  private[graft] val StopTokRe = s"(?<= )(${EnStop.mkString("|")})(?= )"
 
   def quality(spark: SparkSession, dir: String): DataFrame = {
     // orderBy the bare scan FIRST: the range-partitioner's sampling

@@ -827,7 +827,158 @@ object Corpus {
       |ORDER BY r.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #125 corpus_overlap — cross-source duplicate overlap matrix
+  // ---------------------------------------------------------------------
+
+  /** Source×source exact-duplicate overlap: for every pair of sources,
+    * how many distinct normalized texts appear in BOTH — the standard
+    * inter-dump duplication audit (e.g. successive CommonCrawl
+    * snapshots share 30-60% of their pages; you measure that before
+    * deciding dedup order and mixing weights). `overlap_permille` is
+    * shared/min(texts_a, texts_b) in integer permille (containment of
+    * the smaller source, exact cross-engine — no float division).
+    *
+    * The output is the FULL ordered-pair matrix — pairs sharing
+    * nothing report 0, because "these dumps share no pages" is the
+    * audit's answer, not an absent row.
+    *
+    * Scale: the self-join is keyed on the text fingerprint, and the
+    * joined frame is the DISTINCT (fingerprint, source) projection —
+    * so per-fingerprint fan-out is bounded by the number of sources
+    * carrying that text (≤ #sources, a constant dozens at any corpus
+    * size), never by duplicate multiplicity. Per-source totals are a
+    * tiny aggregate; the pair scaffold is a broadcast self-cross of
+    * that aggregate (O(#sources²) rows). Output size is independent
+    * of corpus size.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val fp = Tables.load(spark, dir, "documents")
+      .select(md5(tf.normText(col("text"))).as("fingerprint"), col("source"))
+      .distinct()
+    val perSource = fp.groupBy("source").agg(count(lit(1)).as("texts"))
+    val shared = fp.select(col("fingerprint"), col("source").as("source_a"))
+      .join(fp.select(col("fingerprint"), col("source").as("source_b")),
+        Seq("fingerprint"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared"))
+    perSource.select(col("source").as("source_a"), col("texts").as("texts_a"))
+      .crossJoin(broadcast(perSource.select(col("source").as("source_b"),
+        col("texts").as("texts_b"))))
+      .where(col("source_a") < col("source_b"))
+      .join(broadcast(shared), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("shared"), lit(0L)).as("shared_texts"),
+        col("texts_a"), col("texts_b"),
+        expr("coalesce(shared, 0L) * 1000 div least(texts_a, texts_b)")
+          .as("overlap_permille"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val corpusOverlapSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    s"""WITH fp AS (
+      |  SELECT DISTINCT md5($norm) AS fingerprint, source FROM documents
+      |), per AS (
+      |  SELECT source, COUNT(*) AS texts FROM fp GROUP BY source
+      |), sh AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    COUNT(*) AS shared
+      |  FROM fp a JOIN fp b USING (fingerprint)
+      |  WHERE a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT pa.source AS source_a, pb.source AS source_b,
+      |  COALESCE(sh.shared, 0) AS shared_texts,
+      |  pa.texts AS texts_a, pb.texts AS texts_b,
+      |  COALESCE(sh.shared, 0) * 1000 // least(pa.texts, pb.texts)
+      |    AS overlap_permille
+      |FROM per pa
+      |JOIN per pb ON pa.source < pb.source
+      |LEFT JOIN sh ON sh.source_a = pa.source AND sh.source_b = pb.source
+      |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // #126 corpus_profile — dataset-card profile with histogram median
+  // ---------------------------------------------------------------------
+
+  /** Per-(source, lang) dataset card: doc count, distinct normalized
+    * texts (duplication factor), total/min/max characters, and the
+    * MEDIAN document length — computed scale-safely as a histogram
+    * median: lengths collapse to (source, lang, n_chars) counts first
+    * (bounded by the length range, not the row count), then the
+    * median is the smallest length whose cumulative count reaches
+    * half the total. Lower-median selection on integers is exact and
+    * engine-independent, unlike interpolating percentile functions
+    * whose float interpolation differs between engines.
+    *
+    * Scale: one scan feeds two aggregates — the card aggregate
+    * (map-side combinable) and the tiny length histogram; the
+    * cumulative window runs over histogram rows (≤ length-range rows
+    * per group), never over documents. Output is O(#sources·#langs).
+    */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.functions.TextFunctions
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        length(col("text")).as("nc"),
+        md5(tf.normText(col("text"))).as("fp"))
+    val base = d.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("distinct_texts"),
+      sum(col("nc")).as("total_chars"),
+      min(col("nc")).as("min_chars"),
+      max(col("nc")).as("max_chars"))
+    val hist = d.groupBy("source", "lang", "nc").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source", "lang").orderBy("nc")))
+      .withColumn("tot", sum("c").over(Window.partitionBy("source", "lang")))
+    val med = cum.where(col("cum") * 2 >= col("tot"))
+      .groupBy("source", "lang").agg(min("nc").as("p50_chars"))
+    base.join(med, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("distinct_texts"), col("total_chars"),
+        col("min_chars"), col("max_chars"), col("p50_chars"))
+      .orderBy("source", "lang")
+  }
+
+  val corpusProfileSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    s"""WITH d AS (
+      |  SELECT source, lang, CAST(length(text) AS INT) AS nc,
+      |    md5($norm) AS fp
+      |  FROM documents
+      |), base AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT fp) AS distinct_texts,
+      |    CAST(SUM(nc) AS BIGINT) AS total_chars,
+      |    MIN(nc) AS min_chars, MAX(nc) AS max_chars
+      |  FROM d GROUP BY 1, 2
+      |), h AS (
+      |  SELECT source, lang, nc, COUNT(*) AS c FROM d GROUP BY 1, 2, 3
+      |), cum AS (
+      |  SELECT source, lang, nc,
+      |    SUM(c) OVER (PARTITION BY source, lang ORDER BY nc) AS cum,
+      |    SUM(c) OVER (PARTITION BY source, lang) AS tot
+      |  FROM h
+      |), med AS (
+      |  SELECT source, lang, MIN(nc) AS p50_chars
+      |  FROM cum WHERE cum * 2 >= tot GROUP BY 1, 2
+      |)
+      |SELECT b.source, b.lang, n_docs, distinct_texts, total_chars,
+      |  min_chars, max_chars, p50_chars
+      |FROM base b JOIN med m ON b.source = m.source AND b.lang = m.lang
+      |ORDER BY b.source, b.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_overlap" -> corpusOverlap,
+    "corpus_profile" -> corpusProfile,
     "corpus_clean" -> corpusClean,
     "corpus_pack" -> ((s: SparkSession, d: String) => corpusPack(s, d)),
     "corpus_mix" -> corpusMix,
@@ -842,6 +993,8 @@ object Corpus {
     "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "corpus_overlap" -> corpusOverlapSql,
+    "corpus_profile" -> corpusProfileSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_passage_dedup" -> corpusPassageDedupSql,
     "corpus_domain_cap" -> corpusDomainCapSql,

@@ -84,6 +84,86 @@ object Dedup {
       |ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // #124 dedup_keep_best — quality-aware canonical selection
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup that keeps the BEST copy of each duplicate group
+    * instead of the arbitrary min-id one: real pretraining pipelines
+    * retain the highest-quality duplicate (the clean mirror, not the
+    * ad-wrapped scrape). Groups share a normalized text, so the #36
+    * quality verdict (computed on the norm) is constant within a
+    * group — the raw-text length then breaks the tie (most original
+    * characters = least lossy copy), doc_id last for determinism.
+    *
+    * Scale: ONE scan and ONE hash aggregate — the selection is a
+    * map-side-combinable max(struct(quality_ok, n_chars, -doc_id)),
+    * never a per-group window sort, so it costs exactly what
+    * dedup_exact (#28) costs at any corpus size. The integer ranking
+    * tuple is reproduced verbatim in the DuckDB oracle (no float
+    * scores to drift cross-engine).
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val scored = Tables.load(spark, dir, "documents")
+      .withColumn("norm", norm(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fingerprint"),
+        length(col("text")).as("n_chars"),
+        size(split(col("norm"), " ")).as("n_words"),
+        regexp_count(col("norm"), lit("[^a-z0-9 ]")).as("n_punct"),
+        regexp_count(concat(lit(" "), col("norm"), lit(" ")),
+          lit(tf.StopTokRe)).as("n_stop"))
+      .withColumn("quality_ok",
+        (col("n_words") >= 10 &&
+          col("n_stop").cast("double") / col("n_words") < 0.5 &&
+          col("n_punct") * 5 <= col("n_words")).cast("int"))
+    scored
+      .groupBy("fingerprint")
+      .agg(
+        max(struct(
+          col("quality_ok").as("q"),
+          col("n_chars").as("nc"),
+          (lit(0L) - col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_dups"))
+      .select(
+        (lit(0L) - col("best.nid")).as("keep_id"),
+        col("n_dups"),
+        col("best.q").as("quality_ok"),
+        col("best.nc").as("n_chars"),
+        col("fingerprint"))
+      .orderBy("keep_id")
+  }
+
+  val dedupKeepBestSql: String = {
+    val lex = graft.functions.TextFunctions.Lexicons.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, md5($normSql) AS fingerprint,
+      |    CAST(length(text) AS INT) AS n_chars,
+      |    string_split($normSql, ' ') AS toks, $normSql AS norm
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, fingerprint, n_chars,
+      |    CASE WHEN len(toks) >= 10
+      |          AND CAST(len(list_filter(toks, t -> list_contains($lex, t))) AS DOUBLE) / len(toks) < 0.5
+      |          AND len(regexp_extract_all(norm, '[^a-z0-9 ]')) * 5 <= len(toks)
+      |         THEN 1 ELSE 0 END AS quality_ok
+      |  FROM d
+      |), r AS (
+      |  SELECT doc_id, fingerprint, n_chars, quality_ok,
+      |    row_number() OVER (PARTITION BY fingerprint
+      |      ORDER BY quality_ok DESC, n_chars DESC, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY fingerprint) AS n_dups
+      |  FROM s
+      |)
+      |SELECT doc_id AS keep_id, CAST(n_dups AS BIGINT) AS n_dups,
+      |  quality_ok, n_chars, fingerprint
+      |FROM r WHERE rk = 1
+      |ORDER BY keep_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // #31 dedup_jaccard — exact token-set Jaccard on prefix-filtered
   // candidates (AllPairs/PPJoin-style)
   // ---------------------------------------------------------------------
@@ -1082,6 +1162,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_exact" -> dedupExact,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_minhash_poly" -> dedupMinhashPoly,
@@ -1094,6 +1175,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_poly" -> dedupMinhashPolySql,
     "dedup_simhash_poly" -> dedupSimhashPolySql,

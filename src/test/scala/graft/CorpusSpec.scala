@@ -216,4 +216,60 @@ class CorpusSpec extends SparkSpec {
     assert(bloom.length ===
       operators.Corpus.corpusDecontaminate(spark, sf).count())
   }
+
+  test("overlap matrix covers every ordered source pair with exact containment algebra") {
+    val out = operators.Corpus.corpusOverlap(spark, sf).collect()
+    val nSrc = Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(out.length.toLong === nSrc * (nSrc - 1) / 2)
+    out.foreach { r =>
+      val (sa, sb, shared, ta, tb, pm) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sa < sb)
+      assert(shared <= math.min(ta, tb))
+      assert(pm === shared * 1000 / math.min(ta, tb))
+    }
+  }
+
+  test("overlap counts a planted cross-source duplicate exactly once") {
+    import spark.implicits._
+    // sf0.001 has no cross-source exact dups (overlap is all zeros
+    // there), so plant one: the same text under two sources, plus a
+    // within-source dup pair that must NOT count toward overlap
+    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    Seq(
+      (1L, "shared page text", "en", "srcA", 16L),
+      (2L, "shared page text", "en", "srcB", 16L),
+      (3L, "only in a", "en", "srcA", 9L),
+      (4L, "only in a", "en", "srcA", 9L),
+      (5L, "only in b", "en", "srcB", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = operators.Corpus.corpusOverlap(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) === ("srcA", "srcB"))
+    assert(r.getLong(2) === 1L) // the planted shared text, counted once
+    assert(r.getLong(3) === 2L) // srcA distinct texts (dup pair collapses)
+    assert(r.getLong(4) === 2L)
+    assert(r.getLong(5) === 500L) // 1 of min(2,2) in permille
+  }
+
+  test("profile histogram median equals the sort-based lower median") {
+    val out = operators.Corpus.corpusProfile(spark, sf).collect()
+    val byGroup = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("lang"), length(col("text")).as("nc"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    assert(out.nonEmpty && out.length === byGroup.size)
+    out.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val ncs = byGroup(k).map(_.getInt(2)).sorted
+      assert(r.getLong(2) === ncs.length.toLong)           // n_docs
+      assert(r.getLong(4) === ncs.map(_.toLong).sum)       // total_chars
+      assert(r.getInt(5) === ncs.head)                     // min_chars
+      assert(r.getInt(6) === ncs.last)                     // max_chars
+      assert(r.getInt(7) === ncs((ncs.length + 1) / 2 - 1)) // lower median
+    }
+  }
 }

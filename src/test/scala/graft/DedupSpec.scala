@@ -271,4 +271,30 @@ class DedupSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("keep_best covers the corpus and agrees with a window-ranked recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = operators.Dedup.dedupKeepBest(spark, sf)
+    val exact = operators.Dedup.dedupExact(spark, sf)
+    // identical grouping to dedup_exact: same group count, full coverage
+    assert(out.count() === exact.count())
+    assert(out.agg(sum("n_dups")).collect().head.getLong(0) ===
+      Tables.load(spark, sf, "documents").count())
+    // cross-check the aggregate-max selection against an independent
+    // window row_number() formulation of the same (quality_ok desc,
+    // n_chars desc, doc_id asc) rule built from the #36 scorer
+    val scored = functions.TextFunctions.quality(spark, sf)
+      .select(col("doc_id"), col("n_chars"), col("quality_ok"))
+    val grouped = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(functions.TextFunctions.normText(col("text"))).as("fp"))
+      .join(scored, Seq("doc_id"))
+    val w = Window.partitionBy("fp")
+      .orderBy(col("quality_ok").desc, col("n_chars").desc, col("doc_id"))
+    val expectKeep = grouped.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotKeep = out.select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(gotKeep === expectKeep)
+  }
 }
