@@ -46,7 +46,8 @@ object Bench {
     "customers_rfm", "events_paths", "sketch_hll", "dedup_fuzzy",
     "media_features", "basket_pairs", "events_actives",
     "corpus_decontaminate_fuzzy", "events_actives_hll",
-    "gelf_chunks_packed", "sketch_gap_quantiles")
+    "gelf_chunks_packed", "sketch_gap_quantiles",
+    "dedup_keep_best", "corpus_overlap", "corpus_profile")
 
   val TimedPasses = 3
 

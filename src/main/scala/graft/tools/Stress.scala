@@ -50,7 +50,8 @@ object Stress {
     "corpus_decontaminate_fuzzy",
     "skew_salted_collect", "events_sessions", "events_actives",
     "events_paths", "events_funnel", "events_anomaly",
-    "events_gap_quantiles", "sketch_gap_quantiles")
+    "events_gap_quantiles", "sketch_gap_quantiles",
+    "dedup_keep_best", "corpus_overlap", "corpus_profile")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {
