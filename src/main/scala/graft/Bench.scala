@@ -47,7 +47,8 @@ object Bench {
     "media_features", "basket_pairs", "events_actives",
     "corpus_decontaminate_fuzzy", "events_actives_hll",
     "gelf_chunks_packed", "sketch_gap_quantiles",
-    "dedup_keep_best", "corpus_overlap", "corpus_profile")
+    "dedup_keep_best", "corpus_overlap", "corpus_profile",
+    "vocab_train", "text_bpe_tokens")
 
   val TimedPasses = 3
 

@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Corpus.queries ++
       operators.Sequence.queries ++
       operators.Ngrams.queries ++
+      operators.Bpe.queries ++
       operators.Sketch.queries ++
       operators.Skew.queries ++
       operators.Bucketing.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.Corpus.oracle ++
       operators.Sequence.oracle ++
       operators.Ngrams.oracle ++
+      operators.Bpe.oracle ++
       operators.Skew.oracle ++
       operators.Bucketing.oracle ++
       operators.Sketch.oracle ++

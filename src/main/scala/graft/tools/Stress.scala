@@ -51,7 +51,8 @@ object Stress {
     "skew_salted_collect", "events_sessions", "events_actives",
     "events_paths", "events_funnel", "events_anomaly",
     "events_gap_quantiles", "sketch_gap_quantiles",
-    "dedup_keep_best", "corpus_overlap", "corpus_profile")
+    "dedup_keep_best", "corpus_overlap", "corpus_profile",
+    "vocab_train", "text_bpe_tokens")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {
