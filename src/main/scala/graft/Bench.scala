@@ -48,7 +48,7 @@ object Bench {
     "corpus_decontaminate_fuzzy", "events_actives_hll",
     "gelf_chunks_packed", "sketch_gap_quantiles",
     "dedup_keep_best", "corpus_overlap", "corpus_profile",
-    "vocab_train", "text_bpe_tokens")
+    "vocab_train", "text_bpe_tokens", "corpus_token_budget")
 
   val TimedPasses = 3
 

@@ -254,10 +254,13 @@ object Bpe {
   // #128 text_bpe_tokens — tokenize the corpus with the learned merges
   // ---------------------------------------------------------------------
 
-  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc token accounting frame (doc_id, source, n_words,
+    * n_chars, n_tokens) — the shared scan behind #128 and the
+    * token-budget allocator (#129 in Corpus). Map-only. */
+  private[operators] def tokenFrame(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainedMergePairs(spark, dir)
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
     val s0 = markedChars(call_function("replace", col("norm"), lit(" "), lit("|")))
     val sFinal = merges.foldLeft(s0) { case (c, (pair, _)) =>
       call_function("replace", c, lit(mergePattern(pair)), lit(mergeResult(pair)))
@@ -265,23 +268,32 @@ object Bpe {
     // marker count = token count (every token carries exactly one '_'),
     // minus the n_words-1 '|' guard tokens
     d.select(
-        col("doc_id"),
-        size(split(col("norm"), " ")).as("n_words"),
-        length(call_function("replace", col("norm"), lit(" "), lit("")))
-          .as("n_chars"),
-        (length(sFinal)
-          - length(call_function("replace", sFinal, lit("_"), lit("")))
-          - (size(split(col("norm"), " ")) - 1))
-          .as("n_tokens"))
+      col("doc_id"),
+      col("source"),
+      size(split(col("norm"), " ")).as("n_words"),
+      length(call_function("replace", col("norm"), lit(" "), lit("")))
+        .as("n_chars"),
+      (length(sFinal)
+        - length(call_function("replace", sFinal, lit("_"), lit("")))
+        - (size(split(col("norm"), " ")) - 1))
+        .as("n_tokens"))
+  }
+
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    tokenFrame(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"))
       .withColumn("compression_permille",
         expr("n_tokens * 1000L div n_chars"))
       .orderBy("doc_id")
-  }
 
-  val bpeTokensSql: String = {
+  /** Training chain + 20 apply-CTEs ending at a per-doc frame
+    * `tf(doc_id, source, n_words, n_chars, n_tokens)` — the SQL twin
+    * of [[tokenFrame]], shared by #128's oracle and the token-budget
+    * allocator's (#129). */
+  private[operators] def tokenFrameCtes: String = {
     val applies = (1 to TrainRounds).map { r =>
       s""", e$r AS MATERIALIZED (
-        |  SELECT doc_id, norm,
+        |  SELECT doc_id, source, norm,
         |    CASE WHEN m.pair IS NULL THEN e.s
         |         ELSE replace(e.s, '_' || replace(m.pair, ' ', '_'),
         |                      '_' || replace(m.pair, ' ', '')) END AS s
@@ -289,21 +301,25 @@ object Bpe {
         |)""".stripMargin
     }.mkString
     s"""$trainCtes, e0 AS MATERIALIZED (
-      |  SELECT doc_id, $normSql AS norm,
+      |  SELECT doc_id, source, $normSql AS norm,
       |    regexp_replace(replace($normSql, ' ', '|'), '(.)', '_\\1', 'g') AS s
       |  FROM documents
-      |)$applies
-      |SELECT doc_id,
-      |  CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
-      |  CAST(length(replace(norm, ' ', '')) AS INT) AS n_chars,
-      |  CAST(length(s) - length(replace(s, '_', ''))
-      |       - (len(string_split(norm, ' ')) - 1) AS INT) AS n_tokens,
-      |  CAST(length(s) - length(replace(s, '_', ''))
-      |       - (len(string_split(norm, ' ')) - 1) AS BIGINT)
-      |    * 1000 // length(replace(norm, ' ', '')) AS compression_permille
-      |FROM e$TrainRounds
-      |ORDER BY doc_id""".stripMargin
+      |)$applies, tf AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
+      |    CAST(length(replace(norm, ' ', '')) AS INT) AS n_chars,
+      |    CAST(length(s) - length(replace(s, '_', ''))
+      |         - (len(string_split(norm, ' ')) - 1) AS INT) AS n_tokens
+      |  FROM e$TrainRounds
+      |)""".stripMargin
   }
+
+  val bpeTokensSql: String =
+    s"""$tokenFrameCtes
+      |SELECT doc_id, n_words, n_chars, n_tokens,
+      |  CAST(n_tokens AS BIGINT) * 1000 // n_chars AS compression_permille
+      |FROM tf
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_train" -> ((s, d) => vocabTrain(s, d)),

@@ -976,7 +976,114 @@ object Corpus {
       |ORDER BY b.source, b.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #129 corpus_token_budget — max-min fair token allocation per source
+  // ---------------------------------------------------------------------
+
+  /** The global budget is this fraction of the corpus's total tokens
+    * (denominator 3 → keep a third), so the allocation binds at every
+    * scale factor instead of degenerating to "keep everything" on
+    * small corpora. */
+  val TokenBudgetDen = 3
+
+  /** Token-budget allocation across sources: given per-doc BPE token
+    * counts (#128's currency — the one a pretraining run actually
+    * spends) and a global budget, allocate tokens per source by exact
+    * integer WATER-FILLING (max-min fairness): find the level L such
+    * that Σ min(tokens_s, L) = budget — small sources keep everything,
+    * large sources are capped at the level, and the division remainder
+    * goes +1 to the first capped sources in name order so the
+    * allocation sums to the budget EXACTLY. This is the "rebalance the
+    * mixture without starving small sources" step a budgeted
+    * pretraining mix runs after profiling; the closed-form level
+    * search (sort by size, prefix sums, one integer division per
+    * candidate boundary) replaces the iterative waterfill loop.
+    *
+    * Scale: the corpus-scale work is #128's map-only token count and
+    * one per-source aggregate; everything after operates on the
+    * #sources-row frame (windows over dozens of rows, broadcast
+    * scalars — the same tiny-frame pattern as corpus_overlap's pair
+    * scaffold). All integer arithmetic, reproduced verbatim in the
+    * oracle behind the shared 20-round BPE CTE chain.
+    */
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Bpe.tokenFrame(spark, dir)
+      .groupBy("source").agg(sum(col("n_tokens").cast("long")).as("toks"))
+    val tot = per.agg(sum("toks").as("total"), count(lit(1)).as("n"))
+      .select(expr(s"total div $TokenBudgetDen").as("budget"), col("n"))
+    val w = Window.orderBy("toks", "source")
+    val cand = per
+      .select(col("source"), col("toks"),
+        row_number().over(w).as("i"),
+        sum("toks").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("p"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lvl", expr("(budget - (p - toks)) div (n - i + 1)"))
+    // first ascending boundary where the equal-split level no longer
+    // covers the source = where capping starts; level + remainder there
+    val pick = cand.where(col("lvl") < col("toks"))
+      .agg(min("i").as("bi"),
+        min_by(col("lvl"), col("i")).as("level"),
+        min_by(col("p") - col("toks"), col("i")).as("p_below"))
+    val j = cand.crossJoin(broadcast(pick))
+      .withColumn("rem",
+        expr("budget - p_below - level * (n - bi + 1)"))
+    val full = j.where(col("i") < col("bi"))
+      .select(col("source"), col("toks"), col("level"),
+        col("toks").as("alloc"))
+    val capped = j.where(col("i") >= col("bi"))
+      .withColumn("rn", row_number().over(Window.orderBy("source")))
+      .select(col("source"), col("toks"), col("level"),
+        (col("level") + when(col("rn") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc"))
+    full.unionByName(capped)
+      .select(col("source"), col("toks").as("tokens_total"),
+        col("level").as("water_level"), col("alloc").as("alloc_tokens"),
+        expr("alloc * 1000 div toks").as("kept_permille"))
+      .orderBy("source")
+  }
+
+  val corpusTokenBudgetSql: String =
+    s"""${Bpe.tokenFrameCtes}, per AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS toks
+      |  FROM tf GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(toks) AS BIGINT) // $TokenBudgetDen AS budget,
+      |    COUNT(*) AS n
+      |  FROM per
+      |), cand AS (
+      |  SELECT source, toks,
+      |    row_number() OVER (ORDER BY toks, source) AS i,
+      |    CAST(SUM(toks) OVER (ORDER BY toks, source ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS p,
+      |    budget, n
+      |  FROM per CROSS JOIN tot
+      |), cand2 AS (
+      |  SELECT *, (budget - (p - toks)) // (n - i + 1) AS lvl FROM cand
+      |), pick AS (
+      |  SELECT MIN(i) AS bi, min_by(lvl, i) AS level,
+      |    min_by(p - toks, i) AS p_below
+      |  FROM cand2 WHERE lvl < toks
+      |), j AS (
+      |  SELECT c.*, k.bi, k.level, k.p_below,
+      |    c.budget - k.p_below - k.level * (c.n - k.bi + 1) AS rem
+      |  FROM cand2 c CROSS JOIN pick k
+      |), alloc AS (
+      |  SELECT source, toks, level, toks AS alloc FROM j WHERE i < bi
+      |  UNION ALL
+      |  SELECT source, toks, level,
+      |    level + CASE WHEN row_number() OVER (ORDER BY source) <= rem
+      |                 THEN 1 ELSE 0 END AS alloc
+      |  FROM j WHERE i >= bi
+      |)
+      |SELECT source, toks AS tokens_total, level AS water_level,
+      |  alloc AS alloc_tokens, alloc * 1000 // toks AS kept_permille
+      |FROM alloc
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_token_budget" -> corpusTokenBudget,
     "corpus_overlap" -> corpusOverlap,
     "corpus_profile" -> corpusProfile,
     "corpus_clean" -> corpusClean,
@@ -993,6 +1100,7 @@ object Corpus {
     "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_overlap" -> corpusOverlapSql,
     "corpus_profile" -> corpusProfileSql,
     "corpus_clean" -> corpusCleanSql,

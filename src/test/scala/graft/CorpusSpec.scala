@@ -255,6 +255,45 @@ class CorpusSpec extends SparkSpec {
     assert(r.getLong(5) === 500L) // 1 of min(2,2) in permille
   }
 
+  test("token budget water-fill: exact sum, per-source bounds, fairness") {
+    val out = operators.Corpus.corpusTokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    val budget = total / operators.Corpus.TokenBudgetDen
+    // the allocation spends the budget EXACTLY (remainder distributed)
+    assert(out.map(_._4).sum === budget)
+    out.foreach { case (src, toks, level, alloc, pm) =>
+      assert(alloc <= toks, s"$src over-allocated")
+      // max-min fairness: either fully kept (small source) or pinned
+      // to the water level (+1 for remainder slots)
+      assert(alloc === toks || alloc === level || alloc === level + 1,
+        s"$src alloc $alloc not fair for toks=$toks level=$level")
+      if (toks <= level) assert(alloc === toks, s"$src under level but cut")
+      assert(pm === alloc * 1000 / toks)
+    }
+  }
+
+  test("token budget keeps a small source whole while capping large ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    // tiny source (one short doc) vs two fat sources: the fair level
+    // must exceed the tiny source's total, so it survives uncut
+    val docs =
+      Seq((1L, "tiny doc here", "en", "small", 13L)) ++
+        (2L to 41L).map(i => (i, "a much longer document with many words " +
+          s"repeated $i times over", "en", if (i % 2 == 0) "fatA" else "fatB", 60L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.Corpus.corpusTokenBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val (smallToks, smallAlloc) = out("small")
+    assert(smallAlloc === smallToks) // fully kept
+    val (fatToks, fatAlloc) = out("fatA")
+    assert(fatAlloc < fatToks) // capped
+  }
+
   test("profile histogram median equals the sort-based lower median") {
     val out = operators.Corpus.corpusProfile(spark, sf).collect()
     val byGroup = Tables.load(spark, sf, "documents")
