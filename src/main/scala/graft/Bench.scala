@@ -49,6 +49,12 @@ object Bench {
     "gelf_chunks_packed", "sketch_gap_quantiles",
     "dedup_keep_best", "corpus_overlap", "corpus_profile",
     "vocab_train", "text_bpe_tokens", "corpus_token_budget")
+  // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
+  // like dedup_jaccard (sweep-covered) they are acceptance gates
+  // composing already-benched paths — ann_recall re-runs all three
+  // ANN queries, lsh_recall re-runs the detector plus an exact-truth
+  // pass — so benching them would double-count their inputs' cost.
+  // Both stay in the Stress sweep and the oracle battery.
 
   val TimedPasses = 3
 

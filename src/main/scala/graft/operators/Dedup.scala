@@ -1159,7 +1159,144 @@ object Dedup {
       |WHERE levenshtein(a.p, c.p) <= $FuzzyMaxDist
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #131 dedup_lsh_recall — MinHash-LSH detector quality vs exact truth
+  // ---------------------------------------------------------------------
+
+  /** Recall AND precision of the MinHash-LSH near-dup detector (#29b)
+    * against exact Jaccard truth computed ON THE DETECTOR'S OWN
+    * feature space — global-scope word-2-gram shingles at J ≥ 0.8.
+    * (#31's pair set is NOT that truth: it measures unigram token
+    * sets within (lang, source) buckets — a recall number against a
+    * different feature space and scope would be meaningless.) This is
+    * the measurement a pipeline runs before trusting banded LSH at a
+    * scale where exact Jaccard is unaffordable: of the true J ≥ 0.8
+    * shingle pairs, how many did banding catch (recall); of the
+    * flagged pairs, how many are truly J ≥ 0.8 (precision — the
+    * detector verifies at estimated J ≥ 0.5, so this reads below
+    * 1000). One summary row, integer permille. Complements the
+    * parameter-sweep curves in graft.LshSweep by pinning the
+    * PRODUCTION operating point inside the oracle battery.
+    *
+    * Scale: the truth set reuses the AllPairs prefix-filter theorem
+    * (#31's machinery) on the shingle space — globally rather than
+    * per-bucket, which is safe precisely because shingles are
+    * high-selectivity (the reason minhash uses them): candidates are
+    * bounded by rare-shingle document frequency, never corpus². The
+    * final comparison is one join on slim pair sets + three 1-row
+    * aggregates, broadcast-composed. */
+  def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    // Duplicate collapse, global flavor (the #31 proof, one rep per
+    // distinct norm): without it, ×N duplicate amplification inflates
+    // every shingle's df ×N and the prefix self-join's candidates ×N²
+    // — the ×10 sweep ran this path into the ground before the
+    // collapse. Rep-level truth expands exactly: within-group pairs
+    // are J = 1 by identity, cross-group pairs carry their reps' J.
+    val wG = Window.partitionBy(md5(col("norm")))
+    val tagged = graft.Checkpoints.pin(
+      docs(spark, dir).withColumn("rep", min("doc_id").over(wG))
+        .select(col("doc_id"), col("rep"), col("norm")))
+    val members = tagged.select(col("doc_id"), col("rep"))
+    val sh = tagged.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), shinglesOf(col("norm")).as("toks"))
+      .withColumn("nt", size(col("toks")))
+    val shP = graft.Checkpoints.pin(sh)
+    val t = shP.select(col("doc_id"), col("nt"), explode(col("toks")).as("tok"))
+    val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val pfx = t.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("nt") - expr(s"($JaccNum * nt + ${JaccDen - 1}) div $JaccDen") + 1)
+      .select("doc_id", "nt", "tok")
+    val cand = pfx.as("a")
+      .join(pfx.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(JaccDen) * least(col("a.nt"), col("b.nt")) >=
+            lit(JaccNum) * greatest(col("a.nt"), col("b.nt")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val repPairs = cand
+      .join(shP.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(shP.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect(col("ta"), col("tb"))))
+      .filter(lit(JaccDen) * col("shared") >=
+        lit(JaccNum) * (size(col("ta")) + size(col("tb")) - col("shared")))
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), Seq("rb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val truth = cross.unionByName(within)
+    val det = dedupMinhashPoly(spark, dir).select("doc_a", "doc_b")
+    val hits = truth.join(det, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_true"), col("n_detected"), col("n_hit"),
+        expr("n_hit * 1000 div n_true").as("recall_permille"),
+        expr("n_hit * 1000 div n_detected").as("precision_permille"))
+  }
+
+  val dedupLshRecallSql: String =
+    s"""WITH det AS MATERIALIZED ($dedupMinhashPolySql),
+      |dd AS (SELECT doc_id, $normSql AS norm FROM documents),
+      |tg AS MATERIALIZED (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS rep, norm
+      |  FROM dd
+      |), sh2 AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+      |    i -> words[i] || ' ' || words[i+1])) AS toks
+      |  FROM (SELECT doc_id, string_split(norm, ' ') AS words
+      |        FROM tg WHERE doc_id = rep)
+      |), st AS (
+      |  SELECT doc_id, len(toks) AS nt, unnest(toks) AS tok FROM sh2
+      |), dfq AS (
+      |  SELECT tok, COUNT(*) AS df FROM st GROUP BY tok
+      |), pfx AS (
+      |  SELECT doc_id, nt, st.tok
+      |  FROM st JOIN dfq USING (tok)
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY df, tok)
+      |    <= nt - ($JaccNum * nt + ${JaccDen - 1}) // $JaccDen + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pfx a JOIN pfx b
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |   AND $JaccDen * least(a.nt, b.nt) >= $JaccNum * greatest(a.nt, b.nt)
+      |), rp AS MATERIALIZED (
+      |  SELECT cand.doc_a AS ra, cand.doc_b AS rb
+      |  FROM cand
+      |  JOIN sh2 x ON x.doc_id = cand.doc_a
+      |  JOIN sh2 y ON y.doc_id = cand.doc_b
+      |  WHERE $JaccDen * len(list_intersect(x.toks, y.toks))
+      |    >= $JaccNum * (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))
+      |), truth AS MATERIALIZED (
+      |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+      |    greatest(a.doc_id, b.doc_id) AS doc_b
+      |  FROM rp JOIN tg a ON a.rep = rp.ra JOIN tg b ON b.rep = rp.rb
+      |  UNION ALL
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM tg x JOIN tg y ON x.rep = y.rep AND x.doc_id < y.doc_id
+      |), h AS (
+      |  SELECT COUNT(*) AS n_hit
+      |  FROM truth t JOIN det d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+      |)
+      |SELECT
+      |  (SELECT COUNT(*) FROM truth) AS n_true,
+      |  (SELECT COUNT(*) FROM det) AS n_detected,
+      |  h.n_hit,
+      |  h.n_hit * 1000 // (SELECT COUNT(*) FROM truth) AS recall_permille,
+      |  h.n_hit * 1000 // (SELECT COUNT(*) FROM det) AS precision_permille
+      |FROM h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_recall" -> ((s: SparkSession, d: String) => dedupLshRecall(s, d)),
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_exact" -> dedupExact,
     "dedup_keep_best" -> dedupKeepBest,
@@ -1173,6 +1310,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_recall" -> dedupLshRecallSql,
     "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keep_best" -> dedupKeepBestSql,

@@ -651,7 +651,70 @@ object Similarity {
       |ORDER BY cid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #130 ann_recall — recall@k of the approximate paths vs brute force
+  // ---------------------------------------------------------------------
+
+  /** Recall@k measurement of BOTH approximate ANN paths (hyperplane
+    * LSH #34b, IVF #48) against the exact brute-force top-k (#33) —
+    * the acceptance gate every ANN deployment runs before trusting
+    * the approximate index, here as a first-class query rather than
+    * an offline notebook: per query point, how many of the true top-k
+    * the approximate result recovered, in integer permille.
+    *
+    * Scale: recall evaluation always runs on a bounded query SAMPLE
+    * (NumQueries points × TopK rows per path), so every frame here is
+    * eval-set-sized regardless of corpus size; the expensive inputs
+    * are the three already-scale-audited ANN queries themselves. The
+    * oracle nests all three paths' full SQL as materialized CTEs —
+    * the recall algebra on top is engine-exact integer counting. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforce(spark, dir).select("query_id", "vec_id")
+    val lsh = annLshPoly(spark, dir).select("query_id", "vec_id")
+    val ivf = annIvf(spark, dir).select("query_id", "vec_id")
+    val k = exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+    val lh = exact.join(lsh, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
+    val ih = exact.join(ivf, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
+    k.join(lh, Seq("query_id"), "left")
+      .join(ih, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .withColumn("lsh_recall_permille", expr("lsh_hits * 1000 div k"))
+      .withColumn("ivf_recall_permille", expr("ivf_hits * 1000 div k"))
+      .orderBy("query_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH exact AS MATERIALIZED ($annBruteforceSql),
+      |lshr AS MATERIALIZED ($annLshPolySql),
+      |ivfr AS MATERIALIZED ($annIvfSql),
+      |kk AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY query_id),
+      |lh AS (
+      |  SELECT e.query_id, COUNT(*) AS lsh_hits
+      |  FROM exact e JOIN lshr l
+      |    ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+      |  GROUP BY e.query_id
+      |), ih AS (
+      |  SELECT e.query_id, COUNT(*) AS ivf_hits
+      |  FROM exact e JOIN ivfr v
+      |    ON e.query_id = v.query_id AND e.vec_id = v.vec_id
+      |  GROUP BY e.query_id
+      |)
+      |SELECT kk.query_id, kk.k,
+      |  COALESCE(lh.lsh_hits, 0) AS lsh_hits,
+      |  COALESCE(ih.ivf_hits, 0) AS ivf_hits,
+      |  COALESCE(lh.lsh_hits, 0) * 1000 // kk.k AS lsh_recall_permille,
+      |  COALESCE(ih.ivf_hits, 0) * 1000 // kk.k AS ivf_recall_permille
+      |FROM kk
+      |LEFT JOIN lh ON kk.query_id = lh.query_id
+      |LEFT JOIN ih ON kk.query_id = ih.query_id
+      |ORDER BY kk.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "ann_lsh_poly" -> annLshPoly,
@@ -660,6 +723,7 @@ object Similarity {
     "corpus_diversity" -> corpusDiversity)
 
   val oracle: Map[String, String] = Map(
+    "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh_poly" -> annLshPolySql,
     "ann_ivf" -> annIvfSql,

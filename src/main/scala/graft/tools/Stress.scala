@@ -52,7 +52,8 @@ object Stress {
     "events_paths", "events_funnel", "events_anomaly",
     "events_gap_quantiles", "sketch_gap_quantiles",
     "dedup_keep_best", "corpus_overlap", "corpus_profile",
-    "vocab_train", "text_bpe_tokens", "corpus_token_budget")
+    "vocab_train", "text_bpe_tokens", "corpus_token_budget",
+    "dedup_lsh_recall")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

@@ -272,6 +272,28 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("lsh_recall: truth equals a brute-force shingle-Jaccard recomputation") {
+    // the operator's truth side is prefix-filtered; at spec scale,
+    // recompute exact global 2-gram-shingle J >= 0.8 pairs by brute
+    // force and check the counts line up
+    val sh = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_distinct(functions.TextFunctions.word_ngrams(
+          functions.TextFunctions.normText(col("text")), 2)).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val nTrue = (for {
+      (a, ta) <- sh; (b, tb) <- sh
+      if a < b
+      shared = (ta & tb).size
+      if 5 * shared >= 4 * (ta.size + tb.size - shared)
+    } yield 1).size
+    val row = operators.Dedup.dedupLshRecall(spark, sf).collect().head
+    assert(row.getLong(0) === nTrue.toLong)
+    assert(row.getLong(2) <= math.min(row.getLong(0), row.getLong(1)))
+    assert(row.getLong(3) === row.getLong(2) * 1000 / row.getLong(0))
+    assert(row.getLong(4) === row.getLong(2) * 1000 / row.getLong(1))
+  }
+
   test("keep_best covers the corpus and agrees with a window-ranked recomputation") {
     import org.apache.spark.sql.expressions.Window
     val out = operators.Dedup.dedupKeepBest(spark, sf)

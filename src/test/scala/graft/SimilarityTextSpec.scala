@@ -174,4 +174,17 @@ class SimilarityTextSpec extends SparkSpec {
     // exact top-k (recall here is over all 5 queries jointly)
     assert(overlap.toDouble / exact.size >= 0.8, s"recall=${overlap.toDouble / exact.size}")
   }
+
+  test("ann_recall: hits bounded by k, permille algebra exact, one row per query") {
+    val out = operators.Similarity.annRecall(spark, sf).collect()
+    val nq = operators.Similarity.annBruteforce(spark, sf)
+      .select("query_id").distinct().count()
+    assert(out.length.toLong === nq)
+    out.foreach { r =>
+      val (k, lh, ih, lpm, ipm) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(lh >= 0 && lh <= k); assert(ih >= 0 && ih <= k)
+      assert(lpm === lh * 1000 / k); assert(ipm === ih * 1000 / k)
+    }
+  }
 }
