@@ -477,6 +477,145 @@ object Corpus {
       |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // #132 corpus_exact_substr — ExactSubstr duplicated-span detection
+  // (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  // Models Better"): every maximal character span of length ≥ L whose
+  // L-char windows each occur in MORE THAN ONE document. The reference
+  // has no analogue; this is the character-granular member of the
+  // dedup family — #28 removes whole-doc copies, #70 fixed passage
+  // blocks, this one arbitrary-position verbatim overlap (licence
+  // headers, quoted paragraphs, syndicated fragments) that survives
+  // both because the surrounding document differs.
+  // ---------------------------------------------------------------------
+
+  /** Minimum duplicated-substring length, in normalized characters.
+    * Lee et al. use 50 BPE tokens (~200 chars) on web text; 25 chars
+    * suits the few-hundred-char synthetic docs. Recall/granularity
+    * knob only — the plan shape is L-independent. */
+  val ExactSubstrLen = 25
+
+  /** Duplicated spans per document: (doc_id, span_start, span_end,
+    * span_chars), 1-based inclusive positions in the normalized text.
+    *
+    * Scale shape (the whole point — this is the operator people run
+    * over the full 100 TB crawl):
+    *  - Documents collapse to one representative per distinct
+    *    normalized text FIRST (one map-side-combined groupBy — what
+    *    dedup_exact costs), so every window frame scales with
+    *    distinct texts, not documents; spans expand back through the
+    *    groups at the end (members share their rep's text, hence its
+    *    spans, verbatim).
+    *  - The window explode emits one SLIM row (rep, pos, 25-char
+    *    window) per character; the text is never duplicated across
+    *    rows — explode(sequence) and the substring projection fuse
+    *    into one codegen stage, so the O(n²)-looking generate is
+    *    O(n·L) bytes and never materializes the carried text column.
+    *  - Duplicated-window detection is distinct(win, rep) → per-win
+    *    aggregate: both map-side combine, so a boilerplate window
+    *    repeated millions of times crosses the shuffle once per
+    *    (window, distinct text), and the test state is two longs per
+    *    distinct window. A window is cross-doc duplicated iff ≥ 2
+    *    distinct texts carry it OR its single carrying text has ≥ 2
+    *    member docs — exactly the uncollapsed ≥-2-docs test.
+    *  - Position join-back fans each hot window d×1 (its own
+    *    occurrence list over distinct texts), never d×d — no pair set
+    *    exists anywhere in the plan, which is what makes this
+    *    tractable where all-pairs near-dup is not.
+    *  - The window frame is ~L× the distinct corpus in bytes, so it
+    *    is deliberately RECOMPUTED for the join-back branch (two
+    *    scan-bound passes) instead of persisted — caching 25× the
+    *    corpus is the thing that does not survive 100 TB.
+    *  - Island merge runs per rep (window function bounded by doc
+    *    length), then one aggregate per island. With fixed L, sorted
+    *    window starts have non-decreasing ends, so `pos > lag(pos)+L`
+    *    is a complete break test (a window is subsumed only by one
+    *    starting ≤ L back).
+    * At production scale the window string key would be replaced by a
+    * rolling poly hash (8-byte shuffle key instead of L bytes — same
+    * plan, the #29b portable-hash trick); the string key keeps the
+    * operator bit-exact against the DuckDB oracle with zero collision
+    * caveats. */
+  def corpusExactSubstr(spark: SparkSession, dir: String,
+                        minLen: Int = ExactSubstrLen): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("t"))
+      .filter(length(col("t")) >= L)
+    // Duplicate collapse (the embedding-LSH round-8 lesson, applied
+    // up front): byte-identical normalized texts have identical
+    // window sets AND identical spans, so windows explode from one
+    // REPRESENTATIVE per distinct text and spans expand back through
+    // the groups afterwards. On a duplicate-heavy corpus — the normal
+    // state of web crawl — every frame below scales with DISTINCT
+    // texts, not documents (×10 stress: 14M window rows → 1.4M).
+    // The duplication-awareness moves into the dup test: a window is
+    // cross-doc duplicated iff it appears in ≥ 2 distinct texts OR in
+    // one distinct text carried by ≥ 2 documents (the copies).
+    val reps = docs.groupBy("t")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gs"))
+    val mem = docs.join(reps.select("t", "rep"), "t").select("doc_id", "rep")
+    val wins = reps
+      .select(col("rep"), col("gs"),
+        explode(expr(s"sequence(1, length(t) - $L + 1)")).as("pos"),
+        col("t"))
+      .select(col("rep"), col("gs"), col("pos").cast("long").as("pos"),
+        expr(s"substring(t, pos, $L)").as("win"))
+    val dupWins = wins.select("win", "rep", "gs").distinct()
+      .groupBy("win")
+      .agg(count(lit(1)).as("ntexts"), max("gs").as("mgs"))
+      .filter(col("ntexts") >= 2 || col("mgs") >= 2)
+      .select("win")
+    val hits = wins.join(dupWins, "win").select("rep", "pos")
+    val byPos = Window.partitionBy("rep").orderBy("pos")
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(byPos) + L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("rep", "island")
+      .agg(min("pos").as("span_start"), max("pos").as("mx"))
+    spans.join(mem, "rep")
+      .select(col("doc_id"), col("span_start"),
+        (col("mx") + L - 1).as("span_end"),
+        (col("mx") + L - col("span_start")).as("span_chars"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def corpusExactSubstrSql(minLen: Int = ExactSubstrLen): String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    val L = minLen
+    s"""WITH d AS (
+      |  SELECT doc_id, $norm AS t FROM documents
+      |), w AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substring(t, CAST(i AS INT), $L) AS win
+      |  FROM d, unnest(range(1, greatest(length(t) - $L + 2, 1))) AS u(i)
+      |), dup AS (
+      |  SELECT win FROM (SELECT win, doc_id FROM w GROUP BY 1, 2)
+      |  GROUP BY win HAVING count(*) >= 2
+      |), p AS (
+      |  SELECT doc_id, pos FROM w JOIN dup USING (win)
+      |), m AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $L
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM p
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m
+      |)
+      |SELECT doc_id, MIN(pos) AS span_start,
+      |  MAX(pos) + $L - 1 AS span_end,
+      |  MAX(pos) + $L - MIN(pos) AS span_chars
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // #70 corpus_passage_dedup — passage-level exact dedup over fixed
   // word windows (the document-internal cousin of dedup_exact: a
   // boilerplate passage repeated across thousands of pages is removed
@@ -1090,6 +1229,7 @@ object Corpus {
     "corpus_pack" -> ((s: SparkSession, d: String) => corpusPack(s, d)),
     "corpus_mix" -> corpusMix,
     "corpus_passage_dedup" -> corpusPassageDedup,
+    "corpus_exact_substr" -> ((s: SparkSession, d: String) => corpusExactSubstr(s, d)),
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_domain_topk" -> corpusDomainTopk,
     "corpus_split" -> corpusSplit,
@@ -1105,6 +1245,7 @@ object Corpus {
     "corpus_profile" -> corpusProfileSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_passage_dedup" -> corpusPassageDedupSql,
+    "corpus_exact_substr" -> corpusExactSubstrSql(),
     "corpus_domain_cap" -> corpusDomainCapSql,
     "corpus_domain_topk" -> corpusDomainTopkSql,
     "corpus_pack" -> corpusPackSql(),

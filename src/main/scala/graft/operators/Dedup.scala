@@ -643,8 +643,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // hamming gate BEFORE the pair dedup: the same pair surfaces in
+      // up to nChunks bands so dropDuplicates is load-bearing here
+      // (unlike the embedding LSH's provably-unique pairs), but the
+      // bit_count gate is a codegen'd per-row predicate while the
+      // dedup is a full shuffle of every candidate pair — filtering
+      // first shrinks that shuffle to the ≤-MaxHamming survivors
+      // (orders of magnitude fewer on a duplicate-amplified corpus).
+      // hamming is a pure function of the pair, so dedup-then-filter
+      // and filter-then-dedup emit identical rows.
       .filter(col("hamming") <= MaxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
@@ -690,8 +699,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // same reorder as dedupSimhash: gate on hamming first so the
+      // load-bearing pair dedup shuffles only the survivors (this was
+      // the 1 GiB task peak of the ×10 sweep — the dedup aggregate
+      // over every multi-band candidate pair)
       .filter(col("hamming") <= SimPolyMaxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }

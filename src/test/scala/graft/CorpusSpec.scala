@@ -41,6 +41,55 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus_exact_substr spans equal a brute-force recomputation") {
+    val L = operators.Corpus.ExactSubstrLen
+    // independent reference: collect the normalized docs, enumerate
+    // every L-window, keep windows seen in >= 2 distinct docs, merge
+    // per-doc positions into maximal spans
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        functions.TextFunctions.normText(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val winDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, t) <- docs; i <- 0 to t.length - L)
+      winDocs.updateWith(t.substring(i, i + L)) {
+        case Some(s) => Some(s + id); case None => Some(Set(id))
+      }
+    val dup = winDocs.filter(_._2.size >= 2).keySet
+    val expected = docs.flatMap { case (id, t) =>
+      val hits = (0 to t.length - L).filter(i => dup(t.substring(i, i + L)))
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (i <- hits) {
+        // 1-based inclusive, matching the operator's substring positions
+        val (s, e) = (i + 1L, i.toLong + L)
+        if (spans.nonEmpty && s <= spans.last._2 + 1) {
+          val last = spans.remove(spans.length - 1)
+          spans += ((last._1, math.max(last._2, e)))
+        } else spans += ((s, e))
+      }
+      spans.map { case (s, e) => (id, s, e, e - s + 1) }
+    }.sortBy(r => (r._1, r._2))
+    val got = operators.Corpus.corpusExactSubstr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty) // corpus must actually exercise the operator
+  }
+
+  test("corpus_exact_substr spans are maximal: >= L chars, disjoint with a gap") {
+    val L = operators.Corpus.ExactSubstrLen
+    val got = operators.Corpus.corpusExactSubstr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (_, s, e, n) =>
+      assert(n >= L && n === e - s + 1)
+    }
+    got.groupBy(_._1).values.foreach { spans =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3 + 1) // merged iff touching
+        case _ =>
+      }
+    }
+  }
+
   test("near-dup drops are exactly the Jaccard pair higher ids") {
     val out = operators.Corpus.corpusClean(spark, sf)
     val dropped = out.filter(col("verdict") === "near_dup")
