@@ -553,8 +553,24 @@ object Corpus {
     // The duplication-awareness moves into the dup test: a window is
     // cross-doc duplicated iff it appears in ≥ 2 distinct texts OR in
     // one distinct text carried by ≥ 2 documents (the copies).
+    // Pin the rep frame's partitioning and materialize it ONCE (the
+    // dedup_jaccard shingle-cache lesson, round 11): the collapse
+    // aggregate's output is tiny in BYTES, so AQE coalesces its
+    // shuffle to one partition — and then every branch that
+    // re-derives the window explode from it (dup detection AND
+    // position join-back) runs the most expensive per-row step of the
+    // plan as one single task (traced: 3-6 s single-task stages,
+    // ~all of the query's wall). repartition with an EXPLICIT count
+    // (AQE coalesces a bare repartition(col) too) spreads the
+    // explode back over the executor width, and persisting the
+    // distinct-TEXT frame (1× the distinct corpus — never the L×
+    // window frame) runs the collapse once instead of once per
+    // branch; MEMORY_AND_DISK spills rather than OOMs at scale.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val reps = docs.groupBy("t")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("gs"))
+      .repartition(nPart, col("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mem = docs.join(reps.select("t", "rep"), "t").select("doc_id", "rep")
     val wins = reps
       .select(col("rep"), col("gs"),
