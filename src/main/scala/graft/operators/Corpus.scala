@@ -632,6 +632,121 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // #133 corpus_exact_substr_scrub — the excision half of ExactSubstr
+  // dedup (Lee et al. 2022 run it in exactly this drop-all mode):
+  // every duplicated span found by #132 is cut from every document,
+  // emitting per-doc cleaned text + removal accounting. Composes #132
+  // the way corpus_clean composes the dedup family.
+  // ---------------------------------------------------------------------
+
+  /** Per-doc scrub: (doc_id, removed_spans, removed_chars,
+    * clean_text, clean_chars) over ALL documents (docs without
+    * duplicated spans pass through with their normalized text).
+    *
+    * Scale shape: #132's span set is tiny next to the corpus (spans
+    * per doc ≤ len/L), so the scrub is one doc_id-keyed left join plus
+    * a per-row splice — the collect_list state is bounded by doc
+    * length, and the splice is a single codegen'd `aggregate` HOF over
+    * the sorted span array (each segment substring'd once, no
+    * per-span row explosion). Output is map-scale: one row per doc. */
+  def corpusExactSubstrScrub(spark: SparkSession, dir: String,
+                             minLen: Int = ExactSubstrLen): DataFrame = {
+    val L = minLen
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("t"))
+    val agg = corpusExactSubstr(spark, dir, L)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(
+          struct(col("span_start").as("s"), col("span_end").as("e")))).as("spans"),
+        count(lit(1)).as("removed_spans"),
+        sum("span_chars").as("removed_chars"))
+    d.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("removed_spans"), lit(0L)).as("removed_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        when(col("spans").isNull, col("t")).otherwise(expr(
+          // splice: fold over sorted spans appending the segment
+          // BEFORE each span, then the tail after the last one;
+          // zero-length segments (adjacent spans, span at either
+          // boundary) substring to '' in both engines
+          """aggregate(spans,
+            |  named_struct('pos', CAST(1 AS BIGINT), 'acc', ''),
+            |  (a, x) -> named_struct(
+            |    'pos', x.e + CAST(1 AS BIGINT),
+            |    'acc', concat(a.acc,
+            |      substring(t, CAST(a.pos AS INT), CAST(x.s - a.pos AS INT)))),
+            |  a -> concat(a.acc,
+            |    substring(t, CAST(a.pos AS INT),
+            |      CAST(length(t) - a.pos + 1 AS INT))))""".stripMargin))
+          .as("clean_text"))
+      .withColumn("clean_chars", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** The #132 span pipeline as CTEs, then a window/segment splice —
+    * segments BETWEEN consecutive spans via lag(e), the tail after
+    * max(e), stitched with an ordered string_agg. (A list_reduce fold
+    * like the Spark side's HOF mis-threads struct accumulators in
+    * DuckDB, so the oracle splices relationally instead — same
+    * result, provably: segment boundaries are identical.) */
+  def corpusExactSubstrScrubSql(minLen: Int = ExactSubstrLen): String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    val L = minLen
+    s"""WITH d AS (
+      |  SELECT doc_id, $norm AS t FROM documents
+      |), w AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substring(t, CAST(i AS INT), $L) AS win
+      |  FROM d, unnest(range(1, greatest(length(t) - $L + 2, 1))) AS u(i)
+      |), dup AS (
+      |  SELECT win FROM (SELECT win, doc_id FROM w GROUP BY 1, 2)
+      |  GROUP BY win HAVING count(*) >= 2
+      |), p AS (
+      |  SELECT doc_id, pos FROM w JOIN dup USING (win)
+      |), m AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $L
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM p
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m
+      |), sp AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + $L - 1 AS e
+      |  FROM isl GROUP BY doc_id, island
+      |), segs AS (
+      |  SELECT sp.doc_id, s AS ord,
+      |    substring(t,
+      |      CAST(COALESCE(lag(e) OVER (PARTITION BY sp.doc_id ORDER BY s), 0) + 1 AS INT),
+      |      CAST(s - COALESCE(lag(e) OVER (PARTITION BY sp.doc_id ORDER BY s), 0) - 1 AS INT)) AS seg
+      |  FROM sp JOIN d USING (doc_id)
+      |  UNION ALL
+      |  SELECT mx.doc_id, length(t) + 1 AS ord,
+      |    substring(t, CAST(e1 + 1 AS INT), CAST(length(t) - e1 AS INT)) AS seg
+      |  FROM (SELECT doc_id, MAX(e) AS e1 FROM sp GROUP BY doc_id) mx
+      |  JOIN d USING (doc_id)
+      |), cleaned AS (
+      |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+      |  FROM segs GROUP BY doc_id
+      |), stats AS (
+      |  SELECT doc_id, COUNT(*) AS removed_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+      |  FROM sp GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(st.removed_spans, 0) AS removed_spans,
+      |  COALESCE(st.removed_chars, 0) AS removed_chars,
+      |  COALESCE(c.clean_text, d.t) AS clean_text,
+      |  length(COALESCE(c.clean_text, d.t)) AS clean_chars
+      |FROM d LEFT JOIN cleaned c USING (doc_id)
+      |LEFT JOIN stats st USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // #70 corpus_passage_dedup — passage-level exact dedup over fixed
   // word windows (the document-internal cousin of dedup_exact: a
   // boilerplate passage repeated across thousands of pages is removed
@@ -1246,6 +1361,7 @@ object Corpus {
     "corpus_mix" -> corpusMix,
     "corpus_passage_dedup" -> corpusPassageDedup,
     "corpus_exact_substr" -> ((s: SparkSession, d: String) => corpusExactSubstr(s, d)),
+    "corpus_exact_substr_scrub" -> ((s: SparkSession, d: String) => corpusExactSubstrScrub(s, d)),
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_domain_topk" -> corpusDomainTopk,
     "corpus_split" -> corpusSplit,
@@ -1262,6 +1378,7 @@ object Corpus {
     "corpus_clean" -> corpusCleanSql,
     "corpus_passage_dedup" -> corpusPassageDedupSql,
     "corpus_exact_substr" -> corpusExactSubstrSql(),
+    "corpus_exact_substr_scrub" -> corpusExactSubstrScrubSql(),
     "corpus_domain_cap" -> corpusDomainCapSql,
     "corpus_domain_topk" -> corpusDomainTopkSql,
     "corpus_pack" -> corpusPackSql(),

@@ -75,6 +75,34 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty) // corpus must actually exercise the operator
   }
 
+  test("corpus_exact_substr_scrub excises exactly the operator's spans") {
+    val spans = operators.Corpus.corpusExactSubstr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(v => (v._2, v._3)).sorted).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        functions.TextFunctions.normText(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = operators.Corpus.corpusExactSubstrScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(got.length === docs.size) // every doc is present
+    got.foreach { case (id, nsp, rch, clean, cch) =>
+      val t = docs(id)
+      val sp = spans.getOrElse(id, Array.empty[(Long, Long)])
+      // independent splice: drop [s, e] (1-based inclusive) segments
+      val expected = {
+        val sb = new StringBuilder; var pos = 1L
+        for ((s, e) <- sp) { sb ++= t.substring(pos.toInt - 1, s.toInt - 1); pos = e + 1 }
+        sb ++= t.substring(pos.toInt - 1); sb.toString
+      }
+      assert(clean === expected, s"doc $id")
+      assert(nsp === sp.length.toLong)
+      assert(rch === sp.map { case (s, e) => e - s + 1 }.sum)
+      assert(cch === clean.length.toLong && cch === t.length - rch)
+    }
+    assert(got.exists(_._2 > 0)) // the corpus exercises the excision
+  }
+
   test("corpus_exact_substr spans are maximal: >= L chars, disjoint with a gap") {
     val L = operators.Corpus.ExactSubstrLen
     val got = operators.Corpus.corpusExactSubstr(spark, sf).collect()
