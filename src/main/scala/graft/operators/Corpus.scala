@@ -747,6 +747,95 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // #134/#135 corpus_shuffle — deterministic seeded training-order
+  // permutation (the serve-order step every pretraining run performs
+  // before batching) + the interleave-quality audit that decides
+  // whether the shuffle actually broke up per-source runs. The
+  // reference has no analogue; this completes the pipeline family's
+  // ordering/serving verb.
+  // ---------------------------------------------------------------------
+
+  /** Permutation key: ((doc_id + seed) mod P)·A mod P over the
+    * Mersenne prime P = 2³¹−1 with a multiplier LARGER than P (the
+    * golden-ratio multiplier ⌊P/φ⌋), so every id wraps the modulus
+    * and the key order genuinely permutes — a small multiplier like
+    * minstd's 48271 never wraps on id ranges below P/A and the
+    * "shuffle" degenerates to the identity, and a seed ADDED after
+    * the multiply only rotates the key space, leaving the order
+    * essentially unchanged between seeds; adding it to the id BEFORE
+    * the multiply re-keys every position (both caught by the spec).
+    * The inner mod bounds the product at
+    * (P−1)·A < 2⁶³ for ANY doc_id; doc_id breaks key ties so the
+    * order is total (engine-independent). Deterministic per seed;
+    * a new epoch order = a new seed. */
+  val ShuffleA = 1327217885L
+  val ShuffleP = 2147483647L
+  val ShuffleSeed = 12345L
+
+  /** (position, doc_id, source): a seeded total-order permutation of
+    * the corpus. Scale shape: the key is a map-side expression, the
+    * global 1-based position comes from [[Skew.globalRank]]'s
+    * range-repartitioned ranker (two exchanges, every sort
+    * partition-local — never a single-task window), and the key's
+    * uniformity means the range partitions are balanced at any corpus
+    * size. Reshuffling an epoch = a different seed. */
+  def corpusShuffle(spark: SparkSession, dir: String,
+                    seed: Long = ShuffleSeed): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("skey",
+        ((col("doc_id") + seed) % ShuffleP) * ShuffleA % ShuffleP)
+    Skew.globalRank(d, 8, col("skey"), col("doc_id"))
+      .select(col("rank").as("position"), col("doc_id"), col("source"))
+      .orderBy("position")
+  }
+
+  def corpusShuffleSql(seed: Long = ShuffleSeed): String =
+    s"""SELECT row_number() OVER (
+      |    ORDER BY ((doc_id + $seed) % $ShuffleP) * $ShuffleA % $ShuffleP, doc_id)
+      |  AS position, doc_id, source
+      |FROM documents
+      |ORDER BY position""".stripMargin
+
+  /** Interleave audit over the shuffled order: per source, how many
+    * ADJACENT pairs are same-source (the padding/batch-correlation
+    * risk a bad shuffle leaves behind). Adjacency is a position self
+    * join (position+1), a plain distributed hash join — never an
+    * unpartitioned lag window over the global order. */
+  def corpusShuffleAudit(spark: SparkSession, dir: String,
+                         seed: Long = ShuffleSeed): DataFrame = {
+    val s = corpusShuffle(spark, dir, seed).select("position", "source")
+    val adj = s.as("a")
+      .join(s.as("b"),
+        col("b.position") === col("a.position") + 1 &&
+          col("b.source") === col("a.source"))
+      .groupBy(col("a.source").as("source"))
+      .agg(count(lit(1)).as("adj_pairs"))
+    s.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(adj, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("adj_pairs"), lit(0L)).as("adj_pairs"))
+      .orderBy("source")
+  }
+
+  def corpusShuffleAuditSql(seed: Long = ShuffleSeed): String =
+    s"""WITH s AS (
+      |  SELECT row_number() OVER (
+      |      ORDER BY ((doc_id + $seed) % $ShuffleP) * $ShuffleA % $ShuffleP, doc_id)
+      |    AS position, source
+      |  FROM documents
+      |), adj AS (
+      |  SELECT a.source, COUNT(*) AS adj_pairs
+      |  FROM s a JOIN s b
+      |    ON b.position = a.position + 1 AND b.source = a.source
+      |  GROUP BY a.source
+      |)
+      |SELECT n.source, n.n_docs, COALESCE(adj.adj_pairs, 0) AS adj_pairs
+      |FROM (SELECT source, COUNT(*) AS n_docs FROM s GROUP BY source) n
+      |LEFT JOIN adj USING (source)
+      |ORDER BY n.source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // #70 corpus_passage_dedup — passage-level exact dedup over fixed
   // word windows (the document-internal cousin of dedup_exact: a
   // boilerplate passage repeated across thousands of pages is removed
@@ -1362,6 +1451,8 @@ object Corpus {
     "corpus_passage_dedup" -> corpusPassageDedup,
     "corpus_exact_substr" -> ((s: SparkSession, d: String) => corpusExactSubstr(s, d)),
     "corpus_exact_substr_scrub" -> ((s: SparkSession, d: String) => corpusExactSubstrScrub(s, d)),
+    "corpus_shuffle" -> ((s: SparkSession, d: String) => corpusShuffle(s, d)),
+    "corpus_shuffle_audit" -> ((s: SparkSession, d: String) => corpusShuffleAudit(s, d)),
     "corpus_domain_cap" -> corpusDomainCap,
     "corpus_domain_topk" -> corpusDomainTopk,
     "corpus_split" -> corpusSplit,
@@ -1379,6 +1470,8 @@ object Corpus {
     "corpus_passage_dedup" -> corpusPassageDedupSql,
     "corpus_exact_substr" -> corpusExactSubstrSql(),
     "corpus_exact_substr_scrub" -> corpusExactSubstrScrubSql(),
+    "corpus_shuffle" -> corpusShuffleSql(),
+    "corpus_shuffle_audit" -> corpusShuffleAuditSql(),
     "corpus_domain_cap" -> corpusDomainCapSql,
     "corpus_domain_topk" -> corpusDomainTopkSql,
     "corpus_pack" -> corpusPackSql(),

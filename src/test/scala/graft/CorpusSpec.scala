@@ -103,6 +103,35 @@ class CorpusSpec extends SparkSpec {
     assert(got.exists(_._2 > 0)) // the corpus exercises the excision
   }
 
+  test("corpus_shuffle is a deterministic seeded permutation; audit matches brute force") {
+    val out = operators.Corpus.corpusShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(out.map(_._1).toSeq === (1L to n)) // exact 1..N permutation
+    assert(out.map(_._2).distinct.length === n.toInt)
+    // the order is the LCG key order, reproducible across invocations
+    val again = operators.Corpus.corpusShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === out.map(t => (t._1, t._2)).toSeq)
+    // actually shuffles: not the identity order (a multiplier that
+    // never wraps the modulus degenerates to exactly that)
+    assert(out.map(_._2).toSeq !== out.map(_._2).sorted.toSeq)
+    // a different seed produces a different permutation
+    val other = operators.Corpus.corpusShuffle(spark, sf, seed = 777L)
+      .collect().map(_.getLong(1))
+    assert(other.toSeq !== out.map(_._2).toSeq)
+    // audit equals a brute-force scan of the shuffled order
+    val bySrc = out.sortBy(_._1).map(_._3)
+    val adjExpected = bySrc.zip(bySrc.tail).filter(p => p._1 == p._2)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val audit = operators.Corpus.corpusShuffleAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(audit.map(_._2).sum === n)
+    audit.foreach { case (src, _, adj) =>
+      assert(adj === adjExpected.getOrElse(src, 0L), s"source $src")
+    }
+  }
+
   test("corpus_exact_substr spans are maximal: >= L chars, disjoint with a gap") {
     val L = operators.Corpus.ExactSubstrLen
     val got = operators.Corpus.corpusExactSubstr(spark, sf).collect()
