@@ -279,17 +279,120 @@ object TextFunctions {
       |GROUP BY 1, 2
       |ORDER BY label_lang, pred_lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #136 text_surprisal — unigram-LM cross-entropy quality signal
+  // (CCNet, Wenzek et al. 2020 filter web text by LM perplexity; this
+  // is the self-trained unigram member of that family). The reference
+  // has no analogue; it joins the quality battery (#36, #83) as the
+  // corpus-statistics-driven scorer — a doc of globally-rare tokens
+  // scores high surprisal (gibberish / boilerplate IDs), a doc of
+  // common function words scores low.
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point log2 of a positive integer, exact and
+    * engine-independent: log2fp(x) = Q·⌊log2 x⌋ + T[mantissa], in
+    * units of 2⁻¹⁰ bits (Q = 1024). ⌊log2 x⌋ is binary-digit count −
+    * 1 (`bin()` renders the same string in Spark and DuckDB); the
+    * mantissa is the next 10 bits of x extracted by integer
+    * shift/divide; T is a 1024-entry table of ⌊Q·log2(1 + i/Q)⌋
+    * precomputed in Scala (StrictMath — one libm call at PLAN BUILD
+    * time) and embedded as the SAME literal array in the Spark plan
+    * and the generated DuckDB oracle, so both engines evaluate pure
+    * integer arithmetic on identical constants. This is how LM-style
+    * scoring stays inside the no-transcendentals rule every
+    * oracle-compared pipeline here follows (libm ln/log2 may round
+    * differently per engine; IEEE +,−,×,÷ may not): ~0.002-bit
+    * quantization instead of the whole-bit floor that flattens a
+    * natural-language frequency spectrum to a constant.
+    * Monotone non-decreasing in x; log2fp(1) = 0; x must be ≥ 1. */
+  val LogQ = 1024
+  private val logTable: IndexedSeq[Long] =
+    (0 until LogQ).map(i => math.floor(
+      LogQ * (StrictMath.log((LogQ + i).toDouble / LogQ) / StrictMath.log(2.0))).toLong)
+
+  /** Spark-SQL rendering of log2fp over expression `x` (must be a
+    * duplication-safe fragment — a column name or cheap arithmetic). */
+  def log2fpExpr(x: String): String = {
+    val t = logTable.mkString(", ")
+    s"(CAST($LogQ AS BIGINT) * (length(bin($x)) - 1) + element_at(array($t), " +
+      s"CAST((($x) * $LogQ) div shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1) - $LogQ AS INT) + 1))"
+  }
+
+  /** DuckDB rendering of the same formula — same table constant,
+    * dialect-only differences (`//` integer division, `<<` shift,
+    * 1-based list indexing). */
+  def log2fpSqlDuck(x: String): String = {
+    val t = logTable.mkString(", ")
+    s"(CAST($LogQ AS BIGINT) * (length(bin($x)) - 1) + [$t]" +
+      s"[CAST((($x) * $LogQ) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) - $LogQ AS INT) + 1])"
+  }
+
+  /** Per-doc unigram surprisal: token surprisal is
+    * log2fp(N) − log2fp(c(tok)) ≈ log2(N / c(tok)) in 2⁻¹⁰-bit
+    * units, where c is the corpus-wide occurrence count and N the
+    * total token count — the corpus IS the language model, no
+    * held-out training set. `mean_bits` converts to real bits per
+    * token with one exact IEEE division.
+    *
+    * Scale shape: one token explode (the same frame the vocab
+    * aggregate consumes — Catalyst reuses the scan), a
+    * map-side-combined vocab count, a token→vocab shuffle join (the
+    * vocab is corpus-wide so it canNOT be broadcast at 100 TB — AQE
+    * broadcasts it at test scale on its own), and a per-doc aggregate.
+    * The 1-row total crosses as a broadcast cross join, never a
+    * driver-side scalar job. */
+  def surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), norm(col("text")).as("norm"))
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n_total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("sbits",
+        expr(log2fpExpr("n_total")) - expr(log2fpExpr("c")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("sbits")).as("bits_q10"))
+      .withColumn("mean_bits",
+        col("bits_q10").cast("double") / (col("n_toks") * LogQ))
+      .orderBy("doc_id")
+  }
+
+  val surprisalSql: String = {
+    val sb = s"(${log2fpSqlDuck("n_total")} - ${log2fpSqlDuck("c")})"
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, tok FROM t WHERE tok <> ''
+      |), v AS (
+      |  SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+      |), tot AS (
+      |  SELECT SUM(c) AS n_total FROM v
+      |)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |  CAST(SUM($sb) AS BIGINT) AS bits_q10,
+      |  CAST(SUM($sb) AS DOUBLE) / (COUNT(*) * $LogQ) AS mean_bits
+      |FROM tk JOIN v USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId,
     "text_langid_eval" -> langIdEval,
     "text_quality" -> quality,
     "text_tokens" -> tokenCounts,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_surprisal" -> surprisal)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     "text_langid_eval" -> langIdEvalSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokenCountsSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_surprisal" -> surprisalSql)
 }

@@ -1441,7 +1441,125 @@ object Corpus {
       |FROM alloc
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #137 corpus_dsir — importance resampling toward a target domain
+  // (DSIR, Xie et al. 2023, "Data Selection for Language Models via
+  // Importance Resampling"): score every document by the hashed-ngram
+  // bag-of-features log-likelihood ratio between a target-domain
+  // unigram model and the raw-corpus model, then keep the top decile.
+  // The reference has no analogue; this is the distribution-matching
+  // member of the selection family (vs #67's stratified sampler and
+  // #99's geometric diversity picker).
+  // ---------------------------------------------------------------------
+
+  /** Hashed feature space size. DSIR uses 10k buckets on web text;
+    * 1024 suits the synthetic vocabulary. Power of two so the bucket
+    * id is a cheap mod of the portable polynomial hash in BOTH
+    * engines. Recall knob only — the plan shape is B-independent. */
+  val DsirBuckets = 1024L
+
+  /** Target-domain decile fraction denominator (keep top 1/10). */
+  val DsirKeepDen = 10L
+
+  /** Per-doc DSIR importance weight and the resampling verdict:
+    * (doc_id, lang, n_toks, w_q10, selected), ordered by doc_id.
+    * The target domain is the labeled-`en` slice (DSIR's "formal
+    * text" target, played here by the corpus' own labels); features
+    * are unigram tokens hashed into [[DsirBuckets]] buckets with the
+    * portable poly hash — the same hashed-ngram trick the paper uses
+    * to keep the model a fixed-size count table no matter the corpus.
+    *
+    * The log-likelihood-ratio weight is fixed-point in 2⁻¹⁰-bit
+    * units via [[graft.functions.TextFunctions.log2fpExpr]] (add-1
+    * smoothed over the B buckets):
+    *   w = Σ_tok [lg(ct(f)+1) − lg(Nt+B)] − [lg(cr(f)+1) − lg(Nr+B)]
+    * — all-integer with a shared plan-build-time mantissa table, so
+    * DuckDB reproduces it bit-for-bit (the no-transcendentals rule).
+    *
+    * Scale shape: one token explode; ONE map-side-combined aggregate
+    * produces both models (ct as a conditional count inside the cr
+    * pass — never two scans); the feature table is ≤ B rows so it
+    * broadcasts by size no matter the corpus; totals cross as a
+    * broadcast 1-row frame, never a driver scalar; per-doc aggregate;
+    * and the top-decile cut is [[Skew.globalRank]] — the distributed
+    * range-partitioned ranker — never a single-task global window.
+    * Everything is map-scale or key-partitioned; nothing grows with
+    * corpus² anywhere. */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("norm"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("f",
+        graft.functions.SketchFunctions.poly_hash(col("tok")) % B)
+      .drop("tok")
+    val feat = toks.groupBy("f").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", lit(1))).as("ct"))
+    val tot = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    def lg(x: String): Column =
+      expr(graft.functions.TextFunctions.log2fpExpr(x))
+    val scored = toks.join(broadcast(feat), "f")
+      .crossJoin(broadcast(tot))
+      .withColumn("wtok",
+        (lg("ct + 1") - lg(s"nt + $B")) - (lg("cr + 1") - lg(s"nr + $B")))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum(col("wtok")).as("w_q10"))
+    val cap = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("nd"))
+      .select(expr(s"(nd + ${DsirKeepDen - 1}) div $DsirKeepDen").as("k"))
+    Skew.globalRank(scored, 8, col("w_q10").desc, col("doc_id"))
+      .crossJoin(broadcast(cap))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("w_q10"),
+        when(col("rank") <= col("k"), 1).otherwise(0).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDsirSql: String = {
+    val B = DsirBuckets
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split(${graft.functions.TextFunctions.normTextSql}, ' ')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) % $B AS f
+      |  FROM t WHERE tok <> ''
+      |), feat AS (
+      |  SELECT f, COUNT(*) AS cr,
+      |    COUNT(*) FILTER (lang = 'en') AS ct
+      |  FROM tf GROUP BY f
+      |), tot AS (
+      |  SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM feat
+      |), sc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_toks,
+      |    CAST(SUM((${graft.functions.TextFunctions.log2fpSqlDuck("ct + 1")}
+      |        - ${graft.functions.TextFunctions.log2fpSqlDuck(s"nt + $B")})
+      |      - (${graft.functions.TextFunctions.log2fpSqlDuck("cr + 1")}
+      |        - ${graft.functions.TextFunctions.log2fpSqlDuck(s"nr + $B")})) AS BIGINT) AS w_q10
+      |  FROM tf JOIN feat USING (f) CROSS JOIN tot
+      |  GROUP BY doc_id, lang
+      |), cap AS (
+      |  SELECT CAST((COUNT(*) + ${DsirKeepDen - 1}) // $DsirKeepDen AS BIGINT) AS k
+      |  FROM documents
+      |), r AS (
+      |  SELECT *, row_number() OVER (ORDER BY w_q10 DESC, doc_id) AS rnk
+      |  FROM sc
+      |)
+      |SELECT doc_id, lang, n_toks, w_q10,
+      |  CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS INT) AS selected
+      |FROM r CROSS JOIN cap
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir" -> ((s: SparkSession, d: String) => corpusDsir(s, d)),
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_overlap" -> corpusOverlap,
     "corpus_profile" -> corpusProfile,
@@ -1463,6 +1581,7 @@ object Corpus {
     "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "corpus_dsir" -> corpusDsirSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_overlap" -> corpusOverlapSql,
     "corpus_profile" -> corpusProfileSql,

@@ -53,7 +53,8 @@ object Stress {
     "events_gap_quantiles", "sketch_gap_quantiles",
     "dedup_keep_best", "corpus_overlap", "corpus_profile",
     "vocab_train", "text_bpe_tokens", "corpus_token_budget",
-    "dedup_lsh_recall", "corpus_exact_substr", "corpus_exact_substr_scrub")
+    "dedup_lsh_recall", "corpus_exact_substr", "corpus_exact_substr_scrub",
+    "text_surprisal", "corpus_dsir")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {
