@@ -341,7 +341,12 @@ object TextFunctions {
     * broadcasts it at test scale on its own), and a per-doc aggregate.
     * The 1-row total crosses as a broadcast cross join, never a
     * driver-side scalar job. */
-  def surprisal(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered per-doc surprisal frame — shared by the #136 query
+    * (which adds its deterministic output sort) and #138's tercile
+    * bucketing (whose rank/join stages destroy ordering, so
+    * inheriting the global sort would be a wasted corpus-wide range
+    * shuffle — the langIdUnordered lesson). */
+  private[graft] def surprisalUnordered(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), norm(col("text")).as("norm"))
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
@@ -357,8 +362,10 @@ object TextFunctions {
         sum(col("sbits")).as("bits_q10"))
       .withColumn("mean_bits",
         col("bits_q10").cast("double") / (col("n_toks") * LogQ))
-      .orderBy("doc_id")
   }
+
+  def surprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisalUnordered(spark, dir).orderBy("doc_id")
 
   val surprisalSql: String = {
     val sb = s"(${log2fpSqlDuck("n_total")} - ${log2fpSqlDuck("c")})"

@@ -1558,7 +1558,59 @@ object Corpus {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #138 corpus_ccnet_buckets — head/middle/tail perplexity terciles
+  // (the CCNet pipeline step that CONSUMES the LM score: Wenzek et
+  // al. 2020 split each language's documents into three equal
+  // perplexity buckets and keep head/middle for training). Composes
+  // #136's surprisal the way corpus_clean composes the dedup family.
+  // ---------------------------------------------------------------------
+
+  /** Per-doc perplexity-tercile assignment within each language:
+    * (doc_id, lang, n_toks, bits_q10, mean_bits, bucket), bucket ∈
+    * head (lowest surprisal) / middle / tail, ordered by doc_id.
+    *
+    * Scale shape: a per-lang NTILE is the textbook skew trap — a
+    * window PARTITION BY lang puts a whole language (a third of a
+    * real crawl) in ONE task. Instead: [[Skew.globalRank]]
+    * range-partitions on (lang, mean_bits, doc_id) — language
+    * boundaries fall wherever the range sampler puts them, every
+    * partition stays bounded — and the per-lang rank is the global
+    * rank minus the language's min rank (a #langs-row broadcast
+    * frame). [[Skew.ntileOfRank]] then reproduces SQL NTILE
+    * bit-identically from (rank, count) with pure integer math (the
+    * customers_rfm proof). */
+  def corpusCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.load(spark, dir, "documents").select("doc_id", "lang")
+    val scored = graft.functions.TextFunctions.surprisalUnordered(spark, dir)
+      .join(lang, "doc_id")
+    val ranked = Skew.globalRank(scored, 8,
+      col("lang"), col("mean_bits"), col("doc_id"))
+    val grp = ranked.groupBy("lang")
+      .agg(min("rank").as("r0"), count(lit(1)).as("nl"))
+    val t = Skew.ntileOfRank(col("rank") - col("r0") + 1, col("nl"), 3)
+    ranked.join(broadcast(grp), "lang")
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("bits_q10"),
+        col("mean_bits"),
+        when(t === 1, "head").when(t === 2, "middle").otherwise("tail")
+          .as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCcnetBucketsSql: String =
+    s"""WITH s AS (
+      |${graft.functions.TextFunctions.surprisalSql}
+      |), j AS (
+      |  SELECT s.*, d.lang FROM s JOIN documents d USING (doc_id)
+      |)
+      |SELECT doc_id, lang, n_toks, bits_q10, mean_bits,
+      |  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY mean_bits, doc_id)
+      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM j
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ccnet_buckets" -> ((s: SparkSession, d: String) => corpusCcnetBuckets(s, d)),
     "corpus_dsir" -> ((s: SparkSession, d: String) => corpusDsir(s, d)),
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_overlap" -> corpusOverlap,
@@ -1581,6 +1633,7 @@ object Corpus {
     "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
     "corpus_dsir" -> corpusDsirSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_overlap" -> corpusOverlapSql,

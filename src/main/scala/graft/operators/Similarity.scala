@@ -672,25 +672,34 @@ object Similarity {
     val exact = annBruteforce(spark, dir).select("query_id", "vec_id")
     val lsh = annLshPoly(spark, dir).select("query_id", "vec_id")
     val ivf = annIvf(spark, dir).select("query_id", "vec_id")
+    val pq = annPq(spark, dir).select("query_id", "vec_id")
     val k = exact.groupBy("query_id").agg(count(lit(1)).as("k"))
     val lh = exact.join(lsh, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
     val ih = exact.join(ivf, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
+    val ph = exact.join(pq, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("pq_hits"))
     k.join(lh, Seq("query_id"), "left")
       .join(ih, Seq("query_id"), "left")
+      .join(ph, Seq("query_id"), "left")
       .select(col("query_id"), col("k"),
         coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
-        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"))
       .withColumn("lsh_recall_permille", expr("lsh_hits * 1000 div k"))
       .withColumn("ivf_recall_permille", expr("ivf_hits * 1000 div k"))
+      .withColumn("pq_recall_permille", expr("pq_hits * 1000 div k"))
       .orderBy("query_id")
   }
 
-  val annRecallSql: String =
+  // lazy: references annPqSql, which is defined further down the
+  // object — a strict val would capture null at init order
+  lazy val annRecallSql: String =
     s"""WITH exact AS MATERIALIZED ($annBruteforceSql),
       |lshr AS MATERIALIZED ($annLshPolySql),
       |ivfr AS MATERIALIZED ($annIvfSql),
+      |pqr AS MATERIALIZED ($annPqSql),
       |kk AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY query_id),
       |lh AS (
       |  SELECT e.query_id, COUNT(*) AS lsh_hits
@@ -702,18 +711,259 @@ object Similarity {
       |  FROM exact e JOIN ivfr v
       |    ON e.query_id = v.query_id AND e.vec_id = v.vec_id
       |  GROUP BY e.query_id
+      |), ph AS (
+      |  SELECT e.query_id, COUNT(*) AS pq_hits
+      |  FROM exact e JOIN pqr p
+      |    ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+      |  GROUP BY e.query_id
       |)
       |SELECT kk.query_id, kk.k,
       |  COALESCE(lh.lsh_hits, 0) AS lsh_hits,
       |  COALESCE(ih.ivf_hits, 0) AS ivf_hits,
+      |  COALESCE(ph.pq_hits, 0) AS pq_hits,
       |  COALESCE(lh.lsh_hits, 0) * 1000 // kk.k AS lsh_recall_permille,
-      |  COALESCE(ih.ivf_hits, 0) * 1000 // kk.k AS ivf_recall_permille
+      |  COALESCE(ih.ivf_hits, 0) * 1000 // kk.k AS ivf_recall_permille,
+      |  COALESCE(ph.pq_hits, 0) * 1000 // kk.k AS pq_recall_permille
       |FROM kk
       |LEFT JOIN lh ON kk.query_id = lh.query_id
       |LEFT JOIN ih ON kk.query_id = ih.query_id
+      |LEFT JOIN ph ON kk.query_id = ph.query_id
       |ORDER BY kk.query_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #139 ann_pq — product quantization with ADC scoring (Jégou et
+  // al. 2011, "Product Quantization for Nearest Neighbor Search"),
+  // completing the classic ANN index family next to LSH (#34), IVF
+  // (#48) and SQ8 (#80): vectors compress to M one-byte codewords, a
+  // per-query lookup table scores the whole corpus from code bytes
+  // alone — at scale the candidate scan reads the M-byte codes
+  // sidecar, never the vector column (PQ's memory win is 64·4 bytes
+  // → M bytes per vector).
+  // ---------------------------------------------------------------------
+
+  /** Subspace layout: 64 dims → 4 × 16-dim subspaces, 16 codewords
+    * each (65k distinct codes — plenty for the test corpora; real
+    * deployments raise PqCodewords to 256 for byte codes, the plan
+    * shape is K-independent). Seeds are the same deterministic
+    * corpus-vector window the IVF coarse quantizer uses. The ADC pass
+    * keeps PqRerank candidates per query for the exact rerank (the
+    * FAISS ADC+rerank recipe, mirroring #80's Int8Rerank). */
+  val PqSub = 4
+  val PqSubDim = 16
+  val PqCodewords = 16
+  val PqIters = 2
+  val PqRerank = 50
+
+  /** (vec_id, nn, m, sq, sn): the m-th 16-dim slice of each quantized
+    * vector with its sub-norm — M slim rows per vector, ONE frame for
+    * every training/encode/probe consumer, so all M codebooks train
+    * inside the same two Lloyd jobs instead of M separate k-means
+    * loops. */
+  private def subVectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("nn"),
+      explode(expr(s"transform(sequence(0, ${PqSub - 1}), m -> " +
+        s"named_struct('m', m, 'sq', slice(q, m * $PqSubDim + 1, $PqSubDim)))")).as("s"))
+      .select(col("vec_id"), col("nn"),
+        col("s.m").as("m"), col("s.sq").as("sq"))
+      .withColumn("sn", graft.functions.VectorFunctions.norm_sq_l(col("sq")))
+
+  /** Per-(vector, subspace) nearest codeword in `cw` (integer L2²,
+    * (d2, cid) tie-break). The ≤ M·K-row codebook broadcasts; the
+    * only shuffle is the min-struct aggregate back to one row per
+    * (vec_id, m). */
+  private def pqAssign(sv: DataFrame, cw: DataFrame): DataFrame =
+    sv.join(broadcast(cw), "m")
+      .withColumn("d2", col("sn") + col("cn") -
+        lit(2) * graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("mm"),
+        first("sq").as("sq"), first("sn").as("sn"))
+      .select(col("vec_id"), col("m"), col("mm.cid").as("cid"),
+        col("sq"), col("sn"))
+
+  /** Lloyd-trained PQ codebooks (m, cid, cq, cn): floor-average
+    * updates per (m, cid, dim) — integer sums are exact in IEEE
+    * doubles, so Spark and DuckDB derive bit-identical codebooks (the
+    * IVF proof, per subspace). Each iteration's ≤ M·K-row table is
+    * pinned ([[graft.Checkpoints]]) for the same reason the IVF
+    * centroids are: only O(M·K) codewords ever materialize. */
+  def pqCodebooks(spark: SparkSession, dir: String,
+                  iters: Int = PqIters): DataFrame = {
+    val sv = subVectors(quantized(spark, dir))
+    var cw = sv
+      .filter(col("vec_id") >= CentroidBase &&
+        col("vec_id") < CentroidBase + PqCodewords)
+      .select(col("m"), (col("vec_id") - CentroidBase).as("cid"),
+        col("sq").as("cq"), col("sn").as("cn"))
+    for (_ <- 1 to iters) {
+      val mu = pqAssign(sv, cw)
+        .select(col("m"), col("cid"), posexplode(col("sq")).as(Seq("dim", "x")))
+        .groupBy("m", "cid", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+        .select(col("m"), col("cid"), col("dim"),
+          floor(col("s").cast("double") / col("cnt")).cast("long").as("c"))
+      cw = graft.Checkpoints.pin(mu.groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+          .as("cq"))
+        .withColumn("cn", graft.functions.VectorFunctions.norm_sq_l(col("cq")))
+        .select(col("m"), col("cid"), col("cq"), col("cn")))
+    }
+    cw
+  }
+
+  /** PQ ANN with asymmetric distance computation + exact rerank:
+    * encode the corpus to (vec_id, m, cid) codes, build each query's
+    * M·K-entry sub-dot lookup table, score every vector as
+    * Σ_m LUT[m, code_m] (the ADC approximation of the full dot
+    * product) against the codeword-reconstructed norm, keep the
+    * PqRerank-deep ADC shortlist per query, then re-score ONLY the
+    * shortlist against the full quantized vectors (the FAISS
+    * ADC+rerank recipe — #80 does the same over SQ8 codes).
+    *
+    * Scale shape: the codebook and the per-query LUT are ≤ M·K and
+    * ≤ queries·M·K rows — both broadcast at any corpus size; the
+    * corpus-side frames are the M-rows-per-vector codes (slim
+    * integers, the M-byte sidecar — PQ's whole point is that the ADC
+    * scan never touches the vector column), the ADC aggregate
+    * map-side combines M rows per (query, vector), both ranks ride
+    * the row_number ≤ k idiom the TopKRewrite rule plans as a
+    * bounded-heap TopKPerKey, and the rerank joins broadcast the
+    * ≤ queries·PqRerank candidate rows — the corpus never shuffles.
+    * The oracle recomputes the identical integer pipeline, training
+    * included. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val sv = subVectors(v)
+    val cw = pqCodebooks(spark, dir)
+    val codes = pqAssign(sv, cw).select(col("vec_id"), col("m"), col("cid"))
+    val ncode = codes.join(broadcast(cw), Seq("m", "cid"))
+      .groupBy("vec_id").agg(sum(col("cn")).as("nc"))
+    val lut = sv.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cw), "m")
+      .select(col("vec_id").as("query_id"), col("nn").as("nq"),
+        col("m"), col("cid"),
+        graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")).as("pdot"))
+    val adc = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pdot")).as("adot"), min(col("nq")).as("nq"))
+      .join(ncode, "vec_id")
+      .withColumn("acos",
+        col("adot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("vec_id"))
+    val shortlist = adc.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= PqRerank)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val qvec = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("nq"))
+    val candq = shortlist.join(broadcast(qvec), "query_id")
+    rankTopK(v.join(broadcast(candq), col("vec_id") === col("cand_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"),
+        col("nq"), col("nn").as("nc")))
+  }
+
+  val annPqSql: String = {
+    val D = PqSubDim
+    def iterBlock(k: Int): String = {
+      val prev = s"cw${k - 1}"
+      s"""pd$k AS (
+        |  SELECT s.vec_id, s.m, s.sq, c.cid,
+        |    s.sn + c.cn
+        |      - 2 * CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT)
+        |      AS d2
+        |  FROM svn s JOIN $prev c ON s.m = c.m
+        |), pa$k AS (
+        |  SELECT vec_id, m, sq, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |    FROM pd$k)
+        |  WHERE rn = 1
+        |), pm$k AS (
+        |  SELECT m, cid, i, CAST(floor(CAST(SUM(sq[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |  FROM pa$k CROSS JOIN (SELECT unnest(range(1, ${D + 1})) AS i)
+        |  GROUP BY m, cid, i
+        |), cw$k AS (
+        |  SELECT m, cid, cq, CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
+        |  FROM (SELECT m, cid, list(c ORDER BY i) AS cq FROM pm$k GROUP BY m, cid)
+        |)""".stripMargin
+    }
+    val fin = s"cw$PqIters"
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+      |  FROM q
+      |), svn AS (
+      |  SELECT vec_id, nn, m,
+      |    list_slice(v, m * $D + 1, m * $D + $D) AS sq,
+      |    CAST(list_sum(list_transform(list_slice(v, m * $D + 1, m * $D + $D),
+      |      x -> x * x)) AS BIGINT) AS sn
+      |  FROM n CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS m)
+      |), cw0 AS (
+      |  SELECT m, vec_id - $CentroidBase AS cid, sq AS cq, sn AS cn
+      |  FROM svn
+      |  WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + PqCodewords}
+      |),
+      |${(1 to PqIters).map(iterBlock).mkString(",\n")},
+      |codes AS (
+      |  SELECT vec_id, m, cid FROM (
+      |    SELECT s.vec_id, s.m, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |        s.sn + c.cn
+      |          - 2 * CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT),
+      |        c.cid) AS rn
+      |    FROM svn s JOIN $fin c ON s.m = c.m)
+      |  WHERE rn = 1
+      |), ncode AS (
+      |  SELECT codes.vec_id, CAST(SUM(c.cn) AS BIGINT) AS nc
+      |  FROM codes JOIN $fin c USING (m, cid)
+      |  GROUP BY codes.vec_id
+      |), lut AS (
+      |  SELECT s.vec_id AS query_id, s.nn AS nq, s.m, c.cid,
+      |    CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT) AS pdot
+      |  FROM svn s JOIN $fin c ON s.m = c.m
+      |  WHERE s.vec_id < $NumQueries
+      |), adc AS (
+      |  SELECT l.query_id, codes.vec_id,
+      |    CAST(SUM(l.pdot) AS BIGINT) AS adot, MIN(l.nq) AS nq
+      |  FROM codes JOIN lut l ON codes.m = l.m AND codes.cid = l.cid
+      |  WHERE codes.vec_id <> l.query_id
+      |  GROUP BY l.query_id, codes.vec_id
+      |), ar AS (
+      |  SELECT a.query_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY CAST(a.adot AS DOUBLE) / sqrt(CAST(a.nq AS DOUBLE) * CAST(ncode.nc AS DOUBLE)) DESC,
+      |               a.vec_id) AS arank
+      |  FROM adc a JOIN ncode USING (vec_id)
+      |), shortlist AS (
+      |  SELECT query_id, vec_id FROM ar WHERE arank <= $PqRerank
+      |), ex AS (
+      |  SELECT s.query_id, s.vec_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * qv.v[i])) AS BIGINT) AS dot,
+      |    qv.nn AS nq, a.nn AS nc
+      |  FROM shortlist s
+      |  JOIN n a ON a.vec_id = s.vec_id
+      |  JOIN n qv ON qv.vec_id = s.query_id
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+      |               vec_id) AS rank
+      |  FROM ex
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
+      |FROM r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
@@ -723,6 +973,7 @@ object Similarity {
     "corpus_diversity" -> corpusDiversity)
 
   val oracle: Map[String, String] = Map(
+    "ann_pq" -> annPqSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh_poly" -> annLshPolySql,

@@ -54,7 +54,7 @@ object Stress {
     "dedup_keep_best", "corpus_overlap", "corpus_profile",
     "vocab_train", "text_bpe_tokens", "corpus_token_budget",
     "dedup_lsh_recall", "corpus_exact_substr", "corpus_exact_substr_scrub",
-    "text_surprisal", "corpus_dsir")
+    "text_surprisal", "corpus_dsir", "corpus_ccnet_buckets", "ann_pq")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

@@ -97,4 +97,23 @@ class LmScoreSpec extends SparkSpec {
     assert(ranked.drop(k.toInt).forall(_.getInt(4) == 0))
     assert(out.map(_.getInt(4).toLong).sum === k)
   }
+
+  test("corpus_ccnet_buckets is the exact per-lang surprisal tercile split") {
+    val out = operators.Corpus.corpusCcnetBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getString(5)))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      // independent NTILE: sort by (mean_bits, doc_id), first n mod 3
+      // terciles get the extra row
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val n = sorted.length
+      val (q, rem) = (n / 3, n % 3)
+      val expected = Seq("head", "middle", "tail").zipWithIndex.flatMap {
+        case (b, i) => Seq.fill(q + (if (i < rem) 1 else 0))(b)
+      }
+      assert(sorted.map(_._4).toSeq === expected, s"lang $lang")
+      // bucket sizes differ by at most one
+      val sizes = sorted.groupBy(_._4).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"lang $lang sizes $sizes")
+    }
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+/** #139 ann_pq invariants: the full train → encode → ADC-rank
+  * pipeline is pinned against an independent driver-side Scala
+  * recompute (plain loops over collected vectors — nothing shared
+  * with the Column/SQL formulation), so a drift in the Lloyd update,
+  * the tie-breaks, or the ADC algebra fails here before the oracle
+  * sees it. */
+class PqSpec extends SparkSpec {
+
+  import operators.Similarity._
+
+  private def quantize(): Map[Long, Array[Long]] =
+    spark.read.parquet(s"$sf/embeddings.parquet").collect().map { r =>
+      val e = r.getSeq[Float](1).toArray
+      r.getLong(0) -> e.map(x => math.floor(x.toDouble * 1000).toLong)
+    }.toMap
+
+  /** Independent PQ: returns (codebooks, codes, topk). */
+  private def referencePq(vs: Map[Long, Array[Long]]) = {
+    val M = PqSub; val D = PqSubDim; val K = PqCodewords
+    def sub(v: Array[Long], m: Int): Array[Long] = v.slice(m * D, (m + 1) * D)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cw: Map[(Int, Long), Array[Long]] =
+      (for (m <- 0 until M; c <- 0L until K) yield
+        (m, c) -> sub(vs(CentroidBase + c), m)).toMap
+    for (_ <- 1 to PqIters) {
+      val asn = for (m <- 0 until M; (id, v) <- vs) yield {
+        val s = sub(v, m)
+        // (d2, cid) tie-break
+        val (_, cid, _) = cw.toSeq.collect { case ((mm, c), q) if mm == m =>
+          (d2(s, q), c, q) }.minBy(t => (t._1, t._2))
+        (m, cid, s)
+      }
+      cw = asn.groupBy(t => (t._1, t._2)).map { case ((m, cid), rows) =>
+        val n = rows.size
+        (m, cid) -> (0 until D).map(i =>
+          math.floor(rows.map(_._3(i)).sum.toDouble / n).toLong).toArray
+      }
+    }
+    val codes = for (m <- 0 until M; (id, v) <- vs) yield {
+      val s = sub(v, m)
+      val cid = cw.toSeq.collect { case ((mm, c), q) if mm == m =>
+        (d2(s, q), c) }.minBy(identity)._2
+      (id, m, cid)
+    }
+    val codeMap = codes.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.map(c => c._2 -> c._3).toMap }
+    val topk = (0L until NumQueries).flatMap { qid =>
+      val qv = vs(qid)
+      val nq = qv.map(x => x * x).sum
+      // ADC shortlist: approximate cosine from codes alone
+      val adc = vs.keys.filter(_ != qid).map { id =>
+        val adot = (0 until M).map { m =>
+          val c = cw((m, codeMap(id)(m)))
+          sub(qv, m).zip(c).map { case (x, y) => x * y }.sum
+        }.sum
+        val nc = (0 until M).map { m =>
+          cw((m, codeMap(id)(m))).map(x => x * x).sum }.sum
+        val acos = adot.toDouble / math.sqrt(nq.toDouble * nc.toDouble)
+        (id, acos)
+      }.toSeq
+      val shortlist = adc.sortBy(t => (-t._2, t._1)).take(PqRerank).map(_._1)
+      // exact rerank of the shortlist
+      val exact = shortlist.map { id =>
+        val v = vs(id)
+        val dot = qv.zip(v).map { case (x, y) => x * y }.sum
+        val nc = v.map(x => x * x).sum
+        val cos = dot.toDouble / math.sqrt(nq.toDouble * nc.toDouble)
+        (id, dot, nq, nc, cos)
+      }
+      exact.sortBy(t => (-t._5, t._1)).take(TopK).zipWithIndex.map {
+        case ((id, dot, nqv, nc, _), i) => (qid, (i + 1).toLong, id, dot, nqv, nc)
+      }
+    }
+    (cw, codeMap, topk)
+  }
+
+  test("ann_pq equals the independent train+encode+ADC recompute") {
+    val vs = quantize()
+    val (_, _, expected) = referencePq(vs)
+    val got = annPq(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("pq codebooks: every subspace keeps >1 codeword and codes stay in range") {
+    val cw = pqCodebooks(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val perSub = cw.groupBy(_._1).view.mapValues(_.length)
+    assert(perSub.keys.toSet === (0 until PqSub).toSet)
+    perSub.values.foreach(n => assert(n > 1 && n <= PqCodewords))
+    cw.foreach { case (_, cid) => assert(cid >= 0 && cid < PqCodewords) }
+  }
+}
