@@ -567,7 +567,13 @@ object Corpus {
     // window frame) runs the collapse once instead of once per
     // branch; MEMORY_AND_DISK spills rather than OOMs at scale.
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val reps = docs.groupBy("t")
+    // repartition BEFORE the collapse: groupBy(t) reuses the explicit
+    // hash(t) exchange (no second shuffle), and a user repartition
+    // with an explicit count is exempt from AQE's small-shuffle
+    // coalescing — without it the collapse aggregate's whole reduce
+    // side ran as ONE task (traced: ~1.0 s serialized ahead of every
+    // downstream branch, a third of the settled pass wall)
+    val reps = docs.repartition(nPart, col("t")).groupBy("t")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("gs"))
       .repartition(nPart, col("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
