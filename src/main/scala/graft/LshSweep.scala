@@ -104,6 +104,15 @@ object LshSweep {
       val secs = timed(operators.Similarity.annIvf(spark, timeDir, nProbe = np))
       println(f"[sweep] ann_ivf nprobe=$np recall=$rec%.3f time=$secs%.2f s")
     }
+    // --- PQ: codebook size and rerank depth vs brute force ---
+    for (k <- Seq(8, 16, 32); r <- Seq(10, 50, 100)) {
+      val rec = recallOf(pairSet(
+        operators.Similarity.annPq(spark, recallDir, codewords = k, rerank = r),
+        "query_id", "vec_id"), annTruth)
+      val secs = timed(
+        operators.Similarity.annPq(spark, timeDir, codewords = k, rerank = r))
+      println(f"[sweep] ann_pq codewords=$k rerank=$r recall=$rec%.3f time=$secs%.2f s")
+    }
     spark.stop()
   }
 }

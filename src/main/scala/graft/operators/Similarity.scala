@@ -788,11 +788,12 @@ object Similarity {
     * pinned ([[graft.Checkpoints]]) for the same reason the IVF
     * centroids are: only O(M·K) codewords ever materialize. */
   def pqCodebooks(spark: SparkSession, dir: String,
-                  iters: Int = PqIters): DataFrame = {
+                  iters: Int = PqIters,
+                  codewords: Int = PqCodewords): DataFrame = {
     val sv = subVectors(quantized(spark, dir))
     var cw = sv
       .filter(col("vec_id") >= CentroidBase &&
-        col("vec_id") < CentroidBase + PqCodewords)
+        col("vec_id") < CentroidBase + codewords)
       .select(col("m"), (col("vec_id") - CentroidBase).as("cid"),
         col("sq").as("cq"), col("sn").as("cn"))
     for (_ <- 1 to iters) {
@@ -831,10 +832,12 @@ object Similarity {
     * ≤ queries·PqRerank candidate rows — the corpus never shuffles.
     * The oracle recomputes the identical integer pipeline, training
     * included. */
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
+  def annPq(spark: SparkSession, dir: String,
+            codewords: Int = PqCodewords,
+            rerank: Int = PqRerank): DataFrame = {
     val v = quantized(spark, dir)
     val sv = subVectors(v)
-    val cw = pqCodebooks(spark, dir)
+    val cw = pqCodebooks(spark, dir, codewords = codewords)
     val codes = pqAssign(sv, cw).select(col("vec_id"), col("m"), col("cid"))
     val ncode = codes.join(broadcast(cw), Seq("m", "cid"))
       .groupBy("vec_id").agg(sum(col("cn")).as("nc"))
@@ -854,7 +857,7 @@ object Similarity {
     val wa = Window.partitionBy("query_id")
       .orderBy(col("acos").desc, col("vec_id"))
     val shortlist = adc.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= PqRerank)
+      .filter(col("arank") <= rerank)
       .select(col("query_id"), col("vec_id").as("cand_id"))
     val qvec = v.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
