@@ -346,12 +346,24 @@ object TextFunctions {
     * bucketing (whose rank/join stages destroy ordering, so
     * inheriting the global sort would be a wasted corpus-wide range
     * shuffle — the langIdUnordered lesson). */
+  /** The corpus unigram model: (tok, c) occurrence counts over the
+    * whitespace tokens of the normalized text — the single-sourced
+    * "training" artifact shared by batch surprisal and the streaming
+    * admission scorer ([[graft.streaming.SurprisalStream]]), so the
+    * two can never train on divergent tokenizations. */
+  private[graft] def unigramVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), norm(col("text")).as("norm"))
+      .select(explode(split(col("norm"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
   private[graft] def surprisalUnordered(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), norm(col("text")).as("norm"))
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = unigramVocab(spark, dir)
     val total = vocab.agg(sum(col("c")).as("n_total"))
     toks.join(vocab, "tok")
       .crossJoin(broadcast(total))

@@ -543,4 +543,52 @@ class StreamingSpec extends SparkSpec {
     mass.foreach { case (d, m) => assert(m === sizes(d), s"doc $d") }
     feats.foreach { case (_, bin, _) => assert(bin >= 0 && bin < 16) }
   }
+
+  test("streaming LM scoring replays batch surprisal exactly; OOV floors at c=1") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_lm_in")
+    val out = Files.createTempDirectory("graft_lm_out")
+    val ckpt = Files.createTempDirectory("graft_lm_ck")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    def drain(): Unit = {
+      val q = streaming.SurprisalStream.scoreQuery(
+        spark, in.toString, schema, sf, out.toString, ckpt.toString)
+      q.awaitTermination(120000)
+    }
+    // replay the training corpus across two drains (restart from
+    // checkpoint) — frozen-model scores must equal the batch op's
+    val (first, second) = docs.partition(_._1 < 250)
+    feed(first.toSeq); drain()
+    feed(second.toSeq); drain()
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val expected = functions.TextFunctions.surprisal(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    // an unseen token scores at the add-1 floor c = 1: per-token
+    // surprisal = log2fp(N) exactly
+    val Q = functions.TextFunctions.LogQ
+    val table = (0 until Q).map(i => math.floor(
+      Q * (StrictMath.log((Q + i).toDouble / Q) / StrictMath.log(2.0))).toLong)
+    def lg(x: Long): Long = {
+      val qb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      Q.toLong * qb + table(((x * Q) / (1L << qb) - Q).toInt)
+    }
+    val n = functions.TextFunctions.unigramVocab(spark, sf)
+      .agg(sum(col("c"))).head.getLong(0)
+    feed(Seq(999999L -> "zzzzz qqqqq")); drain()
+    val oov = spark.read.parquet(out.toString)
+      .filter(col("doc_id") === 999999L).collect().head
+    assert(oov.getLong(1) === 2L)
+    assert(oov.getLong(2) === 2L * lg(n))
+  }
 }
