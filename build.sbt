@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress sbt's "[success] Total time: ..." footer: the driver
+// scrapes the bench's canonical JSON line from stdout, and the footer
+// otherwise lands AFTER the JSON (BENCH "parsed: null" in rounds
+// 1-11). With this off, graft.Bench's final reprint IS the last
+// stdout line. The bench also writes bench.json and prints a
+// GRAFT_BENCH_JSON:-prefixed marker line, so grep-based and
+// file-based parsers work too (SURVEY §6).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -517,6 +517,16 @@ object Corpus {
     *    distinct window. A window is cross-doc duplicated iff ≥ 2
     *    distinct texts carry it OR its single carrying text has ≥ 2
     *    member docs — exactly the uncollapsed ≥-2-docs test.
+    *  - The detection shuffle carries an 8-byte xxhash64 of the
+    *    window, NOT the L-char string (round 12; at L=25 the string
+    *    key made this distinct+count the biggest byte mover in the
+    *    repo — ≈L× corpus bytes through one exchange). Hash collisions
+    *    can only ADD candidate windows, never drop one, so a second
+    *    distinct+count pass over the candidate positions alone —
+    *    with exact strings, a frame proportional to the DUP set, not
+    *    the corpus — restores bit-exactness with zero collision
+    *    caveats. The oracle is unchanged: candidate pruning is plan
+    *    shape, not semantics.
     *  - Position join-back fans each hot window d×1 (its own
     *    occurrence list over distinct texts), never d×d — no pair set
     *    exists anywhere in the plan, which is what makes this
@@ -530,11 +540,10 @@ object Corpus {
     *    window starts have non-decreasing ends, so `pos > lag(pos)+L`
     *    is a complete break test (a window is subsumed only by one
     *    starting ≤ L back).
-    * At production scale the window string key would be replaced by a
-    * rolling poly hash (8-byte shuffle key instead of L bytes — same
-    * plan, the #29b portable-hash trick); the string key keeps the
-    * operator bit-exact against the DuckDB oracle with zero collision
-    * caveats. */
+    * The hash-candidate + exact-confirm split keeps the operator
+    * bit-exact against the DuckDB oracle while shuffling 8-byte keys
+    * on the corpus-scale stage (the #29b portable-hash trick, made
+    * lossless by the confirm pass). */
   def corpusExactSubstr(spark: SparkSession, dir: String,
                         minLen: Int = ExactSubstrLen): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -584,12 +593,35 @@ object Corpus {
         col("t"))
       .select(col("rep"), col("gs"), col("pos").cast("long").as("pos"),
         expr(s"substring(t, pos, $L)").as("win"))
-    val dupWins = wins.select("win", "rep", "gs").distinct()
+    // Phase A — candidate detection on the 8-byte window hash: the
+    // corpus-scale distinct+count shuffles (wh, rep, gs) slim rows.
+    // A collision merges two windows' occurrence sets, which can only
+    // inflate ntexts/mgs — candidates are a SUPERSET of true dups.
+    val dupCand = wins
+      .select(xxhash64(col("win")).as("wh"), col("rep"), col("gs"))
+      .distinct()
+      .groupBy("wh")
+      .agg(count(lit(1)).as("ntexts"), max("gs").as("mgs"))
+      .filter(col("ntexts") >= 2 || col("mgs") >= 2)
+      .select("wh")
+    // Phase B — exact confirm over candidate POSITIONS only (the dup
+    // set + astronomically-rare collisions, not the corpus): redo the
+    // distinct+count on the real strings, then keep their positions.
+    // candPos is persisted because BOTH the confirm aggregate and the
+    // position join-back consume it — a second full window explode
+    // would otherwise re-run the plan's most expensive generate. Its
+    // size is proportional to the duplicated-position set (boilerplate
+    // mass), not the corpus, and MEMORY_AND_DISK spills rather than
+    // OOMs if a pathological corpus is mostly boilerplate.
+    val candPos = wins.withColumn("wh", xxhash64(col("win")))
+      .join(dupCand, "wh").drop("wh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupWins = candPos.select("win", "rep", "gs").distinct()
       .groupBy("win")
       .agg(count(lit(1)).as("ntexts"), max("gs").as("mgs"))
       .filter(col("ntexts") >= 2 || col("mgs") >= 2)
       .select("win")
-    val hits = wins.join(dupWins, "win").select("rep", "pos")
+    val hits = candPos.join(dupWins, "win").select("rep", "pos")
     val byPos = Window.partitionBy("rep").orderBy("pos")
     val spans = hits
       .withColumn("brk",

@@ -44,7 +44,15 @@ object Skew {
     * (order, payload) structs; the per-key merge flattens `buckets`
     * partial arrays, sorts once, and projects the payloads. The hot
     * key's heavy lifting (row collection) happens across `buckets`
-    * reducers; only pre-aggregated arrays reach the final reducer. */
+    * reducers.
+    *
+    * CAVEAT — the merged array is unbounded BY DESIGN: this variant
+    * reassembles every row of the key, so the stage-2 reducer still
+    * materializes the hot key's full row set (as `buckets` partial
+    * arrays rather than raw rows). Use it only when the caller truly
+    * needs the complete ordered list per key; for top-N semantics use
+    * [[saltedTopN]], whose stage-2 input is bounded at buckets·N
+    * elements per key no matter how hot the key is. */
   def saltedSortedCollect(df: DataFrame, keys: Seq[String], buckets: Int,
                           payload: Column, order: Column): DataFrame =
     saltedAgg(df, keys, buckets)(
@@ -52,23 +60,56 @@ object Skew {
       Seq(transform(array_sort(flatten(collect_list(col("part")))),
         x => x.getField("p")).as("items")))
 
+  /** Stage 1 of [[saltedTopN]], exposed so the scale property is
+    * directly assertable: one row per (key, salt) whose `part` array
+    * holds that salt bucket's N smallest (order, payload) structs.
+    * The cap is algebraically free for top-N — rows beyond rank N in
+    * ANY salt bucket can never reach the global top N, because at
+    * least N rows of the same bucket precede them. */
+  def saltedTopNPartials(df: DataFrame, keys: Seq[String], buckets: Int,
+                         n: Int, payload: Column, order: Column): DataFrame = {
+    require(buckets > 0 && n > 0)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(slice(array_sort(collect_list(struct(order.as("o"), payload.as("p")))),
+        1, n).as("part"))
+  }
+
+  /** Skew-safe top-N collect: the N smallest payloads per key by
+    * `order`, computed so no single reducer ever holds more than
+    * buckets·N elements of any key. Stage 1 spreads the hot key over
+    * `buckets` reducers and caps each per-salt partial at N; stage 2
+    * merges ≤ `buckets` arrays of ≤ N structs and re-slices. At 100 TB
+    * a hot syslog source flows through `buckets` bounded partials
+    * instead of OOMing one reducer — the failure mode the uncapped
+    * collect variant ([[saltedSortedCollect]]) still admits. */
+  def saltedTopN(df: DataFrame, keys: Seq[String], buckets: Int, n: Int,
+                 payload: Column, order: Column): DataFrame =
+    saltedTopNPartials(df, keys, buckets, n, payload, order)
+      .groupBy(keys.map(col): _*)
+      .agg(transform(slice(array_sort(flatten(collect_list(col("part")))), 1, n),
+        x => x.getField("p")).as("items"))
+
   /** #42 as an oracle-checked query: the 10 earliest event_ids per
-    * event_type through the salted two-stage collect. event_type is
+    * event_type through the salted two-stage top-N. event_type is
     * the textbook hot key (5 values over the whole table — a single
     * reducer would take a fifth of the corpus); the salt spreads each
-    * type over 8 reducers and the oracle (a plain window rank) proves
-    * the two-stage result is EXACTLY the unsalted answer — salting
-    * changes the plan, never the algebra. */
+    * type over 8 reducers, each per-salt partial is capped at N, and
+    * the oracle (a plain window rank) proves the two-stage result is
+    * EXACTLY the unsalted answer — salting and capping change the
+    * plan, never the algebra. */
   val SkewTopN = 10
 
   def skewSaltedCollect(spark: org.apache.spark.sql.SparkSession,
                         dir: String): DataFrame = {
     val e = graft.Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"))
-    saltedSortedCollect(e, Seq("event_type"), 8,
+    saltedTopN(e, Seq("event_type"), 8, SkewTopN,
       payload = col("event_id"), order = col("event_id"))
       .select(col("event_type"),
-        posexplode(slice(col("items"), 1, SkewTopN)).as(Seq("pos", "event_id")))
+        posexplode(col("items")).as(Seq("pos", "event_id")))
       .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
         col("event_id"))
       .orderBy("event_type", "rank")

@@ -32,6 +32,40 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("saltedTopN bounds stage-2 input at buckets·N per key on a crafted hot key") {
+    import spark.implicits._
+    val buckets = 8
+    val n = operators.Skew.SkewTopN
+    val rows = 200000
+    // one key owning ~95% of the table — the hot-source mode the
+    // uncapped collect would funnel into a single reducer's array
+    val df = spark.range(rows)
+      .select(when(col("id") % 20 =!= 0, lit("hot"))
+        .otherwise(concat(lit("cold"), col("id") % 50)).as("key"),
+        col("id").as("v"))
+      .repartition(16)
+    // the scale property, asserted on the ACTUAL stage-2 input frame:
+    // per (key, salt) exactly one row whose array never exceeds N —
+    // so the stage-2 merge of any key handles ≤ buckets·N elements,
+    // independent of how many rows the hot key has
+    val partials = operators.Skew.saltedTopNPartials(
+      df, Seq("key"), buckets, n, col("v"), col("v"))
+    val stat = partials.agg(
+      count(lit(1)).as("rows"), max(size(col("part"))).as("maxLen")).head
+    assert(stat.getLong(0) <= 51L * buckets,
+      s"stage-2 input rows ${stat.getLong(0)} exceed keys×buckets")
+    assert(stat.getInt(1) <= n, s"a partial kept ${stat.getInt(1)} > N=$n rows")
+    // and the algebra is unchanged: the capped two-stage result equals
+    // the plain window top-N on the hot key and a cold key
+    val out = operators.Skew.saltedTopN(
+        df, Seq("key"), buckets, n, col("v"), col("v"))
+      .select(col("key"), explode(col("items")).as("v"))
+    val hot = out.filter(col("key") === "hot").collect().map(_.getLong(1)).sorted
+    assert(hot.toSeq === (1L to 20L).filter(_ % 20 != 0).take(n).map(identity))
+    val cold0 = out.filter(col("key") === "cold0").collect().map(_.getLong(1)).sorted
+    assert(cold0.toSeq === (0L until rows by 20).filter(_ % 50 == 0).take(n))
+  }
+
   test("TopKPerKey shuffles only survivors: partial heaps cut the exchange to ~k·partitions·keys") {
     import spark.implicits._
     // AQE wraps stages in leaf QueryStageExec nodes, hiding the
