@@ -11,14 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Suppress sbt's "[success] Total time: ..." footer: the driver
-// scrapes the bench's canonical JSON line from stdout, and the footer
-// otherwise lands AFTER the JSON (BENCH "parsed: null" in rounds
-// 1-11). With this off, graft.Bench's final reprint IS the last
-// stdout line. The bench also writes bench.json and prints a
-// GRAFT_BENCH_JSON:-prefixed marker line, so grep-based and
-// file-based parsers work too (SURVEY §6).
+// Bench parse contract (SURVEY §6): the driver scrapes the bench's
+// canonical JSON line from stdout. Two sbt artifacts defeated that in
+// rounds 1-11: the "[success] Total time" footer landing AFTER the
+// JSON, and the "[info] " prefix sbt's logger stamps on every forked
+// stdout line. showSuccess kills the footer; StdoutOutput passes the
+// child's stdout through verbatim — so graft.Bench's final reprint is
+// the last stdout line AND parses as bare JSON. The bench also writes
+// bench.json and prints a GRAFT_BENCH_JSON:-prefixed marker line, so
+// file- and grep-based parsers work too.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // command-consumed; lint can't see it
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

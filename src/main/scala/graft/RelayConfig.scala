@@ -2,10 +2,12 @@ package graft
 
 /** Library analogue of the reference relay's configuration surface
   * (reference: kinesyslog/init.py:30-170 — CLI/env options). A user of
-  * the reference maps each option onto a field here; socket-level
-  * options (bind address, TLS cert/key, privilege drop) belong to the
-  * ingestion tier that feeds the stream source and have no Spark
-  * analogue.
+  * the reference maps each option onto a field here; the ingestion
+  * tier ([[graft.sources.SocketIngest]]) consumes the socket-level
+  * options (bind address, TLS cert/key), and
+  * [[graft.tools.RelayMain]] assembles the whole relay from one of
+  * these. Privilege drop (`--user`/`--group`) stays OS-level and has
+  * no JVM analogue.
   *
   * Defaults mirror the reference's (`--group-prefix /kinesyslog`,
   * `--tls-port 6514`, flush constants from constant.py).
@@ -25,6 +27,15 @@ case class RelayConfig(
     tlsPorts: Seq[Int] = Seq(6514),
     /** Ports with PROXY protocol enabled (`--proxy-protocol`). */
     proxyProtocolPorts: Seq[Int] = Seq(0),
+    /** TLS certificate chain / private key (`--cert`/`--key`; PEM,
+      * key PKCS#8 — see [[graft.sources.SocketIngest.tlsContext]]).
+      * Required when any tlsPort is active. */
+    certFile: Option[String] = None,
+    keyFile: Option[String] = None,
+    /** Prometheus exposition ports (`--prometheus-port`); 0 disables. */
+    prometheusPorts: Seq[Int] = Seq(0),
+    /** Bind address (`--address`). */
+    address: String = "0.0.0.0",
     /** Spool directory (`--spool-dir`). */
     spoolDir: String = System.getProperty("java.io.tmpdir"),
     /** Sink flush semantics (constant.py:12-17). */

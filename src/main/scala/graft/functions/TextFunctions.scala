@@ -304,7 +304,14 @@ object TextFunctions {
     * differently per engine; IEEE +,−,×,÷ may not): ~0.002-bit
     * quantization instead of the whole-bit floor that flattens a
     * natural-language frequency spectrum to a constant.
-    * Monotone non-decreasing in x; log2fp(1) = 0; x must be ≥ 1. */
+    * Monotone non-decreasing in x; log2fp(1) = 0; valid domain
+    * 1 ≤ x < 2⁶³ (the full positive BIGINT range): the mantissa is
+    * extracted by shifting x DOWN to 11 significant bits (divide by
+    * 2^(bits−11), or multiply up only when bits < 11, where x < 2¹⁰),
+    * so no intermediate ever exceeds x itself — the earlier `x·Q`
+    * formulation silently wrapped past x > 2⁵³ in non-ANSI mode
+    * (round-11 advisory). Bit-identical to the old formula on its
+    * whole old domain: ⌊x/2^(b−11)⌋ = ⌊x·2¹⁰/2^(b−1)⌋ exactly. */
   val LogQ = 1024
   private val logTable: IndexedSeq[Long] =
     (0 until LogQ).map(i => math.floor(
@@ -315,7 +322,10 @@ object TextFunctions {
   def log2fpExpr(x: String): String = {
     val t = logTable.mkString(", ")
     s"(CAST($LogQ AS BIGINT) * (length(bin($x)) - 1) + element_at(array($t), " +
-      s"CAST((($x) * $LogQ) div shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1) - $LogQ AS INT) + 1))"
+      s"CAST((CASE WHEN length(bin($x)) > 11 " +
+      s"THEN ($x) div shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 11) " +
+      s"ELSE ($x) * shiftleft(CAST(1 AS BIGINT), 11 - length(bin($x))) END) " +
+      s"- $LogQ AS INT) + 1))"
   }
 
   /** DuckDB rendering of the same formula — same table constant,
@@ -324,7 +334,10 @@ object TextFunctions {
   def log2fpSqlDuck(x: String): String = {
     val t = logTable.mkString(", ")
     s"(CAST($LogQ AS BIGINT) * (length(bin($x)) - 1) + [$t]" +
-      s"[CAST((($x) * $LogQ) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)) - $LogQ AS INT) + 1])"
+      s"[CAST((CASE WHEN length(bin($x)) > 11 " +
+      s"THEN ($x) // (CAST(1 AS BIGINT) << (length(bin($x)) - 11)) " +
+      s"ELSE ($x) * (CAST(1 AS BIGINT) << (11 - length(bin($x)))) END) " +
+      s"- $LogQ AS INT) + 1])"
   }
 
   /** Per-doc unigram surprisal: token surprisal is

@@ -754,6 +754,16 @@ object Similarity {
   val PqIters = 2
   val PqRerank = 50
 
+  /** Lloyd training runs on the deterministic `vec_id % PqTrainMod
+    * == 0` subset (the classic PQ recipe — FAISS trains on a sample,
+    * not the corpus; codebooks are a density summary, so a 25% sample
+    * moves centroids negligibly while cutting the two training jobs'
+    * input 4×). Deterministic-by-id keeps the oracle a literal mirror
+    * (same predicate in SQL) — no RNG, no sampling seed drift. Encode
+    * /ADC/rerank still cover EVERY vector; only the centroid fit is
+    * sampled, and the #130 recall gate pins the quality. */
+  val PqTrainMod = 4
+
   /** (vec_id, nn, m, sq, sn): the m-th 16-dim slice of each quantized
     * vector with its sub-norm — M slim rows per vector, ONE frame for
     * every training/encode/probe consumer, so all M codebooks train
@@ -791,13 +801,16 @@ object Similarity {
                   iters: Int = PqIters,
                   codewords: Int = PqCodewords): DataFrame = {
     val sv = subVectors(quantized(spark, dir))
+    // training subset: see PqTrainMod — the only consumer of the full
+    // sv here is the seed window, which is id-selected either way
+    val svTrain = sv.filter(pmod(col("vec_id"), lit(PqTrainMod)) === 0)
     var cw = sv
       .filter(col("vec_id") >= CentroidBase &&
         col("vec_id") < CentroidBase + codewords)
       .select(col("m"), (col("vec_id") - CentroidBase).as("cid"),
         col("sq").as("cq"), col("sn").as("cn"))
     for (_ <- 1 to iters) {
-      val mu = pqAssign(sv, cw)
+      val mu = pqAssign(svTrain, cw)
         .select(col("m"), col("cid"), posexplode(col("sq")).as(Seq("dim", "x")))
         .groupBy("m", "cid", "dim")
         .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
@@ -879,6 +892,7 @@ object Similarity {
         |      - 2 * CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT)
         |      AS d2
         |  FROM svn s JOIN $prev c ON s.m = c.m
+        |  WHERE s.vec_id % $PqTrainMod = 0
         |), pa$k AS (
         |  SELECT vec_id, m, sq, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn

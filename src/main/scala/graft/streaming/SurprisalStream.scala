@@ -56,8 +56,17 @@ object SurprisalStream {
 
   /** File-based admission scorer: train the frozen model on
     * `modelDir`'s documents table once at query start, then score
-    * each parquet drop in `inputDir` and append the per-doc scores to
-    * `outDir`. */
+    * each parquet drop in `inputDir` and write the per-doc scores
+    * under `outDir`.
+    *
+    * Exactly-once output: `foreachBatch` is at-least-once — a
+    * micro-batch retried after a partial failure re-runs the write —
+    * so each batch OVERWRITES its own batchId-derived subdirectory
+    * (`outDir/batch_id=<id>/`). A replay of batch k rewrites
+    * `batch_id=k` in place instead of appending duplicate score rows,
+    * restoring the idempotence the built-in file sink provides
+    * (round-11 advisory). Readers `spark.read.parquet(outDir)` as
+    * before — batch_id surfaces as a partition column. */
   def scoreQuery(spark: SparkSession, inputDir: String, schema: StructType,
                  modelDir: String, outDir: String,
                  checkpointDir: String): StreamingQuery = {
@@ -67,9 +76,9 @@ object SurprisalStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         scoreBatch(batch, vocab, nTotal)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
   }

@@ -1,0 +1,278 @@
+package graft.tools
+
+import java.io.File
+
+import graft.RelayConfig
+import graft.sources.SocketIngest
+import graft.streaming.{BatchTransport, FilesystemTransport, SpoolDrainStream, SyslogPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The one-command relay runner (reference init.py:148-280 `listen` +
+  * commands.py CLI): assembles the already-spec-proven components —
+  * [[SocketIngest]] listeners, [[SyslogPipeline]] parse + spool,
+  * [[SpoolDrainStream]] ship with retry, [[StatsServer]] — into the
+  * reference's operational identity from ONE [[RelayConfig]]. Until
+  * round 12 only RelayLiveSpec wired this chain by hand; `Relay` is
+  * that wiring as a library object, and `main` is the CLI face with
+  * the reference's own flag names.
+  *
+  * Reference → graft mapping, listener by listener (init.py:193-208):
+  *  - `--tcp-port`  → [[SocketIngest.TcpIngest]], newline/octet-framed
+  *    syslog or newline-framed GELF lines into the port's ingest dir
+  *  - `--tls-port`  → the same TcpIngest over an `SSLServerSocket`
+  *    built from `--cert`/`--key` (server.py:46-52 SecureServer)
+  *  - `--udp-port`  → [[SocketIngest.UdpIngest]]; each datagram is
+  *    octet-count framed, recovered by the #11 auto de-framer
+  *  - `--proxy-protocol` → the port's stream drops PROXY v1 header
+  *    lines before parse (proxy.wrap, init.py:199-205; the binary v2
+  *    header is a batch-path concern — #14 parses it — because the
+  *    live line framing is text)
+  *  - `--prometheus-port` → [[StatsServer]] serving live per-stream
+  *    counters aggregated FROM THE SPOOL (the reference's StatsSink
+  *    counts at the same point: messages that reached the sink)
+  *  - spool → drain → Firehose (`--stream`) → the graft-spool sink +
+  *    [[SpoolDrainStream.shipQuery]] through a pluggable
+  *    [[BatchTransport]]. `main` uses [[FilesystemTransport]] — this
+  *    container is zero-egress; a production deployment implements
+  *    BatchTransport.ship with the PutRecordBatch call and changes
+  *    nothing else.
+  *
+  * Processing model: the reference flushes its sink every FLUSH_TIME
+  * seconds (constant.py); `run()` mirrors that as a drain pass every
+  * `flushSeconds` — each pass runs every streaming query with
+  * `Trigger.AvailableNow` against the queries' durable checkpoints,
+  * which is the same exactly-once incremental semantics as a
+  * continuously-running trigger and lets one pass be driven
+  * deterministically in tests ([[drainOnce]]).
+  */
+object RelayMain {
+
+  /** Everything the relay lays on disk, rooted at one work dir (the
+    * spool dir itself comes from [[RelayConfig.spoolDir]]). */
+  final case class RelayDirs(root: String) {
+    val ingestRoot = s"$root/ingest"
+    val checkpointRoot = s"$root/checkpoints"
+    val shipLogDir = s"$root/shiplog"
+    val retryDir = s"$root/retryspool"
+    def ingestDir(kind: String, port: Int) = s"$ingestRoot/$kind-$port"
+  }
+
+  final class Relay(spark: SparkSession, config: RelayConfig,
+                    dirs: RelayDirs, transport: BatchTransport) {
+
+    private val tlsCtx: Option[javax.net.ssl.SSLContext] =
+      if (config.tlsPorts.exists(_ != 0)) {
+        val cert = config.certFile.getOrElse(
+          sys.error("TLS port configured but no certFile (--cert)"))
+        val key = config.keyFile.getOrElse(
+          sys.error("TLS port configured but no keyFile (--key)"))
+        Some(SocketIngest.tlsContext(cert, key))
+      } else None
+
+    /** (kind, requestedPort, ingestDir, listener) — TCP and TLS share
+      * the TcpIngest byte mover; kind selects the parse wiring. */
+    val tcpListeners: Seq[(String, Int, String, SocketIngest.TcpIngest)] =
+      (config.tcpPorts.filter(_ != 0).map(("tcp", _)) ++
+        config.tlsPorts.filter(_ != 0).map(("tls", _))).map {
+        case (kind, port) =>
+          val d = dirs.ingestDir(kind, port)
+          new File(d).mkdirs()
+          (kind, port, d, new SocketIngest.TcpIngest(port, d,
+            tls = if (kind == "tls") tlsCtx else None,
+            address = config.address))
+      }
+
+    val udpListeners: Seq[(Int, String, SocketIngest.UdpIngest)] =
+      config.udpPorts.filter(_ != 0).map { port =>
+        val d = dirs.ingestDir("udp", port)
+        new File(d).mkdirs()
+        (port, d, new SocketIngest.UdpIngest(port, d, address = config.address))
+      }
+
+    require(tcpListeners.nonEmpty || udpListeners.nonEmpty,
+      "No valid servers configured - you must enable at least one " +
+        "UDP, TCP, or TLS port") // init.py:216-218, message included
+
+    private var statsServers: Seq[StatsServer] = Nil
+
+    def start(): Unit = {
+      new File(config.spoolDir).mkdirs()
+      new File(dirs.retryDir).mkdirs()
+      tcpListeners.foreach(_._4.start())
+      udpListeners.foreach(_._3.start())
+      statsServers = config.prometheusPorts.filter(_ != 0).map { p =>
+        val s = new StatsServer(p, () => metricsText())
+        s.start()
+        s
+      }
+    }
+
+    /** Live bound ports (ephemeral binds resolve after start). */
+    def boundPorts: Map[String, Seq[Int]] =
+      (tcpListeners.groupBy(_._1).view.mapValues(_.map(_._4.boundPort)) ++
+        Map("udp" -> udpListeners.map(_._3.boundPort))).toMap
+    def statsPorts: Seq[Int] = statsServers.map(_.boundPort)
+
+    /** Total listener connection bytes — a shutdown/drain sequence
+      * polls this to confirm in-flight traffic landed (the listeners
+      * read on their own threads). */
+    def bytesIn: Long = tcpListeners.map(_._4.bytesIn).sum
+    def datagramsIn: Long = udpListeners.map(_._3.received).sum
+
+    /** The per-port parsed stream: text lines for TCP/TLS, de-framed
+      * datagrams for UDP; GELF or syslog parse per `config.gelf`
+      * (init.py:180-189 selects the message class the same way). */
+    private def parsedFor(kind: String, dir: String, port: Int): DataFrame = {
+      val lines = kind match {
+        case "udp" =>
+          // binaryFile's schema is fixed, but the STREAMING source
+          // requires it stated (no inference on streams)
+          val binarySchema = new org.apache.spark.sql.types.StructType()
+            .add("path", "string").add("modificationTime", "timestamp")
+            .add("length", "long").add("content", "binary")
+          spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+            .select(explode(graft.operators.Framing.syslogFrames(
+              col("content"))).as("b"))
+            .select(col("b").cast("string").as("value"))
+        case _ => spark.readStream.option("maxFilesPerTrigger", 16).text(dir)
+      }
+      val noProxy =
+        if (config.proxyProtocolPorts.contains(port) && kind != "udp")
+          lines.filter(!col("value").startsWith("PROXY "))
+        else lines
+      if (config.gelf) SyslogPipeline.parseGelfLines(noProxy)
+      else SyslogPipeline.parseLines(noProxy)
+    }
+
+    /** One flush pass: every listener's ingest dir → parse → spool
+      * files, then spool → pack → ship (+ one retry generation), all
+      * incremental against durable checkpoints. Returns the drain-log
+      * directory for inspection. */
+    def drainOnce(): String = {
+      val spoolQs =
+        (tcpListeners.map { case (kind, port, dir, l) =>
+          (kind, port, dir, l.boundPort)
+        } ++ udpListeners.map { case (port, dir, l) =>
+          ("udp", port, dir, l.boundPort)
+        }).map { case (kind, port, dir, bound) =>
+          SyslogPipeline.spoolDirQuery(
+            parsedFor(kind, dir, port)
+              .repartition(col("hostname")),
+            config.spoolDir,
+            s"${dirs.checkpointRoot}/spool-$kind-$port",
+            config, port = bound,
+            maxRecordBytes = config.maxRecordSize.toLong)
+        }
+      spoolQs.foreach(q => require(q.awaitTermination(300000),
+        "spool query did not finish its AvailableNow pass"))
+      val ship = SpoolDrainStream.shipQuery(
+        spark, config.spoolDir, s"${dirs.checkpointRoot}/ship",
+        dirs.shipLogDir, transport, dirs.retryDir,
+        maxCount = config.maxBatchCount,
+        maxSize = config.maxBatchSize.toLong)
+      require(ship.awaitTermination(300000),
+        "ship query did not finish its AvailableNow pass")
+      // one retry generation per pass: re-pack + re-ship records the
+      // transport failed; gen-major names keep the retry spool
+      // name-ordered across generations (#53)
+      val retry = SpoolDrainStream.shipQuery(
+        spark, dirs.retryDir, s"${dirs.checkpointRoot}/retry",
+        dirs.shipLogDir, transport, dirs.retryDir,
+        maxCount = config.maxBatchCount,
+        maxSize = config.maxBatchSize.toLong)
+      require(retry.awaitTermination(300000),
+        "retry query did not finish its AvailableNow pass")
+      dirs.shipLogDir
+    }
+
+    /** Prometheus exposition over the live spool: per-(group, stream)
+      * message counts/bytes — the reference's StatsSink counts at the
+      * same point (messages that reached the sink). */
+    def metricsText(): String = {
+      val spooled = spark.read.format("graft-spool").load(config.spoolDir)
+      spooled
+        .groupBy("log_group", "log_stream")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("message")).cast("long")).as("b"))
+        .orderBy("log_group", "log_stream")
+        .select(concat(
+          format_string(
+            "kinesyslog_message_count_total{group=\"%s\",source=\"%s\"} %d",
+            col("log_group"), col("log_stream"), col("n")),
+          lit("\n"),
+          format_string(
+            "kinesyslog_message_bytes_total{group=\"%s\",source=\"%s\"} %d",
+            col("log_group"), col("log_stream"), col("b"))).as("line"))
+        .collect().map(_.getString(0)).mkString("\n")
+    }
+
+    def stop(): Unit = {
+      tcpListeners.foreach(_._4.stop())
+      udpListeners.foreach(_._3.stop())
+      statsServers.foreach(_.stop())
+    }
+
+    /** Foreground loop: a drain pass every flushSeconds, forever —
+      * the reference's run_until_complete + FLUSH_TIME timer. */
+    def run(): Nothing = {
+      sys.addShutdownHook(stop())
+      while (true) {
+        drainOnce()
+        Thread.sleep(config.flushSeconds * 1000L)
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** CLI with the reference's flag names (init.py option decorators;
+    * repeatable flags repeat here too). `--delivered-dir` replaces
+    * the implicit Firehose endpoint: the zero-egress analogue of
+    * `--stream`'s delivery destination.
+    *
+    *   sbt "runMain graft.tools.RelayMain --stream mylogs
+    *     --spool-dir /var/spool/graft --tcp-port 6601
+    *     --tls-port 6514 --cert server.pem --key server.key
+    *     --prometheus-port 9100 --work-dir /var/lib/graft
+    *     --delivered-dir /var/lib/graft/delivered"
+    */
+  def main(args: Array[String]): Unit = {
+    def parse(a: List[String], acc: Map[String, List[String]]): Map[String, List[String]] =
+      a match {
+        case Nil => acc
+        case "--gelf" :: rest =>
+          parse(rest, acc.updated("gelf", List("true")))
+        case flag :: value :: rest if flag.startsWith("--") =>
+          parse(rest, acc.updated(flag.drop(2),
+            acc.getOrElse(flag.drop(2), Nil) :+ value))
+        case other :: _ =>
+          sys.error(s"unparseable argument '$other' (flags are --name value)")
+      }
+    val opts = parse(args.toList, Map.empty)
+    def ports(name: String, default: Seq[Int]): Seq[Int] =
+      opts.get(name).map(_.map(_.toInt)).getOrElse(default)
+    val workDir = opts.get("work-dir").map(_.head)
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-relay")
+    val config = RelayConfig(
+      deliveryStream = opts.get("stream").map(_.head).getOrElse("kinesyslog"),
+      groupPrefix = opts.get("group-prefix").map(_.head).getOrElse("/kinesyslog"),
+      gelf = opts.contains("gelf"),
+      udpPorts = ports("udp-port", Seq(0)),
+      tcpPorts = ports("tcp-port", Seq(0)),
+      tlsPorts = ports("tls-port", Seq(6514)),
+      proxyProtocolPorts = ports("proxy-protocol", Seq(0)),
+      certFile = opts.get("cert").map(_.head),
+      keyFile = opts.get("key").map(_.head),
+      prometheusPorts = ports("prometheus-port", Seq(0)),
+      address = opts.get("address").map(_.head).getOrElse("0.0.0.0"),
+      spoolDir = opts.get("spool-dir").map(_.head)
+        .getOrElse(System.getProperty("java.io.tmpdir")))
+    val spark = graft.GraftSession.create()
+    val transport = new FilesystemTransport(
+      opts.get("delivered-dir").map(_.head).getOrElse(s"$workDir/delivered"))
+    val relay = new Relay(spark, config, RelayDirs(workDir), transport)
+    relay.start()
+    println(s"[relay] listening: ${relay.boundPorts}, stats: ${relay.statsPorts}")
+    relay.run()
+  }
+}

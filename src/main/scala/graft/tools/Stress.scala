@@ -29,13 +29,15 @@ object Stress {
 
   /** Per-copy id shifts, far above any real id at sf0.1 (doc_id < 5e3,
     * o_orderkey < 6e5, o_custkey < 1.5e4, vec_id < 2e3,
-    * event_id ≤ 1e5, user_id < 2e3). */
+    * event_id ≤ 1e5, user_id < 2e3, s_suppkey ≤ 1e3, p_partkey ≤ 2e4). */
   val ShiftDoc = 1000000L
   val ShiftOrder = 10000000L
   val ShiftCust = 1000000L
   val ShiftVec = 1000000L
   val ShiftEvent = 1000000000L
   val ShiftUser = 1000000L
+  val ShiftSupp = 1000000L
+  val ShiftPart = 1000000L
 
   /** The skew-sensitive set the r7 verdict named, plus the LSH/ANN
     * embedding path, the jaccard inverted index (both cap/prefix
@@ -54,7 +56,12 @@ object Stress {
     "dedup_keep_best", "corpus_overlap", "corpus_profile",
     "vocab_train", "text_bpe_tokens", "corpus_token_budget",
     "dedup_lsh_recall", "corpus_exact_substr", "corpus_exact_substr_scrub",
-    "text_surprisal", "corpus_dsir", "corpus_ccnet_buckets", "ann_pq")
+    "text_surprisal", "corpus_dsir", "corpus_ccnet_buckets", "ann_pq",
+    // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
+    // policy a decade past sf0.1 — at ×100 the dims are too big to
+    // broadcast and AQE must settle shuffle joins with bounded tasks
+    "q1_pricing", "q3_shipping", "q5_local", "q9_profit",
+    "q18_large", "q21_blame")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {
@@ -72,8 +79,26 @@ object Stress {
       println(s"[stress] wrote $out/$table.parquet (${copies}x $src)")
     }
     build("documents", Map("doc_id" -> ShiftDoc))
-    build("lineitem", Map("l_orderkey" -> ShiftOrder))
+    // The TPC-H family shifts EVERY join key consistently per copy, so
+    // a ×N corpus is a true SF-scaled instance: facts AND dims
+    // multiply together and every join keeps its per-copy selectivity
+    // (shifting only the fact keys would orphan copies 1..N−1 at the
+    // dim joins and measure a plan that drops 99% of its rows at the
+    // first probe). nation/region are genuinely fixed (25/5 rows at
+    // every SF) and copy through unshifted via the sweep's source dir.
+    build("lineitem", Map("l_orderkey" -> ShiftOrder,
+      "l_suppkey" -> ShiftSupp, "l_partkey" -> ShiftPart))
     build("orders", Map("o_orderkey" -> ShiftOrder, "o_custkey" -> ShiftCust))
+    build("customer", Map("c_custkey" -> ShiftCust))
+    build("supplier", Map("s_suppkey" -> ShiftSupp))
+    build("part", Map("p_partkey" -> ShiftPart))
+    // fixed-cardinality dims + any other table the sweep's queries
+    // read: copy through once so the stress dir is self-contained
+    Seq("nation", "region").filter(wanted).foreach { t =>
+      Tables.load(spark, src, t)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[stress] wrote $out/$t.parquet (1x $src)")
+    }
     build("embeddings", Map("vec_id" -> ShiftVec))
     // events carries TIMESTAMP(NANOS) parquet — go through
     // Tables.events (nanosAsLong) and write ts back as the raw ns
@@ -101,13 +126,22 @@ object Stress {
     @volatile var peakMem = 0L
     @volatile var maxShufRead = 0L
     @volatile var maxShufWrite = 0L
-    def reset(): Unit = { peakMem = 0L; maxShufRead = 0L; maxShufWrite = 0L }
+    // query-total shuffle bytes (sum over tasks): a slimmed shuffle
+    // key shows up HERE even when per-task maxima stay flat because
+    // the exchange is well-spread (the round-12 exact-substr check)
+    val totShufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    def reset(): Unit = {
+      peakMem = 0L; maxShufRead = 0L; maxShufWrite = 0L
+      totShufWrite.set(0L)
+    }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         peakMem = math.max(peakMem, m.peakExecutionMemory)
         maxShufRead = math.max(maxShufRead, m.shuffleReadMetrics.totalBytesRead)
         maxShufWrite = math.max(maxShufWrite, m.shuffleWriteMetrics.bytesWritten)
+        totShufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
       }
     }
   }
@@ -145,13 +179,15 @@ object Stress {
         // them before the row-count pass so its (lighter) tasks can't
         // inflate the reported write-plan peaks.
         Thread.sleep(1000)
-        val (peakMem, shufR, shufW) =
-          (listener.peakMem, listener.maxShufRead, listener.maxShufWrite)
+        val (peakMem, shufR, shufW, totW) =
+          (listener.peakMem, listener.maxShufRead, listener.maxShufWrite,
+            listener.totShufWrite.get)
         val rows = fn(spark, dir).count()
         println(f"[stress] $name: $sec%.1f s, $rows rows, " +
           f"taskPeakMem=${peakMem / 1048576} MiB, " +
           f"maxTaskShufRead=${shufR / 1048576} MiB, " +
-          f"maxTaskShufWrite=${shufW / 1048576} MiB")
+          f"maxTaskShufWrite=${shufW / 1048576} MiB, " +
+          f"totalShufWrite=${totW / 1048576} MiB")
       } catch {
         case e: Throwable =>
           println(s"[stress] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -26,7 +26,11 @@ class PqSpec extends SparkSpec {
       (for (m <- 0 until M; c <- 0L until K) yield
         (m, c) -> sub(vs(CentroidBase + c), m)).toMap
     for (_ <- 1 to PqIters) {
-      val asn = for (m <- 0 until M; (id, v) <- vs) yield {
+      // Lloyd trains on the deterministic vec_id % PqTrainMod sample
+      // (the operator's PqTrainMod contract); encode below still
+      // covers every vector
+      val asn = for (m <- 0 until M; (id, v) <- vs
+                     if id % PqTrainMod == 0) yield {
         val s = sub(v, m)
         // (d2, cid) tie-break
         val (_, cid, _) = cw.toSeq.collect { case ((mm, c), q) if mm == m =>

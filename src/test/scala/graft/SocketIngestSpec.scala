@@ -52,6 +52,61 @@ class SocketIngestSpec extends SparkSpec {
       ("host-3", 6, 14)))
   }
 
+  test("TLS ingest: syslog over an SSLServerSocket round-trips into the rotation files") {
+    val dir = freshDir("tls")
+    val certDir = freshDir("tls-cert")
+    val (certFile, keyFile) = TlsTestSupport.genCertKey(certDir)
+    // server context from the reference's --cert/--key PEM pair
+    val ctx = sources.SocketIngest.tlsContext(certFile, keyFile)
+    val ing = new sources.SocketIngest.TcpIngest(0, dir.getAbsolutePath,
+      tls = Some(ctx))
+    ing.start()
+    val msgs = Seq(
+      "<13>Feb  5 17:32:18 sec-host-1 over tls id=1",
+      "<165>1 2026-08-13T21:56:00Z sec-host-2 tls beta id=2")
+    try {
+      val s = TlsTestSupport.tlsClient(certFile, ing.boundPort)
+      s.getOutputStream.write(msgs.map(_ + "\n").mkString.getBytes("UTF-8"))
+      s.getOutputStream.flush()
+      val total = msgs.map(_.length + 1).sum
+      val deadline = System.currentTimeMillis() + 10000
+      while (ing.bytesIn < total && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      // bytesIn counts PLAINTEXT bytes after TLS decryption — the
+      // session terminated at the listener, not at a fronting proxy
+      assert(ing.bytesIn === total.toLong)
+      s.close()
+    } finally ing.stop()
+    assert(dir.listFiles().forall(f => !f.getName.startsWith(".")))
+    val parsed = streaming.SyslogPipeline.parseLines(
+        spark.read.text(dir.getAbsolutePath + "/*.dat"))
+      .select("hostname", "message").orderBy("hostname").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(parsed.map(_._1).toSeq === Seq("sec-host-1", "sec-host-2"))
+    assert(parsed.map(_._2).toSeq === msgs)
+  }
+
+  test("TLS ingest: a plaintext client fails the handshake and pollutes nothing") {
+    val dir = freshDir("tls-bad")
+    val certDir = freshDir("tls-bad-cert")
+    val (certFile, keyFile) = TlsTestSupport.genCertKey(certDir)
+    val ing = new sources.SocketIngest.TcpIngest(0, dir.getAbsolutePath,
+      tls = Some(sources.SocketIngest.tlsContext(certFile, keyFile)))
+    ing.start()
+    try {
+      // a non-TLS client writing raw bytes: the server handshake
+      // fails inside the reader thread; no plaintext may be recorded
+      val s = new Socket("127.0.0.1", ing.boundPort)
+      s.getOutputStream.write("<13>Feb  5 17:32:18 evil plaintext\n".getBytes("UTF-8"))
+      try s.getOutputStream.flush() catch { case _: java.io.IOException => () }
+      Thread.sleep(500)
+      s.close()
+    } finally ing.stop()
+    assert(ing.bytesIn === 0L)
+    assert(Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".dat")).isEmpty)
+  }
+
   test("UDP ingest: datagrams recovered byte-for-byte via the octet de-framer") {
     val dir = freshDir("udp")
     val ing = new sources.SocketIngest.UdpIngest(0, dir.getAbsolutePath)

@@ -108,7 +108,9 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit = {
       val q = streaming.CorpusStream.dedupQuery(
         spark, in.toString, schema, out.toString, ckpt.toString)
-      q.awaitTermination(60000)
+      // a timeout must fail HERE, not as a confusing downstream
+      // assertion over partial output with the query still running
+      assert(q.awaitTermination(60000))
     }
     feed(Seq(1L -> "alpha beta", 2L -> "gamma  delta"))
     drain()
@@ -139,7 +141,7 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit = {
       val q = streaming.MinhashStream.dedupQuery(
         spark, in.toString, schema, ckpt.toString, out.toString)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000))
     }
     // two increments split mid-corpus; the second drain restarts the
     // query from the checkpoint, so cross-drop collisions prove the
@@ -560,7 +562,7 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit = {
       val q = streaming.SurprisalStream.scoreQuery(
         spark, in.toString, schema, sf, out.toString, ckpt.toString)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000))
     }
     // replay the training corpus across two drains (restart from
     // checkpoint) — frozen-model scores must equal the batch op's
