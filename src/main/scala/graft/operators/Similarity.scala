@@ -809,18 +809,27 @@ object Similarity {
         col("vec_id") < CentroidBase + codewords)
       .select(col("m"), (col("vec_id") - CentroidBase).as("cid"),
         col("sq").as("cq"), col("sn").as("cn"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val mu = pqAssign(svTrain, cw)
         .select(col("m"), col("cid"), posexplode(col("sq")).as(Seq("dim", "x")))
         .groupBy("m", "cid", "dim")
         .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
         .select(col("m"), col("cid"), col("dim"),
           floor(col("s").cast("double") / col("cnt")).cast("long").as("c"))
-      cw = graft.Checkpoints.pin(mu.groupBy("m", "cid")
+      val next = mu.groupBy("m", "cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
           .as("cq"))
         .withColumn("cn", graft.functions.VectorFunctions.norm_sq_l(col("cq")))
-        .select(col("m"), col("cid"), col("cq"), col("cn")))
+        .select(col("m"), col("cid"), col("cq"), col("cn"))
+      // pin ONLY the final table (round 12): the codebook's post-loop
+      // consumers (encode, ncode, LUT) must never re-run training, but
+      // intermediate iterations have exactly ONE consumer — the next
+      // assignment — so pinning them bought lineage truncation at the
+      // price of a full checkpoint job per iteration (the job-count
+      // overhead the ann_pq trace showed dominates this query). With
+      // two iterations the inlined lineage is 2 assign stages in one
+      // job — cheaper than a pin round-trip, and byte-identical.
+      cw = if (it == iters) graft.Checkpoints.pin(next) else next
     }
     cw
   }
@@ -851,6 +860,11 @@ object Similarity {
     val v = quantized(spark, dir)
     val sv = subVectors(v)
     val cw = pqCodebooks(spark, dir, codewords = codewords)
+    // codes is consumed by the norm aggregate AND the ADC scan; the
+    // recompute is deliberate — persisting it was measured SLOWER at
+    // bench scale (the materialization job outweighs the cheap
+    // assign), and at 100 TB the codes sidecar would be written once
+    // as a table by the index build, not cached inside one query
     val codes = pqAssign(sv, cw).select(col("vec_id"), col("m"), col("cid"))
     val ncode = codes.join(broadcast(cw), Seq("m", "cid"))
       .groupBy("vec_id").agg(sum(col("cn")).as("nc"))

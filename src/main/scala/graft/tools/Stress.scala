@@ -119,6 +119,31 @@ object Stress {
     }
   }
 
+  /** DISTINCT-text stress corpus (round 12): ×N documents where every
+    * copy is Caesar-rotated by its copy index, so copies share no
+    * ≥25-char window (only all-digit/punct spans survive rotation).
+    * The twin-amplified `gen` corpus is the DUP-heavy extreme (every
+    * window trivially duplicated via its text's N copies); this is
+    * the opposite frontier — a corpus of mostly-unique text where
+    * dup detection must prune, the case the exact-substr hash
+    * candidate pass exists for. N caps at 26 rotations. */
+  def genDistinct(spark: SparkSession, src: String, out: String,
+                  copies: Int): Unit = {
+    require(copies <= 26, "only 26 distinct Caesar rotations exist")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val base = Tables.load(spark, src, "documents")
+    (0 until copies).map { i =>
+      val rl = lower.drop(i) + lower.take(i)
+      base
+        .withColumn("doc_id", col("doc_id") + lit(i * ShiftDoc))
+        .withColumn("text",
+          translate(col("text"), lower + upper, rl + rl.toUpperCase))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[stress] wrote $out/documents.parquet (${copies}x rotated $src)")
+  }
+
   /** Max-over-tasks metrics, reset per query: a cap that stopped
     * holding shows up here as a task whose peak memory or shuffle
     * volume grows with corpus² instead of corpus. */
@@ -209,6 +234,10 @@ object Stress {
           args.lift(2).getOrElse("/tmp/graft-stress"),
           args.lift(3).map(_.toInt).getOrElse(10),
           args.lift(4).map(_.split(",").toSet))
+      case "gendistinct" =>
+        genDistinct(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
+          args.lift(2).getOrElse("/tmp/graft-stress-distinct"),
+          args.lift(3).map(_.toInt).getOrElse(26))
       case "sweep" =>
         sweep(spark, args.lift(1).getOrElse("/tmp/graft-stress"),
           args.lift(2).map(_.split(",").toSet))
