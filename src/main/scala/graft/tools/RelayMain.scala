@@ -150,6 +150,10 @@ object RelayMain {
       * incremental against durable checkpoints. Returns the drain-log
       * directory for inspection. */
     def drainOnce(): String = {
+      // start EVERY port's spool query before awaiting any: the
+      // queries are independent (distinct checkpoints, task-unique
+      // spool file names), so a multi-port relay drains its ports
+      // concurrently instead of serializing AvailableNow passes
       val spoolQs =
         (tcpListeners.map { case (kind, port, dir, l) =>
           (kind, port, dir, l.boundPort)
@@ -163,7 +167,7 @@ object RelayMain {
             s"${dirs.checkpointRoot}/spool-$kind-$port",
             config, port = bound,
             maxRecordBytes = config.maxRecordSize.toLong)
-        }
+        }.toList
       spoolQs.foreach(q => require(q.awaitTermination(300000),
         "spool query did not finish its AvailableNow pass"))
       val ship = SpoolDrainStream.shipQuery(
