@@ -109,15 +109,21 @@ object Bench {
     spark.stop()
     // The parse contract (SURVEY §6), in preference order:
     //  1. bench.json (written above via SPARK_GRAFT_BENCH_OUT) — a
-    //     file is immune to log interleaving;
+    //     file is immune to log interleaving and line clipping;
     //  2. the GRAFT_BENCH_JSON: marker line — grep the token, parse
-    //     the remainder;
-    //  3. the bare JSON reprint below, which IS the last stdout line
-    //     now that build.sbt sets `Global / showSuccess := false`
-    //     (sbt's "[success] Total time" footer no longer follows it —
-    //     the exact line that nulled the driver's parse in r1-r11).
+    //     the remainder (full per-query map);
+    //  3. the SHORT summary line below, which IS the last stdout line.
+    //     r12 post-mortem: the full line grew to 2,029 chars and the
+    //     driver's tail-capture window is 2,000, so the line's head
+    //     clipped mid-number and the parse nulled (BENCH_r12.json).
+    //     The final line must therefore stay FIXED-SIZE (~170 chars)
+    //     no matter how many queries the bench grows: total + count +
+    //     a pointer to the full map. A tail window of any plausible
+    //     size captures it whole.
     println("GRAFT_BENCH_JSON:" + json)
-    println(json)
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries_file":"$outFile","sf":"$sfDir"}"""
+    println(summary)
     System.out.flush()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${failed.reverse.mkString(", ")}")

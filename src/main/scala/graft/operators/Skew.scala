@@ -40,51 +40,60 @@ object Skew {
       .agg(merge.head, merge.tail: _*)
   }
 
-  /** Skew-safe ordered collect: each salt bucket collects its own
-    * (order, payload) structs; the per-key merge flattens `buckets`
-    * partial arrays, sorts once, and projects the payloads. The hot
-    * key's heavy lifting (row collection) happens across `buckets`
-    * reducers.
-    *
-    * CAVEAT — the merged array is unbounded BY DESIGN: this variant
-    * reassembles every row of the key, so the stage-2 reducer still
-    * materializes the hot key's full row set (as `buckets` partial
-    * arrays rather than raw rows). Use it only when the caller truly
-    * needs the complete ordered list per key; for top-N semantics use
-    * [[saltedTopN]], whose stage-2 input is bounded at buckets·N
-    * elements per key no matter how hot the key is. */
-  def saltedSortedCollect(df: DataFrame, keys: Seq[String], buckets: Int,
-                          payload: Column, order: Column): DataFrame =
-    saltedAgg(df, keys, buckets)(
-      Seq(collect_list(struct(order.as("o"), payload.as("p"))).as("part")),
-      Seq(transform(array_sort(flatten(collect_list(col("part")))),
-        x => x.getField("p")).as("items")))
+  // NOTE: there is deliberately NO complete-list variant
+  // ("saltedSortedCollect") in this API anymore: a per-key COMPLETE
+  // ordered list is unbounded by definition, so some reducer must
+  // materialize the hot key's full row set — an OOM-by-design shape
+  // that does not belong in a public scale library (its algebra is
+  // still proven in ScaleSpec, quarantined to test scope). Callers
+  // needing full per-key ordering should sort-and-write
+  // (`repartition(key).sortWithinPartitions(key, order)` — spillable)
+  // rather than collect; callers needing a bounded prefix use
+  // [[saltedTopN]].
 
   /** Stage 1 of [[saltedTopN]], exposed so the scale property is
     * directly assertable: one row per (key, salt) whose `part` array
     * holds that salt bucket's N smallest (order, payload) structs.
     * The cap is algebraically free for top-N — rows beyond rank N in
     * ANY salt bucket can never reach the global top N, because at
-    * least N rows of the same bucket precede them. */
+    * least N rows of the same bucket precede them.
+    *
+    * The cap is applied BEFORE any aggregation buffer exists: a
+    * per-(key, salt) `row_number() <= N` window filter feeds the
+    * collect. The window's sort is a spillable external sort, so a
+    * hot key costs disk, never an OOM — whereas capping with
+    * `slice(array_sort(collect_list(...)))` would first materialize
+    * the full (key, salt) group (hotRows/buckets elements) in one
+    * in-memory aggregation buffer and only then discard rows. The
+    * window and the groupBy hash-partition on the same (key, salt)
+    * keys, so the filter adds a sort but no extra exchange. */
   def saltedTopNPartials(df: DataFrame, keys: Seq[String], buckets: Int,
                          n: Int, payload: Column, order: Column): DataFrame = {
     require(buckets > 0 && n > 0)
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    // (order, payload) ordering matches array_sort's struct order, so
+    // ties cut the same multiset the sort-then-slice algebra would
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys.map(col) :+ col("__salt")): _*)
+      .orderBy(order, payload)
     salted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(slice(array_sort(collect_list(struct(order.as("o"), payload.as("p")))),
         1, n).as("part"))
   }
 
   /** Skew-safe top-N collect: the N smallest payloads per key by
-    * `order`, computed so no single reducer ever holds more than
+    * `order`, computed so no reducer buffer anywhere holds more than
     * buckets·N elements of any key. Stage 1 spreads the hot key over
-    * `buckets` reducers and caps each per-salt partial at N; stage 2
-    * merges ≤ `buckets` arrays of ≤ N structs and re-slices. At 100 TB
-    * a hot syslog source flows through `buckets` bounded partials
-    * instead of OOMing one reducer — the failure mode the uncapped
-    * collect variant ([[saltedSortedCollect]]) still admits. */
+    * `buckets` reducers, rank-filters each salt bucket to N rows
+    * through a spillable window sort, and collects the ≤ N survivors;
+    * stage 2 merges ≤ `buckets` arrays of ≤ N structs and re-slices.
+    * At 100 TB a hot syslog source costs a disk-backed sort across
+    * `buckets` tasks instead of OOMing one reducer. */
   def saltedTopN(df: DataFrame, keys: Seq[String], buckets: Int, n: Int,
                  payload: Column, order: Column): DataFrame =
     saltedTopNPartials(df, keys, buckets, n, payload, order)

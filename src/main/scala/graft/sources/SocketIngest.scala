@@ -93,6 +93,100 @@ object SocketIngest {
     ctx
   }
 
+  /** PROXY-protocol preamble peel for the live path (SURVEY §2 #142;
+    * reference proxy.py:110-215 `ProxyProtocol.data_received` →
+    * `_parse_proxy10`/`_parse_proxy20`): on a `--proxy-protocol`
+    * port the connection's first bytes are a v1 text line or a v2
+    * binary header ADVERTISING the real client peer; the reference
+    * rewrites the transport's `peername` so the app protocol (and
+    * ultimately the sink's logStream, sink.py:163) sees the
+    * advertised address, then feeds only the payload onward.
+    *
+    * Here the peel happens at the same layer — the listener's reader
+    * thread, before any byte reaches the [[Rotator]] — and the
+    * advertised source travels to the Spark side IN THE FILE NAME
+    * (`…-src-<addr>-…`), because connection identity already lives
+    * there (one file per connection/rotation). The Spark side then
+    * needs only a map-side `regexp_extract` on `_metadata.file_path`
+    * — no stream-stream join, no state, holds at any scale.
+    *
+    * v2 bytes are decoded by the SAME oracle-verified kernel the
+    * batch operator uses ([[graft.operators.Proxy.v2Parse]], a pure
+    * static function — no SparkSession): live and batch semantics
+    * cannot drift. v1 follows the reference's strict 6-field split
+    * (proxy.py:133-136: anything else closes the connection). */
+  object ProxyPreamble {
+    private val V1Magic = "PROXY ".getBytes(StandardCharsets.US_ASCII)
+    private val V2Magic = Array[Byte](0x0d, 0x0a, 0x0d, 0x0a, 0x00, 0x0d,
+      0x0a, 'Q', 'U', 'I', 'T', 0x0a)
+    /** v1 spec cap: 107 bytes including CRLF. */
+    private val V1MaxLen = 107
+
+    private def readFully(in: java.io.InputStream, buf: Array[Byte],
+                          off: Int, len: Int): Boolean = {
+      var p = off
+      while (p < off + len) {
+        val n = in.read(buf, p, off + len - p)
+        if (n < 0) return false
+        p += n
+      }
+      true
+    }
+
+    /** Consume exactly the PROXY preamble from the connection stream.
+      * Right(Some(addr)) = advertised source; Right(None) = v2 LOCAL
+      * command (spec: keep the real connection peer); Left = invalid
+      * header — the caller closes the connection, as the reference's
+      * `_close_with_error` does (proxy.py:131-139, 143-162). */
+    def read(in: java.io.InputStream): Either[String, Option[String]] = {
+      val head = new Array[Byte](16)
+      if (!readFully(in, head, 0, 6)) return Left("EOF inside PROXY header")
+      if (head.take(6).sameElements(V1Magic)) {
+        // v1: scan byte-wise to the LF (the header is tens of bytes,
+        // once per connection — simplicity over buffering)
+        val line = new StringBuilder("PROXY ")
+        var c = in.read()
+        while (c >= 0 && c != '\n' && line.length < V1MaxLen) {
+          line.append(c.toChar)
+          c = in.read()
+        }
+        if (c != '\n' || line.isEmpty || line.last != '\r')
+          return Left("PROXY v1 header missing CRLF terminator")
+        line.setLength(line.length - 1) // drop the CR
+        line.toString.split(" ", -1) match {
+          case Array("PROXY", _, src, _, srcPort, dstPort)
+              if srcPort.forall(_.isDigit) && srcPort.nonEmpty &&
+                dstPort.forall(_.isDigit) && dstPort.nonEmpty =>
+            Right(Some(src))
+          case _ => Left("PROXY protocol error: invalid header")
+        }
+      } else {
+        if (!readFully(in, head, 6, 6)) return Left("EOF inside PROXY header")
+        if (!head.take(12).sameElements(V2Magic))
+          return Left("PROXY protocol error: invalid header")
+        if (!readFully(in, head, 12, 4)) return Left("EOF inside PROXY header")
+        val addrLen = ((head(14) & 0xff) << 8) | (head(15) & 0xff)
+        val full = java.util.Arrays.copyOf(head, 16 + addrLen)
+        if (!readFully(in, full, 16, addrLen))
+          return Left("EOF inside PROXY v2 address block")
+        val row = graft.operators.Proxy.v2Parse(full)
+        if (row == null) return Left("PROXY protocol error: invalid v2 header")
+        if (row.getUTF8String(0).toString == "local") Right(None)
+        else if (row.isNullAt(3)) Left("PROXY protocol error: no source address")
+        else Right(Some(row.getUTF8String(3).toString))
+      }
+    }
+
+    /** File-name-safe encoding of an advertised address; reversed on
+      * the Spark side by `translate(src, "_", ":")` (IPv6 colons are
+      * the only reserved char an IP can carry). */
+    def sanitize(addr: String): String =
+      addr.map(c =>
+        if (c == ':') '_'
+        else if (c.isLetterOrDigit || c == '.' || c == '-') c
+        else '-')
+  }
+
   private val ingestSeq = new AtomicInteger(0)
 
   /** Rotating per-source file writer; NOT thread-safe — each
@@ -137,11 +231,17 @@ object SocketIngest {
     * SecureSyslogServer/SecureGelfServer) — the per-connection
     * handshake runs inside the reader thread's first read, and the
     * plaintext byte contract downstream is unchanged. `address`
-    * mirrors the reference's `--address` bind option. */
+    * mirrors the reference's `--address` bind option. With
+    * `proxyProtocol` (reference `--proxy-protocol` + proxy.wrap),
+    * each connection must LEAD with a PROXY v1/v2 header; the
+    * advertised peer is peeled off by [[ProxyPreamble]] and embedded
+    * in the connection's file names (`-src-<addr>-`), and an invalid
+    * header closes the connection (proxy.py `_close_with_error`). */
   final class TcpIngest(port: Int, outDir: String,
                         rotateBytes: Long = 4L << 20,
                         tls: Option[javax.net.ssl.SSLContext] = None,
-                        address: String = "0.0.0.0") {
+                        address: String = "0.0.0.0",
+                        proxyProtocol: Boolean = false) {
     private val server: ServerSocket = tls match {
       case Some(ctx) => ctx.getServerSocketFactory.createServerSocket()
       case None => new ServerSocket()
@@ -151,11 +251,18 @@ object SocketIngest {
     private val threads = new ConcurrentLinkedQueue[Thread]()
     private val id = ingestSeq.getAndIncrement()
     private val bytesCount = new AtomicLong(0)
+    private val proxyErrorCount = new AtomicLong(0)
 
     /** Total connection bytes read so far — lets a shutdown sequence
       * confirm in-flight traffic landed before stopping (accept and
-      * read run on their own threads). */
+      * read run on their own threads). NOTE: on a proxyProtocol port
+      * this counts PAYLOAD bytes (post-preamble) — the header is
+      * transport framing the reference likewise never hands to the
+      * app protocol. */
     def bytesIn: Long = bytesCount.get()
+
+    /** Connections closed for an invalid/absent PROXY preamble. */
+    def proxyErrors: Long = proxyErrorCount.get()
 
     def start(): Unit = {
       server.setReuseAddress(true)
@@ -180,8 +287,23 @@ object SocketIngest {
 
     private def handle(sock: Socket): Unit = {
       val cid = connSeq.getAndIncrement()
-      val rot = new Rotator(new File(outDir), f"tcp-$id-conn-$cid%06d", rotateBytes)
       val in = sock.getInputStream
+      // PROXY ports: peel the preamble BEFORE the first Rotator byte
+      // (the reference parses it before connection_made reaches the
+      // app protocol, proxy.py:104-107); the advertised source rides
+      // the connection's file names to the Spark side
+      val srcTag: Option[String] =
+        if (!proxyProtocol) None
+        else ProxyPreamble.read(in) match {
+          case Right(advertised) => advertised.map(ProxyPreamble.sanitize)
+          case Left(err) =>
+            proxyErrorCount.incrementAndGet()
+            System.err.println(s"[ingest tcp-$id conn-$cid] $err - closing")
+            sock.close()
+            return
+        }
+      val tag = f"tcp-$id-conn-$cid%06d" + srcTag.map("-src-" + _).getOrElse("")
+      val rot = new Rotator(new File(outDir), tag, rotateBytes)
       val buf = new Array[Byte](64 * 1024)
       try {
         var n = in.read(buf)
@@ -190,10 +312,14 @@ object SocketIngest {
           n = in.read(buf)
         }
       } catch {
-        // peer reset / stop() / a failed or aborted TLS handshake
-        // (SSLException is an IOException): publish what arrived,
-        // never let a bad client kill the reader thread loudly
-        case _: java.io.IOException => ()
+        // peer reset / stop() / a failed or aborted TLS handshake:
+        // publish what arrived, never let a bad client kill the
+        // reader thread loudly. Deliberately NARROW (socket-side
+        // failures only): a Rotator disk-write IOException (disk
+        // full, permissions) is ingest data loss and must surface,
+        // not vanish into the same silence.
+        case _: SocketException => ()
+        case _: javax.net.ssl.SSLException => ()
       } finally {
         rot.publish() // connection close = flush (reference: eof_received)
         sock.close()

@@ -66,10 +66,24 @@ object SurprisalStream {
     * `batch_id=k` in place instead of appending duplicate score rows,
     * restoring the idempotence the built-in file sink provides
     * (round-11 advisory). Readers `spark.read.parquet(outDir)` as
-    * before — batch_id surfaces as a partition column. */
+    * before — batch_id surfaces as a partition column.
+    *
+    * BREAKING (r12, flagged in the r12 advisory): before the
+    * batch_id layout, scores appended as FLAT parquet files directly
+    * under `outDir`. A pre-existing flat `outDir` mixed with
+    * partition directories breaks parquet partition discovery, so
+    * this fails fast on such a directory instead of writing a layout
+    * readers can no longer load — migrate by moving old flat files
+    * into a `batch_id=-1/` subdirectory (they become batch -1). */
   def scoreQuery(spark: SparkSession, inputDir: String, schema: StructType,
                  modelDir: String, outDir: String,
                  checkpointDir: String): StreamingQuery = {
+    val flat = new java.io.File(outDir).listFiles()
+    require(flat == null || !flat.exists(f =>
+        f.isFile && f.getName.endsWith(".parquet")),
+      s"$outDir holds flat parquet files from the pre-batch_id layout; " +
+        "move them into a batch_id=-1/ subdirectory (partition " +
+        "discovery cannot mix flat files with batch_id= directories)")
     val vocab = graft.functions.TextFunctions.unigramVocab(spark, modelDir)
     val nTotal = vocab.agg(sum(col("c"))).head.getLong(0)
     spark.readStream.schema(schema).parquet(inputDir)

@@ -46,8 +46,14 @@ object SyslogPipeline {
     parseLines(lines)
   }
 
-  /** Shared with tests (works on both streaming and batch frames). */
-  def parseLines(lines: DataFrame): DataFrame =
+  /** Shared with tests (works on both streaming and batch frames).
+    * `sourceOverride`: a Column evaluated against `lines` that, when
+    * non-null, REPLACES the parsed hostname as the message source —
+    * the PROXY-protocol path (reference proxy.py rewrites peername so
+    * the sink's logStream carries the advertised client, sink.py:163);
+    * null/absent falls back to the parsed hostname. */
+  def parseLines(lines: DataFrame,
+                 sourceOverride: Option[org.apache.spark.sql.Column] = None): DataFrame =
     lines
       .withColumn("h", parseHeader(col("value")))
       .withColumn("prio", coalesce(col("h.pri"), lit(Constants.DefaultPri)))
@@ -61,7 +67,8 @@ object SyslogPipeline {
         col("prio"),
         (col("prio") / 8).cast("int").as("facility"),
         (col("prio") % 8).as("severity"),
-        coalesce(col("h.hostname"), lit("unknown")).as("hostname"),
+        coalesce((sourceOverride.toSeq :+ col("h.hostname") :+
+          lit("unknown")): _*).as("hostname"),
         col("h.content").as("content"),
         coalesce(col("ts_ms"),
           (unix_timestamp(current_timestamp()) * 1000)).as("ts_ms"))
@@ -101,14 +108,17 @@ object SyslogPipeline {
     parseGelfLines(assembled.toDF().select(col("message").as("value")))
   }
 
-  /** Shared with tests (works on both streaming and batch frames). */
-  def parseGelfLines(lines: DataFrame): DataFrame =
+  /** Shared with tests (works on both streaming and batch frames).
+    * `sourceOverride` as in [[parseLines]]. */
+  def parseGelfLines(lines: DataFrame,
+                     sourceOverride: Option[org.apache.spark.sql.Column] = None): DataFrame =
     lines
       .withColumn("j", org.apache.spark.sql.functions.from_json(
         col("value"), graft.operators.Gelf.GelfSchema))
       .select(
         col("value").as("message"),
-        coalesce(col("j.host"), lit("unknown")).as("hostname"),
+        coalesce((sourceOverride.toSeq :+ col("j.host") :+
+          lit("unknown")): _*).as("hostname"),
         col("j.short_message").as("content"),
         coalesce(round(col("j.timestamp") * 1000).cast("long"),
           unix_timestamp(current_timestamp()) * 1000).as("ts_ms"))

@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   *    built from `--cert`/`--key` (server.py:46-52 SecureServer)
   *  - `--udp-port`  → [[SocketIngest.UdpIngest]]; each datagram is
   *    octet-count framed, recovered by the #11 auto de-framer
-  *  - `--proxy-protocol` → the port's stream drops PROXY v1 header
-  *    lines before parse (proxy.wrap, init.py:199-205; the binary v2
-  *    header is a batch-path concern — #14 parses it — because the
-  *    live line framing is text)
+  *  - `--proxy-protocol` → the listener peels each connection's
+  *    PROXY v1 OR v2 preamble ([[SocketIngest.ProxyPreamble]], which
+  *    rides the oracle-verified #13/#14 parse kernels) and the
+  *    ADVERTISED peer becomes the message source → logStream, the
+  *    reference's actual semantics (proxy.wrap rewrites peername,
+  *    proxy.py:118-215; sink.py:163) — not merely header stripping
   *  - `--prometheus-port` → [[StatsServer]] serving live per-stream
   *    counters aggregated FROM THE SPOOL (the reference's StatsSink
   *    counts at the same point: messages that reached the sink)
@@ -80,7 +82,8 @@ object RelayMain {
           new File(d).mkdirs()
           (kind, port, d, new SocketIngest.TcpIngest(port, d,
             tls = if (kind == "tls") tlsCtx else None,
-            address = config.address))
+            address = config.address,
+            proxyProtocol = config.proxyProtocolPorts.contains(port)))
       }
 
     val udpListeners: Seq[(Int, String, SocketIngest.UdpIngest)] =
@@ -137,12 +140,26 @@ object RelayMain {
             .select(col("b").cast("string").as("value"))
         case _ => spark.readStream.option("maxFilesPerTrigger", 16).text(dir)
       }
-      val noProxy =
-        if (config.proxyProtocolPorts.contains(port) && kind != "udp")
-          lines.filter(!col("value").startsWith("PROXY "))
+      // PROXY ports (reference proxy.wrap + init.py:199-205): the
+      // listener already peeled the v1/v2 preamble and put the
+      // ADVERTISED peer in the connection's file names; here it
+      // becomes the message source (→ logStream, sink.py:163) via a
+      // map-side path extract — no join, no state, any scale. A
+      // connection without a tag (v2 LOCAL command) falls back to
+      // the parsed hostname.
+      val sourceOverride =
+        if (config.proxyProtocolPorts.contains(port) && kind != "udp") {
+          val tagged = regexp_extract(col("ingest_path"),
+            "-src-(.+)-\\d{5}\\.dat$", 1)
+          Some(when(tagged =!= "", translate(tagged, "_", ":")))
+        } else None
+      val withPath =
+        if (sourceOverride.isDefined)
+          lines.select(col("value"),
+            col("_metadata.file_path").as("ingest_path"))
         else lines
-      if (config.gelf) SyslogPipeline.parseGelfLines(noProxy)
-      else SyslogPipeline.parseLines(noProxy)
+      if (config.gelf) SyslogPipeline.parseGelfLines(withPath, sourceOverride)
+      else SyslogPipeline.parseLines(withPath, sourceOverride)
     }
 
     /** One flush pass: every listener's ingest dir → parse → spool
@@ -272,9 +289,19 @@ object RelayMain {
       spoolDir = opts.get("spool-dir").map(_.head)
         .getOrElse(System.getProperty("java.io.tmpdir")))
     val spark = graft.GraftSession.create()
-    val transport = new FilesystemTransport(
-      opts.get("delivered-dir").map(_.head).getOrElse(s"$workDir/delivered"))
-    val relay = new Relay(spark, config, RelayDirs(workDir), transport)
+    val dirs = RelayDirs(workDir)
+    // `--endpoint` = the reference's region/profile-selected Firehose
+    // endpoint (init.py:57-68): ship real PutRecordBatch JSON over
+    // HTTP ([[graft.streaming.HttpTransport]]); without it, delivery
+    // is the filesystem manifest under --delivered-dir
+    val transport: BatchTransport = opts.get("endpoint").map(_.head) match {
+      case Some(url) =>
+        new graft.streaming.HttpTransport(url,
+          Seq(config.spoolDir, dirs.retryDir))
+      case None => new FilesystemTransport(
+        opts.get("delivered-dir").map(_.head).getOrElse(s"$workDir/delivered"))
+    }
+    val relay = new Relay(spark, config, dirs, transport)
     relay.start()
     println(s"[relay] listening: ${relay.boundPorts}, stats: ${relay.statsPorts}")
     relay.run()

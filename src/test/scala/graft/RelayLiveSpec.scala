@@ -169,6 +169,97 @@ class RelayLiveSpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("RelayMain proxy-protocol port: the ADVERTISED peer becomes log_stream, v1 and v2") {
+    val root = new File(sys.props("java.io.tmpdir"),
+      s"graft-relaymain-proxy-${spark.sparkContext.applicationId}")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val spoolDir = new File(root, "spool")
+    val port = freePort()
+    val config = RelayConfig(
+      tcpPorts = Seq(port), tlsPorts = Seq(0),
+      proxyProtocolPorts = Seq(port),
+      spoolDir = spoolDir.getAbsolutePath,
+      maxBatchCount = 3)
+    val relay = new tools.RelayMain.Relay(spark, config,
+      tools.RelayMain.RelayDirs(root.getAbsolutePath),
+      new streaming.FilesystemTransport(
+        new File(root, "delivered").getAbsolutePath))
+    relay.start()
+    val bound = relay.boundPorts("tcp").head
+    val v1Msgs = (1 to 2).map(i =>
+      s"<13>Feb  5 17:32:1$i behind-proxy-a proxied v1 id=$i")
+    val v2Msgs = (3 to 4).map(i =>
+      s"<13>Feb  5 17:32:1$i behind-proxy-b proxied v2 id=$i")
+    val v6Msgs = Seq("<13>Feb  5 17:32:15 behind-proxy-c proxied v2 inet6 id=5")
+    def v2Header(src: Array[Byte], dst: Array[Byte],
+                 family: Byte, sport: Int, dport: Int): Array[Byte] = {
+      val magic = Array[Byte](0x0d, 0x0a, 0x0d, 0x0a, 0x00, 0x0d, 0x0a,
+        'Q', 'U', 'I', 'T', 0x0a)
+      val addrLen = src.length + dst.length + 4
+      magic ++ Array[Byte](0x21, family,
+        ((addrLen >> 8) & 0xff).toByte, (addrLen & 0xff).toByte) ++
+        src ++ dst ++
+        Array[Byte](((sport >> 8) & 0xff).toByte, (sport & 0xff).toByte,
+          ((dport >> 8) & 0xff).toByte, (dport & 0xff).toByte)
+    }
+    try {
+      // v1 text preamble: advertised peer 203.0.113.9
+      val a = new Socket("127.0.0.1", bound)
+      a.getOutputStream.write(
+        ("PROXY TCP4 203.0.113.9 10.0.0.1 34321 514\r\n" +
+          v1Msgs.map(_ + "\n").mkString).getBytes("UTF-8"))
+      // v2 binary preamble, inet: advertised peer 198.51.100.42
+      val b = new Socket("127.0.0.1", bound)
+      b.getOutputStream.write(
+        v2Header(Array[Byte](198.toByte, 51, 100, 42),
+          Array[Byte](10, 0, 0, 1), 0x11, 4321, 514) ++
+          v2Msgs.map(_ + "\n").mkString.getBytes("UTF-8"))
+      // v2 inet6: colons survive the file-name round trip (2001:db8::1
+      // parses to the uncompressed 8-group form Proxy.v2Parse emits)
+      val v6src = Array[Byte](0x20, 0x01, 0x0d, 0xb8.toByte) ++
+        Array.fill[Byte](11)(0) :+ 1.toByte
+      val v6dst = Array.fill[Byte](15)(0) :+ 1.toByte
+      val c = new Socket("127.0.0.1", bound)
+      c.getOutputStream.write(
+        v2Header(v6src, v6dst, 0x21, 4322, 514) ++
+          v6Msgs.map(_ + "\n").mkString.getBytes("UTF-8"))
+      // invalid preamble: the reference closes the connection
+      // (_close_with_error); nothing from it may reach the spool
+      val bad = new Socket("127.0.0.1", bound)
+      bad.getOutputStream.write(
+        "GARBAGE line\n<13>Feb  5 17:32:16 evil should not land\n"
+          .getBytes("UTF-8"))
+      val total = (v1Msgs ++ v2Msgs ++ v6Msgs).map(_.length + 1).sum
+      val deadline = System.currentTimeMillis() + 15000
+      val ing = relay.tcpListeners.head._4
+      while ((ing.bytesIn < total || ing.proxyErrors < 1)
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(ing.bytesIn === total.toLong) // preamble bytes never count
+      assert(ing.proxyErrors === 1L)
+      a.close(); b.close(); c.close(); bad.close()
+      relay.tcpListeners.foreach(_._4.stop())
+      relay.drainOnce()
+      val spooled = spark.read.format("graft-spool")
+        .load(spoolDir.getAbsolutePath)
+        .select("log_stream", "message").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // every proxied message exactly once, none from the bad conn,
+      // no header line leaked through as a message
+      assert(spooled.map(_._2).sorted.toSeq ===
+        (v1Msgs ++ v2Msgs ++ v6Msgs).sorted)
+      // the sink's logStream is the ADVERTISED peer (sink.py:163 via
+      // proxy.py peername rewrite), not the parsed syslog hostname
+      val byStream = spooled.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(byStream.keySet ===
+        Set("203.0.113.9", "198.51.100.42", "2001:db8:0:0:0:0:0:1"))
+      assert(byStream("203.0.113.9") === v1Msgs.toSet)
+      assert(byStream("198.51.100.42") === v2Msgs.toSet)
+      assert(byStream("2001:db8:0:0:0:0:0:1") === v6Msgs.toSet)
+    } finally relay.stop()
+  }
+
   test("RelayMain gelf mode: the same assembly with the GELF parse path") {
     val root = new File(sys.props("java.io.tmpdir"),
       s"graft-relaymain-gelf-${spark.sparkContext.applicationId}")

@@ -15,11 +15,10 @@ object SpoolTableSchemaFixture {
     })
 }
 
-/** DataSourceV2 spool reader + writer (SURVEY §2 #69/#72). */
-class SpoolSourceSpec extends SparkSpec {
-
-  private def record(group: String, stream: String,
-                     events: Seq[(String, String, Long)]): String = {
+/** Spool-record builders shared with [[HttpTransportSpec]]. */
+object SpoolSourceSpec {
+  def record(group: String, stream: String,
+             events: Seq[(String, String, Long)]): String = {
     val evs = events.map { case (id, msg, ts) =>
       s"""{"id":"$id","message":"$msg","timestamp":$ts}"""
     }.mkString(",")
@@ -28,10 +27,15 @@ class SpoolSourceSpec extends SparkSpec {
       s""""logEvents":[$evs]}"""
   }
 
-  private def writeGz(dir: File, name: String, body: String): Unit = {
+  def writeGz(dir: File, name: String, body: String): Unit = {
     val out = new GZIPOutputStream(new FileOutputStream(new File(dir, name)))
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
+}
+
+/** DataSourceV2 spool reader + writer (SURVEY §2 #69/#72). */
+class SpoolSourceSpec extends SparkSpec {
+  import SpoolSourceSpec.{record, writeGz}
 
   private lazy val fixture: File = {
     val dir = new File(sys.props("java.io.tmpdir"),
