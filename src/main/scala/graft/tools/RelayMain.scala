@@ -125,19 +125,42 @@ object RelayMain {
 
     /** The per-port parsed stream: text lines for TCP/TLS, de-framed
       * datagrams for UDP; GELF or syslog parse per `config.gelf`
-      * (init.py:180-189 selects the message class the same way). */
+      * (init.py:180-189 selects the message class the same way).
+      *
+      * GELF over UDP is the reference's actual graylog input path
+      * (protocol.py:281-300 DatagramGelfProtocol): each datagram is
+      * either a CHUNK (magic 0x1e0f — accumulate per message id,
+      * reassemble when all parts arrive, and only THEN magic-sniff +
+      * decompress, because senders compress the whole document and
+      * chunk the compressed bytes) or a whole GELF document, possibly
+      * zlib/gzip compressed. Both arms ride the already-proven
+      * components: #8b's chunk parse + [[GelfChunkStream]]'s keyed
+      * cross-micro-batch reassembly, and #12's decompress sniff. */
     private def parsedFor(kind: String, dir: String, port: Int): DataFrame = {
+      // binaryFile's schema is fixed, but the STREAMING source
+      // requires it stated (no inference on streams)
+      val binarySchema = new org.apache.spark.sql.types.StructType()
+        .add("path", "string").add("modificationTime", "timestamp")
+        .add("length", "long").add("content", "binary")
+      def frames: DataFrame =
+        spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+          .select(explode(graft.operators.Framing.syslogFrames(
+            col("content"))).as("datagram"),
+            col("modificationTime").as("event_time"))
+      if (kind == "udp" && config.gelf) {
+        val isChunk = graft.functions.GelfFunctions
+          .gelf_chunk_parse(col("datagram")).isNotNull
+        val whole = frames.filter(!isChunk)
+          .select(graft.functions.BinaryFunctions
+            .decompress_auto(col("datagram")).cast("string").as("value"))
+        val assembled = graft.streaming.GelfChunkStream
+          .assembleDatagrams(frames.filter(isChunk))
+          .toDF().select(col("message").as("value"))
+        return SyslogPipeline.parseGelfLines(whole.unionAll(assembled))
+      }
       val lines = kind match {
         case "udp" =>
-          // binaryFile's schema is fixed, but the STREAMING source
-          // requires it stated (no inference on streams)
-          val binarySchema = new org.apache.spark.sql.types.StructType()
-            .add("path", "string").add("modificationTime", "timestamp")
-            .add("length", "long").add("content", "binary")
-          spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
-            .select(explode(graft.operators.Framing.syslogFrames(
-              col("content"))).as("b"))
-            .select(col("b").cast("string").as("value"))
+          frames.select(col("datagram").cast("string").as("value"))
         case _ => spark.readStream.option("maxFilesPerTrigger", 16).text(dir)
       }
       // PROXY ports (reference proxy.wrap + init.py:199-205): the

@@ -260,6 +260,75 @@ class RelayLiveSpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("RelayMain gelf UDP: chunked+zlib datagrams interleave, reassemble, and land") {
+    val root = new File(sys.props("java.io.tmpdir"),
+      s"graft-relaymain-gelfudp-${spark.sparkContext.applicationId}")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val spoolDir = new File(root, "spool")
+    val config = RelayConfig(
+      gelf = true,
+      udpPorts = Seq(freePort()), tcpPorts = Seq(0), tlsPorts = Seq(0),
+      spoolDir = spoolDir.getAbsolutePath,
+      maxBatchCount = 3)
+    val relay = new tools.RelayMain.Relay(spark, config,
+      tools.RelayMain.RelayDirs(root.getAbsolutePath),
+      new streaming.FilesystemTransport(
+        new File(root, "delivered").getAbsolutePath))
+    relay.start()
+    def gelf(i: Int, tag: String): String =
+      s"""{"version":"1.1","host":"udp-host-$i","short_message":"$tag msg $i","timestamp":17000000$i.5}"""
+    def chunksOf(id: Long, payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val per = (payload.length + n - 1) / n
+      (0 until n).map { seq =>
+        val part = payload.slice(seq * per, math.min((seq + 1) * per, payload.length))
+        val bb = java.nio.ByteBuffer.allocate(12 + part.length)
+        bb.put(0x1e.toByte).put(0x0f.toByte).putLong(id)
+          .put(seq.toByte).put(n.toByte).put(part)
+        bb.array()
+      }
+    }
+    // message 1: plain JSON datagram; message 2: zlib'd whole document
+    // (protocol.py:217-224 magic sniff); messages 3 and 4: zlib'd then
+    // CHUNKED into 3 parts each, their chunks interleaved across sends
+    // (the reference accumulates per message id, protocol.py:289-300)
+    val plain = gelf(1, "plain")
+    val packed = gelf(2, "zlib")
+    val c3 = gelf(3, "chunked")
+    val c4 = gelf(4, "chunked")
+    val zl = graft.functions.BinaryFunctions.zlib6 _
+    val ch3 = chunksOf(0x1111222233334444L, zl(c3.getBytes("UTF-8")), 3)
+    val ch4 = chunksOf(0x5555666677778888L, zl(c4.getBytes("UTF-8")), 3)
+    val datagrams: Seq[Array[Byte]] =
+      Seq(plain.getBytes("UTF-8"), zl(packed.getBytes("UTF-8")),
+        // interleaved, out of order: 3[2], 4[0], 3[0], 4[2], 3[1], 4[1]
+        ch3(2), ch4(0), ch3(0), ch4(2), ch3(1), ch4(1))
+    try {
+      val sock = new java.net.DatagramSocket()
+      val addr = java.net.InetAddress.getByName("127.0.0.1")
+      datagrams.foreach(b => sock.send(new java.net.DatagramPacket(
+        b, b.length, addr, relay.boundPorts("udp").head)))
+      sock.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (relay.datagramsIn < datagrams.length
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(relay.datagramsIn === datagrams.length.toLong)
+      relay.udpListeners.foreach(_._3.stop())
+      relay.drainOnce()
+      val spooled = spark.read.format("graft-spool")
+        .load(spoolDir.getAbsolutePath)
+        .select("log_stream", "message").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // all four messages exactly once — the chunked pair reassembled
+      // from interleaved datagrams and inflated AFTER reassembly
+      assert(spooled.map(_._2).sorted.toSeq ===
+        Seq(plain, packed, c3, c4).sorted)
+      assert(spooled.map(_._1).toSet ===
+        (1 to 4).map(i => s"udp-host-$i").toSet)
+    } finally relay.stop()
+  }
+
   test("RelayMain gelf mode: the same assembly with the GELF parse path") {
     val root = new File(sys.props("java.io.tmpdir"),
       s"graft-relaymain-gelf-${spark.sparkContext.applicationId}")
