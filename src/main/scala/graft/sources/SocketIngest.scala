@@ -114,7 +114,14 @@ object SocketIngest {
     * batch operator uses ([[graft.operators.Proxy.v2Parse]], a pure
     * static function — no SparkSession): live and batch semantics
     * cannot drift. v1 follows the reference's strict 6-field split
-    * (proxy.py:133-136: anything else closes the connection). */
+    * (proxy.py:133-136: anything else closes the connection).
+    *
+    * Ordering under TLS is deliberately TLS-FIRST: the preamble is
+    * read from the connection's decrypted InputStream, so on a
+    * TLS+proxy port the handshake fires inside this read and the
+    * PROXY header travels encrypted — matching the reference, where
+    * proxy.wrap wraps the app protocol UNDER SecureServer's TLS
+    * transport (init.py:199-205), not the raw socket. */
   object ProxyPreamble {
     private val V1Magic = "PROXY ".getBytes(StandardCharsets.US_ASCII)
     private val V2Magic = Array[Byte](0x0d, 0x0a, 0x0d, 0x0a, 0x00, 0x0d,
@@ -292,15 +299,29 @@ object SocketIngest {
       // (the reference parses it before connection_made reaches the
       // app protocol, proxy.py:104-107); the advertised source rides
       // the connection's file names to the Spark side
+      // The preamble read shares handle()'s narrow socket-failure
+      // tolerance: on a TLS+proxy port the handshake itself fires
+      // inside this first read, so a port scan or aborted handshake
+      // lands here — count it, close, and never leak the fd or kill
+      // the thread with a stack trace.
       val srcTag: Option[String] =
         if (!proxyProtocol) None
-        else ProxyPreamble.read(in) match {
-          case Right(advertised) => advertised.map(ProxyPreamble.sanitize)
-          case Left(err) =>
-            proxyErrorCount.incrementAndGet()
-            System.err.println(s"[ingest tcp-$id conn-$cid] $err - closing")
-            sock.close()
-            return
+        else {
+          val parsed =
+            try ProxyPreamble.read(in)
+            catch {
+              case _: SocketException => Left("peer reset inside PROXY header")
+              case e: javax.net.ssl.SSLException =>
+                Left(s"TLS handshake failed: ${e.getMessage}")
+            }
+          parsed match {
+            case Right(advertised) => advertised.map(ProxyPreamble.sanitize)
+            case Left(err) =>
+              proxyErrorCount.incrementAndGet()
+              System.err.println(s"[ingest tcp-$id conn-$cid] $err - closing")
+              try sock.close() catch { case _: java.io.IOException => () }
+              return
+          }
         }
       val tag = f"tcp-$id-conn-$cid%06d" + srcTag.map("-src-" + _).getOrElse("")
       val rot = new Rotator(new File(outDir), tag, rotateBytes)

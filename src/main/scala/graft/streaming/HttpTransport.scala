@@ -35,10 +35,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *
   * Record bytes are read from `spoolDirs` (first directory containing
   * the part name wins — the main spool and the retry spool are
-  * separate directories sharing one transport). SigV4 signing is
-  * deliberately absent: zero-egress sandbox; a production deployment
-  * fronts the endpoint with its own credential layer, and the wire
-  * shape — the thing this class proves — is unchanged.
+  * separate directories sharing one transport). With `signing`
+  * (credentials + region), each request carries `X-Amz-Date` and a
+  * SigV4 `Authorization` header computed by [[SigV4]] — the same
+  * signature boto3 attaches for the reference — making the transport
+  * production-complete against a real Firehose endpoint; without it,
+  * the unsigned path serves the spec's stub server unchanged.
   *
   * Idempotency: Firehose itself has no dedupe key, so replays can
   * double-deliver there (true of the reference too). The drain's
@@ -49,7 +51,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   */
 class HttpTransport(endpoint: String, spoolDirs: Seq[String],
                     connectTimeoutMs: Int = 5000,
-                    requestTimeoutMs: Int = 30000) extends BatchTransport {
+                    requestTimeoutMs: Int = 30000,
+                    signing: Option[(SigV4.Credentials, String)] = None,
+                    clock: () => java.time.Instant =
+                      () => java.time.Instant.now()) extends BatchTransport {
 
   // executors each build their own client/mapper; neither serializes
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
@@ -63,27 +68,41 @@ class HttpTransport(endpoint: String, spoolDirs: Seq[String],
   override def ship(dest: String, batchId: Long, attempt: String,
                     records: Seq[ShipRecord]): Seq[Boolean] = {
     val allFailed = records.map(_ => false)
-    // a missing part file is a batch-level fault: the batch's record
-    // indices would no longer align with the request we can build
-    val parts = records.map(r => findPart(r.partId))
-    if (parts.exists(_.isEmpty)) return allFailed
-    val body = mapper.createObjectNode()
-    body.put("DeliveryStreamName", dest)
-    val arr = body.putArray("Records")
-    parts.flatten.foreach { p =>
-      arr.addObject().put("Data",
-        Base64.getEncoder.encodeToString(Files.readAllBytes(p)))
-    }
     try {
-      val req = HttpRequest.newBuilder(URI.create(endpoint))
+      // a missing part file is a batch-level fault (the batch's record
+      // indices would no longer align with the request we can build),
+      // and so is a part deleted between findPart and the read — the
+      // IOException lands in the same catch and the batch re-spools
+      val parts = records.map(r => findPart(r.partId))
+      if (parts.exists(_.isEmpty)) return allFailed
+      val body = mapper.createObjectNode()
+      body.put("DeliveryStreamName", dest)
+      val arr = body.putArray("Records")
+      parts.flatten.foreach { p =>
+        arr.addObject().put("Data",
+          Base64.getEncoder.encodeToString(Files.readAllBytes(p)))
+      }
+      val uri = URI.create(endpoint)
+      val bodyBytes = mapper.writeValueAsString(body)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val builder = HttpRequest.newBuilder(uri)
         .timeout(Duration.ofMillis(requestTimeoutMs.toLong))
-        .header("Content-Type", "application/x-amz-json-1.1")
-        .header("X-Amz-Target", "Firehose_20150804.PutRecordBatch")
         .header("X-Graft-Attempt", attempt)
         .header("X-Graft-Batch", batchId.toString)
-        .POST(HttpRequest.BodyPublishers.ofString(
-          mapper.writeValueAsString(body)))
-        .build()
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bodyBytes))
+      // content-type and x-amz-target are part of the signature when
+      // signing (AWS signs them for this API); sent either way
+      val apiHeaders = Seq(
+        "content-type" -> "application/x-amz-json-1.1",
+        "x-amz-target" -> "Firehose_20150804.PutRecordBatch")
+      val headers = signing match {
+        case Some((creds, region)) =>
+          SigV4.signedPostHeaders(creds, uri, bodyBytes,
+            SigV4.amzDate(clock()), region, "firehose", apiHeaders)
+        case None => apiHeaders
+      }
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val req = builder.build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() != 200) return allFailed
       val root = mapper.readTree(resp.body())
@@ -93,7 +112,11 @@ class HttpTransport(endpoint: String, spoolDirs: Seq[String],
       (0 until rrs.size()).map(i => rrs.get(i).hasNonNull("RecordId"))
     } catch {
       case _: java.io.IOException => allFailed
-      case _: InterruptedException => allFailed
+      case _: InterruptedException =>
+        // re-assert the interrupt: Spark task kill relies on the flag,
+        // and a drain that swallowed it would keep shipping batches
+        Thread.currentThread().interrupt()
+        allFailed
     }
   }
 }

@@ -172,8 +172,10 @@ object RelayMain {
       // the parsed hostname.
       val sourceOverride =
         if (config.proxyProtocolPorts.contains(port) && kind != "udp") {
+          // [^/]+ restricts the capture to the basename: a work dir
+          // whose PATH contains "-src-" must never fabricate a tag
           val tagged = regexp_extract(col("ingest_path"),
-            "-src-(.+)-\\d{5}\\.dat$", 1)
+            "-src-([^/]+)-\\d{5}\\.dat$", 1)
           Some(when(tagged =!= "", translate(tagged, "_", ":")))
         } else None
       val withPath =
@@ -230,12 +232,34 @@ object RelayMain {
       dirs.shipLogDir
     }
 
+    /** Listener-level health gauges (VERDICT r13 #6): per-port bytes
+      * in and PROXY preamble rejections, straight from the listeners'
+      * own atomics — no Spark job, so these stay live even while a
+      * drain pass is running. The reference's prometheus.py serves
+      * sink-side counters only; a live relay also needs the front
+      * door observable (rejected preambles are otherwise just stderr
+      * lines). */
+    def listenerMetricsText(): String = {
+      val tcp = tcpListeners.flatMap { case (kind, _, _, l) =>
+        val port = l.boundPort
+        Seq(
+          s"""kinesyslog_listener_bytes_total{kind="$kind",port="$port"} ${l.bytesIn}""",
+          s"""kinesyslog_listener_proxy_errors_total{kind="$kind",port="$port"} ${l.proxyErrors}""")
+      }
+      val udp = udpListeners.map { case (_, _, l) =>
+        s"""kinesyslog_listener_datagrams_total{port="${l.boundPort}"} ${l.received}"""
+      }
+      (tcp ++ udp).mkString("\n")
+    }
+
     /** Prometheus exposition over the live spool: per-(group, stream)
       * message counts/bytes — the reference's StatsSink counts at the
-      * same point (messages that reached the sink). */
+      * same point (messages that reached the sink) — prefixed with the
+      * listener gauges so one scrape sees both the front door and the
+      * sink. */
     def metricsText(): String = {
       val spooled = spark.read.format("graft-spool").load(config.spoolDir)
-      spooled
+      val sink = spooled
         .groupBy("log_group", "log_stream")
         .agg(count(lit(1)).as("n"),
           sum(length(col("message")).cast("long")).as("b"))
@@ -249,6 +273,8 @@ object RelayMain {
             "kinesyslog_message_bytes_total{group=\"%s\",source=\"%s\"} %d",
             col("log_group"), col("log_stream"), col("b"))).as("line"))
         .collect().map(_.getString(0)).mkString("\n")
+      val listeners = listenerMetricsText()
+      if (listeners.isEmpty) sink else listeners + "\n" + sink
     }
 
     def stop(): Unit = {
@@ -319,8 +345,19 @@ object RelayMain {
     // is the filesystem manifest under --delivered-dir
     val transport: BatchTransport = opts.get("endpoint").map(_.head) match {
       case Some(url) =>
+        // `--region` (init.py:57-60) switches on SigV4 signing with
+        // the standard AWS credential env vars — the same contract
+        // boto3's default chain reads for the reference
+        val signing = opts.get("region").map(_.head).map { region =>
+          val akid = sys.env.getOrElse("AWS_ACCESS_KEY_ID",
+            sys.error("--region set but AWS_ACCESS_KEY_ID is not"))
+          val secret = sys.env.getOrElse("AWS_SECRET_ACCESS_KEY",
+            sys.error("--region set but AWS_SECRET_ACCESS_KEY is not"))
+          (graft.streaming.SigV4.Credentials(akid, secret,
+            sys.env.get("AWS_SESSION_TOKEN")), region)
+        }
         new graft.streaming.HttpTransport(url,
-          Seq(config.spoolDir, dirs.retryDir))
+          Seq(config.spoolDir, dirs.retryDir), signing = signing)
       case None => new FilesystemTransport(
         opts.get("delivered-dir").map(_.head).getOrElse(s"$workDir/delivered"))
     }

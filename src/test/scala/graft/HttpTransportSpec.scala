@@ -157,4 +157,134 @@ class HttpTransportSpec extends SparkSpec {
       Seq(streaming.ShipRecord("s1", "r001.gz", 10L)))
     assert(ok === Seq(false))
   }
+
+  /** A SLOW endpoint (not down — accepts, never answers) must fail
+    * the batch within the request timeout, not hang the drain
+    * (VERDICT r13 #5). */
+  test("HTTP transport: endpoint hanging past requestTimeoutMs fails the batch in bounded time") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-http-slow-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    writeGz(dir, "r001.gz", record("g/a", "s1", Seq(("001", "m", 1L))))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      Thread.sleep(30000) // far past the transport's timeout
+      x.sendResponseHeaders(200, 0)
+      x.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val th = new Thread(r); th.setDaemon(true); th
+    }))
+    server.start()
+    try {
+      val t = new streaming.HttpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}/",
+        Seq(dir.getAbsolutePath), requestTimeoutMs = 500)
+      val t0 = System.nanoTime()
+      val ok = t.ship("g/a", 0L, "qx-mb0",
+        Seq(streaming.ShipRecord("s1", "r001.gz", 10L)))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(ok === Seq(false))
+      assert(elapsedMs < 10000, s"batch took ${elapsedMs}ms to fail")
+    } finally server.stop(0)
+  }
+
+  /** Task kill during a drain: ship() must return all-false AND leave
+    * the thread's interrupt flag set so Spark's cancellation
+    * propagates (VERDICT r13 #5 / ADVICE). */
+  test("HTTP transport: interrupted ship fails the batch and preserves the interrupt status") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-http-intr-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    writeGz(dir, "r001.gz", record("g/a", "s1", Seq(("001", "m", 1L))))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      Thread.sleep(60000) // never answers; only an interrupt frees ship()
+      x.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val th = new Thread(r); th.setDaemon(true); th
+    }))
+    server.start()
+    try {
+      val t = new streaming.HttpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}/",
+        Seq(dir.getAbsolutePath), requestTimeoutMs = 120000)
+      @volatile var result: Seq[Boolean] = null
+      @volatile var interruptedAfter = false
+      val worker = new Thread(() => {
+        result = t.ship("g/a", 0L, "qx-mb0",
+          Seq(streaming.ShipRecord("s1", "r001.gz", 10L)))
+        interruptedAfter = Thread.currentThread().isInterrupted
+      })
+      worker.start()
+      Thread.sleep(500) // let the request get in flight
+      worker.interrupt()
+      worker.join(15000)
+      assert(!worker.isAlive, "ship did not return after interrupt")
+      assert(result === Seq(false))
+      assert(interruptedAfter, "interrupt status was swallowed")
+    } finally server.stop(0)
+  }
+
+  /** SigV4-signed shipping over the wire (VERDICT r13 #3): with
+    * credentials + region, every request carries X-Amz-Date and an
+    * Authorization header the ENDPOINT can re-derive exactly from the
+    * received bytes — the stub recomputes the signature server-side
+    * with the shared secret and rejects any mismatch, so a pass means
+    * the signature covers the actual request on the wire. */
+  test("HTTP transport: signed requests carry a verifiable SigV4 Authorization header") {
+    import graft.streaming.SigV4
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-http-sigv4-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    writeGz(dir, "r001.gz", record("g/a", "s1", Seq(("001", "msg", 1L))))
+    val creds = SigV4.Credentials(
+      "AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    val fixedInstant = java.time.Instant.parse("2026-08-14T00:00:00Z")
+    @volatile var verified = 0
+    @volatile var lastFailure: String = null
+    val mapper = new ObjectMapper()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val body = x.getRequestBody.readAllBytes()
+      val gotAuth = x.getRequestHeaders.getFirst("Authorization")
+      val gotDate = x.getRequestHeaders.getFirst("X-Amz-Date")
+      val host = x.getRequestHeaders.getFirst("Host")
+      // server-side re-derivation from what actually arrived
+      val expected = SigV4.authorization(creds, "POST", "/", Nil,
+        Seq("host" -> host, "x-amz-date" -> gotDate,
+          "content-type" -> x.getRequestHeaders.getFirst("Content-Type"),
+          "x-amz-target" -> x.getRequestHeaders.getFirst("X-Amz-Target")),
+        body, gotDate, "us-east-1", "firehose")
+      if (gotAuth == expected && gotDate == SigV4.amzDate(fixedInstant))
+        verified += 1
+      else lastFailure = s"got=$gotAuth\nexpected=$expected\ndate=$gotDate"
+      val out = mapper.createObjectNode()
+      out.put("FailedPutCount", 0)
+      val rrs = out.putArray("RequestResponses")
+      val n = mapper.readTree(body).get("Records").size()
+      (0 until n).foreach(i => rrs.addObject().put("RecordId", s"rec-$i"))
+      val resp = mapper.writeValueAsBytes(out)
+      x.sendResponseHeaders(200, resp.length.toLong)
+      x.getResponseBody.write(resp)
+      x.close()
+    })
+    server.start()
+    try {
+      val t = new streaming.HttpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}/",
+        Seq(dir.getAbsolutePath),
+        signing = Some((creds, "us-east-1")),
+        clock = () => fixedInstant)
+      val ok = t.ship("g/a", 0L, "qx-mb0",
+        Seq(streaming.ShipRecord("s1", "r001.gz", 10L)))
+      assert(ok === Seq(true))
+      assert(lastFailure == null, s"signature mismatch:\n$lastFailure")
+      assert(verified === 1)
+    } finally server.stop(0)
+  }
 }
