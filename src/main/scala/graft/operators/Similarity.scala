@@ -1000,7 +1000,115 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #148 dedup_semantic — SemDeDup cluster-then-prune semantic dedup
+  // ---------------------------------------------------------------------
+
+  /** Keeper-side participant cap per cluster (the dedup_fuzzy 256-block
+    * precedent): only the first `SemKeeperCap` members in keeper order
+    * can knock out later ones, so a degenerate cluster costs
+    * cap·size comparisons, never size². Test clusters (~125 members)
+    * never reach it. */
+  val SemKeeperCap = 256
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    * the embeddings, then prune within each cluster — two documents
+    * whose embeddings pass the cosine gate are semantic duplicates,
+    * and only one survives. The three design choices, each from the
+    * paper or the repo's established contracts:
+    *
+    *  - CLUSTERING reuses the #48 trained coarse quantizer verbatim
+    *    ([[kmeansCentroids]]: deterministic seed, floor-average Lloyd
+    *    iterations, bit-identical in DuckDB) — SemDeDup's step 1 IS
+    *    a k-means fit, so the oracle-proven one serves.
+    *  - KEEPER ORDER: the paper keeps the member with the LOWEST
+    *    cosine similarity to its centroid (§3: low-similarity
+    *    examples are the least prototypical, dropping the redundant
+    *    core); with integer vectors that is d2 DESC, vec_id tiebreak.
+    *    A later-ranked member is dropped if ANY earlier-ranked
+    *    capped-keeper passes the gate with it — so the surviving set
+    *    of each cluster is pairwise non-duplicate by construction
+    *    (two kept members can't pass the gate: the earlier would have
+    *    dropped the later).
+    *  - The COSINE GATE shares #32 dedup_embedding's exact integer
+    *    test (cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥ 49·na·nb), so
+    *    precision against the exact pair set is 1.0 by construction
+    *    and the spec can measure which exact pairs clustering splits.
+    *
+    * Scale shape: the only corpus shuffle is on cid (the pair join
+    * co-locates each cluster), within-cluster work is cap-bounded,
+    * and cluster count K grows with the corpus (the paper runs 50k
+    * clusters at LAION scale) so cluster size — and with it both the
+    * join fan-out and any skew — is a knob, not a risk. Emits every
+    * vector with its cluster and kept verdict (kept = 1/0), so the
+    * downstream filter is one predicate. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    val v = quantized(spark, dir)
+    // assignment keeping d2 (assignTo drops it; keeper rank needs it)
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("d2", col("nn") + col("cn") -
+        lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first("q").as("q"), first("nn").as("nn"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"),
+        col("q"), col("nn"))
+    val wc = Window.partitionBy("cid").orderBy(col("d2").desc, col("vec_id"))
+    val ranked = assigned.withColumn("rk", row_number().over(wc))
+    val slim = ranked.select("vec_id", "cid", "rk", "q", "nn")
+    val droppedIds = slim.as("b").join(slim.as("a"),
+        col("a.cid") === col("b.cid") && col("a.rk") < col("b.rk") &&
+          col("a.rk") <= SemKeeperCap &&
+          graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")) >= 0 &&
+          lit(400) *
+            graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")) *
+            graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")) >=
+            lit(49) * col("a.nn") * col("b.nn"),
+        "left_semi")
+      .select(col("vec_id"), lit(0).as("kept"))
+    ranked.select(col("vec_id"), col("cid"))
+      .join(droppedIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("kept"), lit(1)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String = {
+    val fin = s"cen$KmeansIters"
+    s"""WITH $kmeansSqlCtes,
+      |dist AS (
+      |  SELECT n.vec_id, n.v, n.nn, c.cid,
+      |    n.nn + c.cn
+      |      - 2 * CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT)
+      |      AS d2
+      |  FROM n CROSS JOIN $fin c
+      |), assign AS (
+      |  SELECT vec_id, v, nn, cid, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rk
+      |  FROM assign
+      |), pair AS (
+      |  SELECT b.vec_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+      |    a.nn AS na, b.nn AS nb
+      |  FROM rk a JOIN rk b
+      |    ON a.cid = b.cid AND a.rk < b.rk AND a.rk <= $SemKeeperCap
+      |), drp AS (
+      |  SELECT DISTINCT vec_id FROM pair
+      |  WHERE dot >= 0 AND 400 * dot * dot >= 49 * na * nb
+      |)
+      |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid,
+      |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      |FROM rk r LEFT JOIN drp d ON r.vec_id = d.vec_id
+      |ORDER BY r.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "ann_bruteforce" -> annBruteforce,
@@ -1011,6 +1119,7 @@ object Similarity {
     "corpus_diversity" -> corpusDiversity)
 
   val oracle: Map[String, String] = Map(
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_pq" -> annPqSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,

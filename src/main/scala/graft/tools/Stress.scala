@@ -61,7 +61,13 @@ object Stress {
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks
     "q1_pricing", "q3_shipping", "q5_local", "q9_profit",
-    "q18_large", "q21_blame")
+    "q18_large", "q21_blame",
+    // the relay/parse family (VERDICT r13 #2): synthesis → parse is
+    // map-only (message.py:95-124 is per-message in the reference),
+    // so ×100 linearity is EXPECTED — these rows prove it measured,
+    // the last benched family without decade-up evidence
+    "syslog_parse", "syslog_normalize", "frame_octet", "gelf_parse",
+    "relay_end_to_end")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {
