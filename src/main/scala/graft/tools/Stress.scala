@@ -48,7 +48,7 @@ object Stress {
   val SweepQueries: Seq[String] = Seq(
     "dedup_minhash_poly", "dedup_minhash", "dedup_simhash_poly",
     "dedup_jaccard", "dedup_fuzzy", "dedup_clusters",
-    "dedup_embedding_lsh", "basket_pairs", "customers_rfm",
+    "dedup_embedding_lsh", "dedup_semantic", "basket_pairs", "customers_rfm",
     "corpus_decontaminate_fuzzy",
     "skew_salted_collect", "events_sessions", "events_actives",
     "events_paths", "events_funnel", "events_anomaly",
