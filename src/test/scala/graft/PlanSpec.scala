@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 10, plan)
   }
 
+  test("dedup_semantic: keeper side group-limited pre-shuffle, no cartesian pair join") {
+    val plan = planString(operators.Similarity.dedupSemantic(spark, sf))
+    // the rk <= SemKeeperCap filter must compile to Spark's two-phase
+    // WindowGroupLimit so the keeper side is bounded at cap rows per
+    // cluster BEFORE its exchange — the property that keeps the pair
+    // join's build side at cap*K rows at ANY corpus size
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains(s"row_number(), ${operators.Similarity.SemKeeperCap}"),
+      plan)
+    // the only cross joins are the k-row centroid broadcasts the
+    // k-means family already audits; the PAIR join itself must be an
+    // equality join on cid (broadcast or shuffled), never a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_jaccard: prefix-filtered candidates, no cartesian") {
     val plan = planString(operators.Dedup.dedupJaccard(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
