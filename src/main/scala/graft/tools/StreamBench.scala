@@ -108,12 +108,44 @@ object StreamBench {
       ()
     }
 
+    // ---- semantic admission: frozen-centroid stateful dedup (#149) ---
+    // ×32 shifted copies so the pass amortizes fixed overhead; every
+    // copy is an exact twin, so the keeper gates fire on ~31/32 of
+    // arrivals — the admission path's worst case, not its best
+    val semIn = freshDir(root, "sem-in")
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    (0 until 32).map(i => emb.withColumn("vec_id",
+        col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(semIn.getAbsolutePath)
+    val nVec = spark.read.parquet(semIn.getAbsolutePath).count()
+    val semSchema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long").add("embedding", "array<float>")
+    val cents = graft.streaming.SemanticStream.frozenCentroids(spark, sfDir)
+    val semSec = timePasses { () =>
+      val cp = freshDir(root, "cp-sem")
+      val q = graft.streaming.SemanticStream.admissions(
+          spark.readStream.schema(semSchema)
+            .parquet(semIn.getAbsolutePath), cents)
+        .writeStream
+        .format("noop")
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000)
+      ()
+    }
+
     val syslogRate = (nSyslog / syslogSec).toLong
     val gelfRate = (nMessages / gelfSec).toLong
+    val semRate = (nVec / semSec).toLong
     val json =
-      s"""{"metric":"stream_total","value":${syslogSec + gelfSec},"unit":"sec","streams":{""" +
+      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec},"unit":"sec","streams":{""" +
         s""""syslog_spool":{"rows":$nSyslog,"sec":$syslogSec,"rows_per_sec":$syslogRate},""" +
-        s""""gelf_reassembly":{"messages":$nMessages,"sec":$gelfSec,"msgs_per_sec":$gelfRate}},""" +
+        s""""gelf_reassembly":{"messages":$nMessages,"sec":$gelfSec,"msgs_per_sec":$gelfRate},""" +
+        s""""semantic_admission":{"rows":$nVec,"sec":$semSec,"rows_per_sec":$semRate}},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "streambench.json")
