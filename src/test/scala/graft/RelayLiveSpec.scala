@@ -166,6 +166,13 @@ class RelayLiveSpec extends SparkSpec {
       assert(metrics.contains("kinesyslog_message_count_total"))
       assert(metrics.contains("tcp-host-1"))
       assert(metrics.contains("tls-host-5"))
+      // listener gauges (r14 #147): all three families in one scrape
+      assert(metrics.contains(
+        s"""kinesyslog_listener_bytes_total{kind="tcp",port="${relay.boundPorts("tcp").head}"}"""))
+      assert(metrics.contains(
+        s"""kinesyslog_listener_bytes_total{kind="tls",port="${relay.boundPorts("tls").head}"}"""))
+      assert(metrics.contains(
+        s"""kinesyslog_listener_datagrams_total{port="${relay.boundPorts("udp").head}"} ${udpMsgs.length}"""))
     } finally relay.stop()
   }
 
