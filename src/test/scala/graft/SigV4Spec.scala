@@ -87,4 +87,32 @@ class SigV4Spec extends AnyFunSuite {
     assert(SigV4.amzDate(java.time.Instant.parse("2015-08-30T12:36:00Z"))
       === "20150830T123600Z")
   }
+
+  test("canonicalization invariance: header order and case never change the signature") {
+    val body = "payload".getBytes(UTF_8)
+    val headers = Seq(
+      "Host" -> "example.com",
+      "X-Amz-Date" -> "20260814T000000Z",
+      "Content-Type" -> "application/x-amz-json-1.1",
+      "X-Amz-Target" -> "Firehose_20150804.PutRecordBatch")
+    val base = SigV4.authorization(creds, "POST", "/", Nil, headers, body,
+      "20260814T000000Z", "us-east-1", "firehose")
+    // every permutation and a case-mangled variant sign identically
+    headers.permutations.take(12).foreach { perm =>
+      assert(SigV4.authorization(creds, "POST", "/", Nil, perm, body,
+        "20260814T000000Z", "us-east-1", "firehose") === base)
+    }
+    val mangled = headers.map { case (k, v) => (k.toUpperCase, v) }
+    assert(SigV4.authorization(creds, "POST", "/", Nil, mangled, body,
+      "20260814T000000Z", "us-east-1", "firehose") === base)
+    // query pairs sort by encoded name then value, order-independent
+    val q1 = Seq("b" -> "2", "a" -> "1", "a" -> "0")
+    val q2 = Seq("a" -> "0", "a" -> "1", "b" -> "2")
+    assert(SigV4.canonicalQuery(q1) === SigV4.canonicalQuery(q2))
+    assert(SigV4.canonicalQuery(q1) === "a=0&a=1&b=2")
+    // and the signature is sensitive to what it must cover
+    assert(SigV4.authorization(creds, "POST", "/", Nil, headers,
+      "payload2".getBytes(UTF_8), "20260814T000000Z", "us-east-1",
+      "firehose") !== base)
+  }
 }
