@@ -130,11 +130,31 @@ object SigV4 {
       s"SignedHeaders=$signedNames, Signature=$signature"
   }
 
+  /** The endpoint's own query string as decoded (name, value) pairs
+    * for canonicalization. `getRawQuery` keeps percent-triplets so a
+    * decode→re-encode round trip is exact; a literal '+' is protected
+    * first because URLDecoder speaks form-encoding where '+' means
+    * space, while RFC 3986 (what a URI carries) leaves '+' literal. */
+  private def queryPairs(uri: java.net.URI): Seq[(String, String)] =
+    Option(uri.getRawQuery).filter(_.nonEmpty).toSeq.flatMap(_.split("&"))
+      .filter(_.nonEmpty)
+      .map { pair =>
+        def dec(s: String) = java.net.URLDecoder.decode(
+          s.replace("+", "%2B"), UTF_8)
+        pair.split("=", 2) match {
+          case Array(k, v) => (dec(k), dec(v))
+          case Array(k) => (dec(k), "")
+        }
+      }
+
   /** The complete header set for a signed POST with a body: the
     * caller sends exactly these plus whatever unsigned extras it
     * wants. `host` is signed but NOT returned (java.net.http sets it
     * itself and forbids explicit Host headers); the client's value is
-    * identical by construction — both derive from the same URI. */
+    * identical by construction — both derive from the same URI. A
+    * query string on the endpoint URI is canonicalized into the
+    * signature (the client sends the URI verbatim, so signed and sent
+    * queries agree). */
   def signedPostHeaders(creds: Credentials, uri: java.net.URI,
                         body: Array[Byte], amzDate: String,
                         region: String, service: String,
@@ -146,8 +166,8 @@ object SigV4 {
     val signed = Seq("host" -> host, "x-amz-date" -> amzDate) ++
       tokenHeader ++ extraSigned
     val path = Option(uri.getPath).getOrElse("")
-    val auth = authorization(creds, "POST", path, Nil, signed, body,
-      amzDate, region, service)
+    val auth = authorization(creds, "POST", path, queryPairs(uri), signed,
+      body, amzDate, region, service)
     (signed.filterNot(_._1 == "host") :+ ("authorization" -> auth))
   }
 

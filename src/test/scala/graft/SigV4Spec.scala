@@ -88,6 +88,29 @@ class SigV4Spec extends AnyFunSuite {
       === "20150830T123600Z")
   }
 
+  test("signedPostHeaders canonicalizes an endpoint query string into the signature") {
+    val body = "b".getBytes(UTF_8)
+    val plain = java.net.URI.create("http://h:1/p")
+    val withQ = java.net.URI.create("http://h:1/p?Version=2015-08-04&Action=Put")
+    def auth(u: java.net.URI) = SigV4.signedPostHeaders(creds, u, body,
+      "20260814T000000Z", "us-east-1", "firehose", Nil)
+      .find(_._1 == "authorization").get._2
+    // a query changes the canonical request, so it must change the
+    // signature — signing the bare path for a query-carrying endpoint
+    // would be rejected by AWS
+    assert(auth(plain) !== auth(withQ))
+    // sorted-pair canonicalization: parameter order in the URI is
+    // irrelevant
+    val reordered = java.net.URI.create("http://h:1/p?Action=Put&Version=2015-08-04")
+    assert(auth(withQ) === auth(reordered))
+    // percent-encoded values decode then strictly re-encode: %20 in
+    // the URI and the literal-space pair canonicalize identically
+    val enc = java.net.URI.create("http://h:1/p?k=a%20b")
+    val expected = SigV4.canonicalQuery(Seq("k" -> "a b"))
+    assert(expected === "k=a%20b")
+    assert(auth(enc) !== auth(plain)) // and it participates in signing
+  }
+
   test("canonicalization invariance: header order and case never change the signature") {
     val body = "payload".getBytes(UTF_8)
     val headers = Seq(
