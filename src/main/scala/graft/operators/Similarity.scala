@@ -67,11 +67,17 @@ object Similarity {
     * tune planes so bucket size stays O(k·fanout) at the target SF). */
   val Planes = 4
 
-  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
+  /** The #32 shared integer-quantization contract as ONE expression
+    * string (q = ⌊1000·x⌋ per component): every consumer — batch
+    * operators here and in Dedup, and the SemanticStream row-side
+    * quantize — must reference this definition so the contract can
+    * never drift between engines or between batch and stream. */
+  val QuantizeExprSql: String =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("q"))
+      .select(col("vec_id"), expr(QuantizeExprSql).as("q"))
       .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
 
   /** Dataset-level sizing statistics, memoized per data directory.
@@ -1026,10 +1032,17 @@ object Similarity {
     *    examples are the least prototypical, dropping the redundant
     *    core); with integer vectors that is d2 DESC, vec_id tiebreak.
     *    A later-ranked member is dropped if ANY earlier-ranked
-    *    capped-keeper passes the gate with it — so the surviving set
-    *    of each cluster is pairwise non-duplicate by construction
-    *    (two kept members can't pass the gate: the earlier would have
-    *    dropped the later).
+    *    capped-keeper passes the gate with it. Within keeper coverage
+    *    (clusters ≤ SemKeeperCap members) the surviving set is
+    *    pairwise non-duplicate by construction — two kept members
+    *    can't pass the gate, or the earlier would have dropped the
+    *    later. Beyond the cap, members ranked past SemKeeperCap can
+    *    no longer drop each other (only the capped keepers prune), so
+    *    the independence guarantee is scoped to the cap: at
+    *    deployment, cluster COUNT is the knob that keeps cluster size
+    *    inside coverage (the paper's 50k clusters at LAION scale),
+    *    and the cap is the skew fuse for degenerate clusters, not the
+    *    expected operating regime.
     *  - The COSINE GATE shares #32 dedup_embedding's exact integer
     *    test (cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥ 49·na·nb), so
     *    precision against the exact pair set is 1.0 by construction
@@ -1057,14 +1070,20 @@ object Similarity {
     val wc = Window.partitionBy("cid").orderBy(col("d2").desc, col("vec_id"))
     val ranked = assigned.withColumn("rk", row_number().over(wc))
     val slim = ranked.select("vec_id", "cid", "rk", "q", "nn")
+    // LEFT SEMI with the gate IN the condition: the hash semi join
+    // stops probing a candidate at its FIRST gating keeper — on a
+    // dup-heavy corpus that's ~1 keeper probe per dropped row (a
+    // materialize-all-pairs-then-filter shape measured 1.6× slower at
+    // ×100). The gate is the fused [[graft.functions.VectorFunctions
+    // .CosineGateL]] expression (the round-11 fix for this exact
+    // trap), so the 64-multiply kernel runs ONCE per probed pair —
+    // spelling it as column arithmetic in a join condition would run
+    // it three times (no common-subexpression elimination there).
     val droppedIds = slim.as("b").join(slim.as("a"),
         col("a.cid") === col("b.cid") && col("a.rk") < col("b.rk") &&
           col("a.rk") <= SemKeeperCap &&
-          graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")) >= 0 &&
-          lit(400) *
-            graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")) *
-            graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")) >=
-            lit(49) * col("a.nn") * col("b.nn"),
+          graft.functions.VectorFunctions.cosine_gate_l(
+            col("a.q"), col("b.q"), col("a.nn"), col("b.nn"), 400L, 49L),
         "left_semi")
       .select(col("vec_id"), lit(0).as("kept"))
     ranked.select(col("vec_id"), col("cid"))

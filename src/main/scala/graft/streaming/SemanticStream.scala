@@ -34,8 +34,14 @@ import org.apache.spark.sql.types.StructType
   * drops on ANY earlier gate-partner (dominance): dominance drops a
   * superset, so every batch-KEPT vector is stream-admitted when the
   * orders coincide — the containment SemanticStreamSpec asserts —
-  * and the stream-admitted set is pairwise non-duplicate per cluster
-  * by construction, the guarantee that matters for admission.
+  * and within keeper coverage (a cluster's arrivals ≤ SemKeeperCap
+  * admitted members) the stream-admitted set is pairwise
+  * non-duplicate per cluster by construction. Once a cluster's
+  * keeper set saturates, later admissions are no longer enrolled and
+  * so cannot reject THEIR later duplicates — the same cap scoping as
+  * the batch operator: at deployment the cluster count keeps cluster
+  * size inside coverage, and the cap is the bounded-state fuse for
+  * degenerate clusters, not the operating regime.
   */
 object SemanticStream {
 
@@ -70,9 +76,7 @@ object SemanticStream {
   def assigned(vecs: DataFrame, cents: Array[Keeper]): Dataset[VecRow] = {
     import vecs.sparkSession.implicits._
     vecs
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("q"))
+      .select(col("vec_id"), expr(Similarity.QuantizeExprSql).as("q"))
       .as[(Long, Array[Long])]
       .map { case (id, q) =>
         var nn = 0L

@@ -99,6 +99,10 @@ object SigV4 {
 
   /** Steps 1-4 in one call: the value for the `Authorization` header.
     *
+    * @param path    the AS-SENT (raw) request path; it is URI-encoded
+    *                once more here, which together with the wire's own
+    *                encoding realizes AWS's non-S3 double-encode rule
+    *                ("/" and plain ASCII paths are fixed points)
     * @param amzDate ISO-8601 basic format `yyyyMMdd'T'HHmmss'Z'` —
     *                the SAME string must be sent as `X-Amz-Date`
     * @param headers every header to be signed (must include `host`
@@ -159,13 +163,28 @@ object SigV4 {
                         body: Array[Byte], amzDate: String,
                         region: String, service: String,
                         extraSigned: Seq[(String, String)]): Seq[(String, String)] = {
+    // sign the Host value the CLIENT will actually send: JDK
+    // HttpClient strips a scheme-default port (an explicit ":443" on
+    // https never reaches the wire), so signing host:443 would make
+    // AWS canonicalize a different request and 403 every batch
+    val defaultPort = uri.getScheme match {
+      case "https" => 443
+      case "http" => 80
+      case _ => -1
+    }
     val host =
-      if (uri.getPort == -1) uri.getHost else s"${uri.getHost}:${uri.getPort}"
+      if (uri.getPort == -1 || uri.getPort == defaultPort) uri.getHost
+      else s"${uri.getHost}:${uri.getPort}"
     val tokenHeader =
       creds.sessionToken.map(t => "x-amz-security-token" -> t).toSeq
     val signed = Seq("host" -> host, "x-amz-date" -> amzDate) ++
       tokenHeader ++ extraSigned
-    val path = Option(uri.getPath).getOrElse("")
+    // the RAW (as-sent) path: AWS's non-S3 canonical URI rule encodes
+    // each path segment TWICE — the wire carries the once-encoded
+    // form, and authorization() applies the second encode. Passing
+    // the decoded getPath here would sign the single-encoded form and
+    // mismatch on any path with reserved/encoded characters.
+    val path = Option(uri.getRawPath).getOrElse("")
     val auth = authorization(creds, "POST", path, queryPairs(uri), signed,
       body, amzDate, region, service)
     (signed.filterNot(_._1 == "host") :+ ("authorization" -> auth))

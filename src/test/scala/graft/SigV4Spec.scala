@@ -111,6 +111,34 @@ class SigV4Spec extends AnyFunSuite {
     assert(auth(enc) !== auth(plain)) // and it participates in signing
   }
 
+  test("signedPostHeaders signs the Host the client actually sends: scheme-default ports stripped, raw path double-encoded") {
+    val body = "b".getBytes(UTF_8)
+    def auth(u: String) = SigV4.signedPostHeaders(creds,
+      java.net.URI.create(u), body, "20260814T000000Z", "us-east-1",
+      "firehose", Nil).find(_._1 == "authorization").get._2
+    // JDK HttpClient strips an explicit scheme-default port from the
+    // wire Host header, so the signature must do the same — an
+    // explicit :443 on https (or :80 on http) signs identically to no
+    // port at all
+    assert(auth("https://h/p") === auth("https://h:443/p"))
+    assert(auth("http://h/p") === auth("http://h:80/p"))
+    // a NON-default port stays in the signed Host
+    assert(auth("http://h/p") !== auth("http://h:8080/p"))
+    // the raw (as-sent) path is what gets the second encode: a path
+    // with a percent-triplet signs differently from its decoded twin
+    // single-encoded (AWS double-encode rule for non-S3 services)
+    assert(auth("https://h/a%20b") !== auth("https://h/a-b"))
+    val viaRaw = SigV4.authorization(creds, "POST", "/a%20b", Nil,
+      Seq("host" -> "h", "x-amz-date" -> "20260814T000000Z"), body,
+      "20260814T000000Z", "us-east-1", "firehose")
+    val viaDecoded = SigV4.authorization(creds, "POST", "/a b", Nil,
+      Seq("host" -> "h", "x-amz-date" -> "20260814T000000Z"), body,
+      "20260814T000000Z", "us-east-1", "firehose")
+    assert(viaRaw !== viaDecoded) // %20 literally re-encodes to %2520
+    assert(auth("https://h/a%20b").endsWith(
+      viaRaw.split("Signature=")(1)))
+  }
+
   test("canonicalization invariance: header order and case never change the signature") {
     val body = "payload".getBytes(UTF_8)
     val headers = Seq(
