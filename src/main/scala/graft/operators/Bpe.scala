@@ -260,7 +260,8 @@ object Bpe {
   private[operators] def tokenFrame(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainedMergePairs(spark, dir)
     val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        normText(col("text")).as("norm"))
     val s0 = markedChars(call_function("replace", col("norm"), lit(" "), lit("|")))
     val sFinal = merges.foldLeft(s0) { case (c, (pair, _)) =>
       call_function("replace", c, lit(mergePattern(pair)), lit(mergeResult(pair)))
@@ -270,6 +271,7 @@ object Bpe {
     d.select(
       col("doc_id"),
       col("source"),
+      col("lang"),
       size(split(col("norm"), " ")).as("n_words"),
       length(call_function("replace", col("norm"), lit(" "), lit("")))
         .as("n_chars"),
@@ -293,7 +295,7 @@ object Bpe {
   private[operators] def tokenFrameCtes: String = {
     val applies = (1 to TrainRounds).map { r =>
       s""", e$r AS MATERIALIZED (
-        |  SELECT doc_id, source, norm,
+        |  SELECT doc_id, source, lang, norm,
         |    CASE WHEN m.pair IS NULL THEN e.s
         |         ELSE replace(e.s, '_' || replace(m.pair, ' ', '_'),
         |                      '_' || replace(m.pair, ' ', '')) END AS s
@@ -301,11 +303,11 @@ object Bpe {
         |)""".stripMargin
     }.mkString
     s"""$trainCtes, e0 AS MATERIALIZED (
-      |  SELECT doc_id, source, $normSql AS norm,
+      |  SELECT doc_id, source, lang, $normSql AS norm,
       |    regexp_replace(replace($normSql, ' ', '|'), '(.)', '_\\1', 'g') AS s
       |  FROM documents
       |)$applies, tf AS MATERIALIZED (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id, source, lang,
       |    CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
       |    CAST(length(replace(norm, ' ', '')) AS INT) AS n_chars,
       |    CAST(length(s) - length(replace(s, '_', ''))
@@ -321,11 +323,59 @@ object Bpe {
       |FROM tf
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #150 vocab_fertility — tokenizer-economy audit by language
+  // ---------------------------------------------------------------------
+
+  /** Tokenizer fertility audit (the standard multilingual tokenizer-
+    * economy metric — tokens per word — popularized by the BLOOM/XLM
+    * tokenizer analyses): per LABELED language, corpus totals from
+    * the SAME [[tokenFrame]] scan #128/#129 ride, plus the two
+    * integer-permille ratios a tokenizer report needs — fertility
+    * (1000·tokens/words; a language the vocab under-serves trends
+    * toward character-fallback values near 1000·chars/words) and
+    * chars-per-token (1000·chars/tokens, the compression the vocab
+    * actually buys per language). One map-only scan + one #langs-row
+    * aggregate; all-integer floor division (identical in DuckDB) with
+    * a NULLIF guard so a degenerate empty slice reads NULL, never a
+    * divide-by-zero. Invariants (BpeSpec): every word is at least one
+    * token and every token at least one char, so both ratios are
+    * ≥ 1000‰ by construction. */
+  def vocabFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenFrame(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("words"),
+        sum(col("n_chars").cast("long")).as("chars"),
+        sum(col("n_tokens").cast("long")).as("tokens"))
+      .withColumn("fertility_permille",
+        expr("tokens * 1000L div nullif(words, 0L)"))
+      .withColumn("chars_per_token_permille",
+        expr("chars * 1000L div nullif(tokens, 0L)"))
+      .orderBy("lang")
+
+  val vocabFertilitySql: String =
+    s"""$tokenFrameCtes
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS words,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(n_tokens) AS BIGINT) * 1000
+      |    // NULLIF(CAST(SUM(n_words) AS BIGINT), 0) AS fertility_permille,
+      |  CAST(SUM(n_chars) AS BIGINT) * 1000
+      |    // NULLIF(CAST(SUM(n_tokens) AS BIGINT), 0) AS chars_per_token_permille
+      |FROM tf
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_train" -> ((s, d) => vocabTrain(s, d)),
-    "text_bpe_tokens" -> ((s, d) => bpeTokens(s, d)))
+    "text_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
+    "vocab_fertility" -> ((s, d) => vocabFertility(s, d)))
 
   val oracle: Map[String, String] = Map(
     "vocab_train" -> vocabTrainSql,
-    "text_bpe_tokens" -> bpeTokensSql)
+    "text_bpe_tokens" -> bpeTokensSql,
+    "vocab_fertility" -> vocabFertilitySql)
 }

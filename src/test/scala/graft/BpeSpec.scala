@@ -109,6 +109,30 @@ class BpeSpec extends SparkSpec {
     assert(local === distributed)
   }
 
+  test("vocab_fertility: per-lang totals reconcile with the per-doc frame; ratios respect the structural floors") {
+    import org.apache.spark.sql.functions._
+    val perDoc = operators.Bpe.bpeTokens(spark, sf)
+      .select("n_words", "n_chars", "n_tokens").collect()
+    val fert = operators.Bpe.vocabFertility(spark, sf).collect()
+    // totals across languages = totals across docs (no doc lost or
+    // double-counted by the lang grouping)
+    assert(fert.map(_.getLong(fert.head.fieldIndex("n_docs"))).sum ===
+      perDoc.length.toLong)
+    assert(fert.map(_.getLong(fert.head.fieldIndex("tokens"))).sum ===
+      perDoc.map(_.getInt(2).toLong).sum)
+    assert(fert.map(_.getLong(fert.head.fieldIndex("words"))).sum ===
+      perDoc.map(_.getInt(0).toLong).sum)
+    // structural floors: every word is >= 1 token (merges never cross
+    // the word guard) and every token >= 1 char, so both permille
+    // ratios are >= 1000 for every language
+    fert.foreach { r =>
+      assert(r.getLong(r.fieldIndex("fertility_permille")) >= 1000L,
+        s"fertility < 1 token/word for ${r.getString(0)}")
+      assert(r.getLong(r.fieldIndex("chars_per_token_permille")) >= 1000L,
+        s"token longer than its chars for ${r.getString(0)}")
+    }
+  }
+
   test("marker-anchored replace is one exact BPE merge round") {
     import spark.implicits._
     val cases = Seq(
