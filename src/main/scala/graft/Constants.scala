@@ -32,4 +32,25 @@ object Constants {
   /** Missing-PRI default: facility 1 (user), severity 5 (notice)
     * (reference: message.py:103-104). */
   val DefaultPri: Int = 13
+
+  // --- shared embedding-similarity numerology (#32 contract) -----------
+  // One definition for every consumer — batch operators (Dedup,
+  // Similarity), their DuckDB oracles, and the streaming admission
+  // twin — so neither the quantization scale nor the cosine threshold
+  // can drift between engines or between batch and stream.
+
+  /** Integer quantization scale: q = ⌊QuantizeScale·x⌋ per component. */
+  val QuantizeScale: Long = 1000L
+
+  /** Spark + DuckDB spellings of the SAME quantization expression. */
+  val QuantizeExprSql: String =
+    s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantizeScale) AS BIGINT))"
+  val QuantizeDuckSql: String =
+    s"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantizeScale) AS BIGINT))"
+
+  /** #32 cosine gate: cos ≥ 0.35 ⟺ dot ≥ 0 ∧ CosGateNum·dot² ≥
+    * CosGateThr·na·nb (0.35² = 49/400 exactly — all-integer, bit-exact
+    * in both engines; overflow headroom proven in Dedup's scaladoc). */
+  val CosGateNum: Long = 400L
+  val CosGateThr: Long = 49L
 }

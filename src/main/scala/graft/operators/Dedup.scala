@@ -757,26 +757,28 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥ 49·na·nb on vectors quantized
-    * q = ⌊1000x⌋ — all-integer, bit-exact in both engines. */
+    * q = ⌊1000x⌋ — all-integer, bit-exact in both engines. The scale
+    * and gate numerology are single-sourced in [[graft.Constants]]
+    * (QuantizeScale/CosGateNum/CosGateThr) for every consumer. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("q"))
+        expr(graft.Constants.QuantizeExprSql).as("q"))
       .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         graft.functions.VectorFunctions.dot_l(col("a.q"), col("b.q")).as("dot"),
         col("a.nn").as("na"), col("b.nn").as("nb"))
       .filter(col("dot") >= 0 &&
-        lit(400) * col("dot") * col("dot") >= lit(49) * col("na") * col("nb"))
+        lit(graft.Constants.CosGateNum) * col("dot") * col("dot") >=
+          lit(graft.Constants.CosGateThr) * col("na") * col("nb"))
       .orderBy("vec_a", "vec_b")
   }
 
   val dedupEmbeddingSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |    ${graft.Constants.QuantizeDuckSql} AS v
       |  FROM embeddings
       |), n AS (
       |  SELECT vec_id, v,
@@ -791,7 +793,7 @@ object Dedup {
       |SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot,
       |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
       |FROM p
-      |WHERE dot >= 0 AND 400 * dot * dot >= 49 * na * nb
+      |WHERE dot >= 0 AND ${graft.Constants.CosGateNum} * dot * dot >= ${graft.Constants.CosGateThr} * na * nb
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -914,7 +916,7 @@ object Dedup {
       .join(vecs.as("vb"), col("rb") === col("vb.vec_id"))
       .filter(graft.functions.VectorFunctions.cosine_gate_l(
         col("va.q"), col("vb.q"), col("va.nn"), col("vb.nn"),
-        num = 400L, thr = 49L))
+        num = graft.Constants.CosGateNum, thr = graft.Constants.CosGateThr))
       .select(col("ra"), col("rb"),
         graft.functions.VectorFunctions.dot_l(col("va.q"), col("vb.q")).as("dot"),
         col("va.nn").as("na"), col("vb.nn").as("nb"))

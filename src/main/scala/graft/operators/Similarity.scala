@@ -67,13 +67,11 @@ object Similarity {
     * tune planes so bucket size stays O(k·fanout) at the target SF). */
   val Planes = 4
 
-  /** The #32 shared integer-quantization contract as ONE expression
-    * string (q = ⌊1000·x⌋ per component): every consumer — batch
-    * operators here and in Dedup, and the SemanticStream row-side
-    * quantize — must reference this definition so the contract can
-    * never drift between engines or between batch and stream. */
-  val QuantizeExprSql: String =
-    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  /** The #32 shared integer-quantization contract — single-sourced in
+    * [[graft.Constants.QuantizeExprSql]] (with its DuckDB twin) so
+    * Spark operators, oracles, and the SemanticStream row-side
+    * quantize can never drift. */
+  val QuantizeExprSql: String = graft.Constants.QuantizeExprSql
 
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -127,7 +125,7 @@ object Similarity {
   val annBruteforceSql: String =
     s"""WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |    ${graft.Constants.QuantizeDuckSql} AS v
       |  FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn
@@ -247,7 +245,7 @@ object Similarity {
   val annLshPolySql: String =
     s"""WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |    ${graft.Constants.QuantizeDuckSql} AS v
       |  FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
@@ -425,7 +423,7 @@ object Similarity {
     val training = (1 to KmeansIters).map(iterBlock).mkString(",\n")
     s"""q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |    ${graft.Constants.QuantizeDuckSql} AS v
       |  FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
@@ -542,7 +540,7 @@ object Similarity {
   val annInt8Sql: String =
     s"""WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |    ${graft.Constants.QuantizeDuckSql} AS v
       |  FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn
@@ -937,7 +935,7 @@ object Similarity {
     val fin = s"cw$PqIters"
     s"""WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |    ${graft.Constants.QuantizeDuckSql} AS v
       |  FROM embeddings
       |), n AS (
       |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
@@ -1083,7 +1081,8 @@ object Similarity {
         col("a.cid") === col("b.cid") && col("a.rk") < col("b.rk") &&
           col("a.rk") <= SemKeeperCap &&
           graft.functions.VectorFunctions.cosine_gate_l(
-            col("a.q"), col("b.q"), col("a.nn"), col("b.nn"), 400L, 49L),
+            col("a.q"), col("b.q"), col("a.nn"), col("b.nn"),
+            graft.Constants.CosGateNum, graft.Constants.CosGateThr),
         "left_semi")
       .select(col("vec_id"), lit(0).as("kept"))
     ranked.select(col("vec_id"), col("cid"))
@@ -1118,7 +1117,7 @@ object Similarity {
       |    ON a.cid = b.cid AND a.rk < b.rk AND a.rk <= $SemKeeperCap
       |), drp AS (
       |  SELECT DISTINCT vec_id FROM pair
-      |  WHERE dot >= 0 AND 400 * dot * dot >= 49 * na * nb
+      |  WHERE dot >= 0 AND ${graft.Constants.CosGateNum} * dot * dot >= ${graft.Constants.CosGateThr} * na * nb
       |)
       |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid,
       |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept

@@ -52,13 +52,15 @@ object SemanticStream {
   final case class Verdict(vec_id: Long, cid: Long, admitted: Int,
                            dup_of: Option[Long])
 
-  /** The #32/#148 shared gate on the integer quantization contract:
-    * cos ≥ 0.35 ⟺ dot ≥ 0 ∧ 400·dot² ≥ 49·na·nb. */
+  /** The #32/#148 shared gate on the integer quantization contract
+    * (cos ≥ 0.35): numerology single-sourced in [[graft.Constants]]
+    * so the stream can never diverge from the batch operators. */
   private def gate(a: Array[Long], na: Long, b: Array[Long], nb: Long): Boolean = {
     var dot = 0L
     var i = 0
     while (i < a.length) { dot += a(i) * b(i); i += 1 }
-    dot >= 0 && 400L * dot * dot >= 49L * na * nb
+    dot >= 0 && graft.Constants.CosGateNum * dot * dot >=
+      graft.Constants.CosGateThr * na * nb
   }
 
   /** Train-once model load: the #48 centroids collected to the driver

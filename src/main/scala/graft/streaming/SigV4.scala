@@ -167,11 +167,14 @@ object SigV4 {
     // HttpClient strips a scheme-default port (an explicit ":443" on
     // https never reaches the wire), so signing host:443 would make
     // AWS canonicalize a different request and 403 every batch
-    val defaultPort = uri.getScheme match {
-      case "https" => 443
-      case "http" => 80
-      case _ => -1
-    }
+    // scheme compare is case-insensitive, like the JDK client's own
+    // default-port logic ("HTTPS://..." must strip :443 too)
+    val defaultPort =
+      Option(uri.getScheme).map(_.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some("https") => 443
+        case Some("http") => 80
+        case _ => -1
+      }
     val host =
       if (uri.getPort == -1 || uri.getPort == defaultPort) uri.getHost
       else s"${uri.getHost}:${uri.getPort}"

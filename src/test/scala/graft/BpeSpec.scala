@@ -110,7 +110,6 @@ class BpeSpec extends SparkSpec {
   }
 
   test("vocab_fertility: per-lang totals reconcile with the per-doc frame; ratios respect the structural floors") {
-    import org.apache.spark.sql.functions._
     val perDoc = operators.Bpe.bpeTokens(spark, sf)
       .select("n_words", "n_chars", "n_tokens").collect()
     val fert = operators.Bpe.vocabFertility(spark, sf).collect()
@@ -122,6 +121,8 @@ class BpeSpec extends SparkSpec {
       perDoc.map(_.getInt(2).toLong).sum)
     assert(fert.map(_.getLong(fert.head.fieldIndex("words"))).sum ===
       perDoc.map(_.getInt(0).toLong).sum)
+    assert(fert.map(_.getLong(fert.head.fieldIndex("chars"))).sum ===
+      perDoc.map(_.getInt(1).toLong).sum)
     // structural floors: every word is >= 1 token (merges never cross
     // the word guard) and every token >= 1 char, so both permille
     // ratios are >= 1000 for every language

@@ -121,6 +121,7 @@ class SigV4Spec extends AnyFunSuite {
     // explicit :443 on https (or :80 on http) signs identically to no
     // port at all
     assert(auth("https://h/p") === auth("https://h:443/p"))
+    assert(auth("https://h/p") === auth("HTTPS://h:443/p")) // scheme case-blind
     assert(auth("http://h/p") === auth("http://h:80/p"))
     // a NON-default port stays in the signed Host
     assert(auth("http://h/p") !== auth("http://h:8080/p"))
