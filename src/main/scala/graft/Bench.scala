@@ -50,7 +50,8 @@ object Bench {
     "dedup_keep_best", "corpus_overlap", "corpus_profile",
     "vocab_train", "text_bpe_tokens", "corpus_token_budget",
     "corpus_exact_substr", "text_surprisal", "corpus_dsir",
-    "corpus_ccnet_buckets", "ann_pq")
+    "corpus_ccnet_buckets", "ann_pq",
+    "dedup_semantic", "vocab_fertility")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

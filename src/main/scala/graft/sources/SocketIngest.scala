@@ -313,6 +313,13 @@ object SocketIngest {
               case _: SocketException => Left("peer reset inside PROXY header")
               case e: javax.net.ssl.SSLException =>
                 Left(s"TLS handshake failed: ${e.getMessage}")
+              // no disk writes happen in the preamble phase, so the
+              // payload loop's narrow-tolerance rationale (surface
+              // Rotator disk errors) does not apply here: ANY I/O
+              // failure inside the first read is a client-side abort
+              // and must close+count, not kill the reader thread
+              case e: java.io.IOException =>
+                Left(s"I/O error inside PROXY preamble: ${e.getMessage}")
             }
           parsed match {
             case Right(advertised) => advertised.map(ProxyPreamble.sanitize)

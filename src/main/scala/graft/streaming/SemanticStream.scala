@@ -111,18 +111,20 @@ object SemanticStream {
         // the batch operator's keeper order within the micro-batch:
         // farthest-from-centroid first, vec_id tiebreak
         val sorted = rows.toArray.sortBy(r => (-r.d2, r.vec_id))
-        var keepers = if (state.exists) state.get.keepers
-                      else Array.empty[Keeper]
+        // buffer, not Array :+ — appending per admission copies the
+        // whole keeper array each time (O(cap^2) allocations/cluster)
+        val keepers = scala.collection.mutable.ArrayBuffer.empty[Keeper]
+        if (state.exists) keepers ++= state.get.keepers
         val out = sorted.map { r =>
           keepers.find(k => gate(k.q, k.nn, r.q, r.nn)) match {
             case Some(k) => Verdict(r.vec_id, cid, 0, Some(k.vec_id))
             case None =>
               if (keepers.length < Similarity.SemKeeperCap)
-                keepers = keepers :+ Keeper(r.vec_id, r.q, r.nn)
+                keepers += Keeper(r.vec_id, r.q, r.nn)
               Verdict(r.vec_id, cid, 1, None)
           }
         }
-        state.update(SemState(keepers))
+        state.update(SemState(keepers.toArray))
         out.iterator
       }
   }

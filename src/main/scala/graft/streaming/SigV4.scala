@@ -84,7 +84,11 @@ object SigV4 {
       .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
   /** Canonical headers: names lowercased, values trimmed with inner
-    * runs of spaces collapsed (the spec's `Trimall`), sorted by name.
+    * runs of spaces collapsed (the spec's `Trimall`), repeated names
+    * merged into ONE canonical line with values comma-joined in
+    * as-sent order (the spec's multi-value rule — without the merge a
+    * duplicated header yields two `k:v` lines and a `k;k` signed
+    * list, which AWS rejects), sorted by name.
     * Returns (canonicalHeadersBlock, signedHeaderNames). */
   def canonicalHeaders(headers: Seq[(String, String)]): (String, String) = {
     val canon = headers
@@ -92,6 +96,9 @@ object SigV4 {
         (k.toLowerCase(java.util.Locale.ROOT),
           v.trim.replaceAll(" +", " "))
       }
+      .groupBy(_._1)
+      .map { case (k, kvs) => (k, kvs.map(_._2).mkString(",")) }
+      .toSeq
       .sortBy(_._1)
     (canon.map { case (k, v) => s"$k:$v\n" }.mkString,
       canon.map(_._1).mkString(";"))

@@ -45,6 +45,22 @@ class SigV4Spec extends AnyFunSuite {
         "x-amz-date:20150830T123600Z\n")
   }
 
+  test("canonical headers: repeated names merge to one comma-joined line") {
+    // SigV4 multi-value rule: a repeated header canonicalizes as ONE
+    // name with values comma-joined in as-sent order — two `k:v`
+    // lines / a `k;k` signed list is a request AWS rejects
+    val (block, names) = SigV4.canonicalHeaders(Seq(
+      "X-Amz-Date" -> "20150830T123600Z",
+      "My-Header"  -> " a  b ",
+      "Host"       -> "iam.amazonaws.com",
+      "my-header"  -> "c"))
+    assert(names === "host;my-header;x-amz-date")
+    assert(block ===
+      "host:iam.amazonaws.com\n" +
+        "my-header:a b,c\n" +
+        "x-amz-date:20150830T123600Z\n")
+  }
+
   test("full Authorization header matches the published AWS example") {
     // GET https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08
     // at 20150830T123600Z with an empty payload
