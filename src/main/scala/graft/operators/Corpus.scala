@@ -311,21 +311,26 @@ object Corpus {
     * affine row-hash family over the shared poly gram hash is integer
     * math both engines reproduce, so even the false positives are
     * oracle-checked exactly. */
+  /** The K bloom positions of each input `gram` — the affine row-hash
+    * family over the shared poly gram hash, used by #84 and the
+    * composed pipeline (#151). */
+  private def bloomPositions(df: DataFrame): DataFrame = {
+    import graft.functions.SketchFunctions.{poly_hash, PolyP}
+    val h = df.withColumn("hv", poly_hash(col("gram")))
+    h.select(h.columns.map(col) :+
+        explode(expr(s"sequence(0, ${BloomK - 1})")).as("j"): _*)
+      .withColumn("pos",
+        ((col("hv") * (col("j") * 2 + 3) + (col("j") * 13 + 5)) % PolyP)
+          % BloomM)
+  }
+
   def corpusDecontaminateBloom(spark: SparkSession, dir: String,
                                n: Int = DecontamN): DataFrame = {
-    import graft.functions.SketchFunctions.{poly_hash, PolyP}
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TextFunctions.normText(col("text")).as("norm"))
       .select(col("doc_id"), ngrams(col("norm"), n).as("grams"))
-    def positions(df: DataFrame): DataFrame = {
-      val h = df.withColumn("hv", poly_hash(col("gram")))
-      h.select(h.columns.map(col) :+
-          explode(expr(s"sequence(0, ${BloomK - 1})")).as("j"): _*)
-        .withColumn("pos",
-          ((col("hv") * (col("j") * 2 + 3) + (col("j") * 13 + 5)) % PolyP)
-            % BloomM)
-    }
+    def positions(df: DataFrame): DataFrame = bloomPositions(df)
     val bits = positions(
       d.filter(col("doc_id") % BenchmarkMod === 0)
         .select(explode(col("grams")).as("gram")))
@@ -447,7 +452,7 @@ object Corpus {
   }
 
   val corpusDecontaminateFuzzySql: String =
-    s"""WITH ${Dedup.minhashBandsCtes}, cand AS (
+    s"""WITH ${Dedup.minhashBandsCtes()}, cand AS (
       |  SELECT DISTINCT t.doc_id AS doc_id, b2.doc_id AS bench_id,
       |    t.ms AS ma, b2.ms AS mb
       |  FROM bands t JOIN bands b2
@@ -1647,7 +1652,288 @@ object Corpus {
       |FROM j
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #151 corpus_pipeline — the FULL curation recipe as ONE composed
+  // plan: quality gate → keep-best exact dedup → MinHash near-dup →
+  // bloom decontamination → language mixing → seeded shuffle →
+  // greedy packing → frozen-tokenizer accounting. Every stage is an
+  // already-oracle-verified operator; what this query verifies is the
+  // COMPOSITION — each stage conditioning on the previous stage's
+  // SURVIVORS (near-dup pairs among dedup survivors only, mixing
+  // quotas over the decontaminated counts, packing in the shuffled
+  // order), which is the shape an actual 100 TB curation run
+  // executes and which per-operator checks cannot see.
+  // ---------------------------------------------------------------------
+
+  /** Composed curation pipeline (see the section comment). Input =
+    * the train split (doc_id % [[BenchmarkMod]] ≠ 0); the eval split
+    * is the decontamination REFERENCE (its bloom bits), not pipeline
+    * input — and the tokenizer is FROZEN: #128's merges trained on
+    * the full corpus, the way production pipelines treat the
+    * tokenizer as an upstream artifact rather than refitting it on
+    * every curation rerun.
+    *
+    * Stage semantics (each on the prior stage's survivors):
+    *  1. quality: the #36/#124 rule battery (≥10 words, stopword
+    *     ratio < 0.5, punct·5 ≤ words);
+    *  2. keep-best exact dedup (#124): per normalized text keep the
+    *     longest raw copy, doc_id tiebreak (quality is constant
+    *     within a group after stage 1);
+    *  3. MinHash-poly near-dup (#29b) pairs among survivors; the
+    *     higher doc_id of every verified pair drops;
+    *  4. bloom decontamination (#84): bits from the eval split's
+    *     5-grams; any survivor with a full-K gram hit drops;
+    *  5. mixing (#78): per-language quotas from [[MixWeights]] over
+    *     the SURVIVOR counts, hash-priority selection;
+    *  6. shuffle (#134): the seeded permutation key orders docs
+    *     within each source;
+    *  7. pack (#76): per-source greedy fold in shuffled order into
+    *     ≤ [[PackTokens]]-whitespace-token bins;
+    *  8. tokenize (#128): bins report their BPE token totals from
+    *     the frozen-tokenizer frame.
+    *
+    * Output: one row per packed bin — (source, bin_id, n_docs,
+    * ws_tokens, bpe_tokens, first_doc). Correct bins imply every
+    * upstream stage is correct: a single mis-dropped document shifts
+    * its source's packing walk from that bin onward.
+    *
+    * Scale shape: stage boundaries are [[graft.Checkpoints.pin]]
+    * materializations (production pipelines materialize between
+    * curation stages for exactly this multi-consumer reason — s2
+    * feeds both the near-dup detector and the survivor carrier, s4
+    * feeds the mixing counts, the rank window and the packer), each
+    * bounded by the shrinking survivor set. Every stage keeps its
+    * parent operator's plan: the near-dup join is band-bucketed and
+    * capped, the bloom reference is a fixed ≤ K·M broadcast, the mix
+    * window partitions by language, the pack fold is per-source
+    * sequential exactly like #76. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.functions.TextFunctions
+    val bpe = Bpe.tokenFrame(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("bpe_tokens"))
+
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tf.normText(col("text")).as("norm"))
+    val evalDocs = base.filter(col("doc_id") % BenchmarkMod === 0)
+    val train = base.filter(col("doc_id") % BenchmarkMod =!= 0)
+
+    // stage 1: quality gate
+    val q = train
+      .withColumn("n_words", size(split(col("norm"), " ")))
+      .withColumn("n_punct", regexp_count(col("norm"), lit("[^a-z0-9 ]")))
+      .withColumn("n_stop",
+        regexp_count(concat(lit(" "), col("norm"), lit(" ")), lit(tf.StopTokRe)))
+      .filter(col("n_words") >= 10 &&
+        col("n_stop").cast("double") / col("n_words") < 0.5 &&
+        col("n_punct") * 5 <= col("n_words"))
+      .select("doc_id", "lang", "source", "text", "norm")
+
+    // stage 2: keep-best exact dedup — map-side-combinable max(struct),
+    // same as #124 (quality already constant within a fingerprint group)
+    val keepIds = q
+      .groupBy(md5(col("norm")).as("fp"))
+      .agg(max(struct(length(col("text")).as("nc"),
+        (lit(0L) - col("doc_id")).as("nid"))).as("best"))
+      .select((lit(0L) - col("best.nid")).as("doc_id"))
+    val s2 = graft.Checkpoints.pin(q.join(keepIds, Seq("doc_id"), "left_semi"))
+
+    // stage 3: MinHash-poly near-dup among survivors; drop doc_b
+    val nearDrop = Dedup.minhashPolyPairsFrom(s2.select("doc_id", "norm"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = graft.Checkpoints.pin(s2.join(nearDrop, Seq("doc_id"), "left_anti"))
+
+    // stage 4: bloom decontamination against the eval split
+    val evalBits = bloomPositions(
+      evalDocs.select(explode(ngrams(col("norm"), DecontamN)).as("gram")))
+      .select("j", "pos").distinct()
+    val flagged = bloomPositions(
+      s3.select(col("doc_id"), explode(ngrams(col("norm"), DecontamN)).as("gram")))
+      .join(broadcast(evalBits), Seq("j", "pos"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("k_hits"))
+      .filter(col("k_hits") === BloomK)
+      .select("doc_id").distinct()
+    val s4 = graft.Checkpoints.pin(s3.join(flagged, Seq("doc_id"), "left_anti"))
+
+    // stage 5: language mixing over survivor counts (#78's algebra)
+    val wCol = MixWeights.tail.foldLeft(
+      when(col("lang") === MixWeights.head._1, MixWeights.head._2)) {
+      case (acc, (l, w)) => acc.when(col("lang") === l, w)
+    }.otherwise(lit(null)).as("w")
+    val dm = s4.select(col("doc_id"), col("lang"), col("source"), col("norm"),
+      md5(col("norm")).as("pri")).withColumn("w", wCol)
+    val counts = dm.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .withColumn("t_l", expr("(n * 1000) div w"))
+    val quota = counts.crossJoin(broadcast(counts.agg(min("t_l").as("t"))))
+      .select(col("lang"), expr("(t * w) div 1000").as("kept_l"))
+    val s5 = dm
+      .withColumn("mix_rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))).cast("long"))
+      .join(broadcast(quota), "lang")
+      .filter(col("mix_rank") <= col("kept_l"))
+      .select("doc_id", "source", "norm")
+
+    // stages 6+7+8: seeded shuffle orders each source's fold; greedy
+    // pack to the cap; bins report frozen-tokenizer BPE totals
+    val packed = s5
+      .withColumn("skey",
+        ((col("doc_id") + ShuffleSeed) % ShuffleP) * ShuffleA % ShuffleP)
+      .withColumn("t", size(split(col("norm"), " ")).cast("long"))
+      .join(bpe, "doc_id")
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("skey"), col("doc_id"),
+        col("t"), col("bpe_tokens")))).as("rs"))
+      .withColumn("bin_ids", expr(
+        s"""aggregate(
+           |  rs,
+           |  struct(CAST(array() AS ARRAY<BIGINT>) AS ids,
+           |         CAST(0 AS BIGINT) AS b,
+           |         CAST(0 AS BIGINT) AS c,
+           |         CAST(0 AS BIGINT) AS s),
+           |  (acc, x) -> CASE
+           |    WHEN acc.c > 0 AND acc.s + x.t > ${PackTokens}L
+           |    THEN struct(array_append(acc.ids, acc.b + 1) AS ids,
+           |                acc.b + 1 AS b, CAST(1 AS BIGINT) AS c,
+           |                CAST(x.t AS BIGINT) AS s)
+           |    ELSE struct(array_append(acc.ids, acc.b) AS ids,
+           |                acc.b AS b, acc.c + 1 AS c, acc.s + x.t AS s)
+           |    END,
+           |  acc -> acc.ids)""".stripMargin))
+    packed
+      .select(col("source"), explode(arrays_zip(col("rs"), col("bin_ids"))).as("z"))
+      .select(col("source"), col("z.bin_ids").as("bin_id"),
+        col("z.rs.doc_id").as("doc_id"), col("z.rs.t").as("t"),
+        col("z.rs.bpe_tokens").as("bpe"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"), min("doc_id").as("first_doc"))
+      .orderBy("source", "bin_id")
+  }
+
+  /** The oracle recomputes all eight stages in one CTE chain: the
+    * frozen-tokenizer frame (#128's training + apply CTEs) feeds the
+    * final accounting, and each pl_* CTE mirrors one stage verbatim
+    * from its parent operator's proven SQL. */
+  val corpusPipelineSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    val lex = graft.functions.TextFunctions.Lexicons.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val wCase = MixWeights.map { case (l, w) => s"WHEN '$l' THEN $w" }
+      .mkString("CASE lang ", " ", " END")
+    val p = graft.functions.SketchFunctions.PolyP
+    s"""${Bpe.tokenFrameCtes}, pl_train AS (
+      |  SELECT doc_id, lang, source, text, $norm AS norm
+      |  FROM documents WHERE doc_id % $BenchmarkMod <> 0
+      |), pl_q AS (
+      |  SELECT doc_id, lang, source, text, norm FROM (
+      |    SELECT *, string_split(norm, ' ') AS qtoks FROM pl_train)
+      |  WHERE len(qtoks) >= 10
+      |    AND CAST(len(list_filter(qtoks, t -> list_contains($lex, t))) AS DOUBLE) / len(qtoks) < 0.5
+      |    AND len(regexp_extract_all(norm, '[^a-z0-9 ]')) * 5 <= len(qtoks)
+      |), pl_keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY md5(norm)
+      |      ORDER BY length(text) DESC, doc_id) AS rk
+      |    FROM pl_q)
+      |  WHERE rk = 1
+      |), pl_surv2 AS (
+      |  SELECT s.* FROM pl_q s JOIN pl_keep k ON s.doc_id = k.doc_id
+      |),
+      |${Dedup.minhashPolyCtes("pl_surv2")}, pl_neardrop AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM m
+      |  WHERE matches * 2 >= ${Dedup.MinhashSeeds}
+      |), pl_surv3 AS (
+      |  SELECT * FROM pl_surv2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM pl_neardrop)
+      |), pl_g_eval AS (
+      |  SELECT unnest(list_distinct(
+      |    list_transform(range(1, len(words) - ${DecontamN - 2}),
+      |      i -> array_to_string(words[i : i + ${DecontamN - 1}], ' ')))) AS gram
+      |  FROM (SELECT string_split($norm, ' ') AS words
+      |        FROM documents WHERE doc_id % $BenchmarkMod = 0)
+      |  WHERE len(words) >= $DecontamN
+      |), pl_bits AS (
+      |  SELECT DISTINCT j, ((hv * (2*j + 3) + (13*j + 5)) % $p) % $BloomM AS pos
+      |  FROM (SELECT list_reduce(
+      |          list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(string_split(gram, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |          (acc, c) -> (acc * 131 + c) % $p) AS hv
+      |        FROM pl_g_eval)
+      |  CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j)
+      |), pl_g_train AS (
+      |  SELECT doc_id, gram, list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(gram, ''), ch -> CAST(ord(ch) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % $p) AS hv
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      list_transform(range(1, len(words) - ${DecontamN - 2}),
+      |        i -> array_to_string(words[i : i + ${DecontamN - 1}], ' ')))) AS gram
+      |    FROM (SELECT doc_id, string_split(norm, ' ') AS words FROM pl_surv3)
+      |    WHERE len(words) >= $DecontamN)
+      |), pl_flagged AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT g.doc_id, g.gram
+      |    FROM (SELECT doc_id, gram, j,
+      |            ((hv * (2*j + 3) + (13*j + 5)) % $p) % $BloomM AS pos
+      |          FROM pl_g_train CROSS JOIN (SELECT unnest(range(0, $BloomK)) AS j)) g
+      |    JOIN pl_bits b ON g.j = b.j AND g.pos = b.pos
+      |    GROUP BY g.doc_id, g.gram
+      |    HAVING COUNT(*) = $BloomK)
+      |), pl_surv4 AS (
+      |  SELECT * FROM pl_surv3
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM pl_flagged)
+      |), pl_dm AS (
+      |  SELECT doc_id, lang, source, norm, md5(norm) AS pri, $wCase AS w
+      |  FROM pl_surv4
+      |), pl_counts AS (
+      |  SELECT lang, w, COUNT(*) AS n, (COUNT(*) * 1000) // w AS t_l
+      |  FROM pl_dm GROUP BY lang, w
+      |), pl_t AS (SELECT MIN(t_l) AS t FROM pl_counts
+      |), pl_quota AS (
+      |  SELECT lang, (pl_t.t * w) // 1000 AS kept_l FROM pl_counts, pl_t
+      |), pl_ranked AS (
+      |  SELECT doc_id, lang, source, norm,
+      |    row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS mix_rank
+      |  FROM pl_dm
+      |), pl_surv5 AS (
+      |  SELECT r.doc_id, r.source, r.norm
+      |  FROM pl_ranked r JOIN pl_quota q2 ON r.lang = q2.lang
+      |  WHERE r.mix_rank <= q2.kept_l
+      |), pl_sp AS (
+      |  SELECT s.source, s.doc_id,
+      |    CAST(len(string_split(s.norm, ' ')) AS BIGINT) AS t,
+      |    CAST(tf.n_tokens AS BIGINT) AS bpe,
+      |    row_number() OVER (PARTITION BY s.source
+      |      ORDER BY ((s.doc_id + $ShuffleSeed) % $ShuffleP) * $ShuffleA % $ShuffleP,
+      |               s.doc_id) AS rn
+      |  FROM pl_surv5 s JOIN tf ON s.doc_id = tf.doc_id
+      |), pl_walk AS (
+      |  WITH RECURSIVE w(source, rn, doc_id, t, bpe, bin, bc, bs) AS (
+      |    SELECT source, rn, doc_id, t, bpe,
+      |      CAST(0 AS BIGINT), CAST(1 AS BIGINT), t
+      |    FROM pl_sp WHERE rn = 1
+      |    UNION ALL
+      |    SELECT r.source, r.rn, r.doc_id, r.t, r.bpe,
+      |      CASE WHEN w.bs + r.t > $PackTokens THEN w.bin + 1 ELSE w.bin END,
+      |      CASE WHEN w.bs + r.t > $PackTokens THEN CAST(1 AS BIGINT) ELSE w.bc + 1 END,
+      |      CASE WHEN w.bs + r.t > $PackTokens THEN r.t ELSE w.bs + r.t END
+      |    FROM w JOIN pl_sp r ON r.source = w.source AND r.rn = w.rn + 1
+      |  )
+      |  SELECT * FROM w
+      |)
+      |SELECT source, bin AS bin_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(t) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM pl_walk
+      |GROUP BY source, bin
+      |ORDER BY source, bin_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pipeline" -> ((s: SparkSession, d: String) => corpusPipeline(s, d)),
     "corpus_ccnet_buckets" -> ((s: SparkSession, d: String) => corpusCcnetBuckets(s, d)),
     "corpus_dsir" -> ((s: SparkSession, d: String) => corpusDsir(s, d)),
     "corpus_token_budget" -> corpusTokenBudget,
@@ -1671,6 +1957,7 @@ object Corpus {
     "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "corpus_pipeline" -> corpusPipelineSql,
     "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
     "corpus_dsir" -> corpusDsirSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,

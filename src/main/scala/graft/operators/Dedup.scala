@@ -502,9 +502,19 @@ object Dedup {
   /** (doc_id, sig, band, band_hash) for every document under the
     * portable hash family — the shared banding frame consumed by the
     * #29b pair join and the fuzzy decontamination (Corpus #119). */
-  private[operators] def minhashPolyBands(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashPolyBands(spark: SparkSession, dir: String): DataFrame =
+    minhashPolyBandsFrom(docs(spark, dir))
+
+  /** [[minhashPolyBands]] over an ARBITRARY (doc_id, norm) frame —
+    * the seam the composed curation pipeline (Corpus #151) needs to
+    * run near-dup detection on upstream-stage SURVIVORS instead of
+    * the raw table. */
+  private[operators] def minhashPolyBandsFrom(normDocs: DataFrame): DataFrame = {
     val rows = MinhashSeeds / Bands
-    val h = polyHashed(spark, dir)
+    val h = normDocs
+      .withColumn("toks", shinglesOf(col("norm")))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("hv", graft.functions.SketchFunctions.poly_hash(col("tok")))
     // h < p and a < 70 keep a·h + b far below 2^63 in both engines
     val mins = (0 until MinhashSeeds).map(i =>
       min((col("hv") * (2L * i + 3) + (13L * i + 5)) % PolyP).as(s"m$i"))
@@ -526,15 +536,21 @@ object Dedup {
   def dedupMinhashPoly(spark: SparkSession, dir: String): DataFrame =
     bandPairsVerified(minhashPolyBands(spark, dir))
 
+  /** Verified #29b pairs (doc_a < doc_b, matches ≥ half the seeds)
+    * over an arbitrary (doc_id, norm) frame — consumed by the
+    * composed pipeline (Corpus #151). */
+  private[operators] def minhashPolyPairsFrom(normDocs: DataFrame): DataFrame =
+    bandPairsVerified(minhashPolyBandsFrom(normDocs))
+
   /** The shared minhash-poly CTE prefix `d → sh → h → sig → sigl →
     * bands` (per-doc signatures + band hashes) — consumed by
     * [[minhashPolyCtes]] and by the fuzzy decontamination oracle
     * (Corpus #119), which joins train bands against bench bands
     * instead of the doc_a < doc_b pair join. */
-  private[operators] def minhashBandsCtes: String = {
+  private[operators] def minhashBandsCtes(src: String = "documents"): String = {
     val rows = MinhashSeeds / Bands
     s"""d AS (
-      |  SELECT doc_id, string_split($normSql, ' ') AS words FROM documents
+      |  SELECT doc_id, string_split($normSql, ' ') AS words FROM $src
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
@@ -567,8 +583,8 @@ object Dedup {
     * cand → m` (everything up to the per-pair match counts), shared by
     * the #29b pair oracle and the #79 cluster oracle that builds its
     * component closure on the same pairs. */
-  private def minhashPolyCtes: String =
-    s"""$minhashBandsCtes, capped AS (
+  private[operators] def minhashPolyCtes(src: String = "documents"): String =
+    s"""${minhashBandsCtes(src)}, capped AS (
       |  SELECT doc_id, b, bh, ms FROM (
       |    SELECT *, row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rnk
       |    FROM bands)
@@ -585,7 +601,7 @@ object Dedup {
       |)""".stripMargin
 
   val dedupMinhashPolySql: String =
-    s"""WITH $minhashPolyCtes
+    s"""WITH ${minhashPolyCtes()}
       |SELECT doc_a, doc_b, CAST(matches AS BIGINT) AS matches
       |FROM m
       |WHERE matches * 2 >= $MinhashSeeds
@@ -1076,7 +1092,7 @@ object Dedup {
     * every r that reaches doc through the pair graph; MIN(r) per doc
     * is exactly the propagated fixpoint label. */
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashPolyCtes,
+    s"""WITH RECURSIVE ${minhashPolyCtes()},
       |pairs AS (
       |  SELECT doc_a, doc_b FROM m WHERE matches * 2 >= $MinhashSeeds
       |), edges AS (

@@ -295,6 +295,38 @@ object RelayMain {
     }
   }
 
+  /** Transport resolution from CLI flags + environment — the
+    * init.py:57-68 twin (`--endpoint`/`--region`/`--profile` →
+    * boto3 client). `--endpoint` wins; `--region` alone derives the
+    * public Firehose endpoint through
+    * [[graft.streaming.AwsConfig.firehoseEndpoint]] (honoring the
+    * AWS_ENDPOINT_URL[_FIREHOSE] overrides), and credentials resolve
+    * through the standard chain (explicit `--profile` → shared file;
+    * else env vars, then the file's [default]). Factored over an
+    * injected env map so the spec drives the full chain — temp
+    * credentials file, NO explicit endpoint — without touching
+    * process env. */
+  private[graft] def resolveTransport(opts: Map[String, List[String]],
+      env: Map[String, String], spoolDirs: Seq[String],
+      deliveredDir: String): BatchTransport = {
+    val region = opts.get("region").map(_.head)
+    val profile = opts.get("profile").map(_.head)
+    val endpoint = opts.get("endpoint").map(_.head)
+      .orElse(region.map(r =>
+        graft.streaming.AwsConfig.firehoseEndpoint(r, env)))
+    endpoint match {
+      case Some(url) =>
+        val signing = region.map { r =>
+          val creds = graft.streaming.AwsConfig
+            .resolveCredentials(env, profile)
+            .fold(msg => sys.error(s"--region set but $msg"), identity)
+          (creds, r)
+        }
+        new graft.streaming.HttpTransport(url, spoolDirs, signing = signing)
+      case None => new FilesystemTransport(deliveredDir)
+    }
+  }
+
   /** CLI with the reference's flag names (init.py option decorators;
     * repeatable flags repeat here too). `--delivered-dir` replaces
     * the implicit Firehose endpoint: the zero-egress analogue of
@@ -339,28 +371,13 @@ object RelayMain {
         .getOrElse(System.getProperty("java.io.tmpdir")))
     val spark = graft.GraftSession.create()
     val dirs = RelayDirs(workDir)
-    // `--endpoint` = the reference's region/profile-selected Firehose
-    // endpoint (init.py:57-68): ship real PutRecordBatch JSON over
-    // HTTP ([[graft.streaming.HttpTransport]]); without it, delivery
-    // is the filesystem manifest under --delivered-dir
-    val transport: BatchTransport = opts.get("endpoint").map(_.head) match {
-      case Some(url) =>
-        // `--region` (init.py:57-60) switches on SigV4 signing with
-        // the standard AWS credential env vars — the same contract
-        // boto3's default chain reads for the reference
-        val signing = opts.get("region").map(_.head).map { region =>
-          val akid = sys.env.getOrElse("AWS_ACCESS_KEY_ID",
-            sys.error("--region set but AWS_ACCESS_KEY_ID is not"))
-          val secret = sys.env.getOrElse("AWS_SECRET_ACCESS_KEY",
-            sys.error("--region set but AWS_SECRET_ACCESS_KEY is not"))
-          (graft.streaming.SigV4.Credentials(akid, secret,
-            sys.env.get("AWS_SESSION_TOKEN")), region)
-        }
-        new graft.streaming.HttpTransport(url,
-          Seq(config.spoolDir, dirs.retryDir), signing = signing)
-      case None => new FilesystemTransport(
-        opts.get("delivered-dir").map(_.head).getOrElse(s"$workDir/delivered"))
-    }
+    // `--endpoint`/`--region`/`--profile` = the reference's boto3
+    // client selection (init.py:57-68): ship real PutRecordBatch JSON
+    // over HTTP ([[graft.streaming.HttpTransport]]); without any of
+    // them, delivery is the filesystem manifest under --delivered-dir
+    val transport: BatchTransport = resolveTransport(opts, sys.env,
+      Seq(config.spoolDir, dirs.retryDir),
+      opts.get("delivered-dir").map(_.head).getOrElse(s"$workDir/delivered"))
     val relay = new Relay(spark, config, dirs, transport)
     relay.start()
     println(s"[relay] listening: ${relay.boundPorts}, stats: ${relay.statsPorts}")

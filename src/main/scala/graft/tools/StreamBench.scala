@@ -34,6 +34,152 @@ object StreamBench {
 
   val Passes = 3
 
+  // -------------------------------------------------------------------
+  // Soak mode (VERDICT r14 #2): the "state bounded by the model, runs
+  // forever" claims for the stateful streams rest on 2-3 micro-batch
+  // specs; this drives a few hundred micro-batches through each and
+  // records the state store's rows/bytes PER BATCH. Flat late-half
+  // curves = the claim measured, not asserted:
+  //  - gelf_reassembly: every batch ships complete 2-chunk messages
+  //    plus deliberate stragglers (one chunk only, never completed)
+  //    with event time advancing per batch — completion evicts the
+  //    finished ids immediately and the 5 s watermark timeout evicts
+  //    the stragglers, so state stays at one batch's in-flight size
+  //    no matter how many batches run;
+  //  - minhash_admission: doc batches cycle a FIXED distinct-text
+  //    pool (new doc_ids, repeated content — the dedup stream's
+  //    steady state); bucket state saturates at pool×bands rows and
+  //    stops growing, because duplicate content claims no new bucket;
+  //  - semantic_admission: vector batches cycle the embedding pool;
+  //    keeper state saturates at ≤ cap×K triples (the MODEL bound).
+  //
+  //   sbt "runMain graft.tools.StreamBench soak [sfDir] [nBatches]"
+  // -------------------------------------------------------------------
+
+  private case class SoakPoint(batch: Long, stateRows: Long, stateBytes: Long)
+
+  /** Drive `n` micro-batches via add(); sample state metrics from the
+    * query progress after each. */
+  private def soakRun(q: org.apache.spark.sql.streaming.StreamingQuery,
+                      n: Int, add: Int => Unit): Seq[SoakPoint] = {
+    val out = Seq.newBuilder[SoakPoint]
+    var lastBatch = -1L
+    (0 until n).foreach { i =>
+      add(i)
+      q.processAllAvailable()
+      // recentProgress may include no-data entries; take the newest
+      // progress that has a state operator and advances the batch id
+      q.recentProgress.reverseIterator
+        .find(p => p.stateOperators.nonEmpty && p.batchId > lastBatch)
+        .foreach { p =>
+          lastBatch = p.batchId
+          val so = p.stateOperators.head
+          out += SoakPoint(p.batchId, so.numRowsTotal, so.memoryUsedBytes)
+        }
+    }
+    out.result()
+  }
+
+  private def soakSummary(name: String, pts: Seq[SoakPoint]): String = {
+    val late = pts.drop(pts.length / 2)
+    val flatRows = late.map(_.stateRows).distinct.length == 1
+    val s =
+      s""""$name":{"batches":${pts.length},""" +
+        s""""rows_first":${pts.head.stateRows},"rows_mid":${pts(pts.length / 2).stateRows},""" +
+        s""""rows_last":${pts.last.stateRows},"rows_max":${pts.map(_.stateRows).max},""" +
+        s""""bytes_last":${pts.last.stateBytes},"bytes_max":${pts.map(_.stateBytes).max},""" +
+        s""""late_half_rows_flat":$flatRows}"""
+    println(s"[soak] $name: ${pts.length} batches, rows " +
+      s"first=${pts.head.stateRows} mid=${pts(pts.length / 2).stateRows} " +
+      s"last=${pts.last.stateRows} max=${pts.map(_.stateRows).max}, " +
+      s"bytes last=${pts.last.stateBytes} max=${pts.map(_.stateBytes).max}, " +
+      s"lateHalfFlat=$flatRows")
+    s
+  }
+
+  def soak(spark: SparkSession, sfDir: String, nBatches: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{GelfChunkStream, MinhashStream, SemanticStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // ---- gelf chunk reassembly: completion + watermark eviction ------
+    val gelfPts = {
+      val input = MemoryStream[GelfChunkStream.Chunk]
+      val q = GelfChunkStream.assemble(input.toDS()).writeStream
+        .format("noop").outputMode("append").start()
+      val MsgsPerBatch = 100
+      val Stragglers = 5
+      try soakRun(q, nBatches, { i =>
+        val ts = new java.sql.Timestamp((1000000L + i * 10) * 1000L)
+        val base = i.toLong * 1000000L
+        val complete = (0 until MsgsPerBatch).flatMap { j =>
+          val body = s"""{"version":"1.1","host":"h$j","short_message":"b$i m$j"}"""
+          val half = body.length / 2
+          Seq(
+            GelfChunkStream.Chunk(base + j, 0, 2,
+              body.substring(0, half).getBytes("UTF-8"), ts),
+            GelfChunkStream.Chunk(base + j, 1, 2,
+              body.substring(half).getBytes("UTF-8"), ts))
+        }
+        val stragglers = (0 until Stragglers).map { j =>
+          GelfChunkStream.Chunk(base + 500000L + j, 0, 2,
+            "never-completed".getBytes("UTF-8"), ts)
+        }
+        input.addData(complete ++ stragglers)
+        ()
+      }) finally q.stop()
+    }
+
+    // ---- minhash admission: fixed content pool, fresh doc ids --------
+    val minhashPts = {
+      val pool = graft.Tables.load(spark, sfDir, "documents")
+        .select("text").limit(500).as[String].collect()
+      val input = MemoryStream[(Long, String)]
+      val q = MinhashStream.bandObservations(
+          input.toDS().toDF("doc_id", "text")).writeStream
+        .format("noop").outputMode("append").start()
+      val DocsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * DocsPerBatch
+        input.addData((0 until DocsPerBatch).map(j =>
+          (base + j, pool(((base + j) % pool.length).toInt))))
+        ()
+      }) finally q.stop()
+    }
+
+    // ---- semantic admission: fixed embedding pool, fresh vec ids -----
+    val semPts = {
+      val pool = graft.Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding").limit(500)
+        .as[(Long, Array[Float])].collect()
+      val cents = SemanticStream.frozenCentroids(spark, sfDir)
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = SemanticStream.admissions(
+          input.toDS().toDF("vec_id", "embedding"), cents).writeStream
+        .format("noop").outputMode("append").start()
+      val VecsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * VecsPerBatch
+        input.addData((0 until VecsPerBatch).map { j =>
+          val (_, emb) = pool(((base + j) % pool.length).toInt)
+          (1000000L + base + j, emb)
+        })
+        ()
+      }) finally q.stop()
+    }
+
+    val json = "{\"metric\":\"stream_soak\",\"streams\":{" +
+      Seq(soakSummary("gelf_reassembly", gelfPts),
+        soakSummary("minhash_admission", minhashPts),
+        soakSummary("semantic_admission", semPts)).mkString(",") +
+      s"},\"sf\":\"$sfDir\"}"
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+  }
+
   private def freshDir(root: File, name: String): File = {
     val d = new File(root, s"$name-${UUID.randomUUID().toString.take(8)}")
     d.mkdirs()
@@ -48,6 +194,15 @@ object StreamBench {
     }.min
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("soak")) {
+      val spark = GraftSession.create()
+      soak(spark,
+        args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+        args.lift(2).map(_.toInt).getOrElse(300))
+      spark.stop()
+      return
+    }
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val spark = GraftSession.create()

@@ -57,6 +57,9 @@ object Stress {
     "vocab_train", "text_bpe_tokens", "corpus_token_budget",
     "dedup_lsh_recall", "corpus_exact_substr", "corpus_exact_substr_scrub",
     "text_surprisal", "corpus_dsir", "corpus_ccnet_buckets", "ann_pq",
+    // the composed curation recipe (r15): every stage cap and window
+    // under one plan, measured as the product's actual workload
+    "corpus_pipeline",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks
@@ -67,7 +70,13 @@ object Stress {
     // so ×100 linearity is EXPECTED — these rows prove it measured,
     // the last benched family without decade-up evidence
     "syslog_parse", "syslog_normalize", "frame_octet", "gelf_parse",
-    "relay_end_to_end")
+    "relay_end_to_end",
+    // the envelope/spool family (VERDICT r14 #5): the grouping shuffle
+    // and the size-split window were the last non-map stages without a
+    // decade row; the sink/source pair round-trips real gzip record
+    // files through the DSv2 writer+reader at ×100
+    "record_envelope", "record_split", "firehose_batches",
+    "firehose_retry", "spool_read", "spool_sink", "spool_source")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

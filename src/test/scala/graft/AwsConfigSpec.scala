@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.AwsConfig
+
+/** Credential-chain + endpoint resolution (the reference's
+  * init.py:57-68 `--profile`/`--region` seam, which boto3 resolves
+  * through the shared credentials file and the public endpoint
+  * pattern). */
+class AwsConfigSpec extends AnyFunSuite {
+
+  private def tempCreds(text: String): String = {
+    val f = Files.createTempFile("graft-aws-creds", ".ini")
+    Files.writeString(f, text)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  test("parseIni: sections, comments, trimming, lowercased keys, later duplicate wins") {
+    val ini = AwsConfig.parseIni(
+      """ignored = outside any section
+        |# comment
+        |[default]
+        |AWS_ACCESS_KEY_ID = AKID1
+        |aws_secret_access_key=sec1
+        |; another comment
+        |aws_access_key_id = AKID1B
+        |
+        |[relay]
+        |aws_access_key_id = AKID2
+        |aws_secret_access_key = sec2
+        |aws_session_token = tok2
+        |""".stripMargin)
+    assert(ini.keySet === Set("default", "relay"))
+    assert(ini("default")("aws_access_key_id") === "AKID1B") // duplicate wins
+    assert(ini("default")("aws_secret_access_key") === "sec1")
+    assert(ini("relay")("aws_session_token") === "tok2")
+  }
+
+  test("default chain: env vars win; file [default] is the fallback; empty chain names its sources") {
+    val file = tempCreds(
+      "[default]\naws_access_key_id = FK\naws_secret_access_key = FS\n")
+    val fileEnv = Map("AWS_SHARED_CREDENTIALS_FILE" -> file)
+    // env wins over file
+    val env = fileEnv ++ Map(
+      "AWS_ACCESS_KEY_ID" -> "EK", "AWS_SECRET_ACCESS_KEY" -> "ES",
+      "AWS_SESSION_TOKEN" -> "ET")
+    val fromEnv = AwsConfig.resolveCredentials(env, None).toOption.get
+    assert(fromEnv.accessKeyId === "EK" && fromEnv.sessionToken === Some("ET"))
+    // no env -> file [default]
+    val fromFile = AwsConfig.resolveCredentials(fileEnv, None).toOption.get
+    assert(fromFile.accessKeyId === "FK" && fromFile.sessionToken === None)
+    // nothing anywhere -> an error that names every consulted source
+    val err = AwsConfig.resolveCredentials(
+      Map("AWS_SHARED_CREDENTIALS_FILE" -> "/nonexistent/creds"), None)
+      .left.toOption.get
+    assert(err.contains("AWS_ACCESS_KEY_ID"))
+    assert(err.contains("credentials file"))
+    assert(err.contains("supported sources"))
+  }
+
+  test("explicit profile reads the file ONLY (boto3 skips env creds for --profile)") {
+    val file = tempCreds(
+      """[default]
+        |aws_access_key_id = DK
+        |aws_secret_access_key = DS
+        |[relay]
+        |aws_access_key_id = PK
+        |aws_secret_access_key = PS
+        |""".stripMargin)
+    val env = Map("AWS_SHARED_CREDENTIALS_FILE" -> file,
+      "AWS_ACCESS_KEY_ID" -> "EK", "AWS_SECRET_ACCESS_KEY" -> "ES")
+    val creds = AwsConfig.resolveCredentials(env, Some("relay")).toOption.get
+    assert(creds.accessKeyId === "PK") // not the env's EK
+    // a missing profile is an error listing what IS there
+    val err = AwsConfig.resolveCredentials(env, Some("nope")).left.toOption.get
+    assert(err.contains("'nope'") && err.contains("relay"))
+  }
+
+  test("firehose endpoint: region derives the public URL; override env vars win, service-specific first") {
+    assert(AwsConfig.firehoseEndpoint("eu-west-1", Map.empty) ===
+      "https://firehose.eu-west-1.amazonaws.com")
+    assert(AwsConfig.firehoseEndpoint("eu-west-1",
+      Map("AWS_ENDPOINT_URL" -> "http://localhost:1")) === "http://localhost:1")
+    assert(AwsConfig.firehoseEndpoint("eu-west-1",
+      Map("AWS_ENDPOINT_URL" -> "http://localhost:1",
+        "AWS_ENDPOINT_URL_FIREHOSE" -> "http://localhost:2")) ===
+      "http://localhost:2")
+  }
+}

@@ -14,6 +14,32 @@ class CorpusSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("corpus_pipeline: bin caps, eval exclusion, fertility bound, deterministic") {
+    val C = operators.Corpus
+    val out = C.corpusPipeline(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nDocs = r.getLong(2); val ws = r.getLong(3); val bpe = r.getLong(4)
+      val firstDoc = r.getLong(5)
+      // greedy packing: a bin only exceeds the cap when a single
+      // oversized doc forced it
+      if (nDocs > 1) assert(ws <= C.PackTokens)
+      // every word is at least one BPE token (the fertility invariant)
+      assert(bpe >= ws)
+      // the eval split is decontamination reference, never pipeline
+      // input — no bin can start at an eval doc
+      assert(firstDoc % C.BenchmarkMod !== 0L)
+    }
+    // bin ids are the consecutive walk 0..n-1 within each source
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq)
+    }
+    // seeded shuffle + hash mixing: the composition is deterministic
+    val again = C.corpusPipeline(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("corpus_decontaminate_fuzzy flags exactly the train docs minhash-paired with a bench doc") {
     val mod = operators.Corpus.FuzzyBenchMod
     def isBench(id: Long) = id % mod == 0
