@@ -23,7 +23,64 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.LshSweep [recallDir] [timeDir]"
   */
 object LshSweep {
+
+  /** ANN-only sweep over a CLUSTERED corpus (VERDICT r14 #3: measure
+    * the production PQ operating point instead of arguing it). The
+    * testdata embeddings are near-uniform, so K ≥ 64 codebooks can't
+    * train honestly there; `Stress genclustered` plants 1k centers +
+    * noise at ≥ 50k vectors and this mode runs the K∈{32..256} ×
+    * rerank=100 PQ curve, IVF probe depths, and the #130 recall gate
+    * on it — recall AND cost on the SAME corpus.
+    *
+    *   sbt "runMain graft.LshSweep ann [clusteredDir]"
+    */
+  def annOnly(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed(f: => org.apache.spark.sql.DataFrame): Double = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass() // warmup
+      Seq(pass(), pass()).min
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(operators.Similarity.annBruteforce(spark, dir))
+    def recallOf(got: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+    val n = Tables.load(spark, dir, "embeddings").count()
+    println(s"[sweep] ann corpus: $n vectors (clustered), truth=${truth.size}")
+    for (k <- Seq(32, 64, 128, 256)) {
+      spark.catalog.clearCache()
+      val rec = recallOf(pairSet(
+        operators.Similarity.annPq(spark, dir, codewords = k, rerank = 100)))
+      val secs = timed(
+        operators.Similarity.annPq(spark, dir, codewords = k, rerank = 100))
+      println(f"[sweep] ann_pq codewords=$k rerank=100 recall=$rec%.3f time=$secs%.2f s")
+    }
+    for (np <- Seq(1, 2, 4)) {
+      spark.catalog.clearCache()
+      val rec = recallOf(pairSet(
+        operators.Similarity.annIvf(spark, dir, nProbe = np)))
+      val secs = timed(operators.Similarity.annIvf(spark, dir, nProbe = np))
+      println(f"[sweep] ann_ivf nprobe=$np recall=$rec%.3f time=$secs%.2f s")
+    }
+    // the #130 acceptance gate on the clustered corpus
+    spark.catalog.clearCache()
+    operators.Similarity.annRecall(spark, dir).collect().foreach { r =>
+      println(s"[sweep] ann_recall gate: ${r.mkString(", ")}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ann")) {
+      val spark = GraftSession.create()
+      annOnly(spark, args.lift(1).getOrElse("/tmp/graft-stress-clustered"))
+      spark.stop()
+      return
+    }
     val recallDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val timeDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.create()

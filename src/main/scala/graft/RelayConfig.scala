@@ -15,6 +15,14 @@ package graft
 case class RelayConfig(
     /** Firehose delivery stream (`--stream`). */
     deliveryStream: String = "kinesyslog",
+    /** Per-PORT delivery-stream overrides (`--port-stream
+      * PORT=NAME`, repeatable): one relay fanning into multiple
+      * Firehose streams. The reference ships one stream per process
+      * (init.py `--stream`); the port is already the routing key the
+      * logGroup composition carries (sink.py:163), so the map rides
+      * the existing plumbing. Ports absent from the map use
+      * [[deliveryStream]]. */
+    portStreams: Map[Int, String] = Map.empty,
     /** LogGroup prefix (`--group-prefix`). */
     groupPrefix: String = "/kinesyslog",
     /** GELF mode instead of syslog (`--gelf`) — selects the message
@@ -53,4 +61,14 @@ case class RelayConfig(
 
   def activePorts: Seq[Int] =
     (udpPorts ++ tcpPorts ++ tlsPorts).filter(_ != 0).distinct
+
+  /** Delivery stream for a spool record's logGroup: the group's last
+    * segment is the destination port ([[logGroup]]'s own grammar), so
+    * routing needs no extra record state. Unparseable groups (foreign
+    * spool content) fall back to the default stream. */
+  def streamForGroup(group: String): String = {
+    val last = group.substring(group.lastIndexOf('/') + 1)
+    scala.util.Try(last.toInt).toOption
+      .flatMap(portStreams.get).getOrElse(deliveryStream)
+  }
 }

@@ -121,6 +121,19 @@ object Envelope {
     * ~1.5 KiB of messages, so 4096 exercises 1-, 2- and 3-part splits. */
   val TestRecordSize = 4096
 
+  /** Record cap for the FILE-WRITING spool paths (spool_sink /
+    * spool_source): the oracle surface keeps [[TestRecordSize]] so
+    * records actually split at test scale, but a ×100 decade sweep at
+    * 4 KiB would create ~900k gzip files per pass and measure
+    * filesystem metadata, not record packing — the sweep sets
+    * SPARK_GRAFT_SPOOL_RECORD_BYTES to the reference's production
+    * MAX_RECORD_SIZE (constant.py: 1 024 000). Content round-trips
+    * identically at any cap (the oracle compares EVENTS, not files),
+    * so the knob cannot affect a correctness comparison. */
+  def spoolFileRecordSize: Int =
+    sys.env.get("SPARK_GRAFT_SPOOL_RECORD_BYTES").map(_.toInt)
+      .getOrElse(TestRecordSize)
+
   /** Every event with its spool-record part assignment — the shared
     * upstream of record_split (aggregate view) and record_gzip (spool
     * bodies), so a gzipped record can never outgrow the split cap that

@@ -56,7 +56,7 @@ object Spool {
     val ser = new SerializableHadoopConf(
       spark.sessionState.newHadoopConf())
     graft.operators.Envelope
-      .spoolBodies(spark, dir, graft.operators.Envelope.TestRecordSize)
+      .spoolBodies(spark, dir, graft.operators.Envelope.spoolFileRecordSize)
       .select(col("source"), col("dest"), col("part_id"), col("gz"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         // Hadoop FS, not java.io: with spark.graft.spool.scratch on a
@@ -117,7 +117,7 @@ object Spool {
       // one writer per stream: header-local buffers, per-stream files
       .repartition(col("log_group"), col("log_stream"))
       .write.format("graft-spool")
-      .option("maxRecordBytes", graft.operators.Envelope.TestRecordSize.toString)
+      .option("maxRecordBytes", graft.operators.Envelope.spoolFileRecordSize.toString)
       .mode("append").save(scratch.toString)
     readBack(spark, scratch.toString)
   }

@@ -95,7 +95,12 @@ object SpoolDrainStream {
                 transport: BatchTransport, retryDir: String,
                 maxCount: Int = graft.operators.Envelope.TestBatchCount,
                 maxSize: Long = graft.operators.Envelope.TestBatchSize,
-                maxRetries: Int = 3): StreamingQuery =
+                maxRetries: Int = 3,
+                // logGroup → delivery stream (multi-stream relays;
+                // identity keeps the single-stream shape where dest
+                // doubles as the stream name). Must be serializable —
+                // it ships in the task closure.
+                streamFor: String => String = identity): StreamingQuery =
     spark.readStream.format("graft-spool").load(spoolDir)
       .select("log_group", "log_stream", "src_file", "timestamp")
       .writeStream
@@ -136,7 +141,10 @@ object SpoolDrainStream {
           .as[(String, Long, Seq[(String, String, Long)])]
           .flatMap { case (dest, bid, rs) =>
             val recs = rs.map { case (pid, src, b) => ShipRecord(src, pid, b) }
-            val ok = transport.ship(dest, bid, attempt, recs)
+            // batching stays per logGroup (finer than per stream, so
+            // a batch can never straddle streams); the transport sees
+            // the RESOLVED delivery stream, statuses keep the group
+            val ok = transport.ship(streamFor(dest), bid, attempt, recs)
             require(ok.length == recs.length,
               s"transport returned ${ok.length} flags for ${recs.length} records")
             recs.zip(ok).map { case (r, o) =>

@@ -192,6 +192,12 @@ object RelayMain {
       * incremental against durable checkpoints. Returns the drain-log
       * directory for inspection. */
     def drainOnce(): String = {
+      // local binding: `config.streamForGroup` eta-expanded inside a
+      // task closure would capture `this.config`, dragging the whole
+      // (non-serializable) Relay into the ship task — the local pins
+      // the closure to the serializable RelayConfig alone
+      val routing = config
+      val streamFor: String => String = routing.streamForGroup
       // start EVERY port's spool query before awaiting any: the
       // queries are independent (distinct checkpoints, task-unique
       // spool file names), so a multi-port relay drains its ports
@@ -216,7 +222,8 @@ object RelayMain {
         spark, config.spoolDir, s"${dirs.checkpointRoot}/ship",
         dirs.shipLogDir, transport, dirs.retryDir,
         maxCount = config.maxBatchCount,
-        maxSize = config.maxBatchSize.toLong)
+        maxSize = config.maxBatchSize.toLong,
+        streamFor = streamFor)
       require(ship.awaitTermination(300000),
         "ship query did not finish its AvailableNow pass")
       // one retry generation per pass: re-pack + re-ship records the
@@ -226,7 +233,8 @@ object RelayMain {
         spark, dirs.retryDir, s"${dirs.checkpointRoot}/retry",
         dirs.shipLogDir, transport, dirs.retryDir,
         maxCount = config.maxBatchCount,
-        maxSize = config.maxBatchSize.toLong)
+        maxSize = config.maxBatchSize.toLong,
+        streamFor = streamFor)
       require(retry.awaitTermination(300000),
         "retry query did not finish its AvailableNow pass")
       dirs.shipLogDir
@@ -259,20 +267,22 @@ object RelayMain {
       * sink. */
     def metricsText(): String = {
       val spooled = spark.read.format("graft-spool").load(config.spoolDir)
+      // stream label = the group's resolved delivery stream: a
+      // multi-stream relay's per-stream counters separate on the
+      // same rule the drain routes by (driver-side map over the
+      // already-collapsed group rows — no UDF in a Spark plan)
       val sink = spooled
         .groupBy("log_group", "log_stream")
         .agg(count(lit(1)).as("n"),
           sum(length(col("message")).cast("long")).as("b"))
         .orderBy("log_group", "log_stream")
-        .select(concat(
-          format_string(
-            "kinesyslog_message_count_total{group=\"%s\",source=\"%s\"} %d",
-            col("log_group"), col("log_stream"), col("n")),
-          lit("\n"),
-          format_string(
-            "kinesyslog_message_bytes_total{group=\"%s\",source=\"%s\"} %d",
-            col("log_group"), col("log_stream"), col("b"))).as("line"))
-        .collect().map(_.getString(0)).mkString("\n")
+        .collect().map { r =>
+          val (g, s) = (r.getString(0), r.getString(1))
+          val stream = config.streamForGroup(g)
+          s"""kinesyslog_message_count_total{group="$g",source="$s",stream="$stream"} ${r.getLong(2)}""" +
+            "\n" +
+            s"""kinesyslog_message_bytes_total{group="$g",source="$s",stream="$stream"} ${r.getLong(3)}"""
+        }.mkString("\n")
       val listeners = listenerMetricsText()
       if (listeners.isEmpty) sink else listeners + "\n" + sink
     }
@@ -355,8 +365,18 @@ object RelayMain {
       opts.get(name).map(_.map(_.toInt)).getOrElse(default)
     val workDir = opts.get("work-dir").map(_.head)
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-relay")
+    // `--port-stream 6601=audit` (repeatable): route a port's records
+    // to a different Firehose stream than `--stream`'s default
+    val portStreams = opts.getOrElse("port-stream", Nil).map { kv =>
+      kv.split("=", 2) match {
+        case Array(p, name) if p.forall(_.isDigit) && name.nonEmpty =>
+          p.toInt -> name
+        case _ => sys.error(s"--port-stream wants PORT=STREAM, got '$kv'")
+      }
+    }.toMap
     val config = RelayConfig(
       deliveryStream = opts.get("stream").map(_.head).getOrElse("kinesyslog"),
+      portStreams = portStreams,
       groupPrefix = opts.get("group-prefix").map(_.head).getOrElse("/kinesyslog"),
       gelf = opts.contains("gelf"),
       udpPorts = ports("udp-port", Seq(0)),

@@ -159,6 +159,36 @@ object Stress {
     println(s"[stress] wrote $out/documents.parquet (${copies}x rotated $src)")
   }
 
+  /** CLUSTERED embedding corpus (VERDICT r14 #3): the testdata
+    * embeddings are near-uniform random vectors, so a K=256 product-
+    * quantization codebook cannot train honestly there (the sf0.01
+    * Lloyd sample is 125 vectors) and quantization noise swamps the
+    * cosine structure. Real embedding corpora are CLUSTERED; this
+    * plants `nCenters` hash-derived centers in 64-dim and draws each
+    * vector as its center plus small hash noise — deterministic
+    * (pure xxhash64 arithmetic, no RNG state), distributed (one
+    * map-only range scan), and separable enough that recall\@10 is a
+    * meaningful signal rather than noise-ranking. Written as the
+    * standard embeddings table so every ANN operator and the #130
+    * recall gate run on it unchanged. */
+  def genClustered(spark: SparkSession, out: String,
+                   nVectors: Int, nCenters: Int,
+                   noisePermille: Int = 300): Unit = {
+    val dim = 64
+    val noise = noisePermille / 1000.0
+    spark.range(nVectors.toLong)
+      .select(col("id").as("vec_id"),
+        expr(
+          s"""transform(sequence(0, ${dim - 1}), d -> CAST(
+             |  CAST(xxhash64(id % $nCenters, d) % 1000000 AS DOUBLE) / 1000000.0
+             |  + $noise * (CAST(xxhash64(id, d) % 1000000 AS DOUBLE) / 1000000.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[stress] wrote $out/embeddings.parquet " +
+      s"($nVectors vectors, $nCenters planted centers, noise=$noise)")
+  }
+
   /** Max-over-tasks metrics, reset per query: a cap that stopped
     * holding shows up here as a task whose peak memory or shuffle
     * volume grows with corpus² instead of corpus. */
@@ -253,6 +283,12 @@ object Stress {
         genDistinct(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
           args.lift(2).getOrElse("/tmp/graft-stress-distinct"),
           args.lift(3).map(_.toInt).getOrElse(26))
+      case "genclustered" =>
+        genClustered(spark,
+          args.lift(1).getOrElse("/tmp/graft-stress-clustered"),
+          args.lift(2).map(_.toInt).getOrElse(50000),
+          args.lift(3).map(_.toInt).getOrElse(1000),
+          args.lift(4).map(_.toInt).getOrElse(300))
       case "sweep" =>
         sweep(spark, args.lift(1).getOrElse("/tmp/graft-stress"),
           args.lift(2).map(_.split(",").toSet))

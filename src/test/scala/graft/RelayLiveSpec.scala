@@ -176,6 +176,72 @@ class RelayLiveSpec extends SparkSpec {
     } finally relay.stop()
   }
 
+  test("RelayMain multi-stream: per-port routing fans one relay into two delivery streams") {
+    val root = new File(sys.props("java.io.tmpdir"),
+      s"graft-relaymulti-${spark.sparkContext.applicationId}")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val spoolDir = new File(root, "spool")
+    val (portA, portB) = (freePort(), freePort())
+    val config = RelayConfig(
+      tcpPorts = Seq(portA, portB), tlsPorts = Seq(0),
+      spoolDir = spoolDir.getAbsolutePath,
+      deliveryStream = "main-logs",
+      portStreams = Map(portB -> "audit-logs"))
+    val shipDir = new File(root, "delivered")
+    val relay = new tools.RelayMain.Relay(spark, config,
+      tools.RelayMain.RelayDirs(root.getAbsolutePath),
+      new streaming.FilesystemTransport(shipDir.getAbsolutePath))
+    relay.start()
+    val aMsgs = (1 to 3).map(i =>
+      s"<${i * 17 % 192}>Feb  5 17:32:1$i host-a$i main leg id=$i")
+    val bMsgs = (4 to 6).map(i =>
+      s"<${i * 17 % 192}>Feb  5 17:32:1$i host-b$i audit leg id=$i")
+    try {
+      Seq((portA, aMsgs), (portB, bMsgs)).foreach { case (p, msgs) =>
+        val s = new Socket("127.0.0.1", p)
+        s.getOutputStream.write(msgs.map(_ + "\n").mkString.getBytes("UTF-8"))
+        s.close()
+      }
+      val total = (aMsgs ++ bMsgs).map(_.length + 1).sum
+      val deadline = System.currentTimeMillis() + 15000
+      while (relay.bytesIn < total && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(relay.bytesIn === total.toLong)
+      relay.tcpListeners.foreach(_._4.stop())
+      relay.drainOnce()
+      // per-stream spool isolation: every spool file's logGroup port
+      // determines its stream; manifests must land under the RESOLVED
+      // stream names with exactly that file set, nothing crossed
+      val expected = spark.read.format("graft-spool")
+        .load(spoolDir.getAbsolutePath)
+        .select("log_group", "src_file").distinct().collect()
+        .map { r =>
+          val fname = r.getString(1).split("/").last
+          (config.streamForGroup(r.getString(0)), fname)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(expected.keySet === Set("main-logs", "audit-logs"))
+      val delivered = shipDir.listFiles().filter(_.getName.endsWith(".txt"))
+        .flatMap { f =>
+          val stream = f.getName.split("-q").head
+          scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty)
+            .map(stream -> _)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(delivered === expected)
+      // per-stream metrics isolation: each group's counters carry its
+      // resolved stream label
+      val metrics = relay.metricsText()
+      assert(metrics.contains(
+        s"""group="/kinesyslog/syslog/$portA",source="host-a1",stream="main-logs""""))
+      assert(metrics.contains(
+        s"""group="/kinesyslog/syslog/$portB",source="host-b4",stream="audit-logs""""))
+      assert(!metrics.contains(
+        s"""group="/kinesyslog/syslog/$portB",source="host-b4",stream="main-logs""""))
+    } finally relay.stop()
+  }
+
   test("RelayMain proxy-protocol port: the ADVERTISED peer becomes log_stream, v1 and v2") {
     val root = new File(sys.props("java.io.tmpdir"),
       s"graft-relaymain-proxy-${spark.sparkContext.applicationId}")
