@@ -1708,6 +1708,54 @@ object Corpus {
     * window partitions by language, the pack fold is per-source
     * sequential exactly like #76. */
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val f = pipelineFrames(spark, dir)
+    // stages 6+7+8: seeded shuffle orders each source's fold; greedy
+    // pack to the cap; bins report frozen-tokenizer BPE totals
+    val packed = f.s5
+      .withColumn("skey",
+        ((col("doc_id") + ShuffleSeed) % ShuffleP) * ShuffleA % ShuffleP)
+      .withColumn("t", size(split(col("norm"), " ")).cast("long"))
+      .join(f.bpe, "doc_id")
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("skey"), col("doc_id"),
+        col("t"), col("bpe_tokens")))).as("rs"))
+      .withColumn("bin_ids", expr(
+        s"""aggregate(
+           |  rs,
+           |  struct(CAST(array() AS ARRAY<BIGINT>) AS ids,
+           |         CAST(0 AS BIGINT) AS b,
+           |         CAST(0 AS BIGINT) AS c,
+           |         CAST(0 AS BIGINT) AS s),
+           |  (acc, x) -> CASE
+           |    WHEN acc.c > 0 AND acc.s + x.t > ${PackTokens}L
+           |    THEN struct(array_append(acc.ids, acc.b + 1) AS ids,
+           |                acc.b + 1 AS b, CAST(1 AS BIGINT) AS c,
+           |                CAST(x.t AS BIGINT) AS s)
+           |    ELSE struct(array_append(acc.ids, acc.b) AS ids,
+           |                acc.b AS b, acc.c + 1 AS c, acc.s + x.t AS s)
+           |    END,
+           |  acc -> acc.ids)""".stripMargin))
+    packed
+      .select(col("source"), explode(arrays_zip(col("rs"), col("bin_ids"))).as("z"))
+      .select(col("source"), col("z.bin_ids").as("bin_id"),
+        col("z.rs.doc_id").as("doc_id"), col("z.rs.t").as("t"),
+        col("z.rs.bpe_tokens").as("bpe"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"), min("doc_id").as("first_doc"))
+      .orderBy("source", "bin_id")
+  }
+
+  /** The stage frames of #151's composition, shared by the packed-bin
+    * output ([[corpusPipeline]]) and the per-stage attrition audit
+    * ([[corpusPipelineAudit]]). Each frame is the SURVIVOR set after
+    * its stage, pinned where ≥2 consumers read it. */
+  private[graft] final case class PipelineFrames(
+      train: DataFrame, q: DataFrame, s2: DataFrame, s3: DataFrame,
+      s4: DataFrame, s5: DataFrame, bpe: DataFrame)
+
+  private[graft] def pipelineFrames(
+      spark: SparkSession, dir: String): PipelineFrames = {
     import org.apache.spark.sql.expressions.Window
     val tf = graft.functions.TextFunctions
     val bpe = Bpe.tokenFrame(spark, dir)
@@ -1774,48 +1822,45 @@ object Corpus {
       .filter(col("mix_rank") <= col("kept_l"))
       .select("doc_id", "source", "norm")
 
-    // stages 6+7+8: seeded shuffle orders each source's fold; greedy
-    // pack to the cap; bins report frozen-tokenizer BPE totals
-    val packed = s5
-      .withColumn("skey",
-        ((col("doc_id") + ShuffleSeed) % ShuffleP) * ShuffleA % ShuffleP)
-      .withColumn("t", size(split(col("norm"), " ")).cast("long"))
-      .join(bpe, "doc_id")
-      .groupBy("source")
-      .agg(array_sort(collect_list(struct(col("skey"), col("doc_id"),
-        col("t"), col("bpe_tokens")))).as("rs"))
-      .withColumn("bin_ids", expr(
-        s"""aggregate(
-           |  rs,
-           |  struct(CAST(array() AS ARRAY<BIGINT>) AS ids,
-           |         CAST(0 AS BIGINT) AS b,
-           |         CAST(0 AS BIGINT) AS c,
-           |         CAST(0 AS BIGINT) AS s),
-           |  (acc, x) -> CASE
-           |    WHEN acc.c > 0 AND acc.s + x.t > ${PackTokens}L
-           |    THEN struct(array_append(acc.ids, acc.b + 1) AS ids,
-           |                acc.b + 1 AS b, CAST(1 AS BIGINT) AS c,
-           |                CAST(x.t AS BIGINT) AS s)
-           |    ELSE struct(array_append(acc.ids, acc.b) AS ids,
-           |                acc.b AS b, acc.c + 1 AS c, acc.s + x.t AS s)
-           |    END,
-           |  acc -> acc.ids)""".stripMargin))
-    packed
-      .select(col("source"), explode(arrays_zip(col("rs"), col("bin_ids"))).as("z"))
-      .select(col("source"), col("z.bin_ids").as("bin_id"),
-        col("z.rs.doc_id").as("doc_id"), col("z.rs.t").as("t"),
-        col("z.rs.bpe_tokens").as("bpe"))
-      .groupBy("source", "bin_id")
-      .agg(count(lit(1)).as("n_docs"), sum("t").as("ws_tokens"),
-        sum("bpe").as("bpe_tokens"), min("doc_id").as("first_doc"))
-      .orderBy("source", "bin_id")
+    PipelineFrames(train.select("doc_id", "lang", "source", "norm"),
+      q, s2, s3, s4, s5, bpe)
+  }
+
+  /** #154 corpus_pipeline_audit — the per-stage attrition report of
+    * #151: one row per pipeline stage with the documents and
+    * whitespace tokens that SURVIVE it, i.e. the curation report a
+    * production run ships alongside its packed output ("quality cut
+    * X docs, dedup cut Y, decontamination cut Z…"). Shares #151's
+    * stage frames verbatim ([[pipelineFrames]]) so the report can
+    * never drift from the pipeline it describes; each stage's
+    * numbers are one count+sum aggregate over that stage's survivor
+    * frame (map-side combinable, no extra shuffle beyond the stages
+    * themselves), and docs/tokens are monotone non-increasing by
+    * construction — the spec asserts it, and the oracle recomputes
+    * every stage from the same CTE chain as #151's. */
+  def corpusPipelineAudit(spark: SparkSession, dir: String): DataFrame = {
+    val f = pipelineFrames(spark, dir)
+    val stages = Seq(
+      (0, "input", f.train), (1, "quality", f.q),
+      (2, "exact_dedup", f.s2), (3, "near_dup", f.s3),
+      (4, "decontaminate", f.s4), (5, "mix", f.s5))
+    stages.map { case (i, name, df) =>
+      df.select(size(split(col("norm"), " ")).cast("long").as("t"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("t")), lit(0L)).as("ws_tokens"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("ws_tokens"))
+    }.reduce(_ unionByName _).orderBy("stage")
   }
 
   /** The oracle recomputes all eight stages in one CTE chain: the
     * frozen-tokenizer frame (#128's training + apply CTEs) feeds the
     * final accounting, and each pl_* CTE mirrors one stage verbatim
-    * from its parent operator's proven SQL. */
-  val corpusPipelineSql: String = {
+    * from its parent operator's proven SQL. The chain is shared by
+    * the #151 bins oracle and the #154 audit oracle (unreferenced
+    * CTEs — the recursive walk, the tokenizer frame — cost the audit
+    * nothing; DuckDB evaluates only what the final select reaches). */
+  private lazy val pipelineCtes: String = {
     val norm = graft.functions.TextFunctions.normTextSql
     val lex = graft.functions.TextFunctions.Lexicons.head._2
       .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1922,7 +1967,11 @@ object Corpus {
       |    FROM w JOIN pl_sp r ON r.source = w.source AND r.rn = w.rn + 1
       |  )
       |  SELECT * FROM w
-      |)
+      |)""".stripMargin
+  }
+
+  val corpusPipelineSql: String =
+    s"""$pipelineCtes
       |SELECT source, bin AS bin_id, COUNT(*) AS n_docs,
       |  CAST(SUM(t) AS BIGINT) AS ws_tokens,
       |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
@@ -1930,10 +1979,32 @@ object Corpus {
       |FROM pl_walk
       |GROUP BY source, bin
       |ORDER BY source, bin_id""".stripMargin
-  }
+
+  val corpusPipelineAuditSql: String =
+    s"""$pipelineCtes
+      |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(ws_tokens AS BIGINT) AS ws_tokens
+      |FROM (
+      |  SELECT 0 AS stage, 'input' AS stage_name, COUNT(*) AS n_docs,
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) AS ws_tokens
+      |  FROM pl_train
+      |  UNION ALL SELECT 1, 'quality', COUNT(*),
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_q
+      |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv2
+      |  UNION ALL SELECT 3, 'near_dup', COUNT(*),
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv3
+      |  UNION ALL SELECT 4, 'decontaminate', COUNT(*),
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv4
+      |  UNION ALL SELECT 5, 'mix', COUNT(*),
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv5
+      |)
+      |ORDER BY stage""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pipeline" -> ((s: SparkSession, d: String) => corpusPipeline(s, d)),
+    "corpus_pipeline_audit" -> ((s: SparkSession, d: String) => corpusPipelineAudit(s, d)),
     "corpus_ccnet_buckets" -> ((s: SparkSession, d: String) => corpusCcnetBuckets(s, d)),
     "corpus_dsir" -> ((s: SparkSession, d: String) => corpusDsir(s, d)),
     "corpus_token_budget" -> corpusTokenBudget,
@@ -1958,6 +2029,7 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "corpus_pipeline" -> corpusPipelineSql,
+    "corpus_pipeline_audit" -> corpusPipelineAuditSql,
     "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
     "corpus_dsir" -> corpusDsirSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,

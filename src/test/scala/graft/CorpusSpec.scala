@@ -40,6 +40,32 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("corpus_pipeline_audit: stage walk is monotone and coheres with the bins") {
+    val C = operators.Corpus
+    val audit = C.corpusPipelineAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(audit.map(t => (t._1, t._2)).toSeq === Seq(
+      (0L, "input"), (1L, "quality"), (2L, "exact_dedup"),
+      (3L, "near_dup"), (4L, "decontaminate"), (5L, "mix")))
+    // every stage is a filter of its predecessor: docs and tokens
+    // can only shrink
+    audit.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"stage ${b._2} grew docs")
+      assert(b._4 <= a._4, s"stage ${b._2} grew tokens")
+    }
+    // stage 0 is exactly the train split
+    val train = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % C.BenchmarkMod =!= 0).count()
+    assert(audit.head._3 === train)
+    // the composition actually curates: some stage drops documents
+    assert(audit.last._3 < audit.head._3)
+    // the audit's final stage IS the packer's input: bins conserve
+    // its docs and whitespace tokens exactly
+    val bins = C.corpusPipeline(spark, sf).collect()
+    assert(bins.map(_.getLong(2)).sum === audit.last._3)
+    assert(bins.map(_.getLong(3)).sum === audit.last._4)
+  }
+
   test("corpus_decontaminate_fuzzy flags exactly the train docs minhash-paired with a bench doc") {
     val mod = operators.Corpus.FuzzyBenchMod
     def isBench(id: Long) = id % mod == 0
