@@ -219,7 +219,7 @@ object Corpus {
     * [[graft.functions.TextFunctions.WordNgrams]] pass (replaces the
     * round-3 chained-zip_with formulation, whose n−1 lambdas were
     * interpreted per element). */
-  private def ngrams(norm: Column, n: Int): Column =
+  private[graft] def ngrams(norm: Column, n: Int): Column =
     array_distinct(graft.functions.TextFunctions.word_ngrams(norm, n))
 
   /** Every 97th doc stands in for the benchmark/eval set. */
@@ -1746,6 +1746,37 @@ object Corpus {
       .orderBy("source", "bin_id")
   }
 
+  /** Stage-1 quality predicates over a frame carrying `norm` — the
+    * single definition shared by the batch pipeline ([[pipelineFrames]])
+    * and the streaming admission twin
+    * ([[graft.streaming.CurationStream]]): ≥10 words, stopword ratio
+    * < 0.5, punct·5 ≤ words (the #36/#124 battery). */
+  private[graft] def qualityGate(df: DataFrame): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    df.withColumn("n_words", size(split(col("norm"), " ")))
+      .withColumn("n_punct", regexp_count(col("norm"), lit("[^a-z0-9 ]")))
+      .withColumn("n_stop",
+        regexp_count(concat(lit(" "), col("norm"), lit(" ")), lit(tf.StopTokRe)))
+      .filter(col("n_words") >= 10 &&
+        col("n_stop").cast("double") / col("n_words") < 0.5 &&
+        col("n_punct") * 5 <= col("n_words"))
+      .drop("n_words", "n_punct", "n_stop")
+  }
+
+  /** The eval split's bloom position set (j, pos), distinct — the
+    * frozen decontamination artifact: the batch pipeline broadcasts
+    * it per run, the streaming twin collects it ONCE into a bitset at
+    * stream construction (bounded by K·M bits regardless of eval-set
+    * size, the same fixed-broadcast property #84 exists for). */
+  private[graft] def evalBitsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val evalDocs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % BenchmarkMod === 0)
+      .select(graft.functions.TextFunctions.normText(col("text")).as("norm"))
+    bloomPositions(
+      evalDocs.select(explode(ngrams(col("norm"), DecontamN)).as("gram")))
+      .select("j", "pos").distinct()
+  }
+
   /** The stage frames of #151's composition, shared by the packed-bin
     * output ([[corpusPipeline]]) and the per-stage attrition audit
     * ([[corpusPipelineAudit]]). Each frame is the SURVIVOR set after
@@ -1764,19 +1795,10 @@ object Corpus {
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         tf.normText(col("text")).as("norm"))
-    val evalDocs = base.filter(col("doc_id") % BenchmarkMod === 0)
     val train = base.filter(col("doc_id") % BenchmarkMod =!= 0)
 
-    // stage 1: quality gate
-    val q = train
-      .withColumn("n_words", size(split(col("norm"), " ")))
-      .withColumn("n_punct", regexp_count(col("norm"), lit("[^a-z0-9 ]")))
-      .withColumn("n_stop",
-        regexp_count(concat(lit(" "), col("norm"), lit(" ")), lit(tf.StopTokRe)))
-      .filter(col("n_words") >= 10 &&
-        col("n_stop").cast("double") / col("n_words") < 0.5 &&
-        col("n_punct") * 5 <= col("n_words"))
-      .select("doc_id", "lang", "source", "text", "norm")
+    // stage 1: quality gate (shared with the streaming admission twin)
+    val q = qualityGate(train).select("doc_id", "lang", "source", "text", "norm")
 
     // stage 2: keep-best exact dedup — map-side-combinable max(struct),
     // same as #124 (quality already constant within a fingerprint group)
@@ -1793,9 +1815,7 @@ object Corpus {
     val s3 = graft.Checkpoints.pin(s2.join(nearDrop, Seq("doc_id"), "left_anti"))
 
     // stage 4: bloom decontamination against the eval split
-    val evalBits = bloomPositions(
-      evalDocs.select(explode(ngrams(col("norm"), DecontamN)).as("gram")))
-      .select("j", "pos").distinct()
+    val evalBits = evalBitsFrame(spark, dir)
     val flagged = bloomPositions(
       s3.select(col("doc_id"), explode(ngrams(col("norm"), DecontamN)).as("gram")))
       .join(broadcast(evalBits), Seq("j", "pos"))

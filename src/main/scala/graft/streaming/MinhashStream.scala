@@ -47,22 +47,35 @@ object MinhashStream {
 
   private val RowsPerBand = MinhashSeeds / Bands
 
-  /** Per-row signature + band rows — no shuffle, stream-safe. */
-  def bandRows(docs: DataFrame): Dataset[BandRow] = {
-    import docs.sparkSession.implicits._
-    docs
-      .withColumn("toks", array_distinct(
-        graft.functions.TextFunctions.word_ngrams(
-          graft.functions.TextFunctions.normText(col("text")), 2)))
-      .filter(size(col("toks")) > 0)
-      .withColumn("base", expr("transform(toks, t -> xxhash64(t))"))
+  /** Adds the in-row 32-slot signature over a frame that already
+    * carries a non-empty `toks` shingle array — the shared algebra
+    * (identical to the batch job's hash chain), reused by the
+    * composed curation admission stream ([[CurationStream]]). */
+  private[streaming] def withSignature(df: DataFrame): DataFrame =
+    df.withColumn("base", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${MinhashSeeds - 1}),
            |  i -> array_min(transform(base, h -> xxhash64(i, h))))""".stripMargin))
-      .select(col("doc_id"), col("sig"), posexplode(expr(
-        s"""transform(sequence(0, ${Bands - 1}),
-           |  b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin))
-        .as(Seq("band", "band_hash")))
+      .drop("base")
+
+  /** One row per LSH band for a frame carrying `sig`, keeping every
+    * other column: (band, band_hash) from the batch job's banding. */
+  private[streaming] def explodeBands(df: DataFrame): DataFrame =
+    df.select(df.columns.map(col) :+ posexplode(expr(
+      s"""transform(sequence(0, ${Bands - 1}),
+         |  b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))""".stripMargin))
+      .as(Seq("band", "band_hash")): _*)
+
+  /** Per-row signature + band rows — no shuffle, stream-safe. */
+  def bandRows(docs: DataFrame): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    explodeBands(withSignature(
+      docs
+        .withColumn("toks", array_distinct(
+          graft.functions.TextFunctions.word_ngrams(
+            graft.functions.TextFunctions.normText(col("text")), 2)))
+        .filter(size(col("toks")) > 0))
+      .select("doc_id", "sig"))
       .select(col("doc_id"), col("band").cast("int").as("band"),
         col("band_hash"), col("sig"))
       .as[BandRow]

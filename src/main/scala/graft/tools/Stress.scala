@@ -58,8 +58,9 @@ object Stress {
     "dedup_lsh_recall", "corpus_exact_substr", "corpus_exact_substr_scrub",
     "text_surprisal", "corpus_dsir", "corpus_ccnet_buckets", "ann_pq",
     // the composed curation recipe (r15): every stage cap and window
-    // under one plan, measured as the product's actual workload
-    "corpus_pipeline",
+    // under one plan, measured as the product's actual workload —
+    // plus its per-stage attrition audit (same frames, second plan)
+    "corpus_pipeline", "corpus_pipeline_audit",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks
