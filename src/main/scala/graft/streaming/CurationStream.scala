@@ -87,26 +87,31 @@ object CurationStream {
         element_at(bits, (j * Corpus.BloomM + pos + 1L).cast("int"))
       }))
 
-  /** Quality gate → per-doc gate rows (1 exact + `Bands` band rows),
-    * contamination evaluated in-row against the frozen bitset. */
+  /** Quality gate → per-doc gate rows (1 exact + `Bands` band rows).
+    * The two branches re-execute the shared prefix (a streaming
+    * self-union has no subplan reuse), so each computes only what it
+    * ships: contamination rides the EXACT row alone (one per doc —
+    * the verdict collapse takes max(), so band rows carry false and
+    * skip the gram/bloom probe entirely), and the exact branch never
+    * builds the 32-slot signature (column pruning drops it before
+    * the shingle hashing). */
   def gateRows(docs: DataFrame, bloomBits: Array[Boolean]): Dataset[GateRow] = {
     import docs.sparkSession.implicits._
     val tf = graft.functions.TextFunctions
-    val base = MinhashStream.withSignature(
-      Corpus.qualityGate(
-        docs.select(col("doc_id"), tf.normText(col("text")).as("norm")))
-        .withColumn("toks", array_distinct(tf.word_ngrams(col("norm"), 2)))
-        .filter(size(col("toks")) > 0)
-        .withColumn("contaminated", contaminatedCol(
-          Corpus.ngrams(col("norm"), Corpus.DecontamN), typedLit(bloomBits)))
-        .select("doc_id", "norm", "toks", "contaminated"))
+    val base = Corpus.qualityGate(
+      docs.select(col("doc_id"), tf.normText(col("text")).as("norm")))
+      .withColumn("toks", array_distinct(tf.word_ngrams(col("norm"), 2)))
+      .filter(size(col("toks")) > 0)
     val exact = base.select(col("doc_id"), lit(0).as("kind"),
       xxhash64(col("norm")).as("k1"), xxhash64(lit("fp2"), col("norm")).as("k2"),
-      array().cast("array<bigint>").as("sig"), col("contaminated"))
-    val bands = MinhashStream.explodeBands(base)
+      array().cast("array<bigint>").as("sig"),
+      contaminatedCol(Corpus.ngrams(col("norm"), Corpus.DecontamN),
+        typedLit(bloomBits)).as("contaminated"))
+    val bands = MinhashStream.explodeBands(
+      MinhashStream.withSignature(base.select("doc_id", "toks")))
       .select(col("doc_id"), (col("band") + 1).cast("int").as("kind"),
         col("band_hash").as("k1"), lit(0L).as("k2"),
-        col("sig"), col("contaminated"))
+        col("sig"), lit(false).as("contaminated"))
     exact.unionByName(bands).as[GateRow]
   }
 

@@ -51,7 +51,12 @@ object StreamBench {
   //    steady state); bucket state saturates at pool×bands rows and
   //    stops growing, because duplicate content claims no new bucket;
   //  - semantic_admission: vector batches cycle the embedding pool;
-  //    keeper state saturates at ≤ cap×K triples (the MODEL bound).
+  //    keeper state saturates at ≤ cap×K triples (the MODEL bound);
+  //  - curation_admission (#155): doc batches cycle the same fixed
+  //    text pool through the COMPOSED gate stream (quality → exact +
+  //    LSH buckets in one stateful op, stateless bloom probe); bucket
+  //    state saturates at pool×(bands+1) rows — repeated content
+  //    claims nothing new in either key space.
   //
   //   sbt "runMain graft.tools.StreamBench soak [sfDir] [nBatches]"
   // -------------------------------------------------------------------
@@ -169,10 +174,30 @@ object StreamBench {
       }) finally q.stop()
     }
 
+    // ---- composed curation admission: fixed text pool, fresh ids ----
+    val curPts = {
+      val pool = graft.Tables.load(spark, sfDir, "documents")
+        .select("text").limit(500).as[String].collect()
+      val bits = graft.streaming.CurationStream.evalBloomBits(spark, sfDir)
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.CurationStream.observations(
+          graft.streaming.CurationStream.gateRows(
+            input.toDS().toDF("doc_id", "text"), bits)).writeStream
+        .format("noop").outputMode("append").start()
+      val DocsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * DocsPerBatch
+        input.addData((0 until DocsPerBatch).map(j =>
+          (base + j, pool(((base + j) % pool.length).toInt))))
+        ()
+      }) finally q.stop()
+    }
+
     val json = "{\"metric\":\"stream_soak\",\"streams\":{" +
       Seq(soakSummary("gelf_reassembly", gelfPts),
         soakSummary("minhash_admission", minhashPts),
-        soakSummary("semantic_admission", semPts)).mkString(",") +
+        soakSummary("semantic_admission", semPts),
+        soakSummary("curation_admission", curPts)).mkString(",") +
       s"},\"sf\":\"$sfDir\"}"
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak.json")
@@ -293,14 +318,42 @@ object StreamBench {
       ()
     }
 
+    // ---- composed curation admission (#155): 32 twin generations ----
+    // every copy past the first is an exact twin, so the exact gate
+    // rejects ~31/32 of arrivals — the composed stream's worst case
+    // (every gate row still hashes, signs and probes), not its best
+    val curIn = freshDir(root, "cur-in")
+    val docsDf = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    (0 until 32).map(i => docsDf.withColumn("doc_id",
+        col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(curIn.getAbsolutePath)
+    val nDocs = spark.read.parquet(curIn.getAbsolutePath).count()
+    val curSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val curBits = graft.streaming.CurationStream.evalBloomBits(spark, sfDir)
+    val curSec = timePasses { () =>
+      val cp = freshDir(root, "cp-cur")
+      val curOut = freshDir(root, "cur-out")
+      val q = graft.streaming.CurationStream.admissionQuery(spark,
+        curIn.getAbsolutePath, curSchema, cp.getAbsolutePath,
+        curOut.getAbsolutePath, curBits)
+      q.awaitTermination(600000)
+      ()
+    }
+
     val syslogRate = (nSyslog / syslogSec).toLong
     val gelfRate = (nMessages / gelfSec).toLong
     val semRate = (nVec / semSec).toLong
+    val curRate = (nDocs / curSec).toLong
     val json =
-      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec},"unit":"sec","streams":{""" +
+      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec + curSec},"unit":"sec","streams":{""" +
         s""""syslog_spool":{"rows":$nSyslog,"sec":$syslogSec,"rows_per_sec":$syslogRate},""" +
         s""""gelf_reassembly":{"messages":$nMessages,"sec":$gelfSec,"msgs_per_sec":$gelfRate},""" +
-        s""""semantic_admission":{"rows":$nVec,"sec":$semSec,"rows_per_sec":$semRate}},""" +
+        s""""semantic_admission":{"rows":$nVec,"sec":$semSec,"rows_per_sec":$semRate},""" +
+        s""""curation_admission":{"rows":$nDocs,"sec":$curSec,"rows_per_sec":$curRate}},""" +
         s""""sf":"$sfDir"}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "streambench.json")
