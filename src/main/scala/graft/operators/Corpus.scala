@@ -330,13 +330,12 @@ object Corpus {
       .select(col("doc_id"),
         graft.functions.TextFunctions.normText(col("text")).as("norm"))
       .select(col("doc_id"), ngrams(col("norm"), n).as("grams"))
-    def positions(df: DataFrame): DataFrame = bloomPositions(df)
-    val bits = positions(
+    val bits = bloomPositions(
       d.filter(col("doc_id") % BenchmarkMod === 0)
         .select(explode(col("grams")).as("gram")))
       .select("j", "pos").distinct()
     val train = d.filter(col("doc_id") % BenchmarkMod =!= 0)
-    val gramHits = positions(
+    val gramHits = bloomPositions(
       train.select(col("doc_id"), explode(col("grams")).as("gram")))
       .join(broadcast(bits), Seq("j", "pos"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("k_hits"))
@@ -1177,33 +1176,41 @@ object Corpus {
     * else. The rank window partitions by lang — 5 partitions; at
     * 100 TB partition-internal sort is the bound, and the TopKPerKey
     * operator (#74) is the drop-in once kept_l fits its k budget. */
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+  /** #78's mixing algebra over an arbitrary (doc_id, lang, pri, …)
+    * frame — the 'From'-style seam shared by the standalone operator
+    * and the composed pipeline's stage 5, so the quota numerology
+    * (weights, the div-floor rule, the hash-priority rank) has ONE
+    * definition. Adds `w`, `mix_rank` (per-lang hash-priority rank)
+    * and `kept_l` (the per-lang quota; NULL for langs outside
+    * [[MixWeights]]); passthrough columns survive. */
+  private[graft] def mixRankFrom(df: DataFrame): DataFrame = {
     val wCol = MixWeights.tail.foldLeft(
       when(col("lang") === MixWeights.head._1, MixWeights.head._2)) {
       case (acc, (l, w)) => acc.when(col("lang") === l, w)
     }.otherwise(lit(null)).as("w")
-    val d = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        md5(graft.functions.TextFunctions.normText(col("text"))).as("pri"))
-      .withColumn("w", wCol)
+    val d = df.withColumn("w", wCol)
     // `div`, not `/`: Column./ is double division; the oracle's `//`
     // is integer — they must floor identically
     val counts = d.groupBy("lang", "w").agg(count(lit(1)).as("n"))
       .withColumn("t_l", expr("(n * 1000) div w"))
-    val t = counts.agg(min("t_l").as("t"))
-    val quota = counts.crossJoin(broadcast(t))
+    val quota = counts.crossJoin(broadcast(counts.agg(min("t_l").as("t"))))
       .select(col("lang"), expr("(t * w) div 1000").as("kept_l"))
-    val ranked = d.withColumn("mix_rank",
+    d.withColumn("mix_rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("pri"), col("doc_id"))).cast("long"))
-    ranked.join(broadcast(quota), "lang")
+      .join(broadcast(quota), "lang")
+  }
+
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    mixRankFrom(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(graft.functions.TextFunctions.normText(col("text"))).as("pri")))
       .select(col("doc_id"), col("lang"), col("mix_rank"),
         // a lang outside MixWeights has NULL kept_l; keep 0 — not a
         // NULL flag — matching the oracle's CASE ... ELSE 0 exactly
         coalesce((col("mix_rank") <= col("kept_l")).cast("int"), lit(0))
           .as("kept"))
       .orderBy("doc_id")
-  }
 
   val corpusMixSql: String = {
     val norm = graft.functions.TextFunctions.normTextSql
@@ -1787,7 +1794,6 @@ object Corpus {
 
   private[graft] def pipelineFrames(
       spark: SparkSession, dir: String): PipelineFrames = {
-    import org.apache.spark.sql.expressions.Window
     val tf = graft.functions.TextFunctions
     val bpe = Bpe.tokenFrame(spark, dir)
       .select(col("doc_id"), col("n_tokens").cast("long").as("bpe_tokens"))
@@ -1824,21 +1830,11 @@ object Corpus {
       .select("doc_id").distinct()
     val s4 = graft.Checkpoints.pin(s3.join(flagged, Seq("doc_id"), "left_anti"))
 
-    // stage 5: language mixing over survivor counts (#78's algebra)
-    val wCol = MixWeights.tail.foldLeft(
-      when(col("lang") === MixWeights.head._1, MixWeights.head._2)) {
-      case (acc, (l, w)) => acc.when(col("lang") === l, w)
-    }.otherwise(lit(null)).as("w")
-    val dm = s4.select(col("doc_id"), col("lang"), col("source"), col("norm"),
-      md5(col("norm")).as("pri")).withColumn("w", wCol)
-    val counts = dm.groupBy("lang", "w").agg(count(lit(1)).as("n"))
-      .withColumn("t_l", expr("(n * 1000) div w"))
-    val quota = counts.crossJoin(broadcast(counts.agg(min("t_l").as("t"))))
-      .select(col("lang"), expr("(t * w) div 1000").as("kept_l"))
-    val s5 = dm
-      .withColumn("mix_rank", row_number().over(
-        Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))).cast("long"))
-      .join(broadcast(quota), "lang")
+    // stage 5: language mixing over survivor counts (#78's algebra,
+    // the shared mixRankFrom seam)
+    val s5 = mixRankFrom(
+      s4.select(col("doc_id"), col("lang"), col("source"), col("norm"),
+        md5(col("norm")).as("pri")))
       .filter(col("mix_rank") <= col("kept_l"))
       .select("doc_id", "source", "norm")
 

@@ -87,9 +87,15 @@ object AwsConfig {
     profile match {
       case Some(name) => fromFile(name)
       case None =>
-        (env.get("AWS_ACCESS_KEY_ID"), env.get("AWS_SECRET_ACCESS_KEY")) match {
+        // empty-string env values count as unset (botocore's
+        // EnvProvider rule — `export AWS_ACCESS_KEY_ID=""` is a
+        // common way to deactivate env credentials and must fall
+        // through to the shared file)
+        (env.get("AWS_ACCESS_KEY_ID").filter(_.nonEmpty),
+          env.get("AWS_SECRET_ACCESS_KEY").filter(_.nonEmpty)) match {
           case (Some(a), Some(s)) =>
-            Right(SigV4.Credentials(a, s, env.get("AWS_SESSION_TOKEN")))
+            Right(SigV4.Credentials(a, s,
+              env.get("AWS_SESSION_TOKEN").filter(_.nonEmpty)))
           case _ => fromFile("default").left.map(e =>
             "no credentials: AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY env " +
               "vars unset and " + e +

@@ -321,6 +321,14 @@ object RelayMain {
       deliveredDir: String): BatchTransport = {
     val region = opts.get("region").map(_.head)
     val profile = opts.get("profile").map(_.head)
+    // a profile without a region would silently skip SigV4 (signing
+    // needs a region scope) and ship unsigned — the one thing a user
+    // who explicitly picked credentials cannot mean; fail loudly
+    // instead (an --endpoint WITHOUT --profile/--region is still the
+    // documented unsigned stub path)
+    if (profile.isDefined && region.isEmpty)
+      sys.error("--profile requires --region: SigV4 signing is scoped " +
+        "to a region, so credentials without one cannot be used")
     val endpoint = opts.get("endpoint").map(_.head)
       .orElse(region.map(r =>
         graft.streaming.AwsConfig.firehoseEndpoint(r, env)))
@@ -369,7 +377,11 @@ object RelayMain {
     // to a different Firehose stream than `--stream`'s default
     val portStreams = opts.getOrElse("port-stream", Nil).map { kv =>
       kv.split("=", 2) match {
-        case Array(p, name) if p.forall(_.isDigit) && name.nonEmpty =>
+        // toInt via Try, not forall(isDigit): an empty port string is
+        // vacuously all-digits and an over-Int port would throw past
+        // the usage error
+        case Array(p, name) if name.nonEmpty &&
+            scala.util.Try(p.toInt).toOption.exists(_ > 0) =>
           p.toInt -> name
         case _ => sys.error(s"--port-stream wants PORT=STREAM, got '$kv'")
       }

@@ -86,6 +86,13 @@ object StreamBench {
   }
 
   private def soakSummary(name: String, pts: Seq[SoakPoint]): String = {
+    if (pts.isEmpty) {
+      // a stream that never reported stateful progress must not crash
+      // the whole soak after the other legs already ran — surface it
+      // as an explicit failure row instead
+      println(s"[soak] $name: NO stateful progress points collected")
+      return s""""$name":{"batches":0,"late_half_rows_flat":false}"""
+    }
     val late = pts.drop(pts.length / 2)
     val flatRows = late.map(_.stateRows).distinct.length == 1
     val s =

@@ -62,6 +62,30 @@ class AwsConfigSpec extends AnyFunSuite {
     assert(err.contains("supported sources"))
   }
 
+  test("empty-string env credentials count as unset and fall through to the file (botocore EnvProvider rule)") {
+    val file = tempCreds(
+      "[default]\naws_access_key_id = FK\naws_secret_access_key = FS\n")
+    val env = Map("AWS_SHARED_CREDENTIALS_FILE" -> file,
+      "AWS_ACCESS_KEY_ID" -> "", "AWS_SECRET_ACCESS_KEY" -> "")
+    val creds = AwsConfig.resolveCredentials(env, None).toOption.get
+    assert(creds.accessKeyId === "FK", "empty env creds must not win")
+    // an empty session token alongside real env keys is dropped too
+    val withTok = AwsConfig.resolveCredentials(Map(
+      "AWS_ACCESS_KEY_ID" -> "EK", "AWS_SECRET_ACCESS_KEY" -> "ES",
+      "AWS_SESSION_TOKEN" -> ""), None).toOption.get
+    assert(withTok.accessKeyId === "EK" && withTok.sessionToken === None)
+  }
+
+  test("--profile without --region fails loudly instead of shipping unsigned") {
+    val e = intercept[RuntimeException] {
+      graft.tools.RelayMain.resolveTransport(
+        Map("profile" -> List("relay"),
+          "endpoint" -> List("http://localhost:1")),
+        Map.empty, Seq.empty, "/tmp/unused")
+    }
+    assert(e.getMessage.contains("--profile requires --region"))
+  }
+
   test("explicit profile reads the file ONLY (boto3 skips env creds for --profile)") {
     val file = tempCreds(
       """[default]
