@@ -40,6 +40,66 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("corpus_pipeline: planted scenario drops exactly one doc per gate, hand-computed") {
+    import spark.implicits._
+    val C = operators.Corpus
+    // One planted casualty per stage, everything hand-checkable:
+    //  - 6 fails quality (2 words);
+    //  - 1 and 2 are exact twins (same norm; 2's RAW text is longer,
+    //    so keep-best must keep the HIGHER id — first-arrival would
+    //    keep 1);
+    //  - 3 and 4 are near-dups (12 words, only the last differs:
+    //    10/12 shared shingles, J≈0.83); the higher id 4 drops;
+    //  - 5 copies five consecutive words from eval doc 97 (bloom has
+    //    no false negatives, so it MUST flag);
+    //  - 97 is the eval split (97 % BenchmarkMod == 0): reference
+    //    only, never pipeline input;
+    //  - 7 and 8 are clean filler making the stage-4 survivor count
+    //    EVEN, which at en=400‰ makes the mix quota exact (no floor
+    //    loss) so stage 5 keeps all survivors.
+    val d1 = "alpha bravo charlie delta echo foxtrot gamma hotelx india juliet kilo lima"
+    val docs = Seq(
+      (1L, d1),
+      (2L, d1.toUpperCase.replace(" ", "  ")), // same norm, longer raw
+      (3L, "mike november oscar papa qq rr ss tt uu vv ww one"),
+      (4L, "mike november oscar papa qq rr ss tt uu vv ww two"),
+      (5L, "c5a c5b xray yankee zulu quebec romeo c5c c5d c5e c5f c5g"),
+      (6L, "tiny doc"),
+      (7L, "f7a f7b f7c f7d f7e f7f f7g f7h f7i f7j f7k f7l"),
+      (8L, "f8a f8b f8c f8d f8e f8f f8g f8h f8i f8j f8k f8l"),
+      (97L, "xray yankee zulu quebec romeo sierra tango uniform victor whiskey aaa bbb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val f = C.pipelineFrames(spark, dir)
+    assert(ids(f.train) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    assert(ids(f.q) === Set(1L, 2L, 3L, 4L, 5L, 7L, 8L))
+    assert(ids(f.s2) === Set(2L, 3L, 4L, 5L, 7L, 8L), "keep-best must keep the longer raw twin")
+    assert(ids(f.s3) === Set(2L, 3L, 5L, 7L, 8L), "near-dup must drop the higher id of the pair")
+    assert(ids(f.s4) === Set(2L, 3L, 7L, 8L), "bloom must flag the eval-copying doc")
+    assert(ids(f.s5) === Set(2L, 3L, 7L, 8L), "even survivor count at 400 permille keeps all")
+
+    val audit = C.corpusPipelineAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(audit.toSeq === Seq(
+      (0L, "input", 8L, 86L), (1L, "quality", 7L, 84L),
+      (2L, "exact_dedup", 6L, 72L), (3L, "near_dup", 5L, 60L),
+      (4L, "decontaminate", 4L, 48L), (5L, "mix", 4L, 48L)))
+
+    val bins = C.corpusPipeline(spark, dir).collect()
+    assert(bins.length === 1) // 48 tokens fit one 256-token bin
+    val b = bins.head
+    assert(b.getString(0) === "s1" && b.getLong(1) === 0L)
+    assert(b.getLong(2) === 4L && b.getLong(3) === 48L)
+    assert(b.getLong(4) >= 48L) // fertility: >= one BPE token per word
+    assert(b.getLong(5) === 2L) // first_doc = the kept exact-twin rep
+  }
+
   test("corpus_pipeline_audit: stage walk is monotone and coheres with the bins") {
     val C = operators.Corpus
     val audit = C.corpusPipelineAudit(spark, sf).collect()
