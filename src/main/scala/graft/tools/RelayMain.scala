@@ -356,6 +356,36 @@ object RelayMain {
     *     --prometheus-port 9100 --work-dir /var/lib/graft
     *     --delivered-dir /var/lib/graft/delivered"
     */
+  /** Every option the CLI accepts; also the set of KINESYSLOG_* env
+    * fallbacks. The reference declares `envvar=KINESYSLOG_<OPTION>` on
+    * every click option (init.py:30-145) and its packaged systemd unit
+    * configures the daemon through exactly those variables, so a flag
+    * that can't come from env is a deployment seam. Flags without a
+    * value (`--gelf`) follow click's BOOL envvar conversion. */
+  private val OptionNames = Seq(
+    "stream", "group-prefix", "gelf", "udp-port", "tcp-port", "tls-port",
+    "proxy-protocol", "prometheus-port", "address", "cert", "key",
+    "spool-dir", "region", "profile", "endpoint", "work-dir",
+    "delivered-dir", "port-stream")
+  private val FlagNames = Set("gelf")
+  private val EnvTrue = Set("1", "true", "t", "yes", "y", "on")
+
+  /** CLI flags win; otherwise KINESYSLOG_<NAME> fills in (repeatable
+    * options split on whitespace, click's multiple=True envvar rule). */
+  private[graft] def withEnvDefaults(cli: Map[String, List[String]],
+      env: Map[String, String]): Map[String, List[String]] =
+    OptionNames.foldLeft(cli) { (acc, name) =>
+      if (acc.contains(name)) acc
+      else env.get("KINESYSLOG_" + name.toUpperCase.replace('-', '_'))
+        .map(_.trim).filter(_.nonEmpty) match {
+        case Some(v) if FlagNames(name) =>
+          if (EnvTrue(v.toLowerCase)) acc.updated(name, List("true")) else acc
+        case Some(v) =>
+          acc.updated(name, v.split("\\s+").toList)
+        case None => acc
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     def parse(a: List[String], acc: Map[String, List[String]]): Map[String, List[String]] =
       a match {
@@ -368,7 +398,7 @@ object RelayMain {
         case other :: _ =>
           sys.error(s"unparseable argument '$other' (flags are --name value)")
       }
-    val opts = parse(args.toList, Map.empty)
+    val opts = withEnvDefaults(parse(args.toList, Map.empty), sys.env)
     def ports(name: String, default: Seq[Int]): Seq[Int] =
       opts.get(name).map(_.map(_.toInt)).getOrElse(default)
     val workDir = opts.get("work-dir").map(_.head)

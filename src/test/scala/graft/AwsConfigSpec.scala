@@ -104,6 +104,30 @@ class AwsConfigSpec extends AnyFunSuite {
     assert(err.contains("'nope'") && err.contains("relay"))
   }
 
+  test("KINESYSLOG_* env vars fill in missing flags; CLI wins; repeatables split; flags need a truthy value") {
+    val W = graft.tools.RelayMain.withEnvDefaults _
+    val env = Map(
+      "KINESYSLOG_STREAM" -> "env-stream",
+      "KINESYSLOG_TCP_PORT" -> "6601 6602",
+      "KINESYSLOG_GROUP_PREFIX" -> "/envprefix",
+      "KINESYSLOG_GELF" -> "true",
+      "KINESYSLOG_PORT_STREAM" -> "6601=audit",
+      "UNRELATED" -> "x")
+    val filled = W(Map.empty, env)
+    assert(filled("stream") === List("env-stream"))
+    assert(filled("tcp-port") === List("6601", "6602")) // click's whitespace split
+    assert(filled("group-prefix") === List("/envprefix"))
+    assert(filled("gelf") === List("true"))
+    assert(filled("port-stream") === List("6601=audit"))
+    assert(!filled.contains("region"))
+    // an explicit flag always beats its env var
+    val cli = W(Map("stream" -> List("cli-stream")), env)
+    assert(cli("stream") === List("cli-stream"))
+    // a falsy or empty flag env var stays off (click BOOL conversion)
+    assert(!W(Map.empty, Map("KINESYSLOG_GELF" -> "0")).contains("gelf"))
+    assert(!W(Map.empty, Map("KINESYSLOG_GELF" -> "")).contains("gelf"))
+  }
+
   test("firehose endpoint: region derives the public URL; override env vars win, service-specific first") {
     assert(AwsConfig.firehoseEndpoint("eu-west-1", Map.empty) ===
       "https://firehose.eu-west-1.amazonaws.com")
