@@ -96,7 +96,17 @@ object AwsConfig {
           case (Some(a), Some(s)) =>
             Right(SigV4.Credentials(a, s,
               env.get("AWS_SESSION_TOKEN").filter(_.nonEmpty)))
-          case _ => fromFile("default").left.map(e =>
+          // half a credential pair is a configuration MISTAKE, not an
+          // absence — falling through to the file would sign with a
+          // different account's keys (botocore raises
+          // PartialCredentialsError here)
+          case (Some(_), None) => Left("partial env credentials: " +
+            "AWS_ACCESS_KEY_ID is set but AWS_SECRET_ACCESS_KEY is " +
+            "unset or empty")
+          case (None, Some(_)) => Left("partial env credentials: " +
+            "AWS_SECRET_ACCESS_KEY is set but AWS_ACCESS_KEY_ID is " +
+            "unset or empty")
+          case (None, None) => fromFile("default").left.map(e =>
             "no credentials: AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY env " +
               "vars unset and " + e +
               " (supported sources: env vars, shared credentials file; " +

@@ -367,21 +367,37 @@ object RelayMain {
     "proxy-protocol", "prometheus-port", "address", "cert", "key",
     "spool-dir", "region", "profile", "endpoint", "work-dir",
     "delivered-dir", "port-stream")
+  /** multiple=True in the reference — ONLY these split their env value
+    * on whitespace (click passes nargs=1 env values through raw, so a
+    * spool path with a space must survive intact). */
+  private val RepeatableNames = Set("udp-port", "tcp-port", "tls-port",
+    "proxy-protocol", "prometheus-port", "port-stream")
   private val FlagNames = Set("gelf")
   private val EnvTrue = Set("1", "true", "t", "yes", "y", "on")
+  private val EnvFalse = Set("0", "false", "f", "no", "n", "off")
 
   /** CLI flags win; otherwise KINESYSLOG_<NAME> fills in (repeatable
-    * options split on whitespace, click's multiple=True envvar rule). */
+    * options split on whitespace, click's multiple=True envvar rule;
+    * an unrecognizable flag value is a startup error like click's
+    * BadParameter, never a silent false). */
   private[graft] def withEnvDefaults(cli: Map[String, List[String]],
       env: Map[String, String]): Map[String, List[String]] =
     OptionNames.foldLeft(cli) { (acc, name) =>
+      // Locale.ROOT: a tr/az default locale would dot the capital I in
+      // SPOOL_DIR/REGION/... and silently miss the real env var
+      val key = "KINESYSLOG_" +
+        name.toUpperCase(java.util.Locale.ROOT).replace('-', '_')
       if (acc.contains(name)) acc
-      else env.get("KINESYSLOG_" + name.toUpperCase.replace('-', '_'))
-        .map(_.trim).filter(_.nonEmpty) match {
+      else env.get(key).map(_.trim).filter(_.nonEmpty) match {
         case Some(v) if FlagNames(name) =>
-          if (EnvTrue(v.toLowerCase)) acc.updated(name, List("true")) else acc
-        case Some(v) =>
+          val lv = v.toLowerCase(java.util.Locale.ROOT)
+          if (EnvTrue(lv)) acc.updated(name, List("true"))
+          else if (EnvFalse(lv)) acc
+          else sys.error(s"$key: '$v' is not a boolean " +
+            s"(accepted: ${(EnvTrue ++ EnvFalse).toSeq.sorted.mkString("/")})")
+        case Some(v) if RepeatableNames(name) =>
           acc.updated(name, v.split("\\s+").toList)
+        case Some(v) => acc.updated(name, List(v))
         case None => acc
       }
     }
@@ -409,9 +425,12 @@ object RelayMain {
       kv.split("=", 2) match {
         // toInt via Try, not forall(isDigit): an empty port string is
         // vacuously all-digits and an over-Int port would throw past
-        // the usage error
+        // the usage error; the 1-65535 range check catches the typo'd
+        // port that no listener could ever bind (which would silently
+        // route everything to the default stream)
         case Array(p, name) if name.nonEmpty &&
-            scala.util.Try(p.toInt).toOption.exists(_ > 0) =>
+            scala.util.Try(p.toInt).toOption
+              .exists(v => v > 0 && v <= 65535) =>
           p.toInt -> name
         case _ => sys.error(s"--port-stream wants PORT=STREAM, got '$kv'")
       }

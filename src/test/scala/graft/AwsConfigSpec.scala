@@ -126,6 +126,30 @@ class AwsConfigSpec extends AnyFunSuite {
     // a falsy or empty flag env var stays off (click BOOL conversion)
     assert(!W(Map.empty, Map("KINESYSLOG_GELF" -> "0")).contains("gelf"))
     assert(!W(Map.empty, Map("KINESYSLOG_GELF" -> "")).contains("gelf"))
+    // a single-value option's env value passes through RAW — click
+    // only splits multiple=True options, so a path with a space must
+    // survive intact
+    assert(W(Map.empty, Map("KINESYSLOG_SPOOL_DIR" -> "/var/spool/my relay"))
+      .apply("spool-dir") === List("/var/spool/my relay"))
+    // an unrecognizable flag value is a startup error, never silent-off
+    val bad = intercept[RuntimeException] {
+      W(Map.empty, Map("KINESYSLOG_GELF" -> "enabled"))
+    }
+    assert(bad.getMessage.contains("KINESYSLOG_GELF"))
+  }
+
+  test("partial env credentials error out instead of silently signing with the file's keys") {
+    val file = tempCreds(
+      "[default]\naws_access_key_id = FK\naws_secret_access_key = FS\n")
+    val err = AwsConfig.resolveCredentials(Map(
+      "AWS_SHARED_CREDENTIALS_FILE" -> file,
+      "AWS_ACCESS_KEY_ID" -> "EK"), None).left.toOption.get
+    assert(err.contains("partial env credentials"))
+    assert(err.contains("AWS_SECRET_ACCESS_KEY"))
+    val err2 = AwsConfig.resolveCredentials(Map(
+      "AWS_SHARED_CREDENTIALS_FILE" -> file,
+      "AWS_SECRET_ACCESS_KEY" -> "ES"), None).left.toOption.get
+    assert(err2.contains("AWS_ACCESS_KEY_ID"))
   }
 
   test("firehose endpoint: region derives the public URL; override env vars win, service-specific first") {
