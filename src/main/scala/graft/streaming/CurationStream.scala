@@ -35,7 +35,10 @@ import org.apache.spark.sql.types.StructType
   * (a fingerprint collision IS the duplicate). State is one owner
   * (+ 32-slot signature on band buckets) per claimed bucket: bounded
   * by distinct documents seen — the union of #49's and #82's bounds,
-  * never stream length times bands.
+  * never stream length times bands. At 100 TB the horizon is the
+  * knob, exactly as #82 documents: swap NoTimeout for an ingest-time
+  * timeout so buckets expire past the dedup window, with the batch
+  * pipeline over the spooled corpus owning history beyond it.
   *
   * Decontamination is STATELESS here: the eval split's bloom bitset
   * (K·M bits — 24 KiB at the #84 geometry, FIXED regardless of
