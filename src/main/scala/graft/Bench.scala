@@ -51,7 +51,9 @@ object Bench {
     "vocab_train", "text_bpe_tokens", "corpus_token_budget",
     "corpus_exact_substr", "text_surprisal", "corpus_dsir",
     "corpus_ccnet_buckets", "ann_pq",
-    "dedup_semantic", "vocab_fertility", "corpus_pipeline")
+    "dedup_semantic", "vocab_fertility", "corpus_pipeline",
+    "corpus_url_dedup", "corpus_mix_temperature", "corpus_drift",
+    "corpus_decontaminate_embed", "ann_ivfpq")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

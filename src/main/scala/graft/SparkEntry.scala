@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Sketch.queries ++
       operators.Skew.queries ++
       operators.Bucketing.queries ++
+      operators.Url.queries ++
       sources.Spool.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       operators.Skew.oracle ++
       operators.Bucketing.oracle ++
       operators.Sketch.oracle ++
+      operators.Url.oracle ++
       sources.Spool.oracle
 }

@@ -1237,6 +1237,162 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // #156-era corpus_mix_temperature — temperature-scaled mixture
+  // sampling (the XLM-R/mT5 rule): stratum weight ∝ n_l^α with α=1/2,
+  // so low-resource languages are upsampled RELATIVE to proportional
+  // sampling without fixed per-mille targets. Where #78 enforces an
+  // explicit target mixture, this derives the mixture from the corpus
+  // itself — the standard move when the language inventory is open.
+  // ---------------------------------------------------------------------
+
+  /** Budget: keep 600‰ of the corpus, allocated ∝ √n_l. Integer-exact
+    * cross-engine: w_l = ⌊√n_l · 10³⌋ (IEEE sqrt and the ×10³ multiply
+    * are correctly rounded in both engines, so the floor quantization
+    * is bit-identical), W = Σw_l, target_l = min(n_l, (B·w_l) div W)
+    * — all BIGINT from there. Overflow headroom: B·w_l ≈
+    * 0.6·n^1.5·10³ stays under 2⁶³ to n ≈ 6·10¹⁰ docs (a 100 TB corpus
+    * is ~10⁹–10¹⁰); the 10³ scale costs ≤0.1% weight quantization at
+    * the smallest realistic stratum. Per-lang admission is the same
+    * hash-priority rank as #78 (salted so the two mixes are
+    * independent), so duplicate content is admitted identically and
+    * mixing composes with dedup.
+    *
+    * Scale shape: one count aggregate (|langs| rows, broadcast back
+    * with its scalar total), one per-lang rank window — identical to
+    * #78's audited shape; the window is the bound and TopKPerKey (#74)
+    * is the drop-in once target_l fits a k budget. */
+  val MixTemperatureBudgetPermille = 600
+  val MixTemperatureWeightScale = 1000L
+
+  def corpusMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("mixT|"),
+          graft.functions.TextFunctions.normText(col("text")))).as("pri"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double")) * MixTemperatureWeightScale)
+          .cast("long"))
+    val tot = counts.agg(sum("w").as("big_w"), sum("n").as("n_total"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        expr(s"least(n, ((n_total * $MixTemperatureBudgetPermille div 1000) * w) div big_w)")
+          .as("target_l"))
+    d.withColumn("t_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("pri"), col("doc_id"))).cast("long"))
+      .join(broadcast(quota.select("lang", "target_l")), "lang")
+      .select(col("doc_id"), col("lang"), col("t_rank"), col("target_l"),
+        (col("t_rank") <= col("target_l")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val corpusMixTemperatureSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, md5('mixT|' || $norm) AS pri FROM documents
+      |), counts AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * $MixTemperatureWeightScale) AS BIGINT) AS w
+      |  FROM d GROUP BY lang
+      |), tot AS (
+      |  SELECT SUM(w) AS big_w, SUM(n) AS n_total FROM counts
+      |), quota AS (
+      |  SELECT lang,
+      |    LEAST(n, ((n_total * $MixTemperatureBudgetPermille // 1000) * w) // big_w) AS target_l
+      |  FROM counts, tot
+      |), ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS t_rank
+      |  FROM d
+      |)
+      |SELECT r.doc_id, r.lang, CAST(r.t_rank AS BIGINT) AS t_rank,
+      |  CAST(q.target_l AS BIGINT) AS target_l,
+      |  CASE WHEN r.t_rank <= q.target_l THEN 1 ELSE 0 END AS kept
+      |FROM ranked r JOIN quota q ON r.lang = q.lang
+      |ORDER BY r.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // #156-era corpus_drift — unigram distribution drift between the
+  // content-keyed train split and the held-out (validation+test)
+  // split: per-token add-1-smoothed KL contribution, the audit a
+  // production pipeline runs between crawl snapshots / before-after a
+  // filter change to see WHICH tokens moved ("distribution shift"
+  // detection). Framed here over corpus_split's own splits so the
+  // split rule and the drift audit share one definition.
+  // ---------------------------------------------------------------------
+
+  /** Per-token drift in 2⁻¹⁰-bit units, all-integer via the #136
+    * log2fp kernel: with add-1 smoothing over the union vocabulary V,
+    * drift(t) = (c₁+1)·[log2fp(c₁+1) − log2fp(N₁+V)
+    *            − log2fp(c₂+1) + log2fp(N₂+V)]
+    * — the t-th term of N₁·KL(P₁‖P₂) scaled by N₁ (positive where t
+    * is over-represented in train, negative where the held-out split
+    * over-represents it). Top 50 by drift desc, token asc.
+    *
+    * Scale shape: ONE token explode feeding ONE map-side-combinable
+    * aggregate (conditional sums per side — no per-side frames, no
+    * join), a 1-row totals broadcast, then the top-k sort the #77
+    * rewrite turns into per-partition limits. Scan-bound at 100 TB. */
+  val DriftTopK = 50
+
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val toks = Tables.load(spark, dir, "documents")
+      .select(md5(tf.normText(col("text"))).as("fp"),
+        tf.normText(col("text")).as("norm"))
+      .withColumn("is_train",
+        (conv(substring(col("fp"), 1, 4), 16, 10).cast("long") % 100 < 90)
+          .cast("long"))
+      .select(col("is_train"), explode(split(col("norm"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(
+      sum(col("is_train")).as("c_train"),
+      sum(lit(1L) - col("is_train")).as("c_eval"))
+    val tot = counts.agg(
+      (sum("c_train") + count(lit(1))).as("n1"),
+      (sum("c_eval") + count(lit(1))).as("n2"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("drift_q10",
+        (col("c_train") + 1) *
+          (expr(tf.log2fpExpr("c_train + 1")) - expr(tf.log2fpExpr("n1")) -
+            expr(tf.log2fpExpr("c_eval + 1")) + expr(tf.log2fpExpr("n2"))))
+      .select(col("tok"), col("c_train"), col("c_eval"), col("drift_q10"))
+      .orderBy(col("drift_q10").desc, col("tok"))
+      .limit(DriftTopK)
+  }
+
+  val corpusDriftSql: String = {
+    val tf = graft.functions.TextFunctions
+    val norm = tf.normTextSql
+    val drift = s"(c_train + 1) * (${tf.log2fpSqlDuck("c_train + 1")} " +
+      s"- ${tf.log2fpSqlDuck("n1")} - ${tf.log2fpSqlDuck("c_eval + 1")} " +
+      s"+ ${tf.log2fpSqlDuck("n2")})"
+    s"""WITH d AS (
+      |  SELECT md5($norm) AS fp, $norm AS norm FROM documents
+      |), t AS (
+      |  SELECT CASE WHEN CAST(('0x' || substring(fp, 1, 4)) AS INTEGER) % 100 < 90
+      |              THEN 1 ELSE 0 END AS is_train,
+      |    unnest(string_split(norm, ' ')) AS tok
+      |  FROM d
+      |), tk AS (
+      |  SELECT is_train, tok FROM t WHERE tok <> ''
+      |), counts AS (
+      |  SELECT tok, CAST(SUM(is_train) AS BIGINT) AS c_train,
+      |    CAST(SUM(1 - is_train) AS BIGINT) AS c_eval
+      |  FROM tk GROUP BY tok
+      |), tot AS (
+      |  SELECT SUM(c_train) + COUNT(*) AS n1, SUM(c_eval) + COUNT(*) AS n2
+      |  FROM counts
+      |)
+      |SELECT tok, c_train, c_eval, CAST($drift AS BIGINT) AS drift_q10
+      |FROM counts, tot
+      |ORDER BY drift_q10 DESC, tok
+      |LIMIT $DriftTopK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // #125 corpus_overlap — cross-source duplicate overlap matrix
   // ---------------------------------------------------------------------
 
@@ -2029,6 +2185,8 @@ object Corpus {
     "corpus_clean" -> corpusClean,
     "corpus_pack" -> ((s: SparkSession, d: String) => corpusPack(s, d)),
     "corpus_mix" -> corpusMix,
+    "corpus_mix_temperature" -> corpusMixTemperature,
+    "corpus_drift" -> corpusDrift,
     "corpus_passage_dedup" -> corpusPassageDedup,
     "corpus_exact_substr" -> ((s: SparkSession, d: String) => corpusExactSubstr(s, d)),
     "corpus_exact_substr_scrub" -> ((s: SparkSession, d: String) => corpusExactSubstrScrub(s, d)),
@@ -2061,6 +2219,8 @@ object Corpus {
     "corpus_domain_topk" -> corpusDomainTopkSql,
     "corpus_pack" -> corpusPackSql(),
     "corpus_mix" -> corpusMixSql,
+    "corpus_mix_temperature" -> corpusMixTemperatureSql,
+    "corpus_drift" -> corpusDriftSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,

@@ -810,8 +810,16 @@ object Similarity {
     * centroids are: only O(M·K) codewords ever materialize. */
   def pqCodebooks(spark: SparkSession, dir: String,
                   iters: Int = PqIters,
-                  codewords: Int = PqCodewords): DataFrame = {
-    val sv = subVectors(quantized(spark, dir))
+                  codewords: Int = PqCodewords): DataFrame =
+    pqCodebooksFrom(subVectors(quantized(spark, dir)), iters, codewords)
+
+  /** The same Lloyd kernel over an arbitrary (vec_id, nn, m, sq, sn)
+    * sub-vector frame — the 'From'-style seam (mixRankFrom's pattern)
+    * shared by #139's plain-vector codebooks and #161's RESIDUAL
+    * codebooks, so the training algebra has one definition. */
+  private[graft] def pqCodebooksFrom(sv: DataFrame,
+                                     iters: Int = PqIters,
+                                     codewords: Int = PqCodewords): DataFrame = {
     // training subset: see PqTrainMod — the only consumer of the full
     // sv here is the seed window, which is id-selected either way
     val svTrain = sv.filter(pmod(col("vec_id"), lit(PqTrainMod)) === 0)
@@ -1005,6 +1013,245 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // #161 ann_ivfpq — the PRODUCTION composition of the index family
+  // (FAISS IVFPQ, Jégou et al. 2011 §V): the coarse quantizer (#48)
+  // bounds WHAT is scanned (NProbe inverted lists, ~nprobe/K of the
+  // corpus), product quantization on the RESIDUAL v − c bounds the
+  // BYTES per scanned vector (M codes, never the vector column).
+  // Residual encoding is what makes the composition better than
+  // either part: residuals are centered near zero, so the same K
+  // codewords quantize them far more finely than raw vectors.
+  // ---------------------------------------------------------------------
+
+  /** ADC scoring against a residual-encoded corpus, exact in integer
+    * parts: dot(q, x̂) = dot(q, c_cid) + Σ_m LUT[m, code_m] where the
+    * LUT holds dot(q_sub, residual-codeword); ‖x̂‖² is precomputed at
+    * ENCODE time as cn(cid) + 2·Σ_m cross(cid, m, code) + Σ_m
+    * cn_code(m, code) — cross is the (cid, m, code) dot table between
+    * coarse-centroid slices and residual codewords, O(K·M·Kc) rows,
+    * broadcast. Every term is an exact integer in both engines; the
+    * only FP is the final cosine division (IEEE, bit-identical).
+    *
+    * Scale shape: coarse centroids, residual codebooks, the cross
+    * table and each query's LUT are all O(model)-sized broadcasts.
+    * The corpus-side frames are the M slim code rows per vector and
+    * the 1-row-per-vector (cid, nc_hat) sidecar — the ADC scan joins
+    * codes to probed lists on cid (only probed lists' rows survive)
+    * and never touches the vector column; the exact rerank joins the
+    * ≤ queries·PqRerank shortlist back broadcast-only. Same tail
+    * idiom as #139: both ranks ride row_number ≤ k under the
+    * TopKRewrite bounded-heap plan. */
+  def annIvfPq(spark: SparkSession, dir: String,
+               nProbe: Int = NProbe,
+               rerank: Int = PqRerank): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = kmeansCentroids(spark, dir)
+    val assigned = assignTo(v, cents) // (vec_id, cid, q, nn)
+    // residuals keep the coarse assignment alongside: r = q − c_cid
+    val resid = assigned.join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid").as("list_id"),
+        expr("zip_with(q, cq, (a, b) -> a - b)").as("q"))
+      .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
+    val rsv = subVectors(resid.select("vec_id", "q", "nn"))
+    val cw = pqCodebooksFrom(rsv) // residual codebooks (m, cid, cq, cn)
+    val codes = pqAssign(rsv, cw)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val vecList = assigned.select(col("vec_id"), col("cid"))
+    // reconstructed-norm sidecar: one integer per vector, encode-time
+    val cross = cents.crossJoin(broadcast(cw.select(col("m"),
+        col("cid").as("code"), col("cq").as("ccq"), col("cn").as("ccn"))))
+      .select(col("cid"), col("m"), col("code"),
+        graft.functions.VectorFunctions.dot_l(
+          expr(s"slice(cq, m * $PqSubDim + 1, $PqSubDim)"), col("ccq"))
+          .as("xdot"),
+        col("ccn"))
+    val nhat = codes.join(vecList, "vec_id")
+      .join(broadcast(cross), Seq("cid", "m", "code"))
+      .groupBy("vec_id", "cid")
+      .agg((sum(col("xdot")) * 2 + sum(col("ccn"))).as("rpart"))
+      .join(broadcast(cents.select(col("cid"), col("cn"))), "cid")
+      // x̂ is an exact integer vector, so ‖x̂‖² ≥ 0; the max(·,1) only
+      // guards the cosine division against a (degenerate) zero vector
+      .select(col("vec_id"), col("cid"),
+        greatest(col("cn") + col("rpart"), lit(1L)).as("nc_hat"))
+    // query side: NProbe nearest lists, with dot(q, c) computed in the
+    // same centroid pass
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val probes = v.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("qcdot",
+        graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
+      .withColumn("d2", col("nn") + col("cn") - lit(2) * col("qcdot"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("nn").as("nq"),
+        col("cid"), col("qcdot"))
+    val lut = subVectors(v.filter(col("vec_id") < NumQueries))
+      .join(broadcast(cw), "m")
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("cid").as("code"),
+        graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")).as("pdot"))
+    val adc = codes.join(vecList, "vec_id")
+      .join(broadcast(probes), "cid") // only probed lists survive
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg((min(col("qcdot")) + sum(col("pdot"))).as("adot"),
+        min(col("nq")).as("nq"))
+      .join(nhat.select(col("vec_id"), col("nc_hat")), "vec_id")
+      .withColumn("acos",
+        col("adot").cast("double") /
+          sqrt(col("nq").cast("double") * col("nc_hat").cast("double")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("vec_id"))
+    val shortlist = adc.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val qvec = v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("nq"))
+    val candq = shortlist.join(broadcast(qvec), "query_id")
+    rankTopK(v.join(broadcast(candq), col("vec_id") === col("cand_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.dot_l(col("q"), col("qq")).as("dot"),
+        col("nq"), col("nn").as("nc")))
+  }
+
+  val annIvfPqSql: String = {
+    val D = PqSubDim
+    val fin = s"cen$KmeansIters"
+    // residual-PQ Lloyd iterations: the #139 iterBlock over rsvn
+    def iterBlock(k: Int): String = {
+      val prev = s"rcw${k - 1}"
+      s"""rpd$k AS (
+        |  SELECT s.vec_id, s.m, s.sq, c.cid,
+        |    s.sn + c.cn
+        |      - 2 * CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT)
+        |      AS d2
+        |  FROM rsvn s JOIN $prev c ON s.m = c.m
+        |  WHERE s.vec_id % $PqTrainMod = 0
+        |), rpa$k AS (
+        |  SELECT vec_id, m, sq, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |    FROM rpd$k)
+        |  WHERE rn = 1
+        |), rpm$k AS (
+        |  SELECT m, cid, i, CAST(floor(CAST(SUM(sq[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |  FROM rpa$k CROSS JOIN (SELECT unnest(range(1, ${D + 1})) AS i)
+        |  GROUP BY m, cid, i
+        |), rcw$k AS (
+        |  SELECT m, cid, cq, CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
+        |  FROM (SELECT m, cid, list(c ORDER BY i) AS cq FROM rpm$k GROUP BY m, cid)
+        |)""".stripMargin
+    }
+    val rfin = s"rcw$PqIters"
+    s"""WITH $kmeansSqlCtes,
+      |dist AS (
+      |  SELECT n.vec_id, n.v, n.nn, c.cid,
+      |    n.nn + c.cn
+      |      - 2 * CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT)
+      |      AS d2,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT) AS qcdot
+      |  FROM n CROSS JOIN $fin c
+      |), asg AS (
+      |  SELECT vec_id, v, nn, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1
+      |), res AS (
+      |  SELECT a.vec_id, a.cid AS list_id,
+      |    list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
+      |  FROM asg a JOIN $fin c ON a.cid = c.cid
+      |), rsvn AS (
+      |  SELECT vec_id, m,
+      |    list_slice(v, m * $D + 1, m * $D + $D) AS sq,
+      |    CAST(list_sum(list_transform(list_slice(v, m * $D + 1, m * $D + $D),
+      |      x -> x * x)) AS BIGINT) AS sn
+      |  FROM res CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS m)
+      |), rcw0 AS (
+      |  SELECT m, vec_id - $CentroidBase AS cid, sq AS cq, sn AS cn
+      |  FROM rsvn
+      |  WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + PqCodewords}
+      |),
+      |${(1 to PqIters).map(iterBlock).mkString(",\n")},
+      |codes AS (
+      |  SELECT vec_id, m, cid AS code FROM (
+      |    SELECT s.vec_id, s.m, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |        s.sn + c.cn
+      |          - 2 * CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT),
+      |        c.cid) AS rn
+      |    FROM rsvn s JOIN $rfin c ON s.m = c.m)
+      |  WHERE rn = 1
+      |), crs AS (
+      |  SELECT c.cid, w.m, w.cid AS code,
+      |    CAST(list_sum(list_transform(range(1, ${D + 1}),
+      |      i -> c.cv[w.m * $D + i] * w.cq[i])) AS BIGINT) AS xdot,
+      |    w.cn AS ccn
+      |  FROM $fin c CROSS JOIN $rfin w
+      |), nhat AS (
+      |  SELECT t.vec_id, t.cid, GREATEST(c2.cn + t.rpart, 1) AS nc_hat
+      |  FROM (
+      |    SELECT codes.vec_id, a.cid,
+      |      CAST(2 * SUM(x.xdot) + SUM(x.ccn) AS BIGINT) AS rpart
+      |    FROM codes
+      |    JOIN asg a ON codes.vec_id = a.vec_id
+      |    JOIN crs x ON x.cid = a.cid AND x.m = codes.m AND x.code = codes.code
+      |    GROUP BY codes.vec_id, a.cid) t
+      |  JOIN $fin c2 ON t.cid = c2.cid
+      |), probes AS (
+      |  SELECT vec_id AS query_id, nn AS nq, cid, qcdot FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM dist WHERE vec_id < $NumQueries)
+      |  WHERE rn <= $NProbe
+      |), qsvn AS (
+      |  SELECT vec_id, m,
+      |    list_slice(v, m * $D + 1, m * $D + $D) AS sq
+      |  FROM n CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS m)
+      |  WHERE vec_id < $NumQueries
+      |), lut AS (
+      |  SELECT s.vec_id AS query_id, s.m, c.cid AS code,
+      |    CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT) AS pdot
+      |  FROM qsvn s JOIN $rfin c ON s.m = c.m
+      |), adc AS (
+      |  SELECT p.query_id, codes.vec_id,
+      |    CAST(MIN(p.qcdot) + SUM(l.pdot) AS BIGINT) AS adot,
+      |    MIN(p.nq) AS nq
+      |  FROM codes
+      |  JOIN asg a ON codes.vec_id = a.vec_id
+      |  JOIN probes p ON p.cid = a.cid
+      |  JOIN lut l ON l.query_id = p.query_id AND l.m = codes.m AND l.code = codes.code
+      |  WHERE codes.vec_id <> p.query_id
+      |  GROUP BY p.query_id, codes.vec_id
+      |), ar AS (
+      |  SELECT a.query_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY CAST(a.adot AS DOUBLE) / sqrt(CAST(a.nq AS DOUBLE) * CAST(nhat.nc_hat AS DOUBLE)) DESC,
+      |               a.vec_id) AS arank
+      |  FROM adc a JOIN nhat ON a.vec_id = nhat.vec_id
+      |), shortlist AS (
+      |  SELECT query_id, vec_id FROM ar WHERE arank <= $PqRerank
+      |), ex AS (
+      |  SELECT s.query_id, s.vec_id,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * qv.v[i])) AS BIGINT) AS dot,
+      |    qv.nn AS nq, a.nn AS nc
+      |  FROM shortlist s
+      |  JOIN n a ON a.vec_id = s.vec_id
+      |  JOIN n qv ON qv.vec_id = s.query_id
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+      |               vec_id) AS rank
+      |  FROM ex
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
+      |FROM r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // #148 dedup_semantic — SemDeDup cluster-then-prune semantic dedup
   // ---------------------------------------------------------------------
 
@@ -1125,8 +1372,88 @@ object Similarity {
       |ORDER BY r.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #156-era corpus_decontaminate_embed — SEMANTIC decontamination:
+  // flag training vectors whose embedding cosine against ANY held-out
+  // eval vector clears the shared #32 gate. Verbatim/bloom/fuzzy
+  // decontamination (#55/#84/#119) catch token overlap; this catches
+  // paraphrased eval content the way SemDeDup catches paraphrased
+  // duplicates — the fourth decontamination modality.
+  // ---------------------------------------------------------------------
+
+  /** Eval side = vec_id ≡ 0 (mod 10), the held-out benchmark suite.
+    *
+    * Scale shape — the frozen-artifact pattern of #84's bloom bits and
+    * #140's LM: a benchmark suite is a BOUNDED artifact (thousands of
+    * vectors, fixed as the corpus grows), so it is collected into ONE
+    * broadcast row and probed per-row with higher-order functions —
+    * map-only over the corpus, zero shuffle, no groupBy. Each probe is
+    * the same exact integer cosine gate as #32
+    * (Constants.CosGateNum/Thr over ⌊1000x⌋ quantization), so batch
+    * dedup, semantic dedup, and semantic decontamination share ONE
+    * numerology. If the eval suite ever outgrew broadcast, the #32b
+    * LSH-bucket candidate path is the drop-in — same gate, bucketed
+    * candidates.
+    *
+    * Output: one row per TRAIN vector — n_hits (eval vectors gated),
+    * witness (smallest hitting eval id, NULL when clean), contaminated
+    * flag. */
+  def corpusDecontaminateEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(graft.Constants.QuantizeExprSql).as("q"))
+      .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
+    val evalRow = v.filter(col("vec_id") % 10 === 0)
+      .agg(collect_list(struct(col("vec_id").as("e_id"), col("q").as("eq"),
+        col("nn").as("enn"))).as("evs"))
+    val gateNum = graft.Constants.CosGateNum
+    val gateThr = graft.Constants.CosGateThr
+    v.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(evalRow))
+      .withColumn("scored", expr(
+        """transform(evs, e -> named_struct(
+          |  'e_id', e.e_id,
+          |  'dot', aggregate(zip_with(q, e.eq, (a, b) -> a * b),
+          |                   CAST(0 AS BIGINT), (acc, x) -> acc + x),
+          |  'enn', e.enn))""".stripMargin))
+      .withColumn("hits", expr(
+        s"filter(scored, s -> s.dot >= 0 AND $gateNum * s.dot * s.dot >= $gateThr * nn * s.enn)"))
+      .select(col("vec_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        expr("array_min(transform(hits, h -> h.e_id))").as("witness"),
+        (size(col("hits")) > 0).cast("int").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  val corpusDecontaminateEmbedSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, ${graft.Constants.QuantizeDuckSql} AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nn FROM q
+       |), ev AS (
+       |  SELECT vec_id AS e_id, v AS evv, nn AS enn FROM n WHERE vec_id % 10 = 0
+       |), tr AS (
+       |  SELECT vec_id, v, nn FROM n WHERE vec_id % 10 <> 0
+       |), p AS (
+       |  SELECT tr.vec_id, ev.e_id,
+       |    list_sum(list_transform(range(1, 65), i -> tr.v[i] * ev.evv[i])) AS dot,
+       |    tr.nn AS na, ev.enn AS enn
+       |  FROM tr CROSS JOIN ev
+       |), hits AS (
+       |  SELECT vec_id, e_id FROM p
+       |  WHERE dot >= 0 AND ${graft.Constants.CosGateNum} * dot * dot >= ${graft.Constants.CosGateThr} * na * enn
+       |)
+       |SELECT tr.vec_id, CAST(COUNT(h.e_id) AS BIGINT) AS n_hits,
+       |  MIN(h.e_id) AS witness,
+       |  CASE WHEN COUNT(h.e_id) > 0 THEN 1 ELSE 0 END AS contaminated
+       |FROM tr LEFT JOIN hits h ON tr.vec_id = h.vec_id
+       |GROUP BY tr.vec_id
+       |ORDER BY tr.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_decontaminate_embed" ->
+      ((s: SparkSession, d: String) => corpusDecontaminateEmbed(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
+    "ann_ivfpq" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "ann_bruteforce" -> annBruteforce,
@@ -1137,7 +1464,9 @@ object Similarity {
     "corpus_diversity" -> corpusDiversity)
 
   val oracle: Map[String, String] = Map(
+    "corpus_decontaminate_embed" -> corpusDecontaminateEmbedSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "ann_pq" -> annPqSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-level dedup (SURVEY §2 #156–157).
+  *
+  * Web-scale training corpora are keyed by URL before any content
+  * fingerprint exists: successive crawls of the same page differ in
+  * tracking parameters, fragments, default ports, and host case, so
+  * the FIRST dedup a crawl pipeline runs is canonical-URL identity
+  * (CommonCrawl's dedup and every SURT-style crawl frontier do this;
+  * the reference has no analogue — this extends the corpus family).
+  *
+  * Canonical form (the published crawl-dedup rules):
+  *   - scheme and host lowercased; a leading `www.` stripped;
+  *   - default ports dropped (`:80` for http, `:443` for https),
+  *     non-default ports kept;
+  *   - the fragment dropped (never sent to the server);
+  *   - tracking parameters removed (`utm_*`, `fbclid`, `gclid`);
+  *   - surviving query parameters sorted byte-wise (param order is
+  *     semantically irrelevant; sorting makes equal parameter SETS
+  *     equal strings);
+  *   - a trailing slash stripped from non-root paths (path case is
+  *     preserved — RFC 3986 paths are case-sensitive).
+  *
+  * The documents table has no URL column, so each doc synthesizes one
+  * deterministically in-query (the media/#112 pattern): messy variants
+  * — upper-case scheme/host, redundant default ports, tracking params,
+  * fragments, trailing slashes — that all collapse under the rules
+  * above. Both engines build the SAME url string from the same integer
+  * residues, so the oracle verifies the canonicalization algebra, not
+  * the synthesis.
+  *
+  * Scale shape: #156 is pure per-row string algebra — map-only,
+  * codegen'd, scan-bound at 100 TB. #157 adds ONE hash groupBy on
+  * canon_url (the min-doc_id keeper rule of #28), the cheapest dedup
+  * shuffle there is: keys are short strings, partial aggregation
+  * collapses duplicates map-side before the shuffle.
+  */
+object Url {
+
+  /** Tracking params dropped by canonicalization: any `utm_*` plus
+    * these exact keys. */
+  val TrackingExact: Seq[String] = Seq("fbclid", "gclid")
+
+  // --- shared synthesis: one messy URL per doc, same in both engines.
+  // Residues: %2 scheme case/kind, %5 port variant, %3 query shape,
+  // %4 fragment, %7 trailing slash; id-in-page = doc_id % 20 so docs
+  // congruent mod 60 within a source collapse to one canonical URL.
+  private def idstr(dialect: String): String =
+    if (dialect == "spark") "CAST(doc_id % 20 AS STRING)"
+    else "CAST(doc_id % 20 AS VARCHAR)"
+
+  private def synthSql(dialect: String): String = {
+    val id = idstr(dialect)
+    s"""concat(
+       |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+       |  'WWW.', upper(source), '.Example.COM',
+       |  CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+       |       WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
+       |  '/Docs/Article-', $id,
+       |  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+       |  CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&gclid=XYZ&id=', $id)
+       |       WHEN doc_id % 3 = 1 THEN concat('?id=', $id, '&utm_campaign=news&b=2')
+       |       ELSE '' END,
+       |  CASE WHEN doc_id % 4 = 0 THEN '#Section-2' ELSE '' END)""".stripMargin
+  }
+
+  /** Canonicalization over a column named `url` — rendered for either
+    * engine from ONE rule set, dialect differences confined to
+    * function names (filter/list_filter, array_sort/list_sort,
+    * array_join/array_to_string). `split_part` is literal-delimiter
+    * and 1-based in both engines and returns '' past the last part,
+    * which is exactly the absent-component behavior the rules need. */
+  private def canonSql(dialect: String): String = {
+    val (fFilter, fSort, fJoin) =
+      if (dialect == "spark") ("filter", "array_sort", "array_join")
+      else ("list_filter", "list_sort", "array_to_string")
+    val fSplit = if (dialect == "spark") "split" else "string_split"
+    // Spark's SQL parser processes backslash escapes inside string
+    // literals ('\\.' → \.); DuckDB's does not — render the regex so
+    // BOTH engines see `^www\.` after their own literal parsing.
+    val wwwRe = if (dialect == "spark") "'^www\\\\.'" else "'^www\\.'"
+    // components (url is well-formed by synthesis: scheme://auth/path…)
+    val scheme = "lower(split_part(url, '://', 1))"
+    val rest = "split_part(split_part(url, '://', 2), '#', 1)" // frag dropped
+    val auth = s"split_part($rest, '/', 1)"
+    val tail = s"substring($rest, length($auth) + 1)" // '/path[?query]'
+    val host = s"regexp_replace(lower(split_part($auth, ':', 1)), $wwwRe, '')"
+    val port = s"split_part($auth, ':', 2)"
+    val path = s"split_part($tail, '?', 1)"
+    val query = s"split_part($tail, '?', 2)"
+    val portKeep =
+      s"""CASE WHEN $port = '' THEN ''
+         |     WHEN $scheme = 'https' AND $port = '443' THEN ''
+         |     WHEN $scheme = 'http' AND $port = '80' THEN ''
+         |     ELSE concat(':', $port) END""".stripMargin
+    val pathKeep =
+      s"CASE WHEN $path <> '/' THEN regexp_replace($path, '/$$', '') ELSE $path END"
+    val dropExact = TrackingExact.map(k => s"'$k'").mkString("(", ", ", ")")
+    val params =
+      s"""$fSort($fFilter($fSplit($query, '&'),
+         |  p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
+         |       AND NOT split_part(p, '=', 1) IN $dropExact))""".stripMargin
+    // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    // array_join([]) is '' — normalize both to ''
+    val queryKeep =
+      s"CASE WHEN coalesce($fJoin($params, '&'), '') = '' THEN '' " +
+        s"ELSE concat('?', $fJoin($params, '&')) END"
+    s"concat($scheme, '://', $host, $portKeep, $pathKeep, $queryKeep)"
+  }
+
+  // ---------------------------------------------------------------------
+  // #156 text_url_canon — per-doc canonical URL + registrable host
+  // ---------------------------------------------------------------------
+
+  def urlCanon(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr(synthSql("spark")).as("url"))
+      .select(col("doc_id"), col("url"),
+        expr(canonSql("spark")).as("canon_url"))
+      .withColumn("host", expr("split_part(split_part(canon_url, '://', 2), '/', 1)"))
+      .withColumn("host", expr("split_part(host, ':', 1)"))
+      .orderBy("doc_id")
+
+  val urlCanonSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, ${synthSql("duck")} AS url FROM documents
+       |), c AS (
+       |  SELECT doc_id, url, ${canonSql("duck")} AS canon_url FROM u
+       |)
+       |SELECT doc_id, url, canon_url,
+       |  split_part(split_part(split_part(canon_url, '://', 2), '/', 1), ':', 1) AS host
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #157 corpus_url_dedup — canonical-URL identity dedup (keep min id)
+  // ---------------------------------------------------------------------
+
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr(synthSql("spark")).as("url"))
+      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url"))
+    val keep = c.groupBy("canon_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+    c.join(keep, "canon_url")
+      .select(col("doc_id"), col("canon_url"),
+        (col("doc_id") === col("keep_id")).cast("int").as("kept"),
+        col("n_variants"))
+      .orderBy("doc_id")
+  }
+
+  val urlDedupSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, ${synthSql("duck")} AS url FROM documents
+       |), c AS (
+       |  SELECT doc_id, ${canonSql("duck")} AS canon_url FROM u
+       |), k AS (
+       |  SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
+       |  FROM c GROUP BY canon_url
+       |)
+       |SELECT c.doc_id, c.canon_url,
+       |  CASE WHEN c.doc_id = k.keep_id THEN 1 ELSE 0 END AS kept,
+       |  k.n_variants
+       |FROM c JOIN k USING (canon_url)
+       |ORDER BY c.doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_canon" -> ((s: SparkSession, d: String) => urlCanon(s, d)),
+    "corpus_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "text_url_canon" -> urlCanonSql,
+    "corpus_url_dedup" -> urlDedupSql)
+}

@@ -61,6 +61,12 @@ object Stress {
     // under one plan, measured as the product's actual workload —
     // plus its per-stage attrition audit (same frames, second plan)
     "corpus_pipeline", "corpus_pipeline_audit",
+    // round-15 additions: URL-identity dedup (hash groupBy on short
+    // string keys), temperature mixing (per-lang rank window), split
+    // drift (one token aggregate + top-k), embedding decontamination
+    // (broadcast eval suite, map-only probe)
+    "corpus_url_dedup", "text_url_canon", "corpus_mix_temperature",
+    "corpus_drift", "corpus_decontaminate_embed", "ann_ivfpq",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks

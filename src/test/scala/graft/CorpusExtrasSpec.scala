@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{Corpus, Similarity, Url}
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions: URL canonicalization/dedup, temperature-scaled
+  * mixing, split drift audit, embedding decontamination. The DuckDB
+  * oracle proves cross-engine value equality; these specs pin the
+  * SEMANTIC invariants the oracle can't state. */
+class CorpusExtrasSpec extends SparkSpec {
+
+  test("url canon: scheme/host lowered, tracking/fragment/default-port gone, params sorted") {
+    val rows = Url.urlCanon(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val canon = r.getAs[String]("canon_url")
+      assert(!canon.contains("#"), s"fragment survived: $canon")
+      assert(!canon.contains("utm_"), s"tracking param survived: $canon")
+      assert(!canon.contains("gclid"), s"tracking param survived: $canon")
+      assert(!canon.contains(":80/") && !canon.endsWith(":80"), canon)
+      assert(!canon.contains(":443"), canon)
+      val scheme = canon.split("://")(0)
+      assert(scheme == scheme.toLowerCase)
+      val host = r.getAs[String]("host")
+      assert(host == host.toLowerCase && !host.startsWith("www."))
+      // non-root path never ends in '/'
+      val afterScheme = canon.split("://")(1)
+      val pathStart = afterScheme.indexOf('/')
+      val pathAndQuery = afterScheme.substring(pathStart)
+      val path = pathAndQuery.split("\\?")(0)
+      if (path != "/") assert(!path.endsWith("/"), canon)
+      // surviving params sorted
+      if (canon.contains("?")) {
+        val ps = canon.split("\\?")(1).split("&").toSeq
+        assert(ps == ps.sorted, s"params unsorted: $canon")
+        assert(ps.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("url canon: variants differing only in noise collapse to one canonical form") {
+    // doc_ids congruent mod 60 share (source, scheme, id, query shape)
+    // and differ only in port/slash/fragment noise — their canonical
+    // URLs must be identical while the raw URLs differ.
+    val byCanon = Url.urlCanon(spark, sf)
+      .withColumn("cls", col("doc_id") % 60)
+      .groupBy("cls")
+      .agg(countDistinct("canon_url").as("n_canon"),
+        countDistinct("url").as("n_raw"), count(lit(1)).as("n"))
+      .collect()
+    byCanon.foreach { r =>
+      assert(r.getAs[Long]("n_canon") == 1L,
+        s"class ${r.get(0)} split into ${r.get(1)} canonical forms")
+    }
+    // and the canonicalization is not vacuous: some class has raw variety
+    assert(byCanon.exists(r => r.getAs[Long]("n_raw") > 1L))
+  }
+
+  test("url dedup: exactly one keeper per canonical URL, keeper is min doc_id") {
+    val d = Url.urlDedup(spark, sf)
+    val perUrl = d.groupBy("canon_url").agg(
+      sum("kept").as("keepers"),
+      min("doc_id").as("min_id"),
+      max(when(col("kept") === 1, col("doc_id"))).as("kept_id"),
+      count(lit(1)).as("n"), max("n_variants").as("nv")).collect()
+    perUrl.foreach { r =>
+      assert(r.getAs[Long]("keepers") == 1L)
+      assert(r.getAs[Long]("kept_id") == r.getAs[Long]("min_id"))
+      assert(r.getAs[Long]("n") == r.getAs[Long]("nv"))
+    }
+    assert(perUrl.exists(_.getAs[Long]("n") > 1L), "no duplicates exercised")
+  }
+
+  test("temperature mix: kept = min(n, target), √-flattening vs proportional") {
+    val m = Corpus.corpusMixTemperature(spark, sf)
+    val perLang = m.groupBy("lang").agg(
+      count(lit(1)).as("n"), max("target_l").as("target"),
+      sum("kept").as("kept")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"),
+        r.getAs[Long]("target"), r.getAs[Long]("kept"))).toSeq
+    val total = perLang.map(_._2).sum
+    val budget = total * Corpus.MixTemperatureBudgetPermille / 1000
+    // recompute the quota with the operator's own published formula
+    val w = perLang.map { case (_, n, _, _) =>
+      math.floor(math.sqrt(n.toDouble) *
+        Corpus.MixTemperatureWeightScale).toLong }
+    val bigW = w.sum
+    perLang.zip(w).foreach { case ((lang, n, target, kept), wl) =>
+      assert(target == math.min(n, budget * wl / bigW), lang)
+      assert(kept == math.min(n, target), lang)
+    }
+    assert(perLang.map(_._3).sum <= budget)
+    // temperature property: the dominant stratum's kept SHARE is below
+    // its corpus share; the scarcest stratum's is above.
+    val dom = perLang.maxBy(_._2)
+    val tail = perLang.minBy(_._2)
+    assert(dom._4.toDouble / budget < dom._2.toDouble / total,
+      "dominant lang not downweighted")
+    assert(tail._4.toDouble / budget > tail._2.toDouble / total,
+      "scarce lang not upweighted")
+  }
+
+  test("drift: descending order, top entry positive, deterministic") {
+    val rows = Corpus.corpusDrift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Corpus.DriftTopK)
+    val drifts = rows.map(_.getAs[Long]("drift_q10")).toSeq
+    assert(drifts == drifts.sortBy(-_))
+    assert(drifts.head > 0, "no over-represented train token found")
+    val toks = rows.map(_.getAs[String]("tok")).toSeq
+    assert(toks.distinct.size == toks.size)
+    val again = Corpus.corpusDrift(spark, sf).collect()
+      .map(_.getAs[Long]("drift_q10")).toSeq
+    assert(again == drifts)
+  }
+
+  test("embed decontamination matches a local brute-force recomputation") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray))
+      .sortBy(_._1)
+    val evs = all.filter(_._1 % 10 == 0)
+    def nn(v: Array[Long]) = v.map(x => x * x).sum
+    val expected = all.filter(_._1 % 10 != 0).map { case (id, v) =>
+      val hits = evs.filter { case (_, e) =>
+        val dot = v.zip(e).map { case (a, b) => a * b }.sum
+        dot >= 0 && Constants.CosGateNum * dot * dot >= Constants.CosGateThr * nn(v) * nn(e)
+      }.map(_._1)
+      (id, hits.length.toLong, if (hits.isEmpty) None else Some(hits.min))
+    }
+    val got = Similarity.corpusDecontaminateEmbed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_hits"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getAs[Int]("contaminated")))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gi, gn, gw, gc), (ei, en, ew)) =>
+      assert(gi == ei); assert(gn == en, s"vec $gi")
+      assert(gw == ew, s"vec $gi witness")
+      assert(gc == (if (en > 0) 1 else 0))
+    }
+    assert(expected.exists(_._2 > 0), "no contamination exercised at sf0.001")
+  }
+}
