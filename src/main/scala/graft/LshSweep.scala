@@ -67,6 +67,18 @@ object LshSweep {
       val secs = timed(operators.Similarity.annIvf(spark, dir, nProbe = np))
       println(f"[sweep] ann_ivf nprobe=$np recall=$rec%.3f time=$secs%.2f s")
     }
+    // the composed IVF-PQ index (#161): nprobe × codewords grid — the
+    // production question is "how much recall does residual PQ give
+    // back at a fixed probe budget"
+    for (np <- Seq(1, 2, 4); k <- Seq(32, 64)) {
+      spark.catalog.clearCache()
+      val rec = recallOf(pairSet(operators.Similarity.annIvfPq(
+        spark, dir, nProbe = np, rerank = 100, codewords = k)))
+      val secs = timed(operators.Similarity.annIvfPq(
+        spark, dir, nProbe = np, rerank = 100, codewords = k))
+      println(f"[sweep] ann_ivfpq nprobe=$np codewords=$k rerank=100 " +
+        f"recall=$rec%.3f time=$secs%.2f s")
+    }
     // the #130 acceptance gate on the clustered corpus
     spark.catalog.clearCache()
     operators.Similarity.annRecall(spark, dir).collect().foreach { r =>

@@ -110,6 +110,60 @@ object VectorFunctions {
     Exprs.toColumn(CosineGateL(Exprs.toExpression(qa), Exprs.toExpression(qb),
       Exprs.toExpression(na), Exprs.toExpression(nb), num, thr))
 
+  /** Static so generated code can call it: the decontamination probe
+    * — which eval vectors gate against this train vector — in ONE
+    * compiled pass. `evs` is the broadcast eval suite as an array of
+    * struct(e_id BIGINT, eq ARRAY<BIGINT>, enn BIGINT); returns the
+    * gating e_ids in suite order. The HOF spelling of the same probe
+    * (transform + aggregate(zip_with) + filter) pays interpreted-
+    * lambda overhead per ELEMENT — measured 266 s for the ×32 sweep's
+    * 369M (pair × 64-dim) probes vs a tight primitive loop. */
+  def evalHits(q: ArrayData, nn: Long, evs: ArrayData,
+               num: Long, thr: Long): ArrayData = {
+    val a = q.toLongArray()
+    val n = evs.numElements()
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < n) {
+      val row = evs.getStruct(i, 3)
+      val eq = row.getArray(1).toLongArray()
+      val m = math.min(a.length, eq.length)
+      var d = 0L
+      var j = 0
+      while (j < m) { d += a(j) * eq(j); j += 1 }
+      if (d >= 0 && num * d * d >= thr * nn * row.getLong(2))
+        hits += row.getLong(0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits.toArray)
+  }
+
+  /** The one-pass decontamination probe as an expression (codegen'd
+    * static call, same pattern as [[CosineGateL]]). */
+  case class EvalHitsL(q: Expression, nn: Expression, evs: Expression,
+                       num: Long, thr: Long)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = q
+    override def second: Expression = nn
+    override def third: Expression = evs
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      evalHits(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+        c.asInstanceOf[ArrayData], num, thr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.evalHits($a, $b, $c, ${num}L, ${thr}L)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): EvalHitsL =
+      copy(q = f, nn = s, evs = t)
+  }
+
+  def eval_hits_l(q: Column, nn: Column, evs: Column,
+                  num: Long, thr: Long): Column =
+    Exprs.toColumn(EvalHitsL(Exprs.toExpression(q), Exprs.toExpression(nn),
+      Exprs.toExpression(evs), num, thr))
+
   /** Hyperplane sign matrix: sign(j, i) ⟺ (xxhash64(j, i) & 1) = 1 —
     * the EXACT values the SQL `xxhash64(j, i)` formulation derives, so
     * codes are bit-identical to the HOF version this replaces

@@ -677,6 +677,7 @@ object Similarity {
     val lsh = annLshPoly(spark, dir).select("query_id", "vec_id")
     val ivf = annIvf(spark, dir).select("query_id", "vec_id")
     val pq = annPq(spark, dir).select("query_id", "vec_id")
+    val ipq = annIvfPq(spark, dir).select("query_id", "vec_id")
     val k = exact.groupBy("query_id").agg(count(lit(1)).as("k"))
     val lh = exact.join(lsh, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
@@ -684,16 +685,21 @@ object Similarity {
       .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
     val ph = exact.join(pq, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("pq_hits"))
+    val iph = exact.join(ipq, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("ivfpq_hits"))
     k.join(lh, Seq("query_id"), "left")
       .join(ih, Seq("query_id"), "left")
       .join(ph, Seq("query_id"), "left")
+      .join(iph, Seq("query_id"), "left")
       .select(col("query_id"), col("k"),
         coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
         coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
-        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"))
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
+        coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"))
       .withColumn("lsh_recall_permille", expr("lsh_hits * 1000 div k"))
       .withColumn("ivf_recall_permille", expr("ivf_hits * 1000 div k"))
       .withColumn("pq_recall_permille", expr("pq_hits * 1000 div k"))
+      .withColumn("ivfpq_recall_permille", expr("ivfpq_hits * 1000 div k"))
       .orderBy("query_id")
   }
 
@@ -704,6 +710,7 @@ object Similarity {
       |lshr AS MATERIALIZED ($annLshPolySql),
       |ivfr AS MATERIALIZED ($annIvfSql),
       |pqr AS MATERIALIZED ($annPqSql),
+      |ipqr AS MATERIALIZED ($annIvfPqSql),
       |kk AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY query_id),
       |lh AS (
       |  SELECT e.query_id, COUNT(*) AS lsh_hits
@@ -720,18 +727,26 @@ object Similarity {
       |  FROM exact e JOIN pqr p
       |    ON e.query_id = p.query_id AND e.vec_id = p.vec_id
       |  GROUP BY e.query_id
+      |), iph AS (
+      |  SELECT e.query_id, COUNT(*) AS ivfpq_hits
+      |  FROM exact e JOIN ipqr p
+      |    ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+      |  GROUP BY e.query_id
       |)
       |SELECT kk.query_id, kk.k,
       |  COALESCE(lh.lsh_hits, 0) AS lsh_hits,
       |  COALESCE(ih.ivf_hits, 0) AS ivf_hits,
       |  COALESCE(ph.pq_hits, 0) AS pq_hits,
+      |  COALESCE(iph.ivfpq_hits, 0) AS ivfpq_hits,
       |  COALESCE(lh.lsh_hits, 0) * 1000 // kk.k AS lsh_recall_permille,
       |  COALESCE(ih.ivf_hits, 0) * 1000 // kk.k AS ivf_recall_permille,
-      |  COALESCE(ph.pq_hits, 0) * 1000 // kk.k AS pq_recall_permille
+      |  COALESCE(ph.pq_hits, 0) * 1000 // kk.k AS pq_recall_permille,
+      |  COALESCE(iph.ivfpq_hits, 0) * 1000 // kk.k AS ivfpq_recall_permille
       |FROM kk
       |LEFT JOIN lh ON kk.query_id = lh.query_id
       |LEFT JOIN ih ON kk.query_id = ih.query_id
       |LEFT JOIN ph ON kk.query_id = ph.query_id
+      |LEFT JOIN iph ON kk.query_id = iph.query_id
       |ORDER BY kk.query_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1043,7 +1058,8 @@ object Similarity {
     * TopKRewrite bounded-heap plan. */
   def annIvfPq(spark: SparkSession, dir: String,
                nProbe: Int = NProbe,
-               rerank: Int = PqRerank): DataFrame = {
+               rerank: Int = PqRerank,
+               codewords: Int = PqCodewords): DataFrame = {
     val v = quantized(spark, dir)
     val cents = kmeansCentroids(spark, dir)
     val assigned = assignTo(v, cents) // (vec_id, cid, q, nn)
@@ -1053,7 +1069,7 @@ object Similarity {
         expr("zip_with(q, cq, (a, b) -> a - b)").as("q"))
       .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
     val rsv = subVectors(resid.select("vec_id", "q", "nn"))
-    val cw = pqCodebooksFrom(rsv) // residual codebooks (m, cid, cq, cn)
+    val cw = pqCodebooksFrom(rsv, codewords = codewords) // residual codebooks
     val codes = pqAssign(rsv, cw)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
     val vecList = assigned.select(col("vec_id"), col("cid"))
@@ -1405,21 +1421,18 @@ object Similarity {
     val evalRow = v.filter(col("vec_id") % 10 === 0)
       .agg(collect_list(struct(col("vec_id").as("e_id"), col("q").as("eq"),
         col("nn").as("enn"))).as("evs"))
-    val gateNum = graft.Constants.CosGateNum
-    val gateThr = graft.Constants.CosGateThr
+    // one compiled pass per train vector over the broadcast suite
+    // (EvalHitsL — the HOF spelling of the same probe paid
+    // interpreted-lambda cost per element: 266 s vs ~10 s at the ×32
+    // sweep's 369M probes); returns the gating e_ids
     v.filter(col("vec_id") % 10 =!= 0)
       .crossJoin(broadcast(evalRow))
-      .withColumn("scored", expr(
-        """transform(evs, e -> named_struct(
-          |  'e_id', e.e_id,
-          |  'dot', aggregate(zip_with(q, e.eq, (a, b) -> a * b),
-          |                   CAST(0 AS BIGINT), (acc, x) -> acc + x),
-          |  'enn', e.enn))""".stripMargin))
-      .withColumn("hits", expr(
-        s"filter(scored, s -> s.dot >= 0 AND $gateNum * s.dot * s.dot >= $gateThr * nn * s.enn)"))
+      .withColumn("hits", graft.functions.VectorFunctions.eval_hits_l(
+        col("q"), col("nn"), col("evs"),
+        graft.Constants.CosGateNum, graft.Constants.CosGateThr))
       .select(col("vec_id"),
         size(col("hits")).cast("long").as("n_hits"),
-        expr("array_min(transform(hits, h -> h.e_id))").as("witness"),
+        array_min(col("hits")).as("witness"),
         (size(col("hits")) > 0).cast("int").as("contaminated"))
       .orderBy("vec_id")
   }

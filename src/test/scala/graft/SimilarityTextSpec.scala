@@ -181,13 +181,14 @@ class SimilarityTextSpec extends SparkSpec {
       .select("query_id").distinct().count()
     assert(out.length.toLong === nq)
     out.foreach { r =>
-      val (k, lh, ih, ph) = (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))
-      val (lpm, ipm, ppm) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      val (k, lh, ih, ph, iph) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      val (lpm, ipm, ppm, ippm) =
+        (r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
       assert(lh >= 0 && lh <= k); assert(ih >= 0 && ih <= k)
-      assert(ph >= 0 && ph <= k)
+      assert(ph >= 0 && ph <= k); assert(iph >= 0 && iph <= k)
       assert(lpm === lh * 1000 / k); assert(ipm === ih * 1000 / k)
-      assert(ppm === ph * 1000 / k)
+      assert(ppm === ph * 1000 / k); assert(ippm === iph * 1000 / k)
     }
   }
 }
