@@ -1347,9 +1347,14 @@ object Corpus {
           .cast("long"))
       .select(col("is_train"), explode(split(col("norm"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val counts = toks.groupBy("tok").agg(
+    // pinned: the counts frame feeds TWO consumers (the drift
+    // projection and the totals aggregate) — unpinned, Catalyst plans
+    // both branches from the token explode and the corpus is scanned
+    // twice; pinned, the second consumer reads the vocab-sized blocks
+    // (the centroid-pin pattern — only O(vocab) ever materializes)
+    val counts = graft.Checkpoints.pin(toks.groupBy("tok").agg(
       sum(col("is_train")).as("c_train"),
-      sum(lit(1L) - col("is_train")).as("c_eval"))
+      sum(lit(1L) - col("is_train")).as("c_eval")))
     val tot = counts.agg(
       (sum("c_train") + count(lit(1))).as("n1"),
       (sum("c_eval") + count(lit(1))).as("n2"))

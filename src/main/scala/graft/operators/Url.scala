@@ -53,14 +53,22 @@ object Url {
     if (dialect == "spark") "CAST(doc_id % 20 AS STRING)"
     else "CAST(doc_id % 20 AS VARCHAR)"
 
-  private def synthSql(dialect: String): String = {
+  private def synthSql(dialect: String, spiked: Boolean = false): String = {
     val id = idstr(dialect)
+    // `spiked` (the #162 filter query only) plants the content the
+    // rule battery exists to catch: a spam path segment on %13 docs
+    // and a binary-download extension on %17 docs — #156/#157 keep
+    // the unspiked synthesis, so their oracles are untouched
+    val spam = if (spiked)
+      "\n       |  CASE WHEN doc_id % 13 = 0 THEN '/Casino-bonus' ELSE '' END," else ""
+    val ext = if (spiked)
+      "\n       |  CASE WHEN doc_id % 17 = 0 THEN '.exe' ELSE '' END," else ""
     s"""concat(
        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
        |  'WWW.', upper(source), '.Example.COM',
        |  CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-       |       WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
-       |  '/Docs/Article-', $id,
+       |       WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,$spam
+       |  '/Docs/Article-', $id,$ext
        |  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
        |  CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&gclid=XYZ&id=', $id)
        |       WHEN doc_id % 3 = 1 THEN concat('?id=', $id, '&utm_campaign=news&b=2')
@@ -168,11 +176,73 @@ object Url {
        |FROM c JOIN k USING (canon_url)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #162 corpus_url_filter — URL rule battery (the RefinedWeb/C4-style
+  // frontier filter: drop by domain blocklist, banned words in the
+  // URL, and non-document extensions — decided BEFORE fetching the
+  // page, so it is the cheapest quality gate a crawl pipeline has)
+  // ---------------------------------------------------------------------
+
+  /** Blocked registrable hosts (post-canonicalization, so WWW./case/
+    * port variants of a blocked domain cannot slip through). */
+  val BlockedHosts: Seq[String] = Seq("src4.example.com", "src13.example.com")
+  /** Banned words anywhere in the canonical URL (lowercased host +
+    * case-preserved path, so the match is case-insensitive via an
+    * explicit lower()). */
+  val BannedWords: Seq[String] = Seq("casino", "viagra")
+  /** Non-document extensions dropped at the frontier. */
+  val BlockedExtensions: Seq[String] = Seq(".exe", ".zip", ".dmg")
+
+  /** Verdict precedence (first match wins): blocked_domain >
+    * banned_word > bad_extension > kept — domain blocks are the
+    * strongest signal and make the others unreachable for that host.
+    * The battery runs on the CANONICAL url (#156), the same
+    * normalization the dedup keys on. Map-only string algebra. */
+  private def filterVerdictSql(dialect: String): String = {
+    val fEnds = if (dialect == "spark") "endswith" else "ends_with"
+    val hosts = BlockedHosts.map(h => s"'$h'").mkString("(", ", ", ")")
+    val words = BannedWords
+      .map(w => s"contains(lower(canon_url), '$w')").mkString(" OR ")
+    val path = "split_part(split_part(canon_url, '://', 2), '?', 1)"
+    val exts = BlockedExtensions
+      .map(e => s"$fEnds($path, '$e')").mkString(" OR ")
+    s"""CASE WHEN host IN $hosts THEN 'blocked_domain'
+       |     WHEN $words THEN 'banned_word'
+       |     WHEN $exts THEN 'bad_extension'
+       |     ELSE 'kept' END""".stripMargin
+  }
+
+  def urlFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr(synthSql("spark", spiked = true)).as("url"))
+      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url"))
+      .withColumn("host",
+        expr("split_part(split_part(split_part(canon_url, '://', 2), '/', 1), ':', 1)"))
+      .withColumn("verdict", expr(filterVerdictSql("spark")))
+      .select(col("doc_id"), col("host"), col("verdict"))
+      .orderBy("doc_id")
+
+  val urlFilterSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, ${synthSql("duck", spiked = true)} AS url FROM documents
+       |), c AS (
+       |  SELECT doc_id, ${canonSql("duck")} AS canon_url FROM u
+       |), h AS (
+       |  SELECT doc_id, canon_url,
+       |    split_part(split_part(split_part(canon_url, '://', 2), '/', 1), ':', 1) AS host
+       |  FROM c
+       |)
+       |SELECT doc_id, host, ${filterVerdictSql("duck")} AS verdict
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_canon" -> ((s: SparkSession, d: String) => urlCanon(s, d)),
-    "corpus_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(s, d)))
+    "corpus_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(s, d)),
+    "corpus_url_filter" -> ((s: SparkSession, d: String) => urlFilter(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_url_canon" -> urlCanonSql,
-    "corpus_url_dedup" -> urlDedupSql)
+    "corpus_url_dedup" -> urlDedupSql,
+    "corpus_url_filter" -> urlFilterSql)
 }

@@ -71,6 +71,28 @@ class CorpusExtrasSpec extends SparkSpec {
     assert(perUrl.exists(_.getAs[Long]("n") > 1L), "no duplicates exercised")
   }
 
+  test("url filter: rule precedence, planted casualties caught, canon-driven blocking") {
+    val v = Url.urlFilter(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"),
+        r.getAs[String]("verdict"))).toSeq
+    val byId = v.map(t => t._1 -> t._3).toMap
+    v.foreach { case (id, host, verdict) =>
+      val expected =
+        if (Url.BlockedHosts.contains(host)) "blocked_domain"
+        else if (id % 13 == 0) "banned_word"   // planted /Casino-bonus
+        else if (id % 17 == 0) "bad_extension" // planted .exe
+        else "kept"
+      assert(verdict == expected, s"doc $id host $host")
+    }
+    // precedence is exercised, not just defined: a doc that is BOTH
+    // blocked-domain (host src4 = id%20==4) and spam-path (id%13==0)
+    // must fall to the domain rule — id 104 is the smallest such
+    assert(byId.get(104L).forall(_ == "blocked_domain"))
+    Seq("blocked_domain", "banned_word", "bad_extension", "kept").foreach { w =>
+      assert(v.exists(_._3 == w), s"verdict $w never exercised")
+    }
+  }
+
   test("temperature mix: kept = min(n, target), √-flattening vs proportional") {
     val m = Corpus.corpusMixTemperature(spark, sf)
     val perLang = m.groupBy("lang").agg(

@@ -367,6 +367,55 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("corpus_decontaminate_embed: compiled probe over a broadcast suite, no corpus shuffle") {
+    val plan = planString(operators.Similarity.corpusDecontaminateEmbed(spark, sf))
+    // the eval suite must arrive as ONE broadcast row (nested-loop
+    // against a 1-row build side = map-only probe)...
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // ...probed by the compiled kernel, not an interpreted HOF chain
+    // (the 34x regression the EvalHitsL swap fixed)
+    assert(plan.toLowerCase.contains("evalhits"), plan)
+    // shuffles: the suite's SinglePartition collect + presentation
+    // sort — the train corpus itself never exchanges
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("text_url_canon / corpus_url_filter: map-only string algebra + presentation sort") {
+    Seq(operators.Url.urlCanon(spark, sf),
+      operators.Url.urlFilter(spark, sf)).foreach { df =>
+      val plan = planString(df)
+      assert(shuffles(plan) <= 1, plan)
+      assert(!plan.contains("Join"), plan)
+    }
+  }
+
+  test("corpus_url_dedup: map-side partial aggregation before the canon_url shuffle") {
+    val plan = planString(operators.Url.urlDedup(spark, sf))
+    // duplicates collapse BEFORE the exchange — the property that made
+    // the twin-amplified x32 sweep ship 1 MiB of total shuffle
+    assert(plan.contains("partial_min") || plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(shuffles(plan) <= 4, plan)
+  }
+
+  test("corpus_drift: single token aggregate, top-k never full-sorts") {
+    val plan = planString(operators.Corpus.corpusDrift(spark, sf))
+    // orderBy+limit must plan as TakeOrdered (per-partition heaps),
+    // not a corpus-wide range sort
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    // token counts agg + the 1-row totals' SinglePartition
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("corpus_mix_temperature: quota broadcasts back; one rank window over the corpus") {
+    val plan = planString(operators.Corpus.corpusMixTemperature(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // lang-count agg (+1-row total), rank window, presentation sort
+    assert(shuffles(plan) <= 5, plan)
+  }
+
   test("blanket audit: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a tiny broadcast side is a
     // legitimate tool (ann query fan-out, centroid assignment); an
