@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.Bucketing.queries ++
       operators.Url.queries ++
+      operators.Unigram.queries ++
       sources.Spool.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +58,6 @@ object SparkEntry {
       operators.Bucketing.oracle ++
       operators.Sketch.oracle ++
       operators.Url.oracle ++
+      operators.Unigram.oracle ++
       sources.Spool.oracle
 }

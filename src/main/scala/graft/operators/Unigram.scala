@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer segmentation (SURVEY §2 #163) — the OTHER
+  * major subword family next to BPE (#127/#128/#150): SentencePiece's
+  * unigram model (Kudo 2018) segments each word into the
+  * minimum-total-cost sequence of vocabulary pieces via Viterbi DP,
+  * where a piece's cost is its negative log probability. This
+  * implementation keeps the model deterministic and cross-engine
+  * exact instead of EM-trained:
+  *
+  *  - piece inventory = every corpus character (l=1, guaranteeing
+  *    every word segments) + the top [[SubK]] substrings of length
+  *    2..[[MaxPieceLen]] by corpus occurrence weight (ties: piece
+  *    asc) — the count-based seeding SentencePiece itself starts EM
+  *    from;
+  *  - cost(p) = log2fp(N) − log2fp(c(p)) in 2⁻¹⁰-bit integer units
+  *    (the #136 kernel — no transcendental crosses an engine
+  *    boundary), N = Σc over the kept inventory;
+  *  - Viterbi: dp[i] = min over piece lengths L of dp[i−L] +
+  *    cost(word[i−L+1..i]), both (cost, piece-count) carried in ONE
+  *    encoded BIGINT (cost·1024 + n_pieces, n_pieces < 1024), so the
+  *    lexicographic (cost, fewest-pieces) optimum is a plain integer
+  *    MIN — ties yield equal encodings, making the output unique
+  *    regardless of which optimal path an engine prefers. `least()`
+  *    skips NULL candidates in BOTH engines, and a missing piece
+  *    lookup is NULL by construction (try_element_at / map_extract).
+  *
+  * Scale shape: the corpus collapses to its word VOCABULARY before
+  * any per-word work (the #127 move — bounded by the language, not
+  * the corpus); the piece model is chars + SubK rows → ONE broadcast
+  * map; the DP is a per-word fold over ≤ word-length steps with
+  * MaxPieceLen candidate lookups each — map-only over the vocabulary,
+  * no shuffle beyond the two model aggregates. The oracle replays
+  * inventory, costs, and the full DP (as a recursive CTE carrying the
+  * dp list — the corpus_pack fold pattern) and value-matches the
+  * encoded optimum per word.
+  */
+object Unigram {
+
+  /** Multi-char inventory cap (chars are always kept). */
+  val SubK = 256
+  /** Longest piece considered (SentencePiece default trims similarly;
+    * bounds the DP fan-in and the candidate explosion). */
+  val MaxPieceLen = 4
+  /** n_pieces bits in the encoded DP value (words are far shorter). */
+  val EncBase = 1024L
+
+  private def norm = graft.functions.TextFunctions.normText _
+
+  /** (word, cnt) vocabulary of the corpus. */
+  private def wordVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(norm(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Kept piece inventory with integer q10 costs: all chars + top-SubK
+    * multi-char substrings, weighted by word count × occurrences. */
+  private def pieceCosts(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val words = wordVocab(spark, dir)
+    // substrings of length 1..MaxPieceLen at every position, with
+    // duplicates (each occurrence weighs): the slice guard caps the
+    // position list at max(len-l+1, 0) entries so short words emit
+    // nothing for long l (Spark's sequence(1, 0) would run DESCENDING)
+    val subs = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, $MaxPieceLen), l ->
+         |  slice(transform(sequence(1, greatest(length(word) - l + 1, 1)),
+         |                  s -> substring(word, s, l)),
+         |        1, greatest(length(word) - l + 1, 0))))""".stripMargin))
+      .as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(SubK)
+    val kept = chars.unionAll(multi)
+    val n = kept.agg(sum("c").as("n_total"))
+    kept.crossJoin(broadcast(n))
+      .select(col("piece"),
+        (expr(tf.log2fpExpr("n_total")) - expr(tf.log2fpExpr("c")))
+          .as("cost_q10"))
+  }
+
+  /** Per-position candidate: dp[i−L] + cost(word[i−L+1..i]) encoded,
+    * NULL when the prefix is too short or the piece is unknown. */
+  private def candSql(l: Int): String =
+    s"""CASE WHEN i - $l >= 0
+       |  THEN element_at(acc, i - $l + 1)
+       |       + try_element_at(pm, substring(word, i - $l + 1, $l)) * $EncBase + 1
+       |  ELSE NULL END""".stripMargin
+
+  def unigramTokens(spark: SparkSession, dir: String): DataFrame = {
+    val cands = (1 to MaxPieceLen).map(candSql).mkString("least(\n", ",\n", ")")
+    val pm = pieceCosts(spark, dir)
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("cost_q10"))))
+        .as("pm"))
+    wordVocab(spark, dir)
+      .crossJoin(broadcast(pm))
+      .withColumn("best", expr(
+        s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
+           |  (acc, i) -> array_append(acc, $cands),
+           |  acc -> element_at(acc, size(acc)))""".stripMargin))
+      .select(col("word"), col("cnt").as("w_cnt"),
+        expr(s"best % $EncBase").as("n_pieces"),
+        expr(s"best div $EncBase").as("cost_q10"))
+      .orderBy("word")
+  }
+
+  val unigramTokensSql: String = {
+    val tf = graft.functions.TextFunctions
+    val normSql = tf.normTextSql
+    def duckCand(l: Int): String =
+      s"""CASE WHEN i + 1 - $l >= 0
+         |  THEN acc[i + 1 - $l + 1]
+         |       + map_extract(pm, substr(word, i + 1 - $l + 1, $l))[1] * $EncBase + 1
+         |  ELSE NULL END""".stripMargin
+    val cands = (1 to MaxPieceLen).map(duckCand).mkString("least(\n", ",\n", ")")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word
+       |), subs AS (
+       |  SELECT piece, SUM(cnt) AS c FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(range(1, ${MaxPieceLen + 1}), l ->
+       |      list_transform(range(1, length(word) - l + 2), s -> substr(word, s, l))))) AS piece
+       |    FROM w)
+       |  GROUP BY piece
+       |), kept AS (
+       |  SELECT piece, c FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM subs WHERE length(piece) > 1)
+       |  WHERE rk <= $SubK
+       |), tot AS (SELECT SUM(c) AS n_total FROM kept
+       |), costs AS (
+       |  SELECT piece,
+       |    (${tf.log2fpSqlDuck("n_total")} - ${tf.log2fpSqlDuck("c")}) AS cost_q10
+       |  FROM kept, tot
+       |), pmap AS (
+       |  SELECT map(list(piece ORDER BY piece), list(cost_q10 ORDER BY piece)) AS pm
+       |  FROM costs
+       |), dp AS (
+       |  SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS acc FROM w
+       |  UNION ALL
+       |  SELECT word, cnt, i + 1,
+       |    list_append(acc, $cands)
+       |  FROM dp, pmap
+       |  WHERE i < length(word)
+       |)
+       |SELECT word, cnt AS w_cnt,
+       |  acc[length(word) + 1] % $EncBase AS n_pieces,
+       |  acc[length(word) + 1] // $EncBase AS cost_q10
+       |FROM dp
+       |WHERE i = length(word)
+       |ORDER BY word""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_tokens" -> ((s: SparkSession, d: String) => unigramTokens(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "text_unigram_tokens" -> unigramTokensSql)
+}

@@ -135,6 +135,59 @@ class CorpusExtrasSpec extends SparkSpec {
     assert(again == drifts)
   }
 
+  test("unigram segmentation matches an independent driver-side Viterbi") {
+    import graft.operators.Unigram._
+    // rebuild the model with plain Scala loops — nothing shared with
+    // the Column/SQL formulation except the published constants
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1))
+    val pieceCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; l <- 1 to MaxPieceLen; s <- 0 to w.length - l)
+      pieceCounts(w.substring(s, s + l)) =
+        pieceCounts.getOrElse(w.substring(s, s + l), 0L) + c
+    val chars = pieceCounts.filter(_._1.length == 1)
+    val multi = pieceCounts.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(SubK)
+    val kept = chars.toMap ++ multi.toMap
+    val n = kept.values.sum
+    // the operator's log2fp kernel, reimplemented straight off its doc
+    def log2fp(x: Long): Long = {
+      val bits = java.lang.Long.toBinaryString(x).length
+      val mant = if (bits > 11) x / (1L << (bits - 11)) else x * (1L << (11 - bits))
+      1024L * (bits - 1) + math.floor(1024 *
+        (StrictMath.log(mant.toDouble / 1024) / StrictMath.log(2.0))).toLong
+    }
+    val cost = kept.map { case (p, c) => p -> (log2fp(n) - log2fp(c)) }
+    def viterbi(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue)
+      dp(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(MaxPieceLen, i)) {
+        cost.get(w.substring(i - l, i)).foreach { pc =>
+          if (dp(i - l) != Long.MaxValue)
+            dp(i) = math.min(dp(i), dp(i - l) + pc * EncBase + 1)
+        }
+      }
+      dp(w.length)
+    }
+    val got = unigramTokens(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == words.size)
+    got.foreach { case (w, cnt, np, cq) =>
+      assert(cnt == words(w))
+      val best = viterbi(w)
+      assert(np == best % EncBase, s"word $w pieces")
+      assert(cq == best / EncBase, s"word $w cost")
+      assert(np >= 1 && np <= w.length)
+    }
+    // segmentation is non-trivial: some word needs >1 piece, some
+    // multi-char piece wins somewhere
+    assert(got.exists(_._3 > 1))
+    assert(got.exists { case (w, _, np, _) => np < w.length })
+  }
+
   test("embed decontamination matches a local brute-force recomputation") {
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
