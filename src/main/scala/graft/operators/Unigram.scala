@@ -80,10 +80,20 @@ object Unigram {
     val kept = chars.unionAll(multi)
     val n = kept.agg(sum("c").as("n_total"))
     kept.crossJoin(broadcast(n))
-      .select(col("piece"),
+      .select(col("piece"), col("c"),
         (expr(tf.log2fpExpr("n_total")) - expr(tf.log2fpExpr("c")))
           .as("cost_q10"))
   }
+
+  /** #164 vocab_unigram — the trained piece inventory as a query: the
+    * model ARTIFACT a production pipeline exports and ships to its
+    * streaming/tokenizing consumers (exactly what vocab_train #127
+    * is to the BPE family). One row per kept piece with its corpus
+    * weight and q10 cost. */
+  def vocabUnigram(spark: SparkSession, dir: String): DataFrame =
+    pieceCosts(spark, dir)
+      .select(col("piece"), col("c"), col("cost_q10"))
+      .orderBy("piece")
 
   /** Per-position candidate: dp[i−L] + cost(word[i−L+1..i]) encoded,
     * NULL when the prefix is too short or the piece is unknown. */
@@ -99,6 +109,11 @@ object Unigram {
       .agg(map_from_entries(collect_list(struct(col("piece"), col("cost_q10"))))
         .as("pm"))
     wordVocab(spark, dir)
+      // encoding guard: n_pieces ≤ word length must stay below EncBase
+      // or it would bleed into the cost bits — a 1024+-char "word" is
+      // boilerplate/garbage at web scale (SentencePiece caps input the
+      // same way); both engines drop it identically
+      .filter(length(col("word")) < EncBase.toInt)
       .crossJoin(broadcast(pm))
       .withColumn("best", expr(
         s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
@@ -111,17 +126,42 @@ object Unigram {
   }
 
   val unigramTokensSql: String = {
-    val tf = graft.functions.TextFunctions
-    val normSql = tf.normTextSql
     def duckCand(l: Int): String =
       s"""CASE WHEN i + 1 - $l >= 0
          |  THEN acc[i + 1 - $l + 1]
          |       + map_extract(pm, substr(word, i + 1 - $l + 1, $l))[1] * $EncBase + 1
          |  ELSE NULL END""".stripMargin
     val cands = (1 to MaxPieceLen).map(duckCand).mkString("least(\n", ",\n", ")")
-    s"""WITH RECURSIVE w AS (
+    s"""WITH RECURSIVE $modelCtes, pmap AS (
+       |  SELECT map(list(piece ORDER BY piece), list(cost_q10 ORDER BY piece)) AS pm
+       |  FROM costs
+       |), dp AS (
+       |  -- encoding guard mirrored from the Spark side: segment only
+       |  -- words shorter than EncBase (piece stats above stay global)
+       |  SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS acc FROM w
+       |  WHERE length(word) < $EncBase
+       |  UNION ALL
+       |  SELECT word, cnt, i + 1,
+       |    list_append(acc, $cands)
+       |  FROM dp, pmap
+       |  WHERE i < length(word)
+       |)
+       |SELECT word, cnt AS w_cnt,
+       |  acc[length(word) + 1] % $EncBase AS n_pieces,
+       |  acc[length(word) + 1] // $EncBase AS cost_q10
+       |FROM dp
+       |WHERE i = length(word)
+       |ORDER BY word""".stripMargin
+  }
+
+  /** Shared DuckDB CTE prefix (vocab → substrings → kept inventory →
+    * costs) — rendered once so #163's oracle and #164's can never
+    * disagree on the model. */
+  private def modelCtes: String = {
+    val tf = graft.functions.TextFunctions
+    s"""w AS (
        |  SELECT word, COUNT(*) AS cnt FROM (
-       |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |    SELECT unnest(string_split(${tf.normTextSql}, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word
        |), subs AS (
        |  SELECT piece, SUM(cnt) AS c FROM (
@@ -138,31 +178,23 @@ object Unigram {
        |  WHERE rk <= $SubK
        |), tot AS (SELECT SUM(c) AS n_total FROM kept
        |), costs AS (
-       |  SELECT piece,
+       |  SELECT piece, c,
        |    (${tf.log2fpSqlDuck("n_total")} - ${tf.log2fpSqlDuck("c")}) AS cost_q10
        |  FROM kept, tot
-       |), pmap AS (
-       |  SELECT map(list(piece ORDER BY piece), list(cost_q10 ORDER BY piece)) AS pm
-       |  FROM costs
-       |), dp AS (
-       |  SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS acc FROM w
-       |  UNION ALL
-       |  SELECT word, cnt, i + 1,
-       |    list_append(acc, $cands)
-       |  FROM dp, pmap
-       |  WHERE i < length(word)
-       |)
-       |SELECT word, cnt AS w_cnt,
-       |  acc[length(word) + 1] % $EncBase AS n_pieces,
-       |  acc[length(word) + 1] // $EncBase AS cost_q10
-       |FROM dp
-       |WHERE i = length(word)
-       |ORDER BY word""".stripMargin
+       |)""".stripMargin
   }
 
+  val vocabUnigramSql: String =
+    s"""WITH $modelCtes
+       |SELECT piece, CAST(c AS BIGINT) AS c, cost_q10
+       |FROM costs
+       |ORDER BY piece""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_unigram_tokens" -> ((s: SparkSession, d: String) => unigramTokens(s, d)))
+    "text_unigram_tokens" -> ((s: SparkSession, d: String) => unigramTokens(s, d)),
+    "vocab_unigram" -> ((s: SparkSession, d: String) => vocabUnigram(s, d)))
 
   def oracle: Map[String, String] = Map(
-    "text_unigram_tokens" -> unigramTokensSql)
+    "text_unigram_tokens" -> unigramTokensSql,
+    "vocab_unigram" -> vocabUnigramSql)
 }

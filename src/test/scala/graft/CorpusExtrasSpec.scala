@@ -188,6 +188,26 @@ class CorpusExtrasSpec extends SparkSpec {
     assert(got.exists { case (w, _, np, _) => np < w.length })
   }
 
+  test("vocab_unigram: chars all kept, multi-char capped, costs monotone in count") {
+    import graft.operators.Unigram._
+    val inv = vocabUnigram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().flatMap(
+        _.getString(0).trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val chars = words.flatMap(_.toSeq).toSet
+    // every corpus character is in the inventory (the segmentability
+    // guarantee the DP relies on); multi-char pieces respect the cap
+    assert(chars.subsetOf(inv.filter(_._1.length == 1).map(_._1.head).toSet))
+    assert(inv.count(_._1.length > 1) <= SubK)
+    assert(inv.forall(p => p._1.length <= MaxPieceLen && p._2 > 0 && p._3 >= 0))
+    // cost is anti-monotone in count (same log2fp kernel both ways)
+    inv.sortBy(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3, s"${a._1} vs ${b._1}")
+      case _ =>
+    }
+  }
+
   test("embed decontamination matches a local brute-force recomputation") {
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
