@@ -54,7 +54,7 @@ object Bench {
     "dedup_semantic", "vocab_fertility", "corpus_pipeline",
     "corpus_url_dedup", "corpus_mix_temperature", "corpus_drift",
     "corpus_decontaminate_embed", "ann_ivfpq", "corpus_url_filter",
-    "text_unigram_tokens", "vocab_unigram")
+    "text_unigram_tokens", "vocab_unigram", "vocab_unigram_fertility")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

@@ -103,7 +103,11 @@ object Unigram {
        |       + try_element_at(pm, substring(word, i - $l + 1, $l)) * $EncBase + 1
        |  ELSE NULL END""".stripMargin
 
-  def unigramTokens(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered per-word segmentation frame (word, cnt, n_pieces,
+    * cost_q10) — shared by the #163 query (which adds its output
+    * sort) and #165's per-language rollup (whose join/group stages
+    * destroy ordering; the surprisalUnordered lesson). */
+  private def segmented(spark: SparkSession, dir: String): DataFrame = {
     val cands = (1 to MaxPieceLen).map(candSql).mkString("least(\n", ",\n", ")")
     val pm = pieceCosts(spark, dir)
       .agg(map_from_entries(collect_list(struct(col("piece"), col("cost_q10"))))
@@ -122,17 +126,46 @@ object Unigram {
       .select(col("word"), col("cnt").as("w_cnt"),
         expr(s"best % $EncBase").as("n_pieces"),
         expr(s"best div $EncBase").as("cost_q10"))
-      .orderBy("word")
   }
 
-  val unigramTokensSql: String = {
+  def unigramTokens(spark: SparkSession, dir: String): DataFrame =
+    segmented(spark, dir).orderBy("word")
+
+  /** #165 vocab_unigram_fertility — the unigram twin of #150's BPE
+    * fertility audit, making the two tokenizer families directly
+    * comparable per language: word OCCURRENCES rejoin their type's
+    * segmentation (the vocabulary-collapsed DP never reruns per
+    * occurrence), then one #langs-row aggregate derives fertility
+    * (1000·pieces/words) and chars-per-piece. The segmentation side
+    * is model-bounded (word types), so at scale the join broadcasts;
+    * integer floor ratios with NULLIF guards, exactly #150's
+    * contract. */
+  def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(split(norm(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    occ.join(segmented(spark, dir).select("word", "n_pieces"), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("words"),
+        sum(length(col("word")).cast("long")).as("chars"),
+        sum(col("n_pieces")).as("pieces"))
+      .withColumn("fertility_permille",
+        expr("pieces * 1000L div nullif(words, 0L)"))
+      .withColumn("chars_per_piece_permille",
+        expr("chars * 1000L div nullif(pieces, 0L)"))
+      .orderBy("lang")
+  }
+
+  /** Shared DuckDB DP CTEs (piece map + recursive Viterbi fold + the
+    * per-word segmentation results) appended to [[modelCtes]]. */
+  private def dpCtes: String = {
     def duckCand(l: Int): String =
       s"""CASE WHEN i + 1 - $l >= 0
          |  THEN acc[i + 1 - $l + 1]
          |       + map_extract(pm, substr(word, i + 1 - $l + 1, $l))[1] * $EncBase + 1
          |  ELSE NULL END""".stripMargin
     val cands = (1 to MaxPieceLen).map(duckCand).mkString("least(\n", ",\n", ")")
-    s"""WITH RECURSIVE $modelCtes, pmap AS (
+    s""", pmap AS (
        |  SELECT map(list(piece ORDER BY piece), list(cost_q10 ORDER BY piece)) AS pm
        |  FROM costs
        |), dp AS (
@@ -145,13 +178,38 @@ object Unigram {
        |    list_append(acc, $cands)
        |  FROM dp, pmap
        |  WHERE i < length(word)
-       |)
-       |SELECT word, cnt AS w_cnt,
-       |  acc[length(word) + 1] % $EncBase AS n_pieces,
-       |  acc[length(word) + 1] // $EncBase AS cost_q10
-       |FROM dp
-       |WHERE i = length(word)
+       |), seg AS (
+       |  SELECT word, cnt,
+       |    acc[length(word) + 1] % $EncBase AS n_pieces,
+       |    acc[length(word) + 1] // $EncBase AS cost_q10
+       |  FROM dp
+       |  WHERE i = length(word)
+       |)""".stripMargin
+  }
+
+  val unigramTokensSql: String =
+    s"""WITH RECURSIVE $modelCtes$dpCtes
+       |SELECT word, cnt AS w_cnt, n_pieces, cost_q10
+       |FROM seg
        |ORDER BY word""".stripMargin
+
+  val unigramFertilitySql: String = {
+    val normSql = graft.functions.TextFunctions.normTextSql
+    s"""WITH RECURSIVE $modelCtes$dpCtes, occ AS (
+       |  SELECT lang, word FROM (
+       |    SELECT lang, unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  WHERE word <> ''
+       |)
+       |SELECT lang, COUNT(*) AS words,
+       |  CAST(SUM(length(word)) AS BIGINT) AS chars,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+       |  CAST(SUM(n_pieces) AS BIGINT) * 1000
+       |    // NULLIF(COUNT(*), 0) AS fertility_permille,
+       |  CAST(SUM(length(word)) AS BIGINT) * 1000
+       |    // NULLIF(CAST(SUM(n_pieces) AS BIGINT), 0) AS chars_per_piece_permille
+       |FROM occ JOIN seg USING (word)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
   }
 
   /** Shared DuckDB CTE prefix (vocab → substrings → kept inventory →
@@ -192,9 +250,12 @@ object Unigram {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_tokens" -> ((s: SparkSession, d: String) => unigramTokens(s, d)),
-    "vocab_unigram" -> ((s: SparkSession, d: String) => vocabUnigram(s, d)))
+    "vocab_unigram" -> ((s: SparkSession, d: String) => vocabUnigram(s, d)),
+    "vocab_unigram_fertility" ->
+      ((s: SparkSession, d: String) => unigramFertility(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_unigram_tokens" -> unigramTokensSql,
-    "vocab_unigram" -> vocabUnigramSql)
+    "vocab_unigram" -> vocabUnigramSql,
+    "vocab_unigram_fertility" -> unigramFertilitySql)
 }

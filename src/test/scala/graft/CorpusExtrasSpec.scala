@@ -208,6 +208,20 @@ class CorpusExtrasSpec extends SparkSpec {
     }
   }
 
+  test("unigram fertility: every lang covered, both ratios >= 1000 permille") {
+    import graft.operators.Unigram._
+    val rows = unigramFertility(spark, sf).collect()
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == langs)
+    rows.foreach { r =>
+      val (words, chars, pieces) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pieces >= words, r.toString) // every word >= 1 piece
+      assert(chars >= pieces, r.toString) // every piece >= 1 char
+      assert(r.getLong(4) >= 1000L && r.getLong(5) >= 1000L)
+    }
+  }
+
   test("embed decontamination matches a local brute-force recomputation") {
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
