@@ -67,7 +67,8 @@ object Stress {
     // (broadcast eval suite, map-only probe)
     "corpus_url_dedup", "text_url_canon", "corpus_mix_temperature",
     "corpus_drift", "corpus_decontaminate_embed", "ann_ivfpq",
-    "corpus_url_filter", "text_unigram_tokens",
+    "corpus_url_filter", "text_unigram_tokens", "vocab_unigram",
+    "vocab_unigram_fertility",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks
