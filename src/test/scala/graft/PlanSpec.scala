@@ -416,6 +416,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(plan) <= 5, plan)
   }
 
+  test("ann_ivfpq: model sides broadcast, both ranks bounded-heap, no cartesian") {
+    val plan = planString(operators.Similarity.annIvfPq(spark, sf))
+    // coarse centroids / residual codebooks / cross table / LUT /
+    // probes / shortlist are all model-sized broadcasts
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ADC shortlist rank and the exact rerank rank both ride the
+    // TopKRewrite bounded-heap plan (never a full per-query sort)
+    assert(plan.contains("TopKPerKey") || plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("blanket audit: no declared query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a tiny broadcast side is a
     // legitimate tool (ann query fan-out, centroid assignment); an
