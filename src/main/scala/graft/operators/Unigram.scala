@@ -107,11 +107,28 @@ object Unigram {
     * cost_q10) — shared by the #163 query (which adds its output
     * sort) and #165's per-language rollup (whose join/group stages
     * destroy ordering; the surprisalUnordered lesson). */
-  private def segmented(spark: SparkSession, dir: String): DataFrame = {
-    val cands = (1 to MaxPieceLen).map(candSql).mkString("least(\n", ",\n", ")")
-    val pm = pieceCosts(spark, dir)
+  /** The frozen model as a 1-row (pm: MAP<piece, cost>) frame — the
+    * broadcast artifact the batch DP and the streaming admission twin
+    * ([[graft.streaming.UnigramStream]]) both consume. */
+  private[graft] def pieceMapFrame(spark: SparkSession, dir: String): DataFrame =
+    pieceCosts(spark, dir)
       .agg(map_from_entries(collect_list(struct(col("piece"), col("cost_q10"))))
         .as("pm"))
+
+  /** The per-word Viterbi as a SQL fragment over columns `word` and
+    * `pm` — ONE definition for the batch segmentation and the
+    * streaming scorer. NULL when any character lacks a piece (an
+    * admission-time possibility; impossible on the training corpus
+    * whose chars all enter the inventory). */
+  private[graft] def dpExprSql: String = {
+    val cands = (1 to MaxPieceLen).map(candSql).mkString("least(\n", ",\n", ")")
+    s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
+       |  (acc, i) -> array_append(acc, $cands),
+       |  acc -> element_at(acc, size(acc)))""".stripMargin
+  }
+
+  private def segmented(spark: SparkSession, dir: String): DataFrame = {
+    val pm = pieceMapFrame(spark, dir)
     wordVocab(spark, dir)
       // encoding guard: n_pieces ≤ word length must stay below EncBase
       // or it would bleed into the cost bits — a 1024+-char "word" is
@@ -119,10 +136,7 @@ object Unigram {
       // same way); both engines drop it identically
       .filter(length(col("word")) < EncBase.toInt)
       .crossJoin(broadcast(pm))
-      .withColumn("best", expr(
-        s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
-           |  (acc, i) -> array_append(acc, $cands),
-           |  acc -> element_at(acc, size(acc)))""".stripMargin))
+      .withColumn("best", expr(dpExprSql))
       .select(col("word"), col("cnt").as("w_cnt"),
         expr(s"best % $EncBase").as("n_pieces"),
         expr(s"best div $EncBase").as("cost_q10"))
