@@ -54,7 +54,8 @@ object Bench {
     "dedup_semantic", "vocab_fertility", "corpus_pipeline",
     "corpus_url_dedup", "corpus_mix_temperature", "corpus_drift",
     "corpus_decontaminate_embed", "ann_ivfpq", "corpus_url_filter",
-    "text_unigram_tokens", "vocab_unigram", "vocab_unigram_fertility")
+    "text_unigram_tokens", "vocab_unigram", "vocab_unigram_fertility",
+    "corpus_decontaminate_embed_lsh")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

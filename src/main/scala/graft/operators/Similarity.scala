@@ -1437,6 +1437,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** #167 corpus_decontaminate_embed_lsh — the 100 TB path #160's
+    * scaladoc promises: when the eval suite outgrows broadcast, the
+    * suite becomes the bucketed INDEX side of the #32b asymmetric
+    * multi-probe (suite vectors land once in their exact hyperplane
+    * bucket, capped; train vectors fan probe rows across the
+    * radius-2 masks) and the SAME exact integer gate verifies the
+    * bucket-collided candidates — precision 1.0 by construction
+    * (every reported hit passed the #160 gate; only recall trades
+    * against the probe radius). Plane count sizes to the EVAL suite
+    * (the side being partitioned), and the train side collapses to
+    * distinct-q reps first (the #32b duplicate-collapse move — a
+    * twin-amplified corpus probes each distinct vector once, then
+    * verdicts rejoin through the rep tag). Output schema = #160's,
+    * so the two are drop-in interchangeable; the spec measures recall
+    * against #160 and proves per-vector hit containment. Rows-only
+    * (xxhash64 buckets, the #32b adjudication). */
+  def corpusDecontaminateEmbedLsh(spark: SparkSession, dir: String,
+                                  radius: Int = Dedup.EmbedLshProbe): DataFrame = {
+    val v = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(graft.Constants.QuantizeExprSql).as("q"))
+      .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
+    val ev = v.filter(col("vec_id") % 10 === 0)
+    val p = planesFor(math.max(1L, ev.count()))
+    val indexed = Dedup.capPerBucket(
+      ev.withColumn("bucket", codeExpr(p))
+        .select(col("vec_id").as("e_id"), col("q").as("eq"),
+          col("nn").as("enn"), col("bucket")),
+      Seq("bucket"), Dedup.BandBucketCap, idCol = "e_id")
+    // train side: collapse byte-identical vectors to one rep — the
+    // rep probes, every twin inherits its verdict
+    val tagged = v.filter(col("vec_id") % 10 =!= 0)
+      .withColumn("rep", min("vec_id").over(Window.partitionBy("q")))
+    val reps = tagged.filter(col("vec_id") === col("rep"))
+      .withColumn("code", codeExpr(p))
+    val masks = Dedup.probeMasks(p, radius)
+    val probed = reps.select(col("vec_id").as("t_id"), col("q"), col("nn"),
+      explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*))
+        .as("bucket"))
+    // per (train, eval) pair the code XOR equals exactly ONE mask, so
+    // each pair collides at most once — no pair dedup needed (#32b)
+    val hits = probed.join(indexed, "bucket")
+      .filter(graft.functions.VectorFunctions.cosine_gate_l(
+        col("q"), col("eq"), col("nn"), col("enn"),
+        graft.Constants.CosGateNum, graft.Constants.CosGateThr))
+      .groupBy("t_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("e_id")).as("witness"))
+    tagged.select(col("vec_id"), col("rep"))
+      .join(hits, col("rep") === col("t_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("witness"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   val corpusDecontaminateEmbedSql: String =
     s"""WITH q AS (
        |  SELECT vec_id, ${graft.Constants.QuantizeDuckSql} AS v FROM embeddings
@@ -1465,6 +1520,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_decontaminate_embed" ->
       ((s: SparkSession, d: String) => corpusDecontaminateEmbed(s, d)),
+    "corpus_decontaminate_embed_lsh" ->
+      ((s: SparkSession, d: String) => corpusDecontaminateEmbedLsh(s, d)),
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => annPq(s, d)),

@@ -66,7 +66,7 @@ object Stress {
     // drift (one token aggregate + top-k), embedding decontamination
     // (broadcast eval suite, map-only probe)
     "corpus_url_dedup", "text_url_canon", "corpus_mix_temperature",
-    "corpus_drift", "corpus_decontaminate_embed", "ann_ivfpq",
+    "corpus_drift", "corpus_decontaminate_embed", "corpus_decontaminate_embed_lsh", "ann_ivfpq",
     "corpus_url_filter", "text_unigram_tokens", "vocab_unigram",
     "vocab_unigram_fertility",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE

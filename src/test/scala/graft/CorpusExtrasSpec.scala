@@ -208,6 +208,36 @@ class CorpusExtrasSpec extends SparkSpec {
     }
   }
 
+  test("embed decontamination LSH path: precision 1.0, measured recall, drop-in schema") {
+    val exact = Similarity.corpusDecontaminateEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getInt(3))).sortBy(_._1)
+    val lsh = Similarity.corpusDecontaminateEmbedLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getInt(3))).sortBy(_._1)
+    // drop-in: same train-vector set, same schema
+    assert(lsh.map(_._1).toSeq == exact.map(_._1).toSeq)
+    val exactBy = exact.map(t => t._1 -> t).toMap
+    lsh.foreach { case (id, nHits, witness, contaminated) =>
+      val (_, eHits, _, eCont) = exactBy(id)
+      // precision 1.0: every LSH hit passed the exact gate, so LSH can
+      // never flag a vector the exact path wouldn't, nor find MORE hits
+      assert(nHits <= eHits, s"vec $id")
+      assert(contaminated <= eCont, s"vec $id")
+      assert(contaminated == (if (nHits > 0) 1 else 0))
+      // any reported witness is a TRUE gated pair (subset of exact
+      // hits), even when the exact path's min witness was missed
+      if (nHits > 0) assert(witness.isDefined && eHits > 0)
+    }
+    // recall: bucketed candidates must find most of the exact flags
+    val flaggedExact = exact.count(_._4 == 1)
+    val flaggedLsh = lsh.count(_._4 == 1)
+    assert(flaggedExact > 0)
+    assert(flaggedLsh * 10 >= flaggedExact * 6,
+      s"recall collapsed: $flaggedLsh of $flaggedExact")
+    info(s"lsh recall: $flaggedLsh/$flaggedExact flagged vectors")
+  }
+
   test("unigram fertility: every lang covered, both ratios >= 1000 permille") {
     import graft.operators.Unigram._
     val rows = unigramFertility(spark, sf).collect()
