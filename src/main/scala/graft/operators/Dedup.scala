@@ -889,12 +889,13 @@ object Dedup {
     // sides, both expansion sides), and Spark reuses only the
     // EXCHANGE across them — each branch would re-sort 64-long array
     // keys and re-run the window (measured: the dominant repeated
-    // cost of the r10 plan). Persisting the 3-column frame runs the
-    // sort+window once; MEMORY_AND_DISK spills rather than OOMs when
-    // the corpus outgrows executor storage at scale.
-    val tagged = graft.operators.Similarity.quantized(spark, dir)
-      .withColumn("rep", min("vec_id").over(Window.partitionBy("q")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cost of the r10 plan). Pinning the 3-column frame runs the
+    // sort+window once; Checkpoints.pin (not a raw persist) because a
+    // lazy plan has no unpersist point, so repeated invocations would
+    // stack cached copies in the session until clearCache.
+    val tagged = graft.Checkpoints.pin(
+      graft.operators.Similarity.quantized(spark, dir)
+        .withColumn("rep", min("vec_id").over(Window.partitionBy("q"))))
     val mem = tagged.select(col("vec_id"), col("rep"), col("nn"))
     val reps = tagged
       .filter(col("vec_id") === col("rep"))

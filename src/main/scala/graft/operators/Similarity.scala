@@ -1466,13 +1466,16 @@ object Similarity {
           col("nn").as("enn"), col("bucket")),
       Seq("bucket"), Dedup.BandBucketCap, idCol = "e_id")
     // train side: collapse byte-identical vectors to one rep — the
-    // rep probes, every twin inherits its verdict. Persisted: the
+    // rep probes, every twin inherits its verdict. Pinned: the
     // tagged frame feeds the rep branch AND the verdict join-back,
     // and the q-keyed sort window is the dominant repeated cost when
-    // re-run per consumer (the #32b finding)
-    val tagged = v.filter(col("vec_id") % 10 =!= 0)
-      .withColumn("rep", min("vec_id").over(Window.partitionBy("q")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-run per consumer (the #32b finding). Checkpoints.pin rather
+    // than persist(): a raw persist has no unpersist point in a lazy
+    // plan, so repeated invocations (bench passes, sweeps) accumulate
+    // corpus-scale cached copies until session end — the pin's blocks
+    // are private to this call and carry no CacheManager entry.
+    val tagged = graft.Checkpoints.pin(v.filter(col("vec_id") % 10 =!= 0)
+      .withColumn("rep", min("vec_id").over(Window.partitionBy("q"))))
     val reps = tagged.filter(col("vec_id") === col("rep"))
       .withColumn("code", codeExpr(p))
     val masks = Dedup.probeMasks(p, radius)

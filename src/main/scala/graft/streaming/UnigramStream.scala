@@ -49,7 +49,16 @@ object UnigramStream {
 
   /** Frozen-model scoring of one (micro-)batch: per doc —
     * n_words, n_oov_words, pieces (over segmentable words),
-    * fertility_permille (NULL when nothing segments), admitted. */
+    * fertility_permille (NULL when nothing segments), admitted.
+    *
+    * Every input doc gets exactly ONE verdict row, including docs
+    * whose normalized text yields zero words (empty/whitespace-only):
+    * the word explode produces no rows for them, so the per-doc
+    * aggregate is left-joined back to the batch's doc ids and such
+    * docs emit an explicit n_words=0 / fertility NULL / admitted=0
+    * row — a wordless doc carries no tokenizer-economy signal, so it
+    * is rejected, but downstream exactly-once consumers counting
+    * verdicts still see it. */
   def scoreBatch(docs: DataFrame, pm: DataFrame): DataFrame = {
     val uni = graft.operators.Unigram
     val words = docs
@@ -62,11 +71,16 @@ object UnigramStream {
       .crossJoin(broadcast(pm))
       .withColumn("best", expr(uni.dpExprSql))
       .select(col("word"), expr(s"best % ${uni.EncBase}").as("n_pieces"))
-    words.join(types, Seq("word"), "left") // left: over-length words → NULL
+    val perDoc = words.join(types, Seq("word"), "left") // left: over-length words → NULL
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("n_pieces").isNull, 1L).otherwise(0L)).as("n_oov_words"),
         sum(coalesce(col("n_pieces"), lit(0L))).as("pieces"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_oov_words"), lit(0L)).as("n_oov_words"),
+        coalesce(col("pieces"), lit(0L)).as("pieces"))
       .withColumn("fertility_permille",
         expr("pieces * 1000L div nullif(n_words - n_oov_words, 0L)"))
       .withColumn("admitted",

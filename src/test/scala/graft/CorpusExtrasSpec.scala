@@ -86,8 +86,11 @@ class CorpusExtrasSpec extends SparkSpec {
     }
     // precedence is exercised, not just defined: a doc that is BOTH
     // blocked-domain (host src4 = id%20==4) and spam-path (id%13==0)
-    // must fall to the domain rule — id 104 is the smallest such
-    assert(byId.get(104L).forall(_ == "blocked_domain"))
+    // must fall to the domain rule — id 104 is the smallest such.
+    // contains() first: forall alone is vacuously true if the corpus
+    // ever shrinks below doc 104 (ADVICE r15)
+    assert(byId.contains(104L), "precedence case doc 104 missing from corpus")
+    assert(byId(104L) == "blocked_domain")
     Seq("blocked_domain", "banned_word", "bad_extension", "kept").foreach { w =>
       assert(v.exists(_._3 == w), s"verdict $w never exercised")
     }

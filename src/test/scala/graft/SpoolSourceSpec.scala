@@ -193,6 +193,59 @@ class SpoolSourceSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("AvailableNow drain latches the listing at query start; later files wait for the next pass") {
+    val dir = new File(sys.props("java.io.tmpdir"),
+      s"graft-spool-avnow-${spark.sparkContext.applicationId}")
+    dir.mkdirs()
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    val cp = new File(dir, "_cp").getAbsolutePath
+    writeGz(dir, "0001.gz", record("g", "s1", Seq(("001", "m1", 1L))))
+    writeGz(dir, "0002.gz", record("g", "s1", Seq(("002", "m2", 2L))))
+
+    // unit level (deterministic concurrent-publisher interleave): the
+    // prepare latch pins the watermark BEFORE the new file lands, so
+    // the admission-control offset and the planned batch exclude it
+    val stream = new graft.sources.SpoolMicroBatchStream(
+      dir.getAbsolutePath, graft.sources.SpoolTable.Schema,
+      Array.empty[org.apache.spark.sql.sources.Filter], 128L * 1024 * 1024)
+    stream.prepareForTriggerAvailableNow()
+    writeGz(dir, "0003.gz", record("g", "s1", Seq(("003", "m3", 3L))))
+    val latched = stream.latestOffset(stream.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(latched.asInstanceOf[graft.sources.SpoolOffset].watermark === "0002.gz")
+    val planned = stream.planInputPartitions(stream.initialOffset(), latched)
+      .flatMap(_.asInstanceOf[graft.sources.SpoolInputPartition].files)
+    assert(planned.length === 2 && planned.forall(!_.endsWith("0003.gz")),
+      planned.mkString(","))
+
+    // e2e: an AvailableNow pass drains everything up to ITS latch and
+    // self-terminates (no deprecated single-batch fallback — that path
+    // cannot terminate cleanly with data still pending); the file
+    // published after the unit-level latch above is simply part of
+    // this query's own snapshot
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-spool")
+        .load(dir.getAbsolutePath)
+        .select("id")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getString(0))); ()
+        }
+        .option("checkpointLocation", cp).start()
+      assert(q.awaitTermination(120000), "AvailableNow drain must self-terminate")
+    }
+    drainOnce()
+    assert(seen.toArray(Array.empty[String]).sorted === Array("001", "002", "003"))
+    // nothing new → a fresh pass is a clean no-op; then a late file
+    // drains exactly once on the pass AFTER it publishes
+    writeGz(dir, "0004.gz", record("g", "s2", Seq(("004", "m4", 4L))))
+    drainOnce()
+    assert(seen.toArray(Array.empty[String]).sorted ===
+      Array("001", "002", "003", "004"))
+  }
+
   test("sealed-epoch drain: whole epochs only, unsealed files invisible until their seal lands") {
     val dir = new File(sys.props("java.io.tmpdir"),
       s"graft-spool-seal-${spark.sparkContext.applicationId}")
