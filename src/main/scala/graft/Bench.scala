@@ -55,7 +55,12 @@ object Bench {
     "corpus_url_dedup", "corpus_mix_temperature", "corpus_drift",
     "corpus_decontaminate_embed", "ann_ivfpq", "corpus_url_filter",
     "text_unigram_tokens", "vocab_unigram", "vocab_unigram_fertility",
-    "corpus_decontaminate_embed_lsh")
+    "corpus_decontaminate_embed_lsh",
+    // prebuilt-index query paths: the warmup pass pays the one-time
+    // build (ensure* reuses the fingerprint-keyed index after it), so
+    // the timed passes measure the QUERY-ONLY wall — the per-query
+    // cost a deployment sees, vs the in-query twins that retrain
+    "ann_ivfpq_q", "ann_pq_q", "ann_index_freshness")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three
@@ -71,7 +76,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
+    // optional arg: comma-separated headliner subset (local iteration —
+    // the Verify subset convention); the driver's no-arg run is unchanged
+    val subset = args.headOption.map(_.split(",").toSet)
     val names = headliners.filter(SparkEntry.queries.contains)
+      .filter(n => subset.forall(_.contains(n)))
     var failed = List.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Bucketing.queries ++
       operators.Url.queries ++
       operators.Unigram.queries ++
+      operators.AnnIndex.queries ++
       sources.Spool.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -59,5 +60,6 @@ object SparkEntry {
       operators.Sketch.oracle ++
       operators.Url.oracle ++
       operators.Unigram.oracle ++
+      operators.AnnIndex.oracle ++
       sources.Spool.oracle
 }

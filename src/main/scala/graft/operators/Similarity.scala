@@ -32,7 +32,7 @@ object Similarity {
     * TopK, deterministic output order. ONE definition for every ANN
     * variant — a tiebreak or scoring change here cannot leave one of
     * the five pipelines behind. */
-  private def rankTopK(cand: DataFrame): DataFrame = {
+  private[operators] def rankTopK(cand: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     cand
@@ -305,16 +305,10 @@ object Similarity {
     * IVF). */
   val NProbe = 4
 
-  private def centroidSeed(spark: SparkSession, dir: String): DataFrame =
-    quantized(spark, dir)
-      .filter(col("vec_id") >= CentroidBase &&
-        col("vec_id") < CentroidBase + Centroids)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
-
   /** Corpus vector → nearest centroid in `cents` (integer L2²; ties
     * break on cid). The k-row centroid table broadcasts; the only
     * shuffle is the min-struct aggregate back to one row per vector. */
-  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .withColumn("d2", col("nn") + col("cn") -
         lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
@@ -342,9 +336,21 @@ object Similarity {
     * cached" warnings — where checkpointed blocks are private to
     * this call. */
   def kmeansCentroids(spark: SparkSession, dir: String,
-                      iters: Int = KmeansIters): DataFrame = {
-    val v = quantized(spark, dir)
-    var cents = centroidSeed(spark, dir)
+                      iters: Int = KmeansIters): DataFrame =
+    kmeansCentroidsFrom(quantized(spark, dir), iters)
+
+  /** The same Lloyd kernel over an arbitrary quantized (vec_id, q, nn)
+    * frame — the 'From'-style seam (pqCodebooksFrom's pattern), so the
+    * index-freshness audit can train on a historical SNAPSHOT of the
+    * corpus (the vectors that existed at index-build time) with the
+    * same oracle-proven algebra. The seed window must be inside the
+    * frame (ids [CentroidBase, CentroidBase+Centroids)). */
+  private[operators] def kmeansCentroidsFrom(v: DataFrame,
+                                             iters: Int = KmeansIters): DataFrame = {
+    var cents = v
+      .filter(col("vec_id") >= CentroidBase &&
+        col("vec_id") < CentroidBase + Centroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
     for (_ <- 1 to iters) {
       val sums = assignTo(v, cents)
         .select(col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
@@ -397,7 +403,15 @@ object Similarity {
     * takes the per-component floor-average (exact in IEEE doubles on
     * integer sums, so trained centroids are bit-identical to the
     * Spark side's). Used by both annIvfSql and corpusDiversitySql. */
-  private def kmeansSqlCtes: String = {
+  private def kmeansSqlCtes: String = kmeansSqlCtesTrainedOn("TRUE")
+
+  /** The k-means CTE chain with training restricted to `pred` (over
+    * `n`'s columns): the freshness audit trains on the index-build
+    * snapshot (vec_id < cutoff) while the assignment CTEs that follow
+    * still read the FULL `n`. With pred=TRUE this is the classic
+    * chain — `ntr` = `n` — so every existing oracle keeps its
+    * values. */
+  private[operators] def kmeansSqlCtesTrainedOn(pred: String): String = {
     def iterBlock(k: Int): String = {
       val prev = s"cen${k - 1}"
       s"""dst$k AS (
@@ -405,7 +419,7 @@ object Similarity {
         |    n.nn + c.cn
         |      - 2 * CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) AS BIGINT)
         |      AS d2
-        |  FROM n CROSS JOIN $prev c
+        |  FROM ntr n CROSS JOIN $prev c
         |), asn$k AS (
         |  SELECT vec_id, v, nn, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -428,8 +442,10 @@ object Similarity {
       |), n AS (
       |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
       |  FROM q
+      |), ntr AS (
+      |  SELECT * FROM n WHERE $pred
       |), cen0 AS (
-      |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM n
+      |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM ntr
       |  WHERE vec_id >= $CentroidBase AND vec_id < ${CentroidBase + Centroids}
       |),
       |$training""".stripMargin
@@ -795,7 +811,7 @@ object Similarity {
     * every training/encode/probe consumer, so all M codebooks train
     * inside the same two Lloyd jobs instead of M separate k-means
     * loops. */
-  private def subVectors(v: DataFrame): DataFrame =
+  private[operators] def subVectors(v: DataFrame): DataFrame =
     v.select(col("vec_id"), col("nn"),
       explode(expr(s"transform(sequence(0, ${PqSub - 1}), m -> " +
         s"named_struct('m', m, 'sq', slice(q, m * $PqSubDim + 1, $PqSubDim)))")).as("s"))
@@ -807,7 +823,7 @@ object Similarity {
     * (d2, cid) tie-break). The ≤ M·K-row codebook broadcasts; the
     * only shuffle is the min-struct aggregate back to one row per
     * (vec_id, m). */
-  private def pqAssign(sv: DataFrame, cw: DataFrame): DataFrame =
+  private[operators] def pqAssign(sv: DataFrame, cw: DataFrame): DataFrame =
     sv.join(broadcast(cw), "m")
       .withColumn("d2", col("sn") + col("cn") -
         lit(2) * graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")))
@@ -891,18 +907,46 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String,
             codewords: Int = PqCodewords,
             rerank: Int = PqRerank): DataFrame = {
-    val v = quantized(spark, dir)
-    val sv = subVectors(v)
+    val a = pqArtifacts(spark, dir, codewords)
+    annPqQueryFrom(spark, dir, a, rerank)
+  }
+
+  /** The PQ index's build-side artifacts — exactly what a deployment
+    * persists once and queries many times (FAISS write_index): the
+    * trained codebooks, the M-codes-per-vector sidecar, and the
+    * codeword-reconstructed norms. [[annPq]] derives them in-query;
+    * [[AnnIndex]] writes them as parquet tables and serves
+    * [[annPqQueryFrom]] from the prebuilt read — both paths run the
+    * identical query algebra, so results are bit-for-bit equal. */
+  private[operators] final case class PqArtifacts(
+      cw: DataFrame, codes: DataFrame, ncode: DataFrame)
+
+  private[operators] def pqArtifacts(spark: SparkSession, dir: String,
+                                     codewords: Int = PqCodewords): PqArtifacts = {
+    val sv = subVectors(quantized(spark, dir))
     val cw = pqCodebooks(spark, dir, codewords = codewords)
     // codes is consumed by the norm aggregate AND the ADC scan; the
-    // recompute is deliberate — persisting it was measured SLOWER at
-    // bench scale (the materialization job outweighs the cheap
-    // assign), and at 100 TB the codes sidecar would be written once
-    // as a table by the index build, not cached inside one query
+    // recompute is deliberate in the in-query path — persisting it was
+    // measured SLOWER at bench scale (the materialization job
+    // outweighs the cheap assign); the build-once path (AnnIndex)
+    // materializes it as the parquet sidecar instead
     val codes = pqAssign(sv, cw).select(col("vec_id"), col("m"), col("cid"))
     val ncode = codes.join(broadcast(cw), Seq("m", "cid"))
       .groupBy("vec_id").agg(sum(col("cn")).as("nc"))
-    val lut = sv.filter(col("vec_id") < NumQueries)
+    PqArtifacts(cw, codes, ncode)
+  }
+
+  /** The query-side half of #139: per-query LUT against the (possibly
+    * prebuilt) codebooks, ADC scan over the codes sidecar, exact
+    * rerank of the shortlist against the corpus vectors. */
+  private[operators] def annPqQueryFrom(spark: SparkSession, dir: String,
+                                        a: PqArtifacts,
+                                        rerank: Int = PqRerank): DataFrame = {
+    val v = quantized(spark, dir)
+    val cw = a.cw
+    val codes = a.codes
+    val ncode = a.ncode
+    val lut = subVectors(v.filter(col("vec_id") < NumQueries))
       .join(broadcast(cw), "m")
       .select(col("vec_id").as("query_id"), col("nn").as("nq"),
         col("m"), col("cid"),
@@ -1060,8 +1104,34 @@ object Similarity {
                nProbe: Int = NProbe,
                rerank: Int = PqRerank,
                codewords: Int = PqCodewords): DataFrame = {
-    val v = quantized(spark, dir)
-    val cents = kmeansCentroids(spark, dir)
+    val a = ivfPqArtifacts(spark, dir, codewords)
+    annIvfPqQueryFrom(spark, dir, a, nProbe, rerank)
+  }
+
+  /** The IVF-PQ index's build-side artifacts (everything FAISS's
+    * write_index serializes for an IVFPQ index): trained coarse
+    * centroids, residual codebooks, the per-vector residual codes,
+    * and the (vec_id, cid, nc_hat) sidecar that carries both the
+    * inverted-list assignment and the encode-time reconstructed norm.
+    * [[annIvfPq]] derives them in-query; [[AnnIndex]] persists them
+    * and serves [[annIvfPqQueryFrom]] from the prebuilt read. */
+  private[operators] final case class IvfPqArtifacts(
+      cents: DataFrame, cw: DataFrame, codes: DataFrame, nhat: DataFrame)
+
+  private[operators] def ivfPqArtifacts(spark: SparkSession, dir: String,
+                                        codewords: Int = PqCodewords)
+      : IvfPqArtifacts =
+    ivfPqArtifactsFrom(quantized(spark, dir), codewords)
+
+  /** The same build over an arbitrary quantized (vec_id, q, nn) frame
+    * — lets [[AnnIndex]] build on a historical corpus snapshot (its
+    * freshness audit freezes the index at a cutoff) with identical
+    * training algebra. The k-means seed window and the PqTrainMod
+    * training subset must be inside the frame. */
+  private[operators] def ivfPqArtifactsFrom(v: DataFrame,
+                                            codewords: Int = PqCodewords)
+      : IvfPqArtifacts = {
+    val cents = kmeansCentroidsFrom(v)
     val assigned = assignTo(v, cents) // (vec_id, cid, q, nn)
     // residuals keep the coarse assignment alongside: r = q − c_cid
     val resid = assigned.join(broadcast(cents), "cid")
@@ -1070,9 +1140,15 @@ object Similarity {
       .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
     val rsv = subVectors(resid.select("vec_id", "q", "nn"))
     val cw = pqCodebooksFrom(rsv, codewords = codewords) // residual codebooks
+    val vecList = assigned.select(col("vec_id"), col("cid"))
+    // codes carry their inverted-list id: (vec_id, cid, m, code) IS
+    // the persisted layout (partitioned by cid, a probe reads only
+    // its lists' directories) and lets the ADC join probe lists
+    // without a per-vector list lookup
     val codes = pqAssign(rsv, cw)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
-    val vecList = assigned.select(col("vec_id"), col("cid"))
+      .join(vecList, "vec_id")
+      .select(col("vec_id"), col("cid"), col("m"), col("code"))
     // reconstructed-norm sidecar: one integer per vector, encode-time
     val cross = cents.crossJoin(broadcast(cw.select(col("m"),
         col("cid").as("code"), col("cq").as("ccq"), col("cn").as("ccn"))))
@@ -1081,7 +1157,7 @@ object Similarity {
           expr(s"slice(cq, m * $PqSubDim + 1, $PqSubDim)"), col("ccq"))
           .as("xdot"),
         col("ccn"))
-    val nhat = codes.join(vecList, "vec_id")
+    val nhat = codes
       .join(broadcast(cross), Seq("cid", "m", "code"))
       .groupBy("vec_id", "cid")
       .agg((sum(col("xdot")) * 2 + sum(col("ccn"))).as("rpart"))
@@ -1090,6 +1166,22 @@ object Similarity {
       // guards the cosine division against a (degenerate) zero vector
       .select(col("vec_id"), col("cid"),
         greatest(col("cn") + col("rpart"), lit(1L)).as("nc_hat"))
+    IvfPqArtifacts(cents, cw, codes, nhat)
+  }
+
+  /** The query-side half of #161: probe the nProbe nearest lists,
+    * LUT + ADC over only the probed lists' codes, exact rerank. The
+    * list assignment and reconstructed norms both come from the
+    * artifact sidecar — the query never touches the build chain. */
+  private[operators] def annIvfPqQueryFrom(spark: SparkSession, dir: String,
+                                           a: IvfPqArtifacts,
+                                           nProbe: Int = NProbe,
+                                           rerank: Int = PqRerank): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = a.cents
+    val cw = a.cw
+    val codes = a.codes
+    val nhat = a.nhat
     // query side: NProbe nearest lists, with dot(q, c) computed in the
     // same centroid pass
     val wProbe = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
@@ -1107,7 +1199,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("m"),
         col("cid").as("code"),
         graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")).as("pdot"))
-    val adc = codes.join(vecList, "vec_id")
+    val adc = codes
       .join(broadcast(probes), "cid") // only probed lists survive
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
