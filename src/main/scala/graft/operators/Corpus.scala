@@ -1842,6 +1842,12 @@ object Corpus {
     * every curation rerun.
     *
     * Stage semantics (each on the prior stage's survivors):
+    *  0. URL dedup (#157 over #156, NEW r16): canonical-URL identity,
+    *     min-doc_id keeper — the FIRST gate real crawl pipelines run,
+    *     because the URL is the only key that exists before the page
+    *     is fetched. Synthesis: [[Url.pipelineSynthSql]] (noise keyed
+    *     by doc_id, content by url_key; recrawl twins at
+    *     doc_id ≡ 55 mod 101 collapse onto their predecessor);
     *  1. quality: the #36/#124 rule battery (≥10 words, stopword
     *     ratio < 0.5, punct·5 ≤ words);
     *  2. keep-best exact dedup (#124): per normalized text keep the
@@ -1950,8 +1956,8 @@ object Corpus {
     * ([[corpusPipelineAudit]]). Each frame is the SURVIVOR set after
     * its stage, pinned where ≥2 consumers read it. */
   private[graft] final case class PipelineFrames(
-      train: DataFrame, q: DataFrame, s2: DataFrame, s3: DataFrame,
-      s4: DataFrame, s5: DataFrame, bpe: DataFrame)
+      train: DataFrame, s0: DataFrame, q: DataFrame, s2: DataFrame,
+      s3: DataFrame, s4: DataFrame, s5: DataFrame, bpe: DataFrame)
 
   private[graft] def pipelineFrames(
       spark: SparkSession, dir: String): PipelineFrames = {
@@ -1964,8 +1970,21 @@ object Corpus {
         tf.normText(col("text")).as("norm"))
     val train = base.filter(col("doc_id") % BenchmarkMod =!= 0)
 
+    // stage 0: canonical-URL dedup (#157's keeper rule over #156's
+    // canonicalization) — crawl pipelines dedup by URL BEFORE any
+    // content gate, because URL identity is the only key that exists
+    // pre-fetch (and re-fetching the page is the cost being saved).
+    // One hash groupBy on the canonical string; min-doc_id keeper.
+    val canon = train
+      .withColumn("url_key", expr(Url.pipelineUrlKeySql))
+      .withColumn("url", expr(Url.pipelineSynthSql("spark")))
+      .select(col("doc_id"), expr(Url.canonUrlSql("spark")).as("canon_url"))
+    val keepU = canon.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
+    val s0 = graft.Checkpoints.pin(
+      train.join(keepU.select("doc_id"), Seq("doc_id"), "left_semi"))
+
     // stage 1: quality gate (shared with the streaming admission twin)
-    val q = qualityGate(train).select("doc_id", "lang", "source", "text", "norm")
+    val q = qualityGate(s0).select("doc_id", "lang", "source", "text", "norm")
 
     // stage 2: keep-best exact dedup — map-side-combinable max(struct),
     // same as #124 (quality already constant within a fingerprint group)
@@ -2000,6 +2019,7 @@ object Corpus {
       .select("doc_id", "source", "norm")
 
     PipelineFrames(train.select("doc_id", "lang", "source", "norm"),
+      s0.select("doc_id", "lang", "source", "norm"),
       q, s2, s3, s4, s5, bpe)
   }
 
@@ -2018,9 +2038,9 @@ object Corpus {
   def corpusPipelineAudit(spark: SparkSession, dir: String): DataFrame = {
     val f = pipelineFrames(spark, dir)
     val stages = Seq(
-      (0, "input", f.train), (1, "quality", f.q),
-      (2, "exact_dedup", f.s2), (3, "near_dup", f.s3),
-      (4, "decontaminate", f.s4), (5, "mix", f.s5))
+      (0, "input", f.train), (1, "url_dedup", f.s0), (2, "quality", f.q),
+      (3, "exact_dedup", f.s2), (4, "near_dup", f.s3),
+      (5, "decontaminate", f.s4), (6, "mix", f.s5))
     stages.map { case (i, name, df) =>
       df.select(size(split(col("norm"), " ")).cast("long").as("t"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2047,9 +2067,17 @@ object Corpus {
     s"""${Bpe.tokenFrameCtes}, pl_train AS (
       |  SELECT doc_id, lang, source, text, $norm AS norm
       |  FROM documents WHERE doc_id % $BenchmarkMod <> 0
+      |), pl_canon AS (
+      |  SELECT doc_id, ${Url.canonUrlSql("duck")} AS canon_url FROM (
+      |    SELECT doc_id, ${Url.pipelineSynthSql("duck")} AS url FROM (
+      |      SELECT doc_id, ${Url.pipelineUrlKeySql} AS url_key FROM pl_train))
+      |), pl_ukeep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM pl_canon GROUP BY canon_url
+      |), pl_surv0 AS (
+      |  SELECT t.* FROM pl_train t JOIN pl_ukeep k ON t.doc_id = k.doc_id
       |), pl_q AS (
       |  SELECT doc_id, lang, source, text, norm FROM (
-      |    SELECT *, string_split(norm, ' ') AS qtoks FROM pl_train)
+      |    SELECT *, string_split(norm, ' ') AS qtoks FROM pl_surv0)
       |  WHERE len(qtoks) >= 10
       |    AND CAST(len(list_filter(qtoks, t -> list_contains($lex, t))) AS DOUBLE) / len(qtoks) < 0.5
       |    AND len(regexp_extract_all(norm, '[^a-z0-9 ]')) * 5 <= len(qtoks)
@@ -2166,15 +2194,17 @@ object Corpus {
       |  SELECT 0 AS stage, 'input' AS stage_name, COUNT(*) AS n_docs,
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) AS ws_tokens
       |  FROM pl_train
-      |  UNION ALL SELECT 1, 'quality', COUNT(*),
+      |  UNION ALL SELECT 1, 'url_dedup', COUNT(*),
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv0
+      |  UNION ALL SELECT 2, 'quality', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_q
-      |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+      |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv2
-      |  UNION ALL SELECT 3, 'near_dup', COUNT(*),
+      |  UNION ALL SELECT 4, 'near_dup', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv3
-      |  UNION ALL SELECT 4, 'decontaminate', COUNT(*),
+      |  UNION ALL SELECT 5, 'decontaminate', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv4
-      |  UNION ALL SELECT 5, 'mix', COUNT(*),
+      |  UNION ALL SELECT 6, 'mix', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv5
       |)
       |ORDER BY stage""".stripMargin

@@ -120,6 +120,51 @@ object Url {
     s"concat($scheme, '://', $host, $portKeep, $pathKeep, $queryKeep)"
   }
 
+  /** The #156 canonicalization over a column named `url`, exported for
+    * composition: the pipeline's URL stage (#151 stage 0) and the
+    * streaming admission twin's URL gate key on the same rules. */
+  private[graft] def canonUrlSql(dialect: String): String = canonSql(dialect)
+
+  // --- #171 pipeline synthesis: the composed pipeline's URL stage.
+  //
+  // Semantic content (scheme kind, host, page id) keys on `url_key`;
+  // presentation NOISE (scheme/host case, redundant default port,
+  // tracking params, fragment, trailing slash) keys on doc_id residues
+  // — so every doc's RAW url is messy in its own way, canonicalization
+  // must do real work on every row, and two docs collide iff they
+  // share url_key. The planted recrawl twins are docs with
+  // doc_id % 101 == 55, which re-fetch the page of doc_id − 1: raw
+  // strings differ (different noise residues), canonical forms are
+  // equal, and the min-id keeper drops the twin at stage 0 — the
+  // same-page-crawled-twice scenario URL dedup exists for. Unlike
+  // #156's synthesis (mod-60 collapse classes, built to stress the
+  // dedup aggregate), page ids here are doc-unique so the pipeline's
+  // downstream stages keep their planted one-casualty-per-gate
+  // structure.
+  private[graft] val PipelineTwinMod = 101L
+  private[graft] val PipelineTwinRes = 55L
+
+  /** `url_key` from doc_id: the recrawl twin re-fetches its
+    * predecessor's page. Same text in both dialects. */
+  private[graft] def pipelineUrlKeySql: String =
+    s"CASE WHEN doc_id % $PipelineTwinMod = $PipelineTwinRes " +
+      "THEN doc_id - 1 ELSE doc_id END"
+
+  /** Messy raw URL over (doc_id, url_key) columns. */
+  private[graft] def pipelineSynthSql(dialect: String): String = {
+    val cast = if (dialect == "spark") "STRING" else "VARCHAR"
+    s"""concat(
+       |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+       |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.SRC' ELSE 'www.src' END,
+       |  CAST(url_key % 20 AS $cast),
+       |  CASE WHEN doc_id % 3 = 0 THEN '.EXAMPLE.COM' ELSE '.example.com' END,
+       |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+       |  '/docs/article-', CAST(url_key AS $cast),
+       |  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+       |  CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&gclid=XYZ' ELSE '' END,
+       |  CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END)""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // #156 text_url_canon — per-doc canonical URL + registrable host
   // ---------------------------------------------------------------------

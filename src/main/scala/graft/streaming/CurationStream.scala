@@ -58,6 +58,14 @@ object CurationStream {
     * kind b+1 = LSH band b. `sig` is empty on exact rows. */
   case class GateRow(doc_id: Long, kind: Int, k1: Long, k2: Long,
                      sig: Array[Long], contaminated: Boolean)
+
+  /** A doc entering the URL gate: payload + its canonical-URL
+    * 128-bit key. */
+  case class UrlDoc(doc_id: Long, text: String, k1: Long, k2: Long)
+  /** URL-gate output: the doc (payload carried through — admitted
+    * rows feed the content-gate query downstream) and its bucket
+    * owner; owner == doc_id means this doc holds the canonical URL. */
+  case class UrlVerdict(doc_id: Long, text: String, owner: Long)
   /** Per-bucket observation: who owns the bucket and how many
     * signature slots agree with the owner (exact rows auto-verify
     * with the full count). */
@@ -150,12 +158,88 @@ object CurationStream {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // #172 streaming URL admission gate — batch stage 0 as its own
+  // upstream query
+  // ---------------------------------------------------------------------
+
+  /** Canonical-URL gate rows: docs with a `url` column keyed by the
+    * 128-bit hash pair of their CANONICAL url (#156's rules — the
+    * same normalization the batch pipeline's stage 0 dedups on, so a
+    * tracking-param/case/port variant of a seen page maps to the
+    * seen bucket). */
+  def urlDocs(docs: DataFrame): Dataset[UrlDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("canon",
+        expr(graft.operators.Url.canonUrlSql("spark")))
+      .select(col("doc_id"), col("text"),
+        xxhash64(col("canon")).as("k1"),
+        xxhash64(lit("url2"), col("canon")).as("k2"))
+      .as[UrlDoc]
+  }
+
+  /** First writer owns each canonical URL (within a micro-batch the
+    * smallest doc_id, deterministic like the content gates); state is
+    * ONE long per distinct canonical URL ever seen — the frontier's
+    * seen-set, the smallest state any gate here carries. */
+  def urlObservations(docs: Dataset[UrlDoc]): Dataset[UrlVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.k1, d.k2))
+      .flatMapGroupsWithState[Long, UrlVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, ds, state) =>
+        val sorted = ds.toArray.sortBy(_.doc_id)
+        val owner = if (state.exists) state.get else sorted.head.doc_id
+        if (!state.exists) state.update(owner)
+        sorted.iterator.map(d => UrlVerdict(d.doc_id, d.text, owner))
+      }
+  }
+
+  /** The URL admission stage as its own query, CHAINED to
+    * [[admissionQuery]] through storage: verdict rows (url_dup /
+    * url_admitted, with owner provenance) append to `verdictDir`, and
+    * admitted docs' payloads append to `admittedDir` — the content
+    * gates' input. This is the layout real crawl stacks run (frontier
+    * URL dedup BEFORE fetch/ingest, content gates downstream) and it
+    * reproduces the batch stage order exactly: a URL-rejected doc
+    * never reaches the content gates, so it can never claim an exact
+    * or band bucket the way an in-line gate would — and each query
+    * keeps the single-stateful-operator shape Structured Streaming
+    * plans without restriction. The admitted handoff is a materialized
+    * stage boundary, the streaming analogue of the batch pipeline's
+    * Checkpoints.pin between stages. */
+  def urlAdmissionQuery(spark: SparkSession, inputDir: String,
+                        schema: StructType, checkpointDir: String,
+                        verdictDir: String, admittedDir: String): StreamingQuery =
+    urlObservations(urlDocs(
+      spark.readStream.schema(schema).parquet(inputDir)))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[UrlVerdict], batchId: Long) =>
+        val df = batch.toDF()
+        df.select(col("doc_id"),
+          when(col("owner") =!= col("doc_id"), "url_dup")
+            .otherwise("url_admitted").as("verdict"),
+          when(col("owner") =!= col("doc_id"), col("owner")).as("dup_of"),
+          lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(verdictDir)
+        df.filter(col("owner") === col("doc_id"))
+          .select("doc_id", "text")
+          .write.mode("append").parquet(admittedDir)
+      }
+      .start()
+
   /** File-based ingest: one verdict row per quality-passing doc per
     * increment — (doc_id, verdict, dup_of, batch_id) appended to
     * `outDir`, the admission record. Verdict precedence mirrors the
     * batch stage order: dup_exact, then near_dup (signature-verified
     * against the bucket owner, matches·2 ≥ seeds like the batch
-    * verify), then contaminated, else admitted. */
+    * verify), then contaminated, else admitted. Runs downstream of
+    * [[urlAdmissionQuery]] when the corpus carries URLs (batch twin:
+    * the stage-0-then-content order of #151). */
   def admissionQuery(spark: SparkSession, inputDir: String, schema: StructType,
                      checkpointDir: String, outDir: String,
                      bloomBits: Array[Boolean]): StreamingQuery =

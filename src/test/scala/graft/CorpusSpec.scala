@@ -44,6 +44,15 @@ class CorpusSpec extends SparkSpec {
     import spark.implicits._
     val C = operators.Corpus
     // One planted casualty per stage, everything hand-checkable:
+    //  - 55 is the URL casualty: 55 % 101 == 55, so its synthesized
+    //    url_key is 54 — a RECRAWL of doc 54's page under different
+    //    noise (54: 'HTTPS://WWW.SRC14.EXAMPLE.COM/docs/article-54';
+    //    55: 'https://www.src14.example.com:443/docs/article-54?utm_
+    //    source=feed&gclid=XYZ') — both canonicalize to
+    //    'https://src14.example.com/docs/article-54' and the min-id
+    //    keeper drops 55 at stage 0 despite its quality-passing text;
+    //  - 54 itself then fails quality (2 words), proving URL keeping
+    //    is BLIND to content exactly like a real frontier;
     //  - 6 fails quality (2 words);
     //  - 1 and 2 are exact twins (same norm; 2's RAW text is longer,
     //    so keep-best must keep the HIGHER id — first-arrival would
@@ -67,6 +76,8 @@ class CorpusSpec extends SparkSpec {
       (6L, "tiny doc"),
       (7L, "f7a f7b f7c f7d f7e f7f f7g f7h f7i f7j f7k f7l"),
       (8L, "f8a f8b f8c f8d f8e f8f f8g f8h f8i f8j f8k f8l"),
+      (54L, "recrawl stub"),
+      (55L, "u55a u55b u55c u55d u55e u55f u55g u55h u55i u55j u55k u55l"),
       (97L, "xray yankee zulu quebec romeo sierra tango uniform victor whiskey aaa bbb"))
     val dir = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
     docs.toDF("doc_id", "text")
@@ -77,7 +88,9 @@ class CorpusSpec extends SparkSpec {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val f = C.pipelineFrames(spark, dir)
-    assert(ids(f.train) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    assert(ids(f.train) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 54L, 55L))
+    assert(ids(f.s0) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 54L),
+      "URL dedup must drop the recrawl twin, keeping the min-id fetch")
     assert(ids(f.q) === Set(1L, 2L, 3L, 4L, 5L, 7L, 8L))
     assert(ids(f.s2) === Set(2L, 3L, 4L, 5L, 7L, 8L), "keep-best must keep the longer raw twin")
     assert(ids(f.s3) === Set(2L, 3L, 5L, 7L, 8L), "near-dup must drop the higher id of the pair")
@@ -87,9 +100,10 @@ class CorpusSpec extends SparkSpec {
     val audit = C.corpusPipelineAudit(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(audit.toSeq === Seq(
-      (0L, "input", 8L, 86L), (1L, "quality", 7L, 84L),
-      (2L, "exact_dedup", 6L, 72L), (3L, "near_dup", 5L, 60L),
-      (4L, "decontaminate", 4L, 48L), (5L, "mix", 4L, 48L)))
+      (0L, "input", 10L, 100L), (1L, "url_dedup", 9L, 88L),
+      (2L, "quality", 7L, 84L),
+      (3L, "exact_dedup", 6L, 72L), (4L, "near_dup", 5L, 60L),
+      (5L, "decontaminate", 4L, 48L), (6L, "mix", 4L, 48L)))
 
     val bins = C.corpusPipeline(spark, dir).collect()
     assert(bins.length === 1) // 48 tokens fit one 256-token bin
@@ -105,8 +119,9 @@ class CorpusSpec extends SparkSpec {
     val audit = C.corpusPipelineAudit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(audit.map(t => (t._1, t._2)).toSeq === Seq(
-      (0L, "input"), (1L, "quality"), (2L, "exact_dedup"),
-      (3L, "near_dup"), (4L, "decontaminate"), (5L, "mix")))
+      (0L, "input"), (1L, "url_dedup"), (2L, "quality"),
+      (3L, "exact_dedup"), (4L, "near_dup"), (5L, "decontaminate"),
+      (6L, "mix")))
     // every stage is a filter of its predecessor: docs and tokens
     // can only shrink
     audit.sliding(2).foreach { case Array(a, b) =>

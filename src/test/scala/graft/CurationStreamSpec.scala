@@ -16,26 +16,64 @@ class CurationStreamSpec extends SparkSpec {
 
   private val schema = new StructType()
     .add("doc_id", "long").add("text", "string")
+  private val urlSchema = new StructType()
+    .add("doc_id", "long").add("text", "string").add("url", "string")
 
   private def trainDocs = Tables.load(spark, sf, "documents")
     .filter(col("doc_id") % Corpus.BenchmarkMod =!= 0)
     .select("doc_id", "text")
 
-  test("single increment: verdicts partition the quality gate and every gate matches its batch twin") {
+  /** Train docs carrying the batch pipeline's synthesized raw URL —
+    * the crawl-shaped input the chained URL + content admission runs
+    * on (#171/#172's twin corpus). */
+  private def trainDocsWithUrl = trainDocs
+    .withColumn("url_key", expr(operators.Url.pipelineUrlKeySql))
+    .withColumn("url", expr(operators.Url.pipelineSynthSql("spark")))
+    .select("doc_id", "text", "url")
+
+  test("single increment: chained URL + content gates match the 7-stage batch twin") {
     val in = Files.createTempDirectory("graft_cur_in")
+    val urlOut = Files.createTempDirectory("graft_cur_urlout")
+    val admittedDir = Files.createTempDirectory("graft_cur_admitted")
     val out = Files.createTempDirectory("graft_cur_out")
+    val ckptU = Files.createTempDirectory("graft_cur_cku")
     val ckpt = Files.createTempDirectory("graft_cur_ck")
-    trainDocs.coalesce(1).write.mode("append").parquet(in.toString)
+    trainDocsWithUrl.coalesce(1).write.mode("append").parquet(in.toString)
+    // stage 0: the URL gate drains first; its admitted handoff is the
+    // content gates' input (the batch stage boundary, materialized)
+    val qu = CurationStream.urlAdmissionQuery(spark, in.toString, urlSchema,
+      ckptU.toString, urlOut.toString, admittedDir.toString)
+    assert(qu.awaitTermination(120000))
     val bits = CurationStream.evalBloomBits(spark, sf)
-    val q = CurationStream.admissionQuery(spark, in.toString, schema,
+    val q = CurationStream.admissionQuery(spark, admittedDir.toString, schema,
       ckpt.toString, out.toString, bits)
     assert(q.awaitTermination(120000))
+
+    val frames = Corpus.pipelineFrames(spark, sf)
+
+    // URL verdicts: rejected set = exactly the batch stage-0
+    // casualties, each with provenance naming the batch keeper
+    val urlVerdicts = spark.read.parquet(urlOut.toString)
+      .select("doc_id", "verdict", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val trainIds = trainDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s0Ids = frames.s0.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(urlVerdicts.map(_._1).toSet === trainIds,
+      "every arrival gets a URL verdict")
+    assert(urlVerdicts.filter(_._2 == "url_dup").map(_._1).toSet
+      === trainIds -- s0Ids, "URL casualties must match batch stage 0")
+    urlVerdicts.filter(_._2 == "url_dup").foreach { case (d, _, dupOf) =>
+      assert(dupOf.isDefined && s0Ids.contains(dupOf.get) && dupOf.get < d,
+        s"url_dup $d provenance ${dupOf}")
+    }
+    assert(urlVerdicts.exists(_._2 == "url_dup"),
+      "the sf corpus plants recrawl twins; none rejected")
+
     val verdicts = spark.read.parquet(out.toString)
       .select("doc_id", "verdict", "dup_of").collect()
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
-
-    val frames = Corpus.pipelineFrames(spark, sf)
     val norms = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
         functions.TextFunctions.normText(col("text")).as("norm"))
@@ -125,5 +163,39 @@ class CurationStreamSpec extends SparkSpec {
       "a shifted exact twin was not rejected by the exact gate")
     assert(second.filter(col("dup_of") >= 1000000L).count() === 0,
       "a twin's provenance points inside its own generation")
+  }
+
+  test("URL gate cross-restart: noise variants of seen pages reject against first-drain owners") {
+    val in = Files.createTempDirectory("graft_url2_in")
+    val urlOut = Files.createTempDirectory("graft_url2_out")
+    val admitted = Files.createTempDirectory("graft_url2_adm")
+    val ckpt = Files.createTempDirectory("graft_url2_ck")
+    def drain(): Unit = {
+      val q = CurationStream.urlAdmissionQuery(spark, in.toString, urlSchema,
+        ckpt.toString, urlOut.toString, admitted.toString)
+      assert(q.awaitTermination(120000))
+    }
+    trainDocsWithUrl.coalesce(1).write.mode("append").parquet(in.toString)
+    drain()
+    val gen1 = spark.read.parquet(urlOut.toString).count()
+    // increment 2: every page recrawled as a NEW doc — the original
+    // raw urls re-sent under shifted ids (same canonical form, fresh
+    // doc identity, the pure recrawl case). Every one must reject
+    // against the generation-1 bucket owner; admitting any proves the
+    // URL seen-set was lost across the restart.
+    trainDocsWithUrl
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    drain()
+    val second = spark.read.parquet(urlOut.toString)
+      .filter(col("doc_id") >= 1000000L)
+    assert(second.count() === gen1)
+    assert(second.filter(col("verdict") === "url_dup").count() === gen1,
+      "a recrawled URL was not rejected after the restart")
+    assert(second.filter(col("dup_of") >= 1000000L).count() === 0,
+      "URL provenance points inside its own generation — state lost")
+    // and the admitted handoff gained nothing in generation 2
+    assert(spark.read.parquet(admitted.toString)
+      .filter(col("doc_id") >= 1000000L).count() === 0)
   }
 }
