@@ -55,6 +55,7 @@ object Bench {
     "corpus_url_dedup", "corpus_mix_temperature", "corpus_drift",
     "corpus_decontaminate_embed", "ann_ivfpq", "corpus_url_filter",
     "text_unigram_tokens", "vocab_unigram", "vocab_unigram_fertility",
+    "vocab_unigram_em",
     "corpus_decontaminate_embed_lsh",
     // prebuilt-index query paths: the warmup pass pays the one-time
     // build (ensure* reuses the fingerprint-keyed index after it), so

@@ -120,11 +120,18 @@ object Unigram {
     * streaming scorer. NULL when any character lacks a piece (an
     * admission-time possibility; impossible on the training corpus
     * whose chars all enter the inventory). */
-  private[graft] def dpExprSql: String = {
+  private[graft] def dpExprSql: String = dpFoldSql(
+    "acc -> element_at(acc, size(acc))")
+
+  /** Same fold, finishing with the WHOLE dp array — the EM back-walk
+    * needs every prefix optimum, not just the final cell. */
+  private def dpAccsSql: String = dpFoldSql("acc -> acc")
+
+  private def dpFoldSql(finish: String): String = {
     val cands = (1 to MaxPieceLen).map(candSql).mkString("least(\n", ",\n", ")")
     s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
        |  (acc, i) -> array_append(acc, $cands),
-       |  acc -> element_at(acc, size(acc)))""".stripMargin
+       |  $finish)""".stripMargin
   }
 
   private def segmented(spark: SparkSession, dir: String): DataFrame = {
@@ -262,14 +269,183 @@ object Unigram {
        |FROM costs
        |ORDER BY piece""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #173 vocab_unigram_em — EM-refined inventory (the step SentencePiece
+  // actually trains with, Kudo 2018 §3.2), giving the unigram family
+  // training parity with BPE's iterative #127
+  // ---------------------------------------------------------------------
+
+  /** EM rounds over the count-seeded inventory. */
+  val EmIters = 2
+  /** Per-round prune: keep the top 4/5 of USED multi-char pieces
+    * (Kudo prunes a fixed fraction per round toward the target vocab;
+    * integer 4/5 keeps the ratio engine-exact). Chars are never
+    * pruned — they are the guarantee that every word segments. */
+  val EmKeepNum = 4L
+  val EmKeepDen = 5L
+
+  private def bwMatch(l: Int): String =
+    s"""st.i - $l >= 0 AND element_at(accs, st.i - $l + 1)
+       |  + try_element_at(pm, substring(word, st.i - $l + 1, $l)) * $EncBase + 1
+       |  = element_at(accs, st.i + 1)""".stripMargin
+
+  /** Viterbi BACK-WALK over the full dp array (`accs` column): from
+    * the word's end, the chosen piece at position i is the SHORTEST
+    * length whose candidate reproduces dp[i] exactly (the encoded
+    * BIGINT makes that equality tie-proof; at least one length always
+    * matches because the min came from one of them). Yields the best
+    * path's pieces — the hard-EM sufficient statistics. */
+  private def backWalkSql: String = {
+    val branches = (1 to MaxPieceLen).map { l =>
+      s"""WHEN ${bwMatch(l)}
+         |THEN named_struct('i', st.i - $l, 'ps',
+         |  array_append(st.ps, substring(word, st.i - $l + 1, $l)))""".stripMargin
+    }.mkString("\n")
+    s"""aggregate(sequence(1, length(word)),
+       |  named_struct('i', CAST(length(word) AS INT),
+       |               'ps', CAST(array() AS ARRAY<STRING>)),
+       |  (st, x) -> CASE WHEN st.i <= 0 THEN st ELSE
+       |    CASE $branches END END,
+       |  st -> st.ps)""".stripMargin
+  }
+
+  /** One hard-EM round: segment the word vocabulary under the current
+    * costs, re-estimate piece counts from the best paths (weighted by
+    * word frequency), prune the bottom 1/5 of used multi-char pieces,
+    * recost over the survivors. Chars keep a count floor of 1 so
+    * every cost stays finite and every word keeps segmenting. */
+  private def emRound(words: DataFrame, inv: DataFrame): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    val pm = inv
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("cost_q10"))))
+        .as("pm"))
+    val counts = words
+      .crossJoin(broadcast(pm))
+      .withColumn("accs", expr(dpAccsSql))
+      .select(col("cnt"), explode(expr(backWalkSql)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+    val chars = inv.filter(length(col("piece")) === 1).select("piece")
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"),
+        greatest(coalesce(col("c"), lit(0L)), lit(1L)).as("c"))
+    val mc = counts.filter(length(col("piece")) > 1)
+    val nMulti = mc.agg(count(lit(1)).as("nm"))
+    // model-sized global window (≤ SubK rows) — the same single-
+    // partition sort pieceCosts' top-SubK limit already does
+    val multi = mc
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("piece"))))
+      .crossJoin(broadcast(nMulti))
+      .filter(col("rk") <=
+        expr(s"greatest(nm * $EmKeepNum div $EmKeepDen, 1L)"))
+      .select("piece", "c")
+    val kept = chars.unionByName(multi)
+    val tot = kept.agg(sum("c").as("n_total"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("c"),
+        (expr(tf.log2fpExpr("n_total")) - expr(tf.log2fpExpr("c")))
+          .as("cost_q10"))
+  }
+
+  /** #173's inventory: [[EmIters]] hard-EM rounds from the count
+    * seed. Each round's model is pinned ([[graft.Checkpoints]]) —
+    * only O(model) rows ever materialize, the kmeans/#127 pattern. */
+  private[graft] def emInventory(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.Checkpoints.pin(
+      wordVocab(spark, dir).filter(length(col("word")) < EncBase.toInt))
+    var inv = pieceCosts(spark, dir)
+    for (_ <- 1 to EmIters)
+      inv = graft.Checkpoints.pin(emRound(words, inv))
+    inv
+  }
+
+  def vocabUnigramEm(spark: SparkSession, dir: String): DataFrame =
+    emInventory(spark, dir)
+      .select(col("piece"), col("c"), col("cost_q10"))
+      .orderBy("piece")
+
+  /** The oracle replays every round: dp under the previous inventory
+    * (recursive CTE), the back-walk (recursive CTE choosing the
+    * shortest matching length — the Spark tie-break verbatim),
+    * counts, prune, recost. The #127 iterative-oracle precedent,
+    * with two recursive CTEs per round. */
+  private def emRoundCtes(t: Int): String = {
+    val prev = s"einv${t - 1}"
+    def cand(l: Int): String =
+      s"""CASE WHEN i + 1 - $l >= 0
+         |  THEN acc[i + 1 - $l + 1]
+         |       + map_extract(pm, substr(word, i + 1 - $l + 1, $l))[1] * $EncBase + 1
+         |  ELSE NULL END""".stripMargin
+    val cands = (1 to MaxPieceLen).map(cand).mkString("least(\n", ",\n", ")")
+    def bwCond(l: Int): String =
+      s"""i - $l >= 0 AND acc[i - $l + 1]
+         |  + map_extract(pm, substr(word, i - $l + 1, $l))[1] * $EncBase + 1
+         |  = acc[i + 1]""".stripMargin
+    val bwLen = (1 to MaxPieceLen)
+      .map(l => s"WHEN ${bwCond(l)} THEN $l").mkString("CASE ", " ", " END")
+    val bwPiece = (1 to MaxPieceLen)
+      .map(l => s"WHEN ${bwCond(l)} THEN substr(word, i - $l + 1, $l)")
+      .mkString("CASE ", " ", " END")
+    s"""epm$t AS (
+       |  SELECT map(list(piece ORDER BY piece), list(cost_q10 ORDER BY piece)) AS pm
+       |  FROM $prev
+       |), edp$t AS (
+       |  SELECT word, cnt, 0 AS i, [CAST(0 AS BIGINT)] AS acc FROM w
+       |  WHERE length(word) < $EncBase
+       |  UNION ALL
+       |  SELECT word, cnt, i + 1, list_append(acc, $cands)
+       |  FROM edp$t, epm$t
+       |  WHERE i < length(word)
+       |), ebw$t AS (
+       |  SELECT word, cnt, length(word) AS i, acc, CAST(NULL AS VARCHAR) AS piece
+       |  FROM edp$t WHERE i = length(word)
+       |  UNION ALL
+       |  SELECT word, cnt, i - ($bwLen), acc, $bwPiece
+       |  FROM ebw$t, epm$t
+       |  WHERE i > 0
+       |), ecnt$t AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+       |  FROM ebw$t WHERE piece IS NOT NULL GROUP BY piece
+       |), ekept$t AS (
+       |  SELECT k.piece, CAST(GREATEST(COALESCE(c.c, 0), 1) AS BIGINT) AS c
+       |  FROM (SELECT piece FROM $prev WHERE length(piece) = 1) k
+       |  LEFT JOIN ecnt$t c USING (piece)
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c,
+       |      row_number() OVER (ORDER BY c DESC, piece) AS rk,
+       |      COUNT(*) OVER () AS nm
+       |    FROM ecnt$t WHERE length(piece) > 1)
+       |  WHERE rk <= GREATEST(nm * $EmKeepNum // $EmKeepDen, 1)
+       |), etot$t AS (SELECT SUM(c) AS n_total FROM ekept$t
+       |), einv$t AS (
+       |  SELECT piece, c,
+       |    (${graft.functions.TextFunctions.log2fpSqlDuck("n_total")}
+       |     - ${graft.functions.TextFunctions.log2fpSqlDuck("c")}) AS cost_q10
+       |  FROM ekept$t, etot$t
+       |)""".stripMargin
+  }
+
+  val vocabUnigramEmSql: String =
+    s"""WITH RECURSIVE $modelCtes, einv0 AS (
+       |  SELECT piece, c, cost_q10 FROM costs
+       |),
+       |${(1 to EmIters).map(emRoundCtes).mkString(",\n")}
+       |SELECT piece, CAST(c AS BIGINT) AS c, cost_q10
+       |FROM einv$EmIters
+       |ORDER BY piece""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_tokens" -> ((s: SparkSession, d: String) => unigramTokens(s, d)),
     "vocab_unigram" -> ((s: SparkSession, d: String) => vocabUnigram(s, d)),
+    "vocab_unigram_em" -> ((s: SparkSession, d: String) => vocabUnigramEm(s, d)),
     "vocab_unigram_fertility" ->
       ((s: SparkSession, d: String) => unigramFertility(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_unigram_tokens" -> unigramTokensSql,
     "vocab_unigram" -> vocabUnigramSql,
+    "vocab_unigram_em" -> vocabUnigramEmSql,
     "vocab_unigram_fertility" -> unigramFertilitySql)
 }

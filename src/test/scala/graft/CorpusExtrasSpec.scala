@@ -211,6 +211,89 @@ class CorpusExtrasSpec extends SparkSpec {
     }
   }
 
+  test("vocab_unigram_em matches an independent driver-side hard-EM recompute") {
+    import graft.operators.Unigram._
+    // seed model: plain-Scala rebuild, nothing shared with the
+    // Column/SQL formulation (the Viterbi test's construction)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1))
+    val pieceCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; l <- 1 to MaxPieceLen; s <- 0 to w.length - l)
+      pieceCounts(w.substring(s, s + l)) =
+        pieceCounts.getOrElse(w.substring(s, s + l), 0L) + c
+    val charSet = pieceCounts.keySet.filter(_.length == 1).toSet
+    val seedMulti = pieceCounts.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(SubK)
+    val seedKept = pieceCounts.filter(_._1.length == 1).toMap ++ seedMulti.toMap
+    def log2fp(x: Long): Long = {
+      val bits = java.lang.Long.toBinaryString(x).length
+      val mant = if (bits > 11) x / (1L << (bits - 11)) else x * (1L << (11 - bits))
+      1024L * (bits - 1) + math.floor(1024 *
+        (StrictMath.log(mant.toDouble / 1024) / StrictMath.log(2.0))).toLong
+    }
+    def recost(counts: Map[String, Long]): Map[String, Long] = {
+      val n = counts.values.sum
+      counts.map { case (p, c) => p -> (log2fp(n) - log2fp(c)) }
+    }
+    // one hard-EM round: Viterbi under `costs`, back-walk with the
+    // SHORTEST-matching-length tie-break, frequency-weighted counts,
+    // char floor 1, 4/5 prune of used multis, recost
+    def emRoundRef(costs: Map[String, Long]): Map[String, Long] = {
+      val Max = Long.MaxValue
+      def dpArr(w: String): Array[Long] = {
+        val dp = Array.fill(w.length + 1)(Max)
+        dp(0) = 0L
+        for (i <- 1 to w.length; l <- 1 to math.min(MaxPieceLen, i))
+          costs.get(w.substring(i - l, i)).foreach { pc =>
+            if (dp(i - l) != Max)
+              dp(i) = math.min(dp(i), dp(i - l) + pc * EncBase + 1)
+          }
+        dp
+      }
+      val used = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- words if w.length < EncBase) {
+        val dp = dpArr(w)
+        var i = w.length
+        while (i > 0) {
+          val l = (1 to MaxPieceLen).find { l =>
+            i - l >= 0 && costs.get(w.substring(i - l, i)).exists(pc =>
+              dp(i - l) != Max && dp(i - l) + pc * EncBase + 1 == dp(i))
+          }.get
+          val p = w.substring(i - l, i)
+          used(p) = used.getOrElse(p, 0L) + c
+          i -= l
+        }
+      }
+      val charCounts = charSet.map(p =>
+        p -> math.max(used.getOrElse(p, 0L), 1L)).toMap
+      val mult = used.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+      val keepN = math.max(mult.size * EmKeepNum.toInt / EmKeepDen.toInt, 1)
+      charCounts ++ mult.take(keepN).toMap
+    }
+    var counts = seedKept
+    var costs = recost(seedKept)
+    for (_ <- 1 to EmIters) {
+      counts = emRoundRef(costs)
+      costs = recost(counts)
+    }
+    val got = vocabUnigramEm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === counts.keySet)
+    got.foreach { case (p, c, cq) =>
+      assert(c === counts(p), s"piece $p count")
+      assert(cq === costs(p), s"piece $p cost")
+    }
+    // EM refines, not just relabels: the inventory shrank vs the seed,
+    // multi-char pieces survive, and chars are all still present
+    assert(got.length < seedKept.size)
+    assert(got.exists(_._1.length > 1))
+    assert(charSet.subsetOf(got.map(_._1).toSet))
+  }
+
   test("embed decontamination LSH path: precision 1.0, measured recall, drop-in schema") {
     val exact = Similarity.corpusDecontaminateEmbed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
