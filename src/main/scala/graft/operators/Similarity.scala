@@ -1551,6 +1551,10 @@ object Similarity {
       .select(col("vec_id"), expr(graft.Constants.QuantizeExprSql).as("q"))
       .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
     val ev = v.filter(col("vec_id") % 10 === 0)
+    // plan-BUILD-time count: query construction is deliberately eager
+    // here — the contract is an eval-side-BOUNDED suite (a benchmark
+    // artifact, thousands of rows), so the sizing scan is model-sized;
+    // the corpus side stays lazy and is never counted
     val p = planesFor(math.max(1L, ev.count()))
     val indexed = Dedup.capPerBucket(
       ev.withColumn("bucket", codeExpr(p))

@@ -325,14 +325,17 @@ object StreamBench {
       ()
     }
 
-    // ---- composed curation admission (#155): 32 twin generations ----
+    // ---- composed curation admission (#155): N twin generations ----
     // every copy past the first is an exact twin, so the exact gate
-    // rejects ~31/32 of arrivals — the composed stream's worst case
-    // (every gate row still hashes, signs and probes), not its best
+    // rejects ~(N-1)/N of arrivals — the composed stream's worst case
+    // (every gate row still hashes, signs and probes), not its best.
+    // SPARK_GRAFT_STREAM_COPIES widens the decade for scale sweeps
+    // (default 32 keeps round-over-round numbers comparable)
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STREAM_COPIES", "32").toInt
     val curIn = freshDir(root, "cur-in")
     val docsDf = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text")
-    (0 until 32).map(i => docsDf.withColumn("doc_id",
+    (0 until copies).map(i => docsDf.withColumn("doc_id",
         col("doc_id") + lit(i * 1000000L)))
       .reduce(_ unionAll _)
       .repartition(16)
