@@ -157,10 +157,95 @@ object AnnIndex {
 
   /** #168 ann_ivfpq_q — IVF-PQ top-k against the PREBUILT index: the
     * per-query cost a deployment pays. Same output (bit-for-bit) as
-    * #161, which retrains in-query. */
-  def annIvfPqPrebuilt(spark: SparkSession, dir: String): DataFrame =
-    Similarity.annIvfPqQueryFrom(spark, dir,
-      readIvfPq(spark, ensureIvfPq(spark, dir)))
+    * #161, which retrains in-query.
+    *
+    * STATIC list pruning: the probed lists are a model-sized set
+    * (≤ queries·nProbe of K) computable from the broadcast centroids
+    * BEFORE the corpus scan, so they are collected (bounded driver
+    * materialization, the SemanticStream-centroids precedent) and
+    * pushed as an IN filter on the PARTITION column — the parquet
+    * scan then plans only the probed lists' directories
+    * (PartitionFilters in the plan; PqSpec asserts it), which is the
+    * whole point of the cid-partitioned layout. A runtime-subquery
+    * (DPP) would prune the same directories but only after planning
+    * the full listing; with a model-sized probe set the static filter
+    * is strictly better. */
+  def annIvfPqPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val a = readIvfPq(spark, ensureIvfPq(spark, dir))
+    Similarity.annIvfPqQueryFrom(spark, dir, prunedToProbes(spark, dir, a))
+  }
+
+  /** Restrict the corpus-scale artifact tables to the probed lists. */
+  private def prunedToProbes(spark: SparkSession, dir: String,
+                             a: Similarity.IvfPqArtifacts,
+                             nProbe: Int = Similarity.NProbe)
+      : Similarity.IvfPqArtifacts = {
+    val probed = Similarity
+      .ivfProbes(Similarity.quantized(spark, dir), a.cents, nProbe)
+      .select("cid").distinct().collect().map(_.getLong(0)).sorted
+    a.copy(
+      codes = a.codes.filter(col("cid").isin(probed: _*)),
+      // every ADC survivor lives in a probed list, so the norm
+      // sidecar prunes to the same directories
+      nhat = a.nhat.filter(col("cid").isin(probed: _*)))
+  }
+
+  // ---------------------------------------------------------------------
+  // #173 ann_index_append — incremental maintenance of the persisted
+  // index (FAISS add_with_ids after read_index)
+  // ---------------------------------------------------------------------
+
+  /** Encode every vector at/past the index's recorded cutoff with the
+    * FROZEN model (snapshot-trained centroids + residual codebooks —
+    * assignment and codes come from the stored quantizers, never a
+    * retrain) and APPEND the rows to the codes/norms tables; the
+    * params cutoff then advances past the data so a second call
+    * appends nothing (idempotent by watermark, the spool-offset
+    * discipline). This is what keeps an index SERVING between the
+    * rebuilds the #170 freshness audit schedules. */
+  def appendIvfPq(spark: SparkSession, dir: String, out: String): Long = {
+    val p = spark.read.parquet(s"$out/params").head
+    val cutoff = p.getAs[Long]("max_vec_id")
+    val arrivals = Similarity.quantized(spark, dir)
+      .filter(col("vec_id") >= cutoff)
+    val nNew = arrivals.count()
+    if (nNew > 0) {
+      val cents = spark.read.parquet(s"$out/centroids")
+      val cw = spark.read.parquet(s"$out/codebooks")
+      val (codes, nhat) = Similarity.ivfPqEncodeFrozen(cents, cw, arrivals)
+      codes.write.mode("append").partitionBy("cid").parquet(s"$out/codes")
+      nhat.write.mode("append").partitionBy("cid").parquet(s"$out/norms")
+      val newMax = arrivals.agg(max(col("vec_id"))).head.getLong(0) + 1
+      writeParams(spark, out, p.getAs[String]("kind"), newMax,
+        p.getAs[Long]("n_vectors") + nNew)
+    }
+    nNew
+  }
+
+  /** Snapshot index at [[FreshnessCutoff]] + one append of everything
+    * after it — kept SEPARATE from #170's un-appended snapshot (the
+    * audit must keep measuring the pre-append state). */
+  def ensureIvfPqAppended(spark: SparkSession, dir: String): String = {
+    val out = indexDir(dir, "ivfpq-app", FreshnessCutoff)
+    if (!isBuilt(out)) buildIvfPq(spark, dir, out, FreshnessCutoff)
+    appendIvfPq(spark, dir, out)
+    out
+  }
+
+  /** #173 ann_index_append — top-k served by the appended index: the
+    * coarse quantizer and codebooks are FROZEN at the build snapshot
+    * (vectors < 400), the arrivals (≥ 400) were appended with
+    * frozen-model encoding, and queries probe the merged lists. The
+    * oracle replays the same split: training CTEs filtered to the
+    * snapshot ([[Similarity.annIvfPqSqlTrainedOn]]), encode/probe/ADC/
+    * rerank over the full corpus. */
+  def annIvfPqAppended(spark: SparkSession, dir: String): DataFrame = {
+    val a = readIvfPq(spark, ensureIvfPqAppended(spark, dir))
+    Similarity.annIvfPqQueryFrom(spark, dir, prunedToProbes(spark, dir, a))
+  }
+
+  val annIndexAppendSql: String =
+    Similarity.annIvfPqSqlTrainedOn(s"vec_id < $FreshnessCutoff")
 
   // ---------------------------------------------------------------------
   // PQ (#139's build half)
@@ -264,12 +349,14 @@ object AnnIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_q" -> ((s: SparkSession, d: String) => annIvfPqPrebuilt(s, d)),
     "ann_pq_q" -> ((s: SparkSession, d: String) => annPqPrebuilt(s, d)),
-    "ann_index_freshness" -> ((s: SparkSession, d: String) => indexFreshness(s, d)))
+    "ann_index_freshness" -> ((s: SparkSession, d: String) => indexFreshness(s, d)),
+    "ann_index_append" -> ((s: SparkSession, d: String) => annIvfPqAppended(s, d)))
 
   val oracle: Map[String, String] = Map(
     // build replayed as CTEs, exactly like the in-query twins — the
     // prebuilt read must land on the same values or the hash diverges
     "ann_ivfpq_q" -> Similarity.annIvfPqSql,
     "ann_pq_q" -> Similarity.annPqSql,
-    "ann_index_freshness" -> annIndexFreshnessSql)
+    "ann_index_freshness" -> annIndexFreshnessSql,
+    "ann_index_append" -> annIndexAppendSql)
 }

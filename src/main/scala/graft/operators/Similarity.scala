@@ -1133,13 +1133,33 @@ object Similarity {
       : IvfPqArtifacts = {
     val cents = kmeansCentroidsFrom(v)
     val assigned = assignTo(v, cents) // (vec_id, cid, q, nn)
-    // residuals keep the coarse assignment alongside: r = q − c_cid
+    val rsv = residualSubVectors(assigned, cents)
+    val cw = pqCodebooksFrom(rsv, codewords = codewords) // residual codebooks
+    val (codes, nhat) = ivfPqEncode(cents, cw, assigned, rsv)
+    IvfPqArtifacts(cents, cw, codes, nhat)
+  }
+
+  /** Residuals r = q − c_cid of an assigned frame, exploded to PQ
+    * sub-vectors — the frame residual-codebook TRAINING and vector
+    * ENCODING both read. */
+  private def residualSubVectors(assigned: DataFrame, cents: DataFrame): DataFrame = {
     val resid = assigned.join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid").as("list_id"),
         expr("zip_with(q, cq, (a, b) -> a - b)").as("q"))
       .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
-    val rsv = subVectors(resid.select("vec_id", "q", "nn"))
-    val cw = pqCodebooksFrom(rsv, codewords = codewords) // residual codebooks
+    subVectors(resid.select("vec_id", "q", "nn"))
+  }
+
+  /** ENCODE an assigned vector frame under a (possibly FROZEN) model
+    * (cents, cw): the per-vector codes and the reconstructed-norm
+    * sidecar. Factored from the build so [[AnnIndex.appendIvfPq]] can
+    * encode post-build arrivals with the snapshot-trained model — the
+    * incremental index-maintenance path (FAISS add_with_ids after
+    * read_index: assignment and codes come from the frozen quantizers,
+    * never a retrain). */
+  private[operators] def ivfPqEncode(cents: DataFrame, cw: DataFrame,
+                                     assigned: DataFrame, rsv: DataFrame)
+      : (DataFrame, DataFrame) = {
     val vecList = assigned.select(col("vec_id"), col("cid"))
     // codes carry their inverted-list id: (vec_id, cid, m, code) IS
     // the persisted layout (partitioned by cid, a probe reads only
@@ -1166,7 +1186,32 @@ object Similarity {
       // guards the cosine division against a (degenerate) zero vector
       .select(col("vec_id"), col("cid"),
         greatest(col("cn") + col("rpart"), lit(1L)).as("nc_hat"))
-    IvfPqArtifacts(cents, cw, codes, nhat)
+    (codes, nhat)
+  }
+
+  /** Encode arbitrary quantized vectors under a frozen model — the
+    * append path's entry (assignment included). */
+  private[operators] def ivfPqEncodeFrozen(cents: DataFrame, cw: DataFrame,
+                                           v: DataFrame): (DataFrame, DataFrame) = {
+    val assigned = assignTo(v, cents)
+    ivfPqEncode(cents, cw, assigned, residualSubVectors(assigned, cents))
+  }
+
+  /** Probe side of the IVF family: each query's nProbe nearest lists
+    * with the query-centroid dot carried along. Model-sized output
+    * (≤ queries·nProbe rows) — collectable for static list pruning. */
+  private[operators] def ivfProbes(v: DataFrame, cents: DataFrame,
+                                   nProbe: Int = NProbe): DataFrame = {
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    v.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("qcdot",
+        graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
+      .withColumn("d2", col("nn") + col("cn") - lit(2) * col("qcdot"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("nn").as("nq"),
+        col("cid"), col("qcdot"))
   }
 
   /** The query-side half of #161: probe the nProbe nearest lists,
@@ -1184,16 +1229,7 @@ object Similarity {
     val nhat = a.nhat
     // query side: NProbe nearest lists, with dot(q, c) computed in the
     // same centroid pass
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val probes = v.filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(cents))
-      .withColumn("qcdot",
-        graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
-      .withColumn("d2", col("nn") + col("cn") - lit(2) * col("qcdot"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("nn").as("nq"),
-        col("cid"), col("qcdot"))
+    val probes = ivfProbes(v, cents, nProbe)
     val lut = subVectors(v.filter(col("vec_id") < NumQueries))
       .join(broadcast(cw), "m")
       .select(col("vec_id").as("query_id"), col("m"),
@@ -1225,7 +1261,14 @@ object Similarity {
         col("nq"), col("nn").as("nc")))
   }
 
-  val annIvfPqSql: String = {
+  val annIvfPqSql: String = annIvfPqSqlTrainedOn("TRUE")
+
+  /** The #161 oracle with every TRAINING input (k-means corpus,
+    * residual-codebook sample) restricted to `pred` while encode /
+    * probe / ADC / rerank still cover the full corpus — the frozen-
+    * snapshot replay [[AnnIndex]]'s append path verifies against.
+    * `pred` must contain the seed windows (ids 100–131). */
+  private[operators] def annIvfPqSqlTrainedOn(pred: String): String = {
     val D = PqSubDim
     val fin = s"cen$KmeansIters"
     // residual-PQ Lloyd iterations: the #139 iterBlock over rsvn
@@ -1237,7 +1280,7 @@ object Similarity {
         |      - 2 * CAST(list_sum(list_transform(range(1, ${D + 1}), i -> s.sq[i] * c.cq[i])) AS BIGINT)
         |      AS d2
         |  FROM rsvn s JOIN $prev c ON s.m = c.m
-        |  WHERE s.vec_id % $PqTrainMod = 0
+        |  WHERE s.vec_id % $PqTrainMod = 0 AND ($pred)
         |), rpa$k AS (
         |  SELECT vec_id, m, sq, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
@@ -1253,7 +1296,7 @@ object Similarity {
         |)""".stripMargin
     }
     val rfin = s"rcw$PqIters"
-    s"""WITH $kmeansSqlCtes,
+    s"""WITH ${kmeansSqlCtesTrainedOn(pred)},
       |dist AS (
       |  SELECT n.vec_id, n.v, n.nn, c.cid,
       |    n.nn + c.cn

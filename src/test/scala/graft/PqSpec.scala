@@ -161,6 +161,57 @@ class PqSpec extends SparkSpec {
     val t0 = marker.lastModified
     ix.ensureIvfPq(spark, sf)
     assert(marker.lastModified === t0, "index rebuilt on a fingerprint hit")
+    // static list pruning: the probed-cid IN filter must reach the
+    // codes/norms scans as PARTITION filters (directory pruning, the
+    // reason the layout partitions by cid)
+    val plan = ix.annIvfPqPrebuilt(spark, sf).queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("cid"))
+      .toSeq
+    assert(scanLines.exists(_.matches(".*PartitionFilters: \\[.*cid.*IN.*")),
+      s"no static partition filter on the index scans:\n${scanLines.mkString("\n")}")
+  }
+
+  test("index append: frozen-model encode, idempotent watermark, merged lists serve queries") {
+    val ix = operators.AnnIndex
+    nukeIndex("ivfpq-app", ix.FreshnessCutoff)
+    val out = ix.ensureIvfPqAppended(spark, sf)
+    // model FROZEN across the append: quantizer artifacts untouched,
+    // only codes/norms/params advanced
+    val centsBytes = new java.io.File(out, "centroids").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // idempotence: the cutoff watermark advanced past the data, so a
+    // second ensure appends NOTHING and duplicates no rows
+    assert(ix.appendIvfPq(spark, sf, out) === 0L, "second append not a no-op")
+    assert(new java.io.File(out, "centroids").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum === centsBytes)
+    val codes = spark.read.parquet(s"$out/codes")
+    assert(codes.count() === 500L * PqSub, "merged codes must cover every vector exactly once")
+    assert(spark.read.parquet(s"$out/norms").count() === 500L)
+    // arrivals really were encoded into the frozen lists
+    assert(codes.filter(org.apache.spark.sql.functions.col("vec_id") >=
+      ix.FreshnessCutoff).count() === 100L * PqSub)
+
+    // the merged index serves queries: exact-rerank truthfulness (the
+    // reported dot/nq/nc are true vector algebra), dense ranks,
+    // determinism — the #161 battery against the appended index
+    val vs = quantize()
+    def nn(v: Array[Long]) = v.map(x => x * x).sum
+    val got = ix.annIvfPqAppended(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"q$q")
+      rows.foreach { case (qid, _, vid, dot, nq, nc) =>
+        assert(vid != qid)
+        assert(dot == vs(qid).zip(vs(vid)).map { case (a, b) => a * b }.sum)
+        assert(nq == nn(vs(qid)) && nc == nn(vs(vid)))
+      }
+    }
+    val again = ix.annIvfPqAppended(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.map(t => (t._1, t._2, t._3)).toSeq)
   }
 
   test("index freshness: planted post-build arrivals audited per frozen list") {
