@@ -61,7 +61,8 @@ object Bench {
     // build (ensure* reuses the fingerprint-keyed index after it), so
     // the timed passes measure the QUERY-ONLY wall — the per-query
     // cost a deployment sees, vs the in-query twins that retrain
-    "ann_ivfpq_q", "ann_pq_q", "ann_index_freshness", "ann_index_append")
+    "ann_ivfpq_q", "ann_pq_q", "ann_index_freshness", "ann_index_append",
+    "corpus_leak_report")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

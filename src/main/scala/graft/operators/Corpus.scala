@@ -291,6 +291,89 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // #174 corpus_leak_report — the EVAL OWNER's view of the same join
+  // ---------------------------------------------------------------------
+
+  /** Per-benchmark-document leakage report: #55 answers the corpus
+    * curator's question (which TRAIN docs to drop); this answers the
+    * eval owner's (which BENCHMARKS are burned, and how badly) — the
+    * report that decides whether an eval can still be trusted after a
+    * crawl, per doc: how many of its n-grams appear anywhere in the
+    * training corpus (leaked_permille — the saturation measure), how
+    * many distinct train docs hit it, and the smallest witness.
+    *
+    * Same plan as #55 with the aggregation flipped to the bench key:
+    * the eval side broadcasts (bounded by nature), the train side is
+    * map-only into the join, and the flipped groupBy is MODEL-sized
+    * output (one row per eval doc). The two count-distincts expand the
+    * match set 2× — matches, not the corpus (leakage is the rare
+    * case), so the expand is bounded by real leakage. */
+  def corpusLeakReport(spark: SparkSession, dir: String,
+                       n: Int = DecontamN): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+      .select(col("doc_id"), ngrams(col("norm"), n).as("grams"))
+    val bench = d.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
+    val hits = d.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("bench_id")
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        countDistinct(col("gram")).as("n_leaked_grams"),
+        min(col("doc_id")).as("witness"))
+    d.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("doc_id").as("bench_id"), size(col("grams")).as("n_grams"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        col("witness"))
+      .withColumn("leaked_permille",
+        expr("n_leaked_grams * 1000L div nullif(n_grams, 0L)"))
+      .orderBy("bench_id")
+  }
+
+  val corpusLeakReportSql: String = {
+    val norm = graft.functions.TextFunctions.normTextSql
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split($norm, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(words) - ${DecontamN - 2}),
+      |      i -> array_to_string(words[i : i + ${DecontamN - 1}], ' '))
+      |  )) AS gram
+      |  FROM d
+      |  WHERE len(words) >= $DecontamN
+      |), ng AS (
+      |  SELECT doc_id AS bench_id,
+      |    CAST(COALESCE(len(list_distinct(
+      |      list_transform(range(1, len(words) - ${DecontamN - 2}),
+      |        i -> array_to_string(words[i : i + ${DecontamN - 1}], ' ')))), 0)
+      |      AS BIGINT) AS n_grams
+      |  FROM d WHERE doc_id % $BenchmarkMod = 0
+      |), hits AS (
+      |  SELECT b.bench_id,
+      |    CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+      |    CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_leaked_grams,
+      |    MIN(t.doc_id) AS witness
+      |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % $BenchmarkMod <> 0) t
+      |  JOIN (SELECT doc_id AS bench_id, gram FROM g
+      |        WHERE doc_id % $BenchmarkMod = 0) b ON t.gram = b.gram
+      |  GROUP BY b.bench_id
+      |)
+      |SELECT ng.bench_id, ng.n_grams,
+      |  CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+      |  CAST(COALESCE(h.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+      |  h.witness,
+      |  (COALESCE(h.n_leaked_grams, 0) * 1000) // NULLIF(ng.n_grams, 0)
+      |    AS leaked_permille
+      |FROM ng LEFT JOIN hits h ON ng.bench_id = h.bench_id
+      |ORDER BY ng.bench_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // #84 corpus_decontaminate_bloom — the 100 TB decontamination path
   // ---------------------------------------------------------------------
 
@@ -2232,6 +2315,7 @@ object Corpus {
     "corpus_split" -> corpusSplit,
     "corpus_sample" -> corpusSample,
     "corpus_decontaminate" -> ((s: SparkSession, d: String) => corpusDecontaminate(s, d)),
+    "corpus_leak_report" -> ((s: SparkSession, d: String) => corpusLeakReport(s, d)),
     "corpus_decontaminate_bloom" -> ((s: SparkSession, d: String) => corpusDecontaminateBloom(s, d)),
     "corpus_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => corpusDecontaminateFuzzy(s, d)),
     "corpus_chunks" -> ((s: SparkSession, d: String) => corpusChunks(s, d)))
@@ -2259,6 +2343,7 @@ object Corpus {
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_decontaminate" -> corpusDecontaminateSql,
+    "corpus_leak_report" -> corpusLeakReportSql,
     "corpus_decontaminate_bloom" -> corpusDecontaminateBloomSql,
     "corpus_decontaminate_fuzzy" -> corpusDecontaminateFuzzySql,
     "corpus_chunks" -> corpusChunksSql)

@@ -293,6 +293,56 @@ class CorpusSpec extends SparkSpec {
     assert(kept.subsetOf(quality))
   }
 
+  test("leak report: per-bench saturation equals a brute-force recompute and inverts #55") {
+    val C = operators.Corpus
+    // normalized texts via the operator's own kernel (the gram ALGEBRA
+    // is what this recomputes independently — sliding windows, set
+    // intersections, counts in plain Scala)
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        functions.TextFunctions.normText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < C.DecontamN) Set.empty
+      else w.sliding(C.DecontamN).map(_.mkString(" ")).toSet
+    }
+    val g = d.map { case (id, t) => id -> grams(t) }
+    val bench = g.filter(_._1 % C.BenchmarkMod == 0)
+    val train = g.filter(_._1 % C.BenchmarkMod != 0)
+    val got = C.corpusLeakReport(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.map(_._1).toSet === bench.keySet, "one row per bench doc")
+    got.foreach { case (b, nGrams, nTrainDocs, nLeaked, witness, permille) =>
+      val bg = bench(b)
+      val hitters = train.filter { case (_, tg) => (tg & bg).nonEmpty }
+      val leaked = bg.filter(gr => train.values.exists(_.contains(gr)))
+      assert(nGrams === bg.size.toLong, s"bench $b n_grams")
+      assert(nTrainDocs === hitters.size.toLong, s"bench $b n_train_docs")
+      assert(nLeaked === leaked.size.toLong, s"bench $b n_leaked_grams")
+      assert(witness === (if (hitters.isEmpty) None else Some(hitters.keys.min)),
+        s"bench $b witness")
+      assert(permille ===
+        (if (bg.isEmpty) None else Some(leaked.size.toLong * 1000 / bg.size)),
+        s"bench $b permille")
+    }
+    // inversion vs #55: every contaminated train doc's witness bench
+    // must report at least one hitting train doc no later than it
+    val flags = C.corpusDecontaminate(spark, sf)
+      .filter(col("contaminated") === 1)
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byBench = got.map(t => t._1 -> t).toMap
+    flags.foreach { case (t, b) =>
+      val row = byBench(b)
+      assert(row._3 >= 1L && row._5.exists(_ <= t), s"train $t vs bench $b")
+    }
+    // the corpus actually plants leakage (or the report is untested)
+    assert(got.exists(_._3 > 0), "no bench doc leaks at this SF")
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {
     val out = operators.Corpus.corpusDecontaminate(spark, sf)
     val docs = Tables.load(spark, sf, "documents").count()
