@@ -387,7 +387,7 @@ object Unigram {
     val bwPiece = (1 to MaxPieceLen)
       .map(l => s"WHEN ${bwCond(l)} THEN substr(word, i - $l + 1, $l)")
       .mkString("CASE ", " ", " END")
-    s"""epm$t AS (
+    s"""epm$t AS MATERIALIZED (
        |  SELECT map(list(piece ORDER BY piece), list(cost_q10 ORDER BY piece)) AS pm
        |  FROM $prev
        |), edp$t AS (
@@ -419,7 +419,7 @@ object Unigram {
        |    FROM ecnt$t WHERE length(piece) > 1)
        |  WHERE rk <= GREATEST(nm * $EmKeepNum // $EmKeepDen, 1)
        |), etot$t AS (SELECT SUM(c) AS n_total FROM ekept$t
-       |), einv$t AS (
+       |), einv$t AS MATERIALIZED (
        |  SELECT piece, c,
        |    (${graft.functions.TextFunctions.log2fpSqlDuck("n_total")}
        |     - ${graft.functions.TextFunctions.log2fpSqlDuck("c")}) AS cost_q10
@@ -428,7 +428,7 @@ object Unigram {
   }
 
   val vocabUnigramEmSql: String =
-    s"""WITH RECURSIVE $modelCtes, einv0 AS (
+    s"""WITH RECURSIVE $modelCtes, einv0 AS MATERIALIZED (
        |  SELECT piece, c, cost_q10 FROM costs
        |),
        |${(1 to EmIters).map(emRoundCtes).mkString(",\n")}

@@ -69,6 +69,12 @@ object Stress {
     "corpus_drift", "corpus_decontaminate_embed", "corpus_decontaminate_embed_lsh", "ann_ivfpq",
     "corpus_url_filter", "text_unigram_tokens", "vocab_unigram",
     "vocab_unigram_fertility",
+    // round-16 additions: EM training (model-bounded DP rounds), the
+    // flipped decontamination aggregate (broadcast join, match-bounded
+    // expand), and the prebuilt-index query paths (fingerprint-keyed
+    // build on first touch, probed-directory reads after)
+    "vocab_unigram_em", "corpus_leak_report",
+    "ann_ivfpq_q", "ann_index_append",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks
