@@ -181,7 +181,8 @@ object AnnIndex {
                              nProbe: Int = Similarity.NProbe)
       : Similarity.IvfPqArtifacts = {
     val probed = Similarity
-      .ivfProbes(Similarity.quantized(spark, dir), a.cents, nProbe)
+      .ivfProbes(Similarity.quantized(spark, dir)
+        .filter(col("vec_id") < Similarity.NumQueries), a.cents, nProbe)
       .select("cid").distinct().collect().map(_.getLong(0)).sorted
     a.copy(
       codes = a.codes.filter(col("cid").isin(probed: _*)),

@@ -1197,13 +1197,14 @@ object Similarity {
     ivfPqEncode(cents, cw, assigned, residualSubVectors(assigned, cents))
   }
 
-  /** Probe side of the IVF family: each query's nProbe nearest lists
-    * with the query-centroid dot carried along. Model-sized output
+  /** Probe side of the IVF family over an arbitrary QUERY frame
+    * (vec_id, q, nn): each query's nProbe nearest lists with the
+    * query-centroid dot carried along. Model-sized output
     * (≤ queries·nProbe rows) — collectable for static list pruning. */
-  private[operators] def ivfProbes(v: DataFrame, cents: DataFrame,
-                                   nProbe: Int = NProbe): DataFrame = {
+  private[graft] def ivfProbes(queries: DataFrame, cents: DataFrame,
+                               nProbe: Int = NProbe): DataFrame = {
     val wProbe = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    v.filter(col("vec_id") < NumQueries)
+    queries
       .crossJoin(broadcast(cents))
       .withColumn("qcdot",
         graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
@@ -1221,7 +1222,24 @@ object Similarity {
   private[operators] def annIvfPqQueryFrom(spark: SparkSession, dir: String,
                                            a: IvfPqArtifacts,
                                            nProbe: Int = NProbe,
-                                           rerank: Int = PqRerank): DataFrame = {
+                                           rerank: Int = PqRerank): DataFrame =
+    annIvfPqTopKFor(spark, dir,
+      quantized(spark, dir).filter(col("vec_id") < NumQueries),
+      a, nProbe, rerank)
+
+  /** Top-k for an ARBITRARY query frame (vec_id, q, nn) against the
+    * (possibly prebuilt) index — the SERVING seam:
+    * [[graft.streaming.AnnStream]] scores each micro-batch of
+    * arriving query vectors through it, and the batch #161/#168 paths
+    * are the corpus-member special case. A query sharing an id with a
+    * corpus vector is excluded from its own neighbor list (the
+    * classic self-match rule); disjoint-id queries — the serving
+    * case — match against the whole corpus. */
+  private[graft] def annIvfPqTopKFor(spark: SparkSession, dir: String,
+                                     queries: DataFrame,
+                                     a: IvfPqArtifacts,
+                                     nProbe: Int = NProbe,
+                                     rerank: Int = PqRerank): DataFrame = {
     val v = quantized(spark, dir)
     val cents = a.cents
     val cw = a.cw
@@ -1229,8 +1247,8 @@ object Similarity {
     val nhat = a.nhat
     // query side: NProbe nearest lists, with dot(q, c) computed in the
     // same centroid pass
-    val probes = ivfProbes(v, cents, nProbe)
-    val lut = subVectors(v.filter(col("vec_id") < NumQueries))
+    val probes = ivfProbes(queries, cents, nProbe)
+    val lut = subVectors(queries)
       .join(broadcast(cw), "m")
       .select(col("vec_id").as("query_id"), col("m"),
         col("cid").as("code"),
@@ -1251,7 +1269,7 @@ object Similarity {
     val shortlist = adc.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("vec_id").as("cand_id"))
-    val qvec = v.filter(col("vec_id") < NumQueries)
+    val qvec = queries
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("nq"))
     val candq = shortlist.join(broadcast(qvec), "query_id")
