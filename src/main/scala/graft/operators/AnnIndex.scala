@@ -203,7 +203,16 @@ object AnnIndex {
     * params cutoff then advances past the data so a second call
     * appends nothing (idempotent by watermark, the spool-offset
     * discipline). This is what keeps an index SERVING between the
-    * rebuilds the #170 freshness audit schedules. */
+    * rebuilds the #170 freshness audit schedules.
+    *
+    * Crash-window caveat (stated, not hidden): a failure BETWEEN the
+    * data append and the watermark rewrite re-appends the same
+    * arrivals on retry — the window the spool sink closes with sealed
+    * epochs. A deployment closes it the same way (stage the appended
+    * files under a temp prefix, publish, then advance the watermark)
+    * or dedups codes on (vec_id, m) at read; at this library's seam
+    * the watermark-last ordering at least guarantees a crash is never
+    * silently LOSSY, only conservatively re-appendable. */
   def appendIvfPq(spark: SparkSession, dir: String, out: String): Long = {
     val p = spark.read.parquet(s"$out/params").head
     val cutoff = p.getAs[Long]("max_vec_id")
