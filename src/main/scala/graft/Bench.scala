@@ -62,7 +62,13 @@ object Bench {
     // the timed passes measure the QUERY-ONLY wall — the per-query
     // cost a deployment sees, vs the in-query twins that retrain
     "ann_ivfpq_q", "ann_pq_q", "ann_index_freshness", "ann_index_append",
-    "corpus_leak_report")
+    "corpus_leak_report",
+    // round-16 continuation: the learned quality gate (score subsumes
+    // train — benching both would double-count the training pass),
+    // frontier PageRank, and the aHash near-dup join (subsumes the
+    // media_ahash kernel the same way)
+    "corpus_classifier_score", "corpus_pagerank", "media_ahash_dedup",
+    "vocab_wordpiece", "text_wordpiece_tokens", "vocab_wordpiece_fertility")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

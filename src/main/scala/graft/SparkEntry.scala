@@ -32,6 +32,10 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.Bucketing.queries ++
       operators.Url.queries ++
+      operators.Classifier.queries ++
+      operators.Graph.queries ++
+      operators.MediaHash.queries ++
+      operators.Wordpiece.queries ++
       operators.Unigram.queries ++
       operators.AnnIndex.queries ++
       sources.Spool.queries
@@ -59,6 +63,10 @@ object SparkEntry {
       operators.Bucketing.oracle ++
       operators.Sketch.oracle ++
       operators.Url.oracle ++
+      operators.Classifier.oracle ++
+      operators.Graph.oracle ++
+      operators.MediaHash.oracle ++
+      operators.Wordpiece.oracle ++
       operators.Unigram.oracle ++
       operators.AnnIndex.oracle ++
       sources.Spool.oracle

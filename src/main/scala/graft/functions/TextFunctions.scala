@@ -317,6 +317,18 @@ object TextFunctions {
     (0 until LogQ).map(i => math.floor(
       LogQ * (StrictMath.log((LogQ + i).toDouble / LogQ) / StrictMath.log(2.0))).toLong)
 
+  /** Scala rendering of the same formula — the driver-side twin for
+    * operators whose training loop runs locally under a vocab cap
+    * (the Bpe.localTrain pattern). Bit-identical to the SQL kernels:
+    * same table, same shift/divide mantissa extraction. */
+  def log2fpLong(x: Long): Long = {
+    require(x >= 1, s"log2fp domain: $x")
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val mant =
+      if (bits > 11) x / (1L << (bits - 11)) else x * (1L << (11 - bits))
+    LogQ.toLong * (bits - 1) + logTable((mant - LogQ).toInt)
+  }
+
   /** Spark-SQL rendering of log2fp over expression `x` (must be a
     * duplication-safe fragment — a column name or cheap arithmetic). */
   def log2fpExpr(x: String): String = {

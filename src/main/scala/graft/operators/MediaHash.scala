@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash near-duplicate detection for media assets
+  * (SURVEY §2 #179–180).
+  *
+  * Image dedup in LAION-style multimodal pipelines runs on perceptual
+  * hashes: a fixed-length bit signature of the DECODED content whose
+  * Hamming distance tracks visual similarity (average-hash/pHash —
+  * the published dedup key of LAION-5B's url+text and img2dataset's
+  * near-dup tooling). The text/embedding dedup families here (#28–32)
+  * key on tokens or float vectors; media assets are opaque bytes, so
+  * they need the byte-content analogue. This family supplies it:
+  *
+  *   - #179 `media_ahash`: the average-hash kernel. The asset's byte
+  *     stream (standing in for the decoded 8×8 grayscale raster — the
+  *     raster decode is this container's stubbed stage, exactly as in
+  *     #112's resize) folds into 64 cells by byte position mod 64;
+  *     bit_i = cell_i > mean, spelled 64·cell_i > total so NO division
+  *     ever rounds; the 64 bits assemble into four 16-bit bands (the
+  *     hash is stored banded — see below — and band values stay far
+  *     from BIGINT sign trouble).
+  *   - #180 `media_ahash_dedup`: banded near-dup join. Pairs agreeing
+  *     on ≥ 1 of 4 bands are candidates (pigeonhole: Hamming ≤ 3 over
+  *     64 bits leaves ≥ 1 of the 4 bands IDENTICAL — the banding is
+  *     provably lossless at the radius it serves, the #31
+  *     prefix-filter discipline); candidates confirm by exact Hamming
+  *     ≤ 3 over the full hash. Buckets are capped at [[BucketCap]]
+  *     members (min-doc_id keepers via ROW_NUMBER, deterministic and
+  *     oracle-replayable), so a degenerate hot bucket — a million
+  *     identical thumbnails — costs cap²/2, never corpus² (#29's
+  *     BandBucketCap rule).
+  *
+  * Unlike SimHash (#30, xxhash64-seeded, rows-only with an
+  * oracle-green poly twin), every number here is plain integer
+  * arithmetic over the asset bytes, so BOTH family members are fully
+  * DuckDB-verifiable — the hex-nibble byte extraction is the #114
+  * byte-histogram oracle pattern.
+  *
+  * Near-twin synthesis: docs ≡ 6 (mod 11) carry the PREVIOUS doc's
+  * bytes with one byte appended (a re-encode/metadata-touch of the
+  * same image) — raw bytes differ, cells shift by one byte's worth,
+  * and the pair lands within the Hamming radius; both engines build
+  * the same assets from the same join, so the oracle verifies the
+  * hash and join algebra, not the synthesis.
+  *
+  * Scale shape (100 TB): the kernel is ONE scan — per-asset work
+  * linear in asset bytes collapsing to a 4-short signature
+  * (map-side-combined aggregate on (doc_id, cell), then (doc_id));
+  * assets never shuffle, signatures do. The dedup join shuffles
+  * 10-byte band keys, capped buckets bound every task, and the
+  * confirm pass touches only candidate pairs. This is the #29
+  * MinHash-LSH plan with a 64-bit integer signature.
+  */
+object MediaHash {
+
+  /** Hash width in bits / cells. */
+  val Bits = 64
+  /** Bands (16 bits each): Hamming ≤ Bands − 1 is pigeonhole-complete. */
+  val Bands = 4
+  /** Confirm radius: pairs with Hamming ≤ HamMax are duplicates. */
+  val HamMax = 3
+  /** Band-bucket membership cap (the #29 hot-bucket bound). */
+  val BucketCap = 256
+
+  /** Near-twin residue: doc_id ≡ TwinRes (mod TwinMod) re-encodes the
+    * previous doc's asset. */
+  val TwinMod = 11L
+  val TwinRes = 6L
+
+  // --- shared synthesis: (doc_id, content) with planted near-twins.
+  // Spark renders it as a self-join DataFrame, DuckDB as the same join
+  // in a CTE; `concat(text, 'x')` is the one-byte re-encode touch.
+  private val srcIdSql: String =
+    s"CASE WHEN doc_id % $TwinMod = $TwinRes THEN doc_id - 1 ELSE doc_id END"
+
+  private def assets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val base = d.select(col("doc_id"), expr(srcIdSql).as("src_id"),
+      (col("doc_id") % TwinMod === TwinRes).as("is_twin"))
+    base.join(d.select(col("doc_id").as("src_id"), col("text")), Seq("src_id"))
+      .select(col("doc_id"),
+        when(col("is_twin"), concat(col("text"), lit("x")))
+          .otherwise(col("text")).as("content"))
+  }
+
+  private val assetsCte: String =
+    s"""a0 AS (
+       |  SELECT doc_id, $srcIdSql AS src_id,
+       |    doc_id % $TwinMod = $TwinRes AS is_twin
+       |  FROM documents
+       |), assets AS (
+       |  SELECT a0.doc_id,
+       |    CASE WHEN a0.is_twin THEN concat(d.text, 'x') ELSE d.text END AS content
+       |  FROM a0 JOIN documents d ON d.doc_id = a0.src_id
+       |)""".stripMargin
+
+  // --- per-doc banded hash (doc_id, b0..b3), both engines.
+
+  /** Spark frame (doc_id, band, band_val) from the asset bytes. */
+  private def bandsDf(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = assets(spark, dir)
+      // the per-byte fold is the op's whole CPU cost (~bytes × conv);
+      // spread assets across the shuffle width before it — a small-SF
+      // corpus arrives as ONE parquet split and would otherwise fold
+      // on a single core (at 100 TB the scan is already wide; this
+      // shuffle moves only the asset bytes once, ~free vs the fold).
+      // Width is pinned: AQE sizes a bare repartition by INPUT bytes
+      // (MBs of text) and would coalesce it back to one task, blind
+      // to the ~200× row fan-out the fold does downstream
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), hex(col("content").cast("binary")).as("hx"))
+      // ONE linear pass chunks the hex into 2-char byte strings; the
+      // earlier substring(hx, 2j-1, 2) spelling was O(j) per byte
+      // (UTF8String indexes by codepoint scan), i.e. quadratic per
+      // asset — measured 30 µs/byte vs ~1 µs here
+      .select(col("doc_id"),
+        posexplode(split(col("hx"), "(?<=\\G..)")).as(Seq("p", "ch")))
+      .select(col("doc_id"),
+        expr("CAST(conv(ch, 16, 10) AS BIGINT)").as("bv"),
+        expr(s"p % $Bits").as("cell"))
+    val cells = bytes.groupBy("doc_id", "cell").agg(sum("bv").as("cs"))
+    val tot = cells.groupBy("doc_id").agg(sum("cs").as("total"))
+    cells.join(tot, "doc_id")
+      .select(col("doc_id"), expr(s"cell div 16").as("band"),
+        expr(s"CASE WHEN $Bits * cs > total THEN " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(cell % 16 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END").as("bit"))
+      .groupBy("doc_id", "band").agg(sum("bit").as("band_val"))
+  }
+
+  /** Spark frame (doc_id, b0, b1, b2, b3). Cells with no bytes (assets
+    * shorter than 64 bytes) simply never set their bit — the sum over
+    * present cells is the whole hash. */
+  private def hashesFrom(bands: DataFrame): DataFrame =
+    bands.groupBy("doc_id")
+      .agg(
+        sum(when(col("band") === 0, col("band_val")).otherwise(0L)).as("b0"),
+        sum(when(col("band") === 1, col("band_val")).otherwise(0L)).as("b1"),
+        sum(when(col("band") === 2, col("band_val")).otherwise(0L)).as("b2"),
+        sum(when(col("band") === 3, col("band_val")).otherwise(0L)).as("b3"))
+
+  /** DuckDB CTEs ending in `h(doc_id, b0..b3)` — the #114 hex-nibble
+    * byte extraction feeding the same cell/bit/band algebra. */
+  private val hashCtes: String =
+    s"""$assetsCte, bx AS (
+       |  SELECT doc_id, hex(encode(content)) AS hx FROM assets
+       |), by2 AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, length(hx) // 2 + 1)) AS j, hx
+       |  FROM bx
+       |), bv AS (
+       |  SELECT doc_id, (j - 1) % $Bits AS cell,
+       |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
+       |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
+       |  FROM by2
+       |), cells AS (
+       |  SELECT doc_id, cell, CAST(SUM(b) AS BIGINT) AS cs FROM bv GROUP BY doc_id, cell
+       |), tot AS (
+       |  SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS total FROM cells GROUP BY doc_id
+       |), bits AS (
+       |  SELECT cells.doc_id, cell // 16 AS band,
+       |    CASE WHEN $Bits * cs > total
+       |         THEN (CAST(1 AS BIGINT) << CAST(cell % 16 AS INT))
+       |         ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id
+       |), bnd AS (
+       |  SELECT doc_id, band, CAST(SUM(bit) AS BIGINT) AS band_val
+       |  FROM bits GROUP BY doc_id, band
+       |), h AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN band = 0 THEN band_val ELSE 0 END) AS BIGINT) AS b0,
+       |    CAST(SUM(CASE WHEN band = 1 THEN band_val ELSE 0 END) AS BIGINT) AS b1,
+       |    CAST(SUM(CASE WHEN band = 2 THEN band_val ELSE 0 END) AS BIGINT) AS b2,
+       |    CAST(SUM(CASE WHEN band = 3 THEN band_val ELSE 0 END) AS BIGINT) AS b3
+       |  FROM bnd GROUP BY doc_id
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #179 media_ahash — the hash export (per-asset banded signature)
+  // ---------------------------------------------------------------------
+
+  def mediaAhash(spark: SparkSession, dir: String): DataFrame =
+    hashesFrom(bandsDf(spark, dir))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .orderBy("doc_id")
+
+  val mediaAhashSql: String =
+    s"""WITH $hashCtes
+       |SELECT doc_id, b0, b1, b2, b3 FROM h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #180 media_ahash_dedup — banded join + exact Hamming confirm
+  // ---------------------------------------------------------------------
+
+  def mediaAhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the byte-fold scan feeds three consumers (hashes + both bucket
+    // sides) and the signature frame two (both pair sides) — pin both
+    // so the corpus-scale explode runs ONCE (Checkpoints discipline);
+    // each pinned frame is signature-sized, 4 resp. 1 rows per asset
+    val bands = graft.Checkpoints.pin(bandsDf(spark, dir))
+    val h = graft.Checkpoints.pin(hashesFrom(bands))
+    // bucket membership, capped: ROW_NUMBER over (band, band_val)
+    val buckets = bands
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY band, band_val ORDER BY doc_id)"))
+      .filter(col("rn") <= BucketCap)
+      .select(col("band"), col("band_val"), col("doc_id"))
+    val pairs = buckets.alias("x")
+      .join(buckets.alias("y"),
+        expr("x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(h.toDF("doc_a", "a0", "a1", "a2", "a3"), Seq("doc_a"))
+      .join(h.toDF("doc_b", "c0", "c1", "c2", "c3"), Seq("doc_b"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT)"))
+      .filter(col("hamming") <= HamMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val mediaAhashDedupSql: String =
+    s"""WITH $hashCtes, buckets AS (
+       |  SELECT band, band_val, doc_id FROM (
+       |    SELECT band, band_val, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS rn
+       |    FROM bnd
+       |  ) WHERE rn <= $BucketCap
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |), ham AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS hamming
+       |  FROM pairs p
+       |  JOIN h a ON a.doc_id = p.doc_a
+       |  JOIN h b ON b.doc_id = p.doc_b
+       |)
+       |SELECT doc_a, doc_b, hamming FROM ham
+       |WHERE hamming <= $HamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_ahash" -> mediaAhash,
+    "media_ahash_dedup" -> mediaAhashDedup)
+
+  val oracle: Map[String, String] = Map(
+    "media_ahash" -> mediaAhashSql,
+    "media_ahash_dedup" -> mediaAhashDedupSql)
+}

@@ -1,0 +1,76 @@
+package graft
+
+/** #179/#180 average-hash media near-dup: hashes and the banded dedup
+  * join re-derived by independent Scala loops, plus a brute-force
+  * completeness proof of the pigeonhole banding. */
+class MediaHashSpec extends SparkSpec {
+  import operators.MediaHash._
+
+  // independent synthesis + kernel replay
+  private lazy val docs: Map[Long, String] =
+    Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private lazy val contents: Map[Long, Array[Byte]] =
+    docs.map { case (id, _) =>
+      val srcId = if (id % TwinMod == TwinRes) id - 1 else id
+      val s = if (id % TwinMod == TwinRes) docs(srcId) + "x" else docs(srcId)
+      id -> s.getBytes("UTF-8")
+    }
+
+  /** Independent aHash: 64 cells by position mod 64, bit on strict
+    * mean exceed (64·cell > total), banded 16 bits each. */
+  private def ahash(bytes: Array[Byte]): Array[Long] = {
+    val cells = new Array[Long](Bits)
+    bytes.zipWithIndex.foreach { case (b, i) => cells(i % Bits) += (b & 0xff) }
+    val total = cells.sum
+    val bands = new Array[Long](Bands)
+    for (i <- 0 until Bits)
+      if (Bits * cells(i) > total) bands(i / 16) |= 1L << (i % 16)
+    bands
+  }
+
+  private lazy val hashes: Map[Long, Array[Long]] =
+    contents.map { case (id, b) => id -> ahash(b) }
+
+  private def hamming(a: Array[Long], b: Array[Long]): Int =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+
+  test("media_ahash matches the independent byte-fold recompute") {
+    val got = operators.MediaHash.mediaAhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == docs.keys.toSeq.sorted)
+    got.foreach { case (id, h) => assert(h.sameElements(hashes(id)), s"doc $id") }
+    // every band fits 16 bits
+    got.foreach { case (_, h) => h.foreach(b => assert(b >= 0 && b < 65536)) }
+  }
+
+  test("media_ahash_dedup equals the brute-force Hamming-radius pair set") {
+    // brute force ALL pairs at spec scale: banding + cap must lose
+    // nothing here (no bucket reaches the cap at sf0.001 — asserted,
+    // so the pigeonhole completeness claim is actually exercised)
+    val ids = contents.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      d = hamming(hashes(ids(i)), hashes(ids(j)))
+      if d <= HamMax
+    } yield (ids(i), ids(j), d)).toSeq.sorted
+    val bucketSizes = hashes.toSeq
+      .flatMap { case (id, h) => h.zipWithIndex.map { case (v, b) => (b, v) -> id } }
+      .groupBy(_._1).map(_._2.size)
+    assert(bucketSizes.max <= BucketCap, "cap reached: completeness claim untested")
+    val got = operators.MediaHash.mediaAhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    // the planted one-byte re-encodes are caught: every twin pair is
+    // within the radius of its source (the append shifts one cell and
+    // the global mean — at most a few threshold bits move)
+    val twins = ids.filter(id => id % TwinMod == TwinRes && docs.contains(id - 1))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    val found = twins.count(id => gotPairs.contains((id - 1, id)))
+    assert(twins.nonEmpty && found.toDouble / twins.size >= 0.8,
+      s"twin recall $found/${twins.size}")
+  }
+}
