@@ -130,17 +130,23 @@ object Classifier {
        |)""".stripMargin
   }
 
-  /** Token frame (doc_id, is_cur, tok) over the spiked corpus — the
-    * shared Spark-side scan both queries start from. */
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+  /** Token frame (doc_id, is_cur, tok) over an arbitrary
+    * (doc_id, text, source) frame — the single tokenization both the
+    * batch queries and the streaming admission twin
+    * ([[graft.streaming.ClassifierStream]]) ride, so they can never
+    * tokenize or spike divergently. */
+  private[graft] def tokensFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), expr(isCurSql).as("is_cur"))
       .select(col("doc_id"), col("is_cur"),
         explode(split(expr(spikedSql("spark")), " ")).as("tok"))
       .filter(col("tok") =!= "")
 
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    tokensFrom(Tables.load(spark, dir, "documents"))
+
   /** Model frame (tok, c_cur, c_cra, w_fp) from the train split. */
-  private def model(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def model(spark: SparkSession, dir: String): DataFrame = {
     val lg = TextFunctions.log2fpExpr _
     tokens(spark, dir)
       .filter(col("doc_id") % EvalMod =!= 0)
@@ -153,7 +159,7 @@ object Classifier {
 
   /** 1-row constants frame (dd_fp, pd_fp): the class-denominator and
     * prior log-odds terms. */
-  private def constants(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def constants(spark: SparkSession, dir: String): DataFrame = {
     val lg = TextFunctions.log2fpExpr _
     model(spark, dir)
       .agg(count(lit(1)).as("v"), sum("c_cur").as("n_cur"),

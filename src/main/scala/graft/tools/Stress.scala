@@ -75,6 +75,14 @@ object Stress {
     // build on first touch, probed-directory reads after)
     "vocab_unigram_em", "corpus_leak_report",
     "ann_ivfpq_q", "ann_index_append",
+    // round-16 continuation: the learned NB gate (vocab-sized model
+    // join), frontier PageRank (corpus→domain-graph collapse), aHash
+    // near-dup (id-shifted twins make every band bucket ×N hotter —
+    // the cap's designed-for case), and the WordPiece family (the
+    // vocabulary is invariant under id-shift; training must stay flat)
+    "corpus_classifier_score", "corpus_pagerank",
+    "media_ahash", "media_ahash_dedup",
+    "vocab_wordpiece", "text_wordpiece_tokens", "vocab_wordpiece_fertility",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks
