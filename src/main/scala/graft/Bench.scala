@@ -68,7 +68,11 @@ object Bench {
     // frontier PageRank, and the aHash near-dup join (subsumes the
     // media_ahash kernel the same way)
     "corpus_classifier_score", "corpus_pagerank", "media_ahash_dedup",
-    "vocab_wordpiece", "text_wordpiece_tokens", "vocab_wordpiece_fertility")
+    "vocab_wordpiece", "text_wordpiece_tokens", "vocab_wordpiece_fertility",
+    // corpus_frontier_rank is deliberately NOT a headliner: like
+    // ann_recall it composes two already-benched paths (urlFilter +
+    // pagerank) — benching it would double-count their cost
+    "corpus_url_seen_bloom")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

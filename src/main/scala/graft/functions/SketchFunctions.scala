@@ -64,6 +64,16 @@ object SketchFunctions {
   def poly_hash(c: Column): Column =
     Exprs.toColumn(PolyHash(Exprs.toExpression(c)))
 
+  /** DuckDB rendering of [[polyHash]] over a column expression — the
+    * list_reduce spelling the #84 bloom oracle established (Corpus
+    * inlines the same text; this export is for newer oracles so the
+    * hash has ONE duck spelling to drift from). */
+  def polyHashSqlDuck(x: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split($x, ''), ch -> CAST(ord(ch) AS BIGINT))),
+       |      (acc, c) -> (acc * 131 + c) % $PolyP)""".stripMargin
+
   /** Bounded distinct-min-k insert — the single definition of KMV's
     * update rule, shared by the batch aggregate and the streaming
     * state twin ([[graft.streaming.SketchStream]]). */

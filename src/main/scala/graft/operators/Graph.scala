@@ -146,9 +146,48 @@ object Graph {
        |ORDER BY r.rank_fp DESC, r.host""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #186 corpus_frontier_rank — rank-prioritized fetch queues
+  // ---------------------------------------------------------------------
+
+  /** The frontier composition: #162's rule battery decides WHAT may be
+    * fetched, #178's PageRank decides in WHAT ORDER — kept URLs join
+    * their registrable domain's rank and take a per-domain queue
+    * position (crawl schedulers interleave per-host queues by host
+    * priority; Cho et al. 1998's PageRank-ordered crawling). The
+    * window is PARTITIONED BY domain — a global fetch_order would be
+    * a single-partition sort at 100 TB; the per-domain position plus
+    * the domain's rank is everything the scheduler's interleave
+    * needs. The filter output's host ('srcN.example.com') joins the
+    * rank graph's node ('srcN') on the registrable-domain prefix —
+    * one broadcast-sized join (the rank table is domain-sized). */
+  def frontierRank(spark: SparkSession, dir: String): DataFrame =
+    Url.urlFilter(spark, dir)
+      .filter(col("verdict") === "kept")
+      .withColumn("domain", expr("split_part(host, '.', 1)"))
+      .join(pagerank(spark, dir)
+        .select(col("host").as("domain"), col("rank_fp")), Seq("domain"))
+      .withColumn("host_pos", expr(
+        "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)"))
+      .select(col("doc_id"), col("host"), col("rank_fp"), col("host_pos"))
+      .orderBy(col("rank_fp").desc, col("host"), col("doc_id"))
+
+  val frontierRankSql: String =
+    s"""WITH f AS ($urlFilterOracle), pr AS ($pagerankSql)
+       |SELECT f.doc_id, f.host, pr.rank_fp,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY pr.host ORDER BY f.doc_id) AS INT)
+       |    AS host_pos
+       |FROM f JOIN pr ON split_part(f.host, '.', 1) = pr.host
+       |WHERE f.verdict = 'kept'
+       |ORDER BY pr.rank_fp DESC, f.host, f.doc_id""".stripMargin
+
+  private def urlFilterOracle: String = Url.oracle("corpus_url_filter")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_pagerank" -> pagerank)
+    "corpus_pagerank" -> pagerank,
+    "corpus_frontier_rank" -> frontierRank)
 
   val oracle: Map[String, String] = Map(
-    "corpus_pagerank" -> pagerankSql)
+    "corpus_pagerank" -> pagerankSql,
+    "corpus_frontier_rank" -> frontierRankSql)
 }

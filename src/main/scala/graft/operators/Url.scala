@@ -53,8 +53,19 @@ object Url {
     if (dialect == "spark") "CAST(doc_id % 20 AS STRING)"
     else "CAST(doc_id % 20 AS VARCHAR)"
 
-  private def synthSql(dialect: String, spiked: Boolean = false): String = {
-    val id = idstr(dialect)
+  private def synthSql(dialect: String, spiked: Boolean = false,
+                       novelProbes: Boolean = false): String = {
+    // `novelProbes` (the #185 seen-bloom query only): half the probe
+    // batch (doc_id % 7 = 0 AND % 2 = 0) fetches a NEVER-crawled page
+    // id (1000 + doc_id, disjoint from the %20 article ids), so the
+    // frontier genuinely mixes revisits with new pages — without it
+    // the 60-page corpus makes every probe a revisit
+    val cast = if (dialect == "spark") "STRING" else "VARCHAR"
+    val id =
+      if (novelProbes)
+        s"CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 0 " +
+          s"THEN CAST(1000 + doc_id AS $cast) ELSE ${idstr(dialect)} END"
+      else idstr(dialect)
     // `spiked` (the #162 filter query only) plants the content the
     // rule battery exists to catch: a spam path segment on %13 docs
     // and a binary-download extension on %17 docs — #156/#157 keep
@@ -281,13 +292,116 @@ object Url {
        |FROM h
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #185 corpus_url_seen_bloom — bloom seen-set frontier probe
+  // ---------------------------------------------------------------------
+
+  /** Bloom geometry for the URL seen-set (the #84 affine family over
+    * the shared poly hash). */
+  val UrlBloomK = 3
+  val UrlBloomM = 128
+
+  /** Bloom URL seen-set with a false-positive audit: a crawl frontier
+    * at 100 TB cannot hold its exact seen-URL set in memory per
+    * worker, so real crawlers probe a bloom filter (Heritrix/Nutch's
+    * already-seen structure; the #84 trade restated for URLs — the
+    * broadcast is ≤ K·M bits FIXED regardless of crawl history size,
+    * where #157's exact dedup state grows with it). History = docs
+    * with doc_id % 7 ≠ 0 (already fetched, their canonical URLs light
+    * the bits); the new batch (doc_id % 7 = 0) probes. The split key
+    * is 7 deliberately: canonical URLs collapse on (source, doc_id
+    * mod 60) classes, and gcd(60, 7) = 1, so classes SPAN the split —
+    * probes genuinely re-visit crawled pages (a %3 split would align
+    * with the collapse classes and make truly_seen structurally
+    * impossible). M = 4096 sizes the filter so the collision path is
+    * actually exercised at test scale (the FP audit is the point of
+    * the row; production sizes M to its history and reads the same
+    * audit). Classic bloom semantics, oracle-exact INCLUDING the
+    * false positives: no false negatives (truly_seen ⇒ bloom_seen,
+    * spec-asserted), collisions deterministic integer math in both
+    * engines. */
+  def urlSeenBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions.{poly_hash, PolyP}
+    val c = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(synthSql("spark", novelProbes = true)).as("url"))
+      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url"))
+    def positions(df: DataFrame): DataFrame = {
+      val h = df.withColumn("hv", poly_hash(col("canon_url")))
+      h.select(h.columns.map(col) :+
+          explode(expr(s"sequence(0, ${UrlBloomK - 1})")).as("j"): _*)
+        .withColumn("pos",
+          ((col("hv") * (col("j") * 2 + 3) + (col("j") * 13 + 5)) % PolyP)
+            % UrlBloomM)
+    }
+    val crawled = c.filter(col("doc_id") % 7 =!= 0)
+    val probes = c.filter(col("doc_id") % 7 === 0)
+    val bits = positions(crawled.select("canon_url"))
+      .select("j", "pos").distinct()
+    val bloomSeen = positions(probes)
+      .join(broadcast(bits), Seq("j", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("k_hits"))
+      .filter(col("k_hits") === UrlBloomK)
+      .select(col("doc_id"), lit(1).as("bloom_seen"))
+    val seenExact = crawled.select("canon_url").distinct()
+      .withColumn("truly", lit(1))
+    probes
+      .join(bloomSeen, Seq("doc_id"), "left")
+      .join(seenExact, Seq("canon_url"), "left")
+      .select(col("doc_id"), col("canon_url"),
+        coalesce(col("bloom_seen"), lit(0)).as("bloom_seen"),
+        coalesce(col("truly"), lit(0)).as("truly_seen"))
+      .withColumn("false_positive",
+        (col("bloom_seen") === 1 && col("truly_seen") === 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val urlSeenBloomSql: String = {
+    val p = graft.functions.SketchFunctions.PolyP
+    val hashDuck = graft.functions.SketchFunctions.polyHashSqlDuck("canon_url")
+    s"""WITH u AS (
+       |  SELECT doc_id, ${synthSql("duck", novelProbes = true)} AS url FROM documents
+       |), c AS (
+       |  SELECT doc_id, ${canonSql("duck")} AS canon_url FROM u
+       |), h AS (
+       |  SELECT doc_id, canon_url, $hashDuck AS hv
+       |  FROM c
+       |), pos AS (
+       |  SELECT doc_id, canon_url, j,
+       |    ((hv * (2*j + 3) + (13*j + 5)) % $p) % $UrlBloomM AS pos
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $UrlBloomK)) AS j)
+       |), bits AS (
+       |  SELECT DISTINCT j, pos FROM pos WHERE doc_id % 7 <> 0
+       |), bs AS (
+       |  SELECT p.doc_id
+       |  FROM pos p JOIN bits b ON p.j = b.j AND p.pos = b.pos
+       |  WHERE p.doc_id % 7 = 0
+       |  GROUP BY p.doc_id
+       |  HAVING COUNT(*) = $UrlBloomK
+       |), seen AS (
+       |  SELECT DISTINCT canon_url FROM c WHERE doc_id % 7 <> 0
+       |)
+       |SELECT c.doc_id, c.canon_url,
+       |  CAST(CASE WHEN bs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS bloom_seen,
+       |  CAST(CASE WHEN seen.canon_url IS NOT NULL THEN 1 ELSE 0 END AS INT) AS truly_seen,
+       |  CAST(CASE WHEN bs.doc_id IS NOT NULL AND seen.canon_url IS NULL
+       |       THEN 1 ELSE 0 END AS INT) AS false_positive
+       |FROM c
+       |LEFT JOIN bs ON bs.doc_id = c.doc_id
+       |LEFT JOIN seen ON seen.canon_url = c.canon_url
+       |WHERE c.doc_id % 7 = 0
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_canon" -> ((s: SparkSession, d: String) => urlCanon(s, d)),
     "corpus_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(s, d)),
-    "corpus_url_filter" -> ((s: SparkSession, d: String) => urlFilter(s, d)))
+    "corpus_url_filter" -> ((s: SparkSession, d: String) => urlFilter(s, d)),
+    "corpus_url_seen_bloom" -> ((s: SparkSession, d: String) => urlSeenBloom(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_url_canon" -> urlCanonSql,
     "corpus_url_dedup" -> urlDedupSql,
-    "corpus_url_filter" -> urlFilterSql)
+    "corpus_url_filter" -> urlFilterSql,
+    "corpus_url_seen_bloom" -> urlSeenBloomSql)
 }

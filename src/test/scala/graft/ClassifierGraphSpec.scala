@@ -134,4 +134,54 @@ class ClassifierGraphSpec extends SparkSpec {
     assert(total <= nsrc * operators.Graph.FP)
     assert(total >= nsrc * operators.Graph.Base)
   }
+
+  test("frontier rank: kept URLs carry their domain's rank and contiguous queue positions") {
+    val ranks = operators.Graph.pagerank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = operators.Url.urlFilter(spark, sf).collect()
+      .filter(_.getString(2) == "kept")
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = operators.Graph.frontierRank(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // exactly the kept frontier, each row carrying its domain's rank
+    assert(got.map(g => (g._1, g._2)).toSet == kept.toSet)
+    got.foreach { case (_, host, rank, _) =>
+      assert(rank == ranks(host.split("\\.")(0)), host)
+    }
+    // per-host queue positions are 1..n in doc_id order
+    got.groupBy(_._2).foreach { case (host, rows) =>
+      val byDoc = rows.sortBy(_._1)
+      assert(byDoc.map(_._4) == (1 to rows.size), host)
+    }
+    // output interleave: rank-descending blocks
+    assert(got.map(_._3) == got.map(_._3).sorted(Ordering[Long].reverse))
+  }
+
+  test("url seen-bloom: no false negatives; revisit truth from collapse classes; FP path exercised") {
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = operators.Url.urlSeenBloom(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.map(_._1).toSet == ids.filter(_ % 7 == 0))
+    got.foreach { case (id, bloom, truly, fp) =>
+      // classic bloom contract: a truly-seen URL can NEVER read unseen
+      if (truly == 1) assert(bloom == 1, s"false negative on doc $id")
+      assert(fp == (if (bloom == 1 && truly == 0) 1 else 0))
+      // independent truth from the synthesis residues alone: novel
+      // probes (even ids) fetch a never-crawled page; revisits are
+      // seen iff another corpus doc shares their (mod 60) collapse
+      // class off the probe split (source is id%20-determined, so the
+      // class key reduces to doc_id mod 60)
+      val expTruly =
+        if (id % 2 == 0) 0
+        else if (ids.exists(c => c % 60 == id % 60 && c % 7 != 0)) 1
+        else 0
+      assert(truly == expTruly, s"doc $id")
+    }
+    // both frontier cases occur, and the deliberately undersized
+    // filter (M=128 vs a 60-page history) exhibits measurable FPs —
+    // the audit's reason to exist
+    assert(got.count(_._3 == 1) > 0 && got.count(_._3 == 0) > 0)
+    assert(got.count(_._4 == 1) >= 1)
+  }
 }
