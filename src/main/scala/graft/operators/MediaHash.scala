@@ -92,11 +92,11 @@ object MediaHash {
   }
 
   private val assetsCte: String =
-    s"""a0 AS (
+    s"""a0 AS MATERIALIZED (
        |  SELECT doc_id, $srcIdSql AS src_id,
        |    doc_id % $TwinMod = $TwinRes AS is_twin
        |  FROM documents
-       |), assets AS (
+       |), assets AS MATERIALIZED (
        |  SELECT a0.doc_id,
        |    CASE WHEN a0.is_twin THEN concat(d.text, 'x') ELSE d.text END AS content
        |  FROM a0 JOIN documents d ON d.doc_id = a0.src_id
@@ -150,31 +150,31 @@ object MediaHash {
   /** DuckDB CTEs ending in `h(doc_id, b0..b3)` — the #114 hex-nibble
     * byte extraction feeding the same cell/bit/band algebra. */
   private val hashCtes: String =
-    s"""$assetsCte, bx AS (
+    s"""$assetsCte, bx AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(content)) AS hx FROM assets
-       |), by2 AS (
+       |), by2 AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(range(1, length(hx) // 2 + 1)) AS j, hx
        |  FROM bx
-       |), bv AS (
+       |), bv AS MATERIALIZED (
        |  SELECT doc_id, (j - 1) % $Bits AS cell,
        |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
        |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
        |  FROM by2
-       |), cells AS (
+       |), cells AS MATERIALIZED (
        |  SELECT doc_id, cell, CAST(SUM(b) AS BIGINT) AS cs FROM bv GROUP BY doc_id, cell
-       |), tot AS (
+       |), tot AS MATERIALIZED (
        |  SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS total FROM cells GROUP BY doc_id
-       |), bits AS (
+       |), bits AS MATERIALIZED (
        |  SELECT cells.doc_id, cell // 16 AS band,
        |    CASE WHEN $Bits * cs > total
        |         THEN (CAST(1 AS BIGINT) << CAST(cell % 16 AS INT))
        |         ELSE CAST(0 AS BIGINT) END AS bit
        |  FROM cells JOIN tot ON cells.doc_id = tot.doc_id
-       |), bnd AS (
+       |), bnd AS MATERIALIZED (
        |  SELECT doc_id, band, CAST(SUM(bit) AS BIGINT) AS band_val
        |  FROM bits GROUP BY doc_id, band
-       |), h AS (
+       |), h AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN band = 0 THEN band_val ELSE 0 END) AS BIGINT) AS b0,
        |    CAST(SUM(CASE WHEN band = 1 THEN band_val ELSE 0 END) AS BIGINT) AS b1,
@@ -229,34 +229,103 @@ object MediaHash {
       .orderBy("doc_a", "doc_b")
   }
 
-  val mediaAhashDedupSql: String =
-    s"""WITH $hashCtes, buckets AS (
+  /** Banded-join + confirm chain ending in `ham(doc_a, doc_b,
+    * hamming)` — shared by the #180 pair query and the #187 cluster
+    * canonicalization. */
+  private val dedupCtes: String =
+    s"""$hashCtes, buckets AS MATERIALIZED (
        |  SELECT band, band_val, doc_id FROM (
        |    SELECT band, band_val, doc_id,
        |      ROW_NUMBER() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS rn
        |    FROM bnd
        |  ) WHERE rn <= $BucketCap
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
-       |), ham AS (
+       |), ham AS MATERIALIZED (
        |  SELECT p.doc_a, p.doc_b,
        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
        |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS hamming
        |  FROM pairs p
        |  JOIN h a ON a.doc_id = p.doc_a
        |  JOIN h b ON b.doc_id = p.doc_b
-       |)
+       |)""".stripMargin
+
+  val mediaAhashDedupSql: String =
+    s"""WITH $dedupCtes
        |SELECT doc_a, doc_b, hamming FROM ham
        |WHERE hamming <= $HamMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #187 media_ahash_clusters — duplicate-set canonicalization
+  // ---------------------------------------------------------------------
+
+  /** Cluster canonicalization over the #180 pair graph — what an image
+    * dedup actually SHIPS: one canonical asset per duplicate set plus
+    * the set size (LAION's dedup keeps one representative per
+    * perceptual cluster). Components via the #79 alternating
+    * large-star/small-star kernel (Dedup.connectedComponents — ONE
+    * component algebra in the repo); labels converge to the min
+    * doc_id, which is the keeper rule (#28's discipline). Every asset
+    * reports (cluster_id, n_members, is_canonical, n_bytes); the
+    * dedup decision is `is_canonical`, and Σ n_bytes over canonicals
+    * is the post-dedup storage bill. Oracle: the #180 chain + a
+    * recursive reachability closure (the #79 oracle pattern). */
+  def mediaAhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = mediaAhashDedup(spark, dir).select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "d")
+    val base = assets(spark, dir)
+      .select(col("doc_id"),
+        expr("octet_length(CAST(content AS BINARY))").cast("int").as("n_bytes"))
+    val labelled = base
+      .join(labels, col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val sizes = labelled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    labelled.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val mediaAhashClustersSql: String =
+    s"""WITH RECURSIVE $dedupCtes, hits AS (
+       |  SELECT doc_a, doc_b FROM ham WHERE hamming <= $HamMax
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM hits
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM hits
+       |), reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM assets
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+       |), lbls AS (
+       |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+       |), sizes AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM lbls GROUP BY cluster_id
+       |)
+       |SELECT l.doc_id, l.cluster_id, s.n_members,
+       |  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT)
+       |    AS is_canonical,
+       |  CAST(octet_length(encode(a.content)) AS INT) AS n_bytes
+       |FROM lbls l
+       |JOIN sizes s ON s.cluster_id = l.cluster_id
+       |JOIN assets a ON a.doc_id = l.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_ahash" -> mediaAhash,
-    "media_ahash_dedup" -> mediaAhashDedup)
+    "media_ahash_dedup" -> mediaAhashDedup,
+    "media_ahash_clusters" -> mediaAhashClusters)
 
   val oracle: Map[String, String] = Map(
     "media_ahash" -> mediaAhashSql,
-    "media_ahash_dedup" -> mediaAhashDedupSql)
+    "media_ahash_dedup" -> mediaAhashDedupSql,
+    "media_ahash_clusters" -> mediaAhashClustersSql)
 }

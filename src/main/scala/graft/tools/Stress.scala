@@ -84,6 +84,7 @@ object Stress {
     "media_ahash", "media_ahash_dedup",
     "vocab_wordpiece", "text_wordpiece_tokens", "vocab_wordpiece_fertility",
     "corpus_url_seen_bloom", "corpus_frontier_rank",
+    "media_ahash_clusters",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks

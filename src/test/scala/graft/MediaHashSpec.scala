@@ -73,4 +73,41 @@ class MediaHashSpec extends SparkSpec {
     assert(twins.nonEmpty && found.toDouble / twins.size >= 0.8,
       s"twin recall $found/${twins.size}")
   }
+
+  test("media_ahash_clusters matches an independent union-find over the pair truth") {
+    val ids = contents.keys.toSeq.sorted
+    // independent union-find over the brute-force Hamming pairs
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for {
+      i <- ids.indices
+      j <- (i + 1) until ids.size
+      if hamming(hashes(ids(i)), hashes(ids(j))) <= HamMax
+    } {
+      val (ra, rb) = (find(ids(i)), find(ids(j)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cluster = ids.map(i => i -> find(i)).toMap
+    val sizes = cluster.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    val exp = ids.map { i =>
+      val c = cluster(i)
+      (i, c, sizes(c), if (i == c) 1 else 0, contents(i).length)
+    }
+    val got = operators.MediaHash.mediaAhashClusters(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(got == exp)
+    // the storage bill shrinks: canonical bytes < all bytes, and every
+    // non-canonical is in a ≥2-member cluster
+    assert(got.filter(_._4 == 1).map(_._5.toLong).sum <
+      got.map(_._5.toLong).sum)
+    got.filter(_._4 == 0).foreach { case (id, _, n, _, _) =>
+      assert(n >= 2, s"doc $id")
+    }
+  }
 }
