@@ -136,6 +136,45 @@ object MediaHash {
       .groupBy("doc_id", "band").agg(sum("bit").as("band_val"))
   }
 
+  /** In-row aHash over a binary `content` expression: the SAME
+    * cell/threshold/band algebra as [[bandsDf]] folded inside one row
+    * (HOF chain, no explode/shuffle) — the streaming admission twin
+    * ([[graft.streaming.MediaHashStream]]) must hash per arriving
+    * asset without a per-byte shuffle, exactly the MinhashStream
+    * in-row signature move. Returns ARRAY<BIGINT>[4] = (b0..b3);
+    * spec-pinned equal to the batch hash on every corpus asset. The
+    * fold costs O(bytes · 64) slot copies per asset — bounded,
+    * row-local, and the stream's whole per-asset CPU. */
+  private[graft] def ahashInRowSql(content: String): String = {
+    // let-bindings emulated by transform over a singleton array
+    // (element_at(transform(array(v), x -> body), 1) — no scalar
+    // subquery can correlate inside a Spark expression)
+    // the fold runs over sequence(1, octet_length) — the REAL byte
+    // count — not size(ch): the \G split keeps one trailing '' chunk
+    // (limit −1 semantics) whose conv('') is NULL; the batch kernel's
+    // SUM silently skips that NULL, but an in-row `v + NULL` would
+    // poison the whole cell array
+    val cellsOf =
+      s"""aggregate(sequence(1, octet_length($content)),
+         |  array_repeat(CAST(0 AS BIGINT), $Bits),
+         |  (acc, i) -> transform(acc, (v, k) ->
+         |    CASE WHEN (i - 1) % $Bits = k
+         |         THEN v + CAST(conv(element_at(ch, i), 16, 10) AS BIGINT)
+         |         ELSE v END))""".stripMargin
+    val bandsOf =
+      s"""element_at(transform(array(aggregate(cells, CAST(0 AS BIGINT), (a, x) -> a + x)),
+         |  total -> transform(sequence(0, ${Bands - 1}), b ->
+         |    aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+         |      acc + CASE WHEN $Bits * element_at(cells, b * 16 + j + 1) > total
+         |            THEN shiftleft(CAST(1 AS BIGINT), j)
+         |            ELSE CAST(0 AS BIGINT) END))), 1)""".stripMargin
+    s"""CASE WHEN octet_length($content) = 0
+       |THEN array_repeat(CAST(0 AS BIGINT), $Bands)
+       |ELSE element_at(transform(array(split(hex($content), '(?<=\\\\G..)')), ch ->
+       |  element_at(transform(array($cellsOf), cells -> $bandsOf), 1)), 1)
+       |END""".stripMargin
+  }
+
   /** Spark frame (doc_id, b0, b1, b2, b3). Cells with no bytes (assets
     * shorter than 64 bytes) simply never set their bit — the sum over
     * present cells is the whole hash. */

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.operators.MediaHash.{Bands, HamMax}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming perceptual-hash media dedup at ingest (SURVEY §2 #188) —
+  * the streaming twin of batch `MediaHash.mediaAhashDedup`, shaped
+  * exactly like the #82 MinhashStream: assets arrive in micro-batches
+  * and each is flagged against every asset seen BEFORE it (this batch
+  * or earlier, across restarts). This is the LAION-style ingest gate
+  * — don't store an image whose perceptual hash is within the
+  * duplicate radius of one already kept.
+  *
+  * The batch kernel computes the hash via explode + two aggregates; a
+  * stream must not shuffle per byte, so the hash folds INSIDE the row
+  * ([[graft.operators.MediaHash.ahashInRowSql]] — the identical
+  * cell/threshold/band algebra, spec-pinned equal to the batch hash
+  * on every corpus asset).
+  *
+  * Keyed state is one owner per claimed (band, band_val) bucket — its
+  * doc id PLUS its full 4-band hash (the #82 claim-and-verify
+  * protocol: a band collision is only a CANDIDATE; the verify is
+  * exact Hamming ≤ [[HamMax]] against the owner's full hash, the
+  * batch confirm rule — without it, 16-bit band collisions would
+  * falsely reject unique assets at stream scale). State is ≤ Bands
+  * rows per distinct asset admitted; the 100 TB horizon knob is the
+  * same as #82's (swap NoTimeout for an ingest-time timeout past the
+  * dedup window).
+  */
+object MediaHashStream {
+
+  case class BandRow(doc_id: Long, band: Int, band_val: Long,
+                     hash: Array[Long])
+  case class BucketOwner(owner: Long, hash: Array[Long])
+  /** One row per (incoming asset, band): the bucket's owner and the
+    * full-hash Hamming distance to it. */
+  case class BandObs(doc_id: Long, band: Int, owner: Long, hamming: Int)
+
+  /** Per-row hash + band rows — no shuffle, stream-safe. Expects
+    * (doc_id, content: binary) rows. */
+  def bandRows(assets: DataFrame): Dataset[BandRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .withColumn("hash",
+        expr(graft.operators.MediaHash.ahashInRowSql("content")))
+      .select(col("doc_id"), col("hash"),
+        posexplode(col("hash")).as(Seq("band", "band_val")))
+      .select(col("doc_id"), col("band").cast("int").as("band"),
+        col("band_val"), col("hash"))
+      .as[BandRow]
+  }
+
+  private def hamming(a: Array[Long], b: Array[Long]): Int = {
+    var d = 0
+    var i = 0
+    while (i < a.length) {
+      d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1
+    }
+    d
+  }
+
+  /** First writer claims each bucket (with its full hash); everyone
+    * reports the owner and their Hamming distance to it. Within a
+    * micro-batch the smallest doc_id claims (deterministic regardless
+    * of arrival order inside the batch). */
+  def bandObservations(assets: DataFrame): Dataset[BandObs] = {
+    import assets.sparkSession.implicits._
+    bandRows(assets)
+      .groupByKey(r => (r.band, r.band_val))
+      .flatMapGroupsWithState[BucketOwner, BandObs](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val sorted = rows.toArray.sortBy(_.doc_id)
+        val st =
+          if (state.exists) state.get
+          else BucketOwner(sorted.head.doc_id, sorted.head.hash)
+        if (!state.exists) state.update(st)
+        sorted.iterator.map { r =>
+          BandObs(r.doc_id, r.band, st.owner, hamming(r.hash, st.hash))
+        }
+      }
+  }
+
+  /** File-based ingest: per-band observations collapse to one verdict
+    * row per asset — `dup_of` = smallest colliding owner within the
+    * batch confirm radius (an unverified band collision is a
+    * candidate, not a duplicate), null = ADMITTED. batch_id stamps
+    * the increment (the parquet log is the admission record). */
+  def dedupQuery(spark: SparkSession, inputDir: String, schema: StructType,
+                 checkpointDir: String, outDir: String): StreamingQuery =
+    bandObservations(
+      spark.readStream.schema(schema).parquet(inputDir))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[BandObs], batchId: Long) =>
+        batch.toDF()
+          .groupBy("doc_id")
+          .agg(min(when(col("owner") =!= col("doc_id") &&
+              col("hamming") <= HamMax, col("owner")))
+            .as("dup_of"))
+          .withColumn("admitted", col("dup_of").isNull.cast("int"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+}
