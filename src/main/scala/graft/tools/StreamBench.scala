@@ -378,17 +378,71 @@ object StreamBench {
       ()
     }
 
+    // ---- classifier admission (#184): frozen-NB stateless scoring ----
+    // the same ×copies corpus as the curation leg; scoring is
+    // stateless, so the leg measures the per-doc cost of explode +
+    // model join + per-doc aggregate at admission time
+    val clsIn = freshDir(root, "cls-in")
+    val clsSrc = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    (0 until copies).map(i => clsSrc.withColumn("doc_id",
+        col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(clsIn.getAbsolutePath)
+    val nCls = spark.read.parquet(clsIn.getAbsolutePath).count()
+    val clsSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("source", "string")
+    val clsSec = timePasses { () =>
+      val cp = freshDir(root, "cp-cls")
+      val co = freshDir(root, "cls-out")
+      val q = graft.streaming.ClassifierStream.scoreQuery(spark,
+        clsIn.getAbsolutePath, clsSchema, sfDir, co.getAbsolutePath,
+        cp.getAbsolutePath)
+      q.awaitTermination(600000)
+      ()
+    }
+
+    // ---- media ingest gate (#188): in-row aHash + claim-and-verify --
+    // ×copies exact twins: ~(copies−1)/copies of arrivals reject at
+    // Hamming 0 against first-generation owners — the ingest gate's
+    // worst case (every asset still pays the full in-row fold)
+    val mediaIn = freshDir(root, "media-in")
+    val mediaSrc = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    (0 until copies).map(i => mediaSrc.withColumn("doc_id",
+        col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(mediaIn.getAbsolutePath)
+    val nAssets = spark.read.parquet(mediaIn.getAbsolutePath).count()
+    val mediaSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("content", "binary")
+    val mediaSec = timePasses { () =>
+      val cp = freshDir(root, "cp-media")
+      val mo = freshDir(root, "media-out")
+      val q = graft.streaming.MediaHashStream.dedupQuery(spark,
+        mediaIn.getAbsolutePath, mediaSchema, cp.getAbsolutePath,
+        mo.getAbsolutePath)
+      q.awaitTermination(600000)
+      ()
+    }
+
     val syslogRate = (nSyslog / syslogSec).toLong
     val gelfRate = (nMessages / gelfSec).toLong
     val semRate = (nVec / semSec).toLong
     val curRate = (nDocs / curSec).toLong
     val annRate = (nQueries / annSec).toLong
+    val clsRate = (nCls / clsSec).toLong
+    val mediaRate = (nAssets / mediaSec).toLong
     val json =
-      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec + curSec + annSec},"unit":"sec","streams":{""" +
+      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec + curSec + annSec + clsSec + mediaSec},"unit":"sec","streams":{""" +
         s""""syslog_spool":{"rows":$nSyslog,"sec":$syslogSec,"rows_per_sec":$syslogRate},""" +
         s""""gelf_reassembly":{"messages":$nMessages,"sec":$gelfSec,"msgs_per_sec":$gelfRate},""" +
         s""""semantic_admission":{"rows":$nVec,"sec":$semSec,"rows_per_sec":$semRate},""" +
         s""""curation_admission":{"rows":$nDocs,"sec":$curSec,"rows_per_sec":$curRate},""" +
+        s""""classifier_admission":{"rows":$nCls,"sec":$clsSec,"rows_per_sec":$clsRate},""" +
+        s""""media_ingest":{"assets":$nAssets,"sec":$mediaSec,"assets_per_sec":$mediaRate},""" +
         s""""ann_serving":{"queries":$nQueries,"sec":$annSec,"queries_per_sec":$annRate}},""" +
         s""""sf":"$sfDir"}"""
     println(json)
