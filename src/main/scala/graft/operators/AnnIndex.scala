@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,23 +60,41 @@ object AnnIndex {
     * inside the snapshot at every test scale (embeddings ≥ 500 rows). */
   val FreshnessCutoff = 400L
 
-  private def root: String =
-    sys.props("java.io.tmpdir") + "/graft-ann-index"
+  /** Index store root: `spark.graft.ann.indexRoot` when set — REQUIRED
+    * on a multi-node cluster, where it must name a SHARED filesystem
+    * (hdfs://, s3a://, a mounted volume): the tmpdir default is
+    * driver-local and serves only the local-mode oracle gates, the
+    * exact hazard sources/Spool.scala:27-37 documents for the spool
+    * scratch. Resolved and manipulated as a Hadoop Path end to end
+    * (the SpoolWriter.commit pattern), so URI-schemed values work
+    * exactly like POSIX paths instead of being mangled by
+    * java.io.File. */
+  private def root(spark: SparkSession): Path =
+    new Path(spark.conf.getOption("spark.graft.ann.indexRoot")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ann-index"))
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Content fingerprint of the embeddings table: name+size+mtime of
-    * the parquet file (or every file of a parquet directory). The test
-    * directories are immutable driver snapshots, so this is exactly
-    * the catalog-statistics freshness check a warehouse would do. */
-  private def fingerprint(dir: String): String = {
-    def stat(x: java.io.File): String =
-      if (x.isDirectory)
-        Option(x.listFiles()).map(_.sortBy(_.getName).map(stat).mkString(","))
-          .getOrElse("")
-      else s"${x.getName}:${x.length}:${x.lastModified}"
-    val f = new java.io.File(s"$dir/embeddings.parquet")
+    * the parquet file (or every file of a parquet directory), read
+    * through the table path's OWN FileSystem — the source may live on
+    * a different store than the index. The test directories are
+    * immutable driver snapshots, so this is exactly the
+    * catalog-statistics freshness check a warehouse would do. */
+  private def fingerprint(spark: SparkSession, dir: String): String = {
+    val dirPath = new Path(dir)
+    val dfs = fs(spark, dirPath)
+    def stat(s: FileStatus): String =
+      if (s.isDirectory)
+        dfs.listStatus(s.getPath).sortBy(_.getPath.getName)
+          .map(stat).mkString(",")
+      else s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    val f = new Path(dirPath, "embeddings.parquet")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update((new java.io.File(dir).getCanonicalPath + "|" +
-      (if (f.exists) stat(f) else "absent")).getBytes("UTF-8"))
+    md.update((dfs.makeQualified(dirPath).toString + "|" +
+      (if (dfs.exists(f)) stat(dfs.getFileStatus(f)) else "absent"))
+      .getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
@@ -83,8 +102,11 @@ object AnnIndex {
     s"${Similarity.PqSub}-${Similarity.PqSubDim}-${Similarity.PqCodewords}-" +
       s"${Similarity.PqIters}-${Similarity.Centroids}-${Similarity.KmeansIters}"
 
-  def indexDir(dir: String, kind: String, maxVecId: Long): String =
-    s"$root/v$FormatVersion-$kind-${fingerprint(dir)}-k$knobs-m$maxVecId"
+  def indexDir(spark: SparkSession, dir: String, kind: String,
+               maxVecId: Long): String =
+    new Path(root(spark),
+      s"v$FormatVersion-$kind-${fingerprint(spark, dir)}-k$knobs-m$maxVecId")
+      .toString
 
   private def writeParams(spark: SparkSession, out: String, kind: String,
                           maxVecId: Long, nVectors: Long): Unit = {
@@ -104,10 +126,14 @@ object AnnIndex {
         s"${p.getAs[String]("knobs")}); rebuild it")
   }
 
-  private def markBuilt(out: String): Unit =
-    new java.io.FileOutputStream(new java.io.File(out, "_built")).close()
-  private def isBuilt(out: String): Boolean =
-    new java.io.File(out, "_built").exists
+  /** `_built` marker, written LAST so a crashed build never reads
+    * back — created/probed through the index path's own FileSystem
+    * (overwrite = true: a marker left by an older same-key build is
+    * simply refreshed). */
+  private def markBuilt(spark: SparkSession, out: String): Unit =
+    fs(spark, new Path(out)).create(new Path(out, "_built"), true).close()
+  private def isBuilt(spark: SparkSession, out: String): Boolean =
+    fs(spark, new Path(out)).exists(new Path(out, "_built"))
 
   // ---------------------------------------------------------------------
   // IVF-PQ (#161's build half)
@@ -127,7 +153,7 @@ object AnnIndex {
     a.nhat.write.mode("overwrite").partitionBy("cid").parquet(s"$out/norms")
     writeParams(spark, out, "ivfpq", maxVecId,
       spark.read.parquet(s"$out/norms").count())
-    markBuilt(out)
+    markBuilt(spark, out)
   }
 
   /** Read the persisted artifacts back. Partition-column types are
@@ -150,8 +176,8 @@ object AnnIndex {
   /** Build on miss (fingerprint/knob-keyed location), reuse on hit. */
   def ensureIvfPq(spark: SparkSession, dir: String,
                   maxVecId: Long = Long.MaxValue): String = {
-    val out = indexDir(dir, "ivfpq", maxVecId)
-    if (!isBuilt(out)) buildIvfPq(spark, dir, out, maxVecId)
+    val out = indexDir(spark, dir, "ivfpq", maxVecId)
+    if (!isBuilt(spark, out)) buildIvfPq(spark, dir, out, maxVecId)
     out
   }
 
@@ -236,8 +262,8 @@ object AnnIndex {
     * after it — kept SEPARATE from #170's un-appended snapshot (the
     * audit must keep measuring the pre-append state). */
   def ensureIvfPqAppended(spark: SparkSession, dir: String): String = {
-    val out = indexDir(dir, "ivfpq-app", FreshnessCutoff)
-    if (!isBuilt(out)) buildIvfPq(spark, dir, out, FreshnessCutoff)
+    val out = indexDir(spark, dir, "ivfpq-app", FreshnessCutoff)
+    if (!isBuilt(spark, out)) buildIvfPq(spark, dir, out, FreshnessCutoff)
     appendIvfPq(spark, dir, out)
     out
   }
@@ -268,7 +294,7 @@ object AnnIndex {
     a.ncode.write.mode("overwrite").parquet(s"$out/norms")
     writeParams(spark, out, "pq", Long.MaxValue,
       spark.read.parquet(s"$out/norms").count())
-    markBuilt(out)
+    markBuilt(spark, out)
   }
 
   def readPq(spark: SparkSession, out: String): Similarity.PqArtifacts = {
@@ -280,8 +306,8 @@ object AnnIndex {
   }
 
   def ensurePq(spark: SparkSession, dir: String): String = {
-    val out = indexDir(dir, "pq", Long.MaxValue)
-    if (!isBuilt(out)) buildPq(spark, dir, out)
+    val out = indexDir(spark, dir, "pq", Long.MaxValue)
+    if (!isBuilt(spark, out)) buildPq(spark, dir, out)
     out
   }
 

@@ -33,7 +33,12 @@ object Bucketing {
     * The default scratch path embeds the JVM's Spark application id
     * (falling back to user.name), so two concurrent sessions using the
     * default can never delete each other's live bucketed data; callers
-    * sharing tables ACROSS sessions must pass an explicit scratchDir. */
+    * sharing tables ACROSS sessions must pass an explicit scratchDir.
+    * The scratch is resolved and cleared through the Hadoop Path API
+    * (the AnnIndex/SpoolWriter seam), so a cluster caller can point it
+    * at a shared URI-schemed store — on a real cluster the default
+    * tmpdir is driver-local and the bucketed write would land where
+    * the executors can't co-read it. */
   def writeBucketedFacts(spark: SparkSession, dir: String, buckets: Int,
                          prefix: String = "graft",
                          scratchDir: String = null): (String, String) = {
@@ -45,16 +50,12 @@ object Bucketing {
     val ot = s"${prefix}_orders_b"
     def write(table: String, src: String, key: String): Unit =
       if (!spark.catalog.tableExists(table)) {
-        val loc = new java.io.File(scratch, table)
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(loc)
-        }
+        val loc = new org.apache.hadoop.fs.Path(scratch, table)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
         graft.Tables.load(spark, dir, src)
           .write.bucketBy(buckets, key).sortBy(key)
-          .option("path", loc.getAbsolutePath)
+          .option("path", loc.toString)
           .format("parquet").saveAsTable(table)
       }
     write(lt, "lineitem", "l_orderkey")

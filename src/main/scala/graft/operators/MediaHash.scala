@@ -108,14 +108,17 @@ object MediaHash {
   private def bandsDf(spark: SparkSession, dir: String): DataFrame = {
     val bytes = assets(spark, dir)
       // the per-byte fold is the op's whole CPU cost (~bytes × conv);
-      // spread assets across the shuffle width before it — a small-SF
-      // corpus arrives as ONE parquet split and would otherwise fold
-      // on a single core (at 100 TB the scan is already wide; this
-      // shuffle moves only the asset bytes once, ~free vs the fold).
-      // Width is pinned: AQE sizes a bare repartition by INPUT bytes
-      // (MBs of text) and would coalesce it back to one task, blind
-      // to the ~200× row fan-out the fold does downstream
-      .repartition(32, col("doc_id"))
+      // spread assets across the cluster's core count before it — a
+      // small-SF corpus arrives as ONE parquet split and would
+      // otherwise fold on a single core (at 100 TB the scan is
+      // already wide and this shuffle moves only the asset bytes
+      // once, ~free vs the fold). Width = defaultParallelism, not a
+      // literal: a hardcoded 32 would coalesce a 1000-executor scan
+      // down to 32 tasks. The width is pinned AT ALL because AQE
+      // sizes a bare repartition by INPUT bytes (MBs of text) and
+      // would coalesce it back to one task, blind to the ~200× row
+      // fan-out the fold does downstream
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), hex(col("content").cast("binary")).as("hx"))
       // ONE linear pass chunks the hex into 2-char byte strings; the
       // earlier substring(hx, 2j-1, 2) spelling was O(j) per byte

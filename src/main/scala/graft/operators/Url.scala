@@ -313,10 +313,11 @@ object Url {
     * mod 60) classes, and gcd(60, 7) = 1, so classes SPAN the split —
     * probes genuinely re-visit crawled pages (a %3 split would align
     * with the collapse classes and make truly_seen structurally
-    * impossible). M = 4096 sizes the filter so the collision path is
-    * actually exercised at test scale (the FP audit is the point of
-    * the row; production sizes M to its history and reads the same
-    * audit). Classic bloom semantics, oracle-exact INCLUDING the
+    * impossible). M = 128 (≈ 2 bits per historical page) deliberately
+    * UNDERSIZES the filter so the collision path is actually exercised
+    * at test scale (the FP audit is the point of the row; production
+    * sizes M to its history — ~10 bits/key for 1% FP — and reads the
+    * same audit). Classic bloom semantics, oracle-exact INCLUDING the
     * false positives: no false negatives (truly_seen ⇒ bloom_seen,
     * spec-asserted), collisions deterministic integer math in both
     * engines. */

@@ -88,7 +88,19 @@ object MediaHashStream {
     * row per asset — `dup_of` = smallest colliding owner within the
     * batch confirm radius (an unverified band collision is a
     * candidate, not a duplicate), null = ADMITTED. batch_id stamps
-    * the increment (the parquet log is the admission record). */
+    * the increment (the parquet log is the admission record).
+    *
+    * Rejection chains are TRANSITIVE: a bucket's owner is claimed once
+    * and never re-assigned, so `dup_of` names the bucket's FIRST
+    * claimant — which may itself have been rejected through a
+    * different bucket. At the Hamming radius boundary this can differ
+    * from the batch clusters' canonical-keeper labels (#187 names the
+    * component-min admitted keeper); downstream consumers needing the
+    * admitted representative must follow the dup_of chain to its
+    * admitted root (bounded: each hop strictly decreases doc_id). The
+    * drift is inherent to causal first-writer admission — storing only
+    * admitted owners instead would let the SECOND near-twin of a
+    * rejected asset through the gate. */
   def dedupQuery(spark: SparkSession, inputDir: String, schema: StructType,
                  checkpointDir: String, outDir: String): StreamingQuery =
     bandObservations(

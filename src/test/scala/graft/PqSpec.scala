@@ -138,10 +138,11 @@ class PqSpec extends SparkSpec {
   }
 
   private def nukeIndex(kind: String, maxVecId: Long): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(operators.AnnIndex.indexDir(sf, kind, maxVecId)))
+    val p = new org.apache.hadoop.fs.Path(
+      operators.AnnIndex.indexDir(spark, sf, kind, maxVecId))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
   }
 
   test("persisted index: build → read → query equals the in-query plan bit-for-bit") {
@@ -157,10 +158,13 @@ class PqSpec extends SparkSpec {
     assert(rows(ix.annIvfPqPrebuilt(spark, sf)) === rows(annIvfPq(spark, sf)))
     assert(rows(ix.annPqPrebuilt(spark, sf)) === rows(annPq(spark, sf)))
     // build-once: a second ensure serves the existing index untouched
-    val marker = new java.io.File(ix.ensureIvfPq(spark, sf), "_built")
-    val t0 = marker.lastModified
+    val markerPath = new org.apache.hadoop.fs.Path(
+      ix.ensureIvfPq(spark, sf), "_built")
+    val mfs = markerPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val t0 = mfs.getFileStatus(markerPath).getModificationTime
     ix.ensureIvfPq(spark, sf)
-    assert(marker.lastModified === t0, "index rebuilt on a fingerprint hit")
+    assert(mfs.getFileStatus(markerPath).getModificationTime === t0,
+      "index rebuilt on a fingerprint hit")
     // static list pruning: the probed-cid IN filter must reach the
     // codes/norms scans as PARTITION filters (directory pruning, the
     // reason the layout partitions by cid)
@@ -170,6 +174,36 @@ class PqSpec extends SparkSpec {
       .toSeq
     assert(scanLines.exists(_.matches(".*PartitionFilters: \\[.*cid.*IN.*")),
       s"no static partition filter on the index scans:\n${scanLines.mkString("\n")}")
+  }
+
+  test("index store seam: a URI-schemed indexRoot round-trips through the Hadoop FileSystem API") {
+    val ix = operators.AnnIndex
+    // baseline from the default (scheme-less) root
+    val want = ix.annIvfPqPrebuilt(spark, sf).collect().map(_.toSeq).toSeq
+    // an explicit file:// URI: the Path API resolves it like any
+    // hdfs://-style store, while a java.io.File spelling would mangle
+    // "file:/…" into a literal relative directory — this leg fails if
+    // any store access regresses off the FileSystem seam
+    val seamRoot = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-ann-seam").toString
+    spark.conf.set("spark.graft.ann.indexRoot", seamRoot)
+    try {
+      // fresh root ⇒ fingerprint miss ⇒ build lands UNDER the schemed
+      // root; the read-back query must match the default-root result
+      // bit-for-bit (same algebra, different store)
+      assert(ix.annIvfPqPrebuilt(spark, sf).collect().map(_.toSeq).toSeq === want)
+      val rootPath = new org.apache.hadoop.fs.Path(seamRoot)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val kids = fs.listStatus(rootPath).map(_.getPath.getName)
+      assert(kids.exists(_.startsWith(s"v${ix.FormatVersion}-ivfpq-")),
+        s"no index dir under the schemed root: ${kids.mkString(",")}")
+      // the PQ family and the append lifecycle ride the same seam
+      assert(ix.annPqPrebuilt(spark, sf).collect().map(_.toSeq).toSeq ===
+        annPq(spark, sf).collect().map(_.toSeq).toSeq)
+      assert(ix.appendIvfPq(spark, sf, ix.ensureIvfPqAppended(spark, sf)) === 0L)
+      fs.delete(rootPath, true)
+      ()
+    } finally spark.conf.unset("spark.graft.ann.indexRoot")
   }
 
   test("index append: frozen-model encode, idempotent watermark, merged lists serve queries") {
@@ -231,7 +265,7 @@ class PqSpec extends SparkSpec {
     // n_indexed is read from the index's own norms sidecar — it must
     // match the sidecar's per-list counts exactly
     val sidecar = spark.read.parquet(
-      ix.indexDir(sf, "ivfpq", ix.FreshnessCutoff) + "/norms")
+      ix.indexDir(spark, sf, "ivfpq", ix.FreshnessCutoff) + "/norms")
       .groupBy("cid").count().collect()
       .map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
     f.foreach { case (cid, ni, _, _) =>
