@@ -75,9 +75,12 @@ object Classifier {
   }
 
   /** `is_cur` 0/1 label from the source id: sources ≡ 0 (mod 4) are
-    * the curated corpora. Same text in both dialects. */
+    * the curated corpora. Same text in both dialects. TRY_CAST, not
+    * CAST: a source name without the numeric suffix (spec-planted
+    * corpora) labels crawl instead of throwing under ANSI mode —
+    * identical on the real `srcN` sources. */
   private val isCurSql: String =
-    "CASE WHEN CAST(substring(source, 4) AS INT) % 4 = 0 THEN 1 ELSE 0 END"
+    "CASE WHEN TRY_CAST(substring(source, 4) AS INT) % 4 = 0 THEN 1 ELSE 0 END"
 
   /** Spiked text over (doc_id, text, is_cur): six markers, each drawn
     * from the own-class lexicon on residue < 8 (mod 10) and from the
@@ -97,36 +100,50 @@ object Classifier {
   // Shared oracle CTE chain (token stream → counts → weights → stats)
   // ---------------------------------------------------------------------
 
-  private def modelCtes: String = {
+  /** Spiked-token CTEs over an arbitrary (doc_id, text, source)
+    * relation, ending in `${p}tt(doc_id, is_cur, tok)` — the oracle
+    * twin of [[tokensFrom]], prefixable so a composing oracle (the
+    * #151 pipeline) can score ITS survivor relation with the same
+    * tokenization the model CTEs trained on. AS MATERIALIZED
+    * throughout: composing chains end in recursive CTEs, where an
+    * un-materialized upstream re-evaluates per iteration. */
+  private[graft] def tokenCtes(p: String, rel: String): String =
+    s"""${p}d AS MATERIALIZED (
+       |  SELECT doc_id, text, $isCurSql AS is_cur FROM $rel
+       |), ${p}s AS MATERIALIZED (
+       |  SELECT doc_id, is_cur, ${spikedSql("duck")} AS spiked FROM ${p}d
+       |), ${p}t AS MATERIALIZED (
+       |  SELECT doc_id, is_cur, unnest(string_split(spiked, ' ')) AS tok FROM ${p}s
+       |), ${p}tt AS MATERIALIZED (
+       |  SELECT * FROM ${p}t WHERE tok <> ''
+       |)""".stripMargin
+
+  /** Model CTE chain (no WITH prefix): train-split token counts →
+    * weights `${p}w(tok, c_cur, c_cra, w_fp)` → scalar constants
+    * `${p}cst(dd_fp, pd_fp)`. */
+  private[graft] def modelCtes(p: String): String = {
     val lg = TextFunctions.log2fpSqlDuck _
-    s"""WITH d AS (
-       |  SELECT doc_id, text, $isCurSql AS is_cur FROM documents
-       |), s AS (
-       |  SELECT doc_id, is_cur, ${spikedSql("duck")} AS spiked FROM d
-       |), t AS (
-       |  SELECT doc_id, is_cur, unnest(string_split(spiked, ' ')) AS tok FROM s
-       |), tt AS (
-       |  SELECT * FROM t WHERE tok <> ''
-       |), counts AS (
+    s"""${tokenCtes(p, "documents")}, ${p}counts AS MATERIALIZED (
        |  SELECT tok, CAST(SUM(is_cur) AS BIGINT) AS c_cur,
        |    CAST(SUM(1 - is_cur) AS BIGINT) AS c_cra
-       |  FROM tt WHERE doc_id % $EvalMod <> 0 GROUP BY tok
-       |), w AS (
+       |  FROM ${p}tt WHERE doc_id % $EvalMod <> 0 GROUP BY tok
+       |), ${p}w AS MATERIALIZED (
        |  SELECT tok, c_cur, c_cra,
        |    ${lg("c_cur + 1")} - ${lg("c_cra + 1")} AS w_fp
-       |  FROM counts
-       |), stats AS (
+       |  FROM ${p}counts
+       |), ${p}stats AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c_cur) AS BIGINT) AS n_cur,
        |    CAST(SUM(c_cra) AS BIGINT) AS n_cra
-       |  FROM counts
-       |), prior AS (
+       |  FROM ${p}counts
+       |), ${p}prior AS MATERIALIZED (
        |  SELECT CAST(SUM(is_cur) AS BIGINT) AS d_cur,
        |    CAST(SUM(1 - is_cur) AS BIGINT) AS d_cra
-       |  FROM d WHERE doc_id % $EvalMod <> 0
-       |), cst AS (
+       |  FROM ${p}d WHERE doc_id % $EvalMod <> 0
+       |), ${p}cst AS MATERIALIZED (
        |  SELECT ${lg("n_cur + v")} - ${lg("n_cra + v")} AS dd_fp,
-       |         ${lg("d_cur")} - ${lg("d_cra")} AS pd_fp
-       |  FROM stats, prior
+       |         ${lg("d_cur")} - ${lg("d_cra")} AS pd_fp,
+       |         d_cur, d_cra
+       |  FROM ${p}stats, ${p}prior
        |)""".stripMargin
   }
 
@@ -157,8 +174,11 @@ object Classifier {
         expr(lg("c_cur + 1")) - expr(lg("c_cra + 1")))
   }
 
-  /** 1-row constants frame (dd_fp, pd_fp): the class-denominator and
-    * prior log-odds terms. */
+  /** 1-row constants frame (dd_fp, pd_fp, d_cur, d_cra): the
+    * class-denominator and prior log-odds terms, plus the raw class
+    * priors — a composing gate (#151's classifier stage) needs them to
+    * detect the one-class-degenerate case, where dd_fp/pd_fp hold
+    * out-of-domain log2fp(0) garbage and no 2-class filter exists. */
   private[graft] def constants(spark: SparkSession, dir: String): DataFrame = {
     val lg = TextFunctions.log2fpExpr _
     model(spark, dir)
@@ -171,7 +191,8 @@ object Classifier {
             sum(lit(1) - expr(isCurSql)).as("d_cra")))
       .select(
         (expr(lg("n_cur + v")) - expr(lg("n_cra + v"))).as("dd_fp"),
-        (expr(lg("d_cur")) - expr(lg("d_cra"))).as("pd_fp"))
+        (expr(lg("d_cur")) - expr(lg("d_cra"))).as("pd_fp"),
+        col("d_cur"), col("d_cra"))
   }
 
   // ---------------------------------------------------------------------
@@ -194,7 +215,7 @@ object Classifier {
       .select(col("tok"), col("c_cur"), col("c_cra"), col("disc_fp"))
 
   val classifierTrainSql: String =
-    s"""$modelCtes
+    s"""WITH ${modelCtes("")}
        |SELECT tok, c_cur, c_cra, w_fp - dd_fp AS disc_fp FROM w, cst
        |ORDER BY abs(w_fp - dd_fp) DESC, tok LIMIT $TopK""".stripMargin
 
@@ -226,7 +247,7 @@ object Classifier {
   }
 
   val classifierScoreSql: String =
-    s"""$modelCtes, scored AS (
+    s"""WITH ${modelCtes("")}, scored AS (
        |  SELECT e.doc_id, MIN(e.is_cur) AS is_cur, COUNT(*) AS n_toks,
        |    CAST(SUM(COALESCE(w.w_fp, 0)) AS BIGINT) AS sum_w
        |  FROM tt e LEFT JOIN w ON e.tok = w.tok

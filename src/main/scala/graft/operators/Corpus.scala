@@ -1905,9 +1905,10 @@ object Corpus {
 
   // ---------------------------------------------------------------------
   // #151 corpus_pipeline — the FULL curation recipe as ONE composed
-  // plan: quality gate → keep-best exact dedup → MinHash near-dup →
-  // bloom decontamination → language mixing → seeded shuffle →
-  // greedy packing → frozen-tokenizer accounting. Every stage is an
+  // plan: URL dedup → quality gate → frozen-classifier gate →
+  // keep-best exact dedup → MinHash near-dup → bloom decontamination
+  // → language mixing → seeded shuffle → greedy packing →
+  // frozen-tokenizer accounting. Every stage is an
   // already-oracle-verified operator; what this query verifies is the
   // COMPOSITION — each stage conditioning on the previous stage's
   // SURVIVORS (near-dup pairs among dedup survivors only, mixing
@@ -1933,20 +1934,24 @@ object Corpus {
     *     doc_id ≡ 55 mod 101 collapse onto their predecessor);
     *  1. quality: the #36/#124 rule battery (≥10 words, stopword
     *     ratio < 0.5, punct·5 ≤ words);
-    *  2. keep-best exact dedup (#124): per normalized text keep the
+    *  2. classifier (#176/#177, NEW r17): the frozen NB model's
+    *     keep-if-predicted-curated verdict — the GPT-3 learned
+    *     filter, placed after the cheap rules and before the dedup
+    *     passes (Brown et al. 2020 App. A);
+    *  3. keep-best exact dedup (#124): per normalized text keep the
     *     longest raw copy, doc_id tiebreak (quality is constant
     *     within a group after stage 1);
-    *  3. MinHash-poly near-dup (#29b) pairs among survivors; the
+    *  4. MinHash-poly near-dup (#29b) pairs among survivors; the
     *     higher doc_id of every verified pair drops;
-    *  4. bloom decontamination (#84): bits from the eval split's
+    *  5. bloom decontamination (#84): bits from the eval split's
     *     5-grams; any survivor with a full-K gram hit drops;
-    *  5. mixing (#78): per-language quotas from [[MixWeights]] over
+    *  6. mixing (#78): per-language quotas from [[MixWeights]] over
     *     the SURVIVOR counts, hash-priority selection;
-    *  6. shuffle (#134): the seeded permutation key orders docs
+    *  7. shuffle (#134): the seeded permutation key orders docs
     *     within each source;
-    *  7. pack (#76): per-source greedy fold in shuffled order into
+    *  8. pack (#76): per-source greedy fold in shuffled order into
     *     ≤ [[PackTokens]]-whitespace-token bins;
-    *  8. tokenize (#128): bins report their BPE token totals from
+    *  9. tokenize (#128): bins report their BPE token totals from
     *     the frozen-tokenizer frame.
     *
     * Output: one row per packed bin — (source, bin_id, n_docs,
@@ -1958,7 +1963,9 @@ object Corpus {
     * materializations (production pipelines materialize between
     * curation stages for exactly this multi-consumer reason — s2
     * feeds both the near-dup detector and the survivor carrier, s4
-    * feeds the mixing counts, the rank window and the packer), each
+    * feeds the mixing counts, the rank window and the packer; the
+    * classifier stage pins because its scoring aggregate feeds the
+    * dedup carrier and the audit), each
     * bounded by the shrinking survivor set. Every stage keeps its
     * parent operator's plan: the near-dup join is band-bucketed and
     * capped, the bloom reference is a fixed ≤ K·M broadcast, the mix
@@ -2039,8 +2046,9 @@ object Corpus {
     * ([[corpusPipelineAudit]]). Each frame is the SURVIVOR set after
     * its stage, pinned where ≥2 consumers read it. */
   private[graft] final case class PipelineFrames(
-      train: DataFrame, s0: DataFrame, q: DataFrame, s2: DataFrame,
-      s3: DataFrame, s4: DataFrame, s5: DataFrame, bpe: DataFrame)
+      train: DataFrame, s0: DataFrame, q: DataFrame, c: DataFrame,
+      s2: DataFrame, s3: DataFrame, s4: DataFrame, s5: DataFrame,
+      bpe: DataFrame)
 
   private[graft] def pipelineFrames(
       spark: SparkSession, dir: String): PipelineFrames = {
@@ -2069,21 +2077,50 @@ object Corpus {
     // stage 1: quality gate (shared with the streaming admission twin)
     val q = qualityGate(s0).select("doc_id", "lang", "source", "text", "norm")
 
-    // stage 2: keep-best exact dedup — map-side-combinable max(struct),
+    // stage 2: classifier gate (#176/#177's frozen NB model — the
+    // GPT-3 recipe's learned CommonCrawl filter, Brown et al. 2020
+    // App. A, which sits exactly here: after the cheap rule battery,
+    // before the expensive dedup passes, so dedup never hashes text
+    // the model already condemned). The model is an UPSTREAM artifact
+    // like the frozen tokenizer: trained once on the labeled snapshot
+    // (#176's full-corpus split), never refit per curation rerun —
+    // and the keep rule is the #177/#184 verdict (predicted curated,
+    // score_fp > 0). Scale shape is #177's verbatim: one token
+    // explode, a vocab-keyed join (AQE broadcasts at test scale),
+    // one per-doc aggregate, two 1-row constant frames.
+    val clfKeep = Classifier.tokensFrom(q.select("doc_id", "text", "source"))
+      .join(Classifier.model(spark, dir).select("tok", "w_fp"),
+        Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("w_fp"), lit(0L))).as("sum_w"))
+      .crossJoin(Classifier.constants(spark, dir))
+      // one-class degenerate guard: a training split without both
+      // labels has no 2-class filter to apply (its prior term is
+      // out-of-domain log2fp(0)) — the stage passes through, the
+      // deployment guard NB requires. Real corpora always carry both
+      // classes; the single-source planted-scenario spec corpus is
+      // the case this serves.
+      .filter(col("d_cur") === 0 || col("d_cra") === 0 ||
+        col("sum_w") - col("n_toks") * col("dd_fp") + col("pd_fp") > 0)
+      .select("doc_id")
+    val c = graft.Checkpoints.pin(q.join(clfKeep, Seq("doc_id"), "left_semi"))
+
+    // stage 3: keep-best exact dedup — map-side-combinable max(struct),
     // same as #124 (quality already constant within a fingerprint group)
-    val keepIds = q
+    val keepIds = c
       .groupBy(md5(col("norm")).as("fp"))
       .agg(max(struct(length(col("text")).as("nc"),
         (lit(0L) - col("doc_id")).as("nid"))).as("best"))
       .select((lit(0L) - col("best.nid")).as("doc_id"))
-    val s2 = graft.Checkpoints.pin(q.join(keepIds, Seq("doc_id"), "left_semi"))
+    val s2 = graft.Checkpoints.pin(c.join(keepIds, Seq("doc_id"), "left_semi"))
 
-    // stage 3: MinHash-poly near-dup among survivors; drop doc_b
+    // stage 4: MinHash-poly near-dup among survivors; drop doc_b
     val nearDrop = Dedup.minhashPolyPairsFrom(s2.select("doc_id", "norm"))
       .select(col("doc_b").as("doc_id")).distinct()
     val s3 = graft.Checkpoints.pin(s2.join(nearDrop, Seq("doc_id"), "left_anti"))
 
-    // stage 4: bloom decontamination against the eval split
+    // stage 5: bloom decontamination against the eval split
     val evalBits = evalBitsFrame(spark, dir)
     val flagged = bloomPositions(
       s3.select(col("doc_id"), explode(ngrams(col("norm"), DecontamN)).as("gram")))
@@ -2093,7 +2130,7 @@ object Corpus {
       .select("doc_id").distinct()
     val s4 = graft.Checkpoints.pin(s3.join(flagged, Seq("doc_id"), "left_anti"))
 
-    // stage 5: language mixing over survivor counts (#78's algebra,
+    // stage 6: language mixing over survivor counts (#78's algebra,
     // the shared mixRankFrom seam)
     val s5 = mixRankFrom(
       s4.select(col("doc_id"), col("lang"), col("source"), col("norm"),
@@ -2103,7 +2140,7 @@ object Corpus {
 
     PipelineFrames(train.select("doc_id", "lang", "source", "norm"),
       s0.select("doc_id", "lang", "source", "norm"),
-      q, s2, s3, s4, s5, bpe)
+      q, c, s2, s3, s4, s5, bpe)
   }
 
   /** #154 corpus_pipeline_audit — the per-stage attrition report of
@@ -2122,8 +2159,8 @@ object Corpus {
     val f = pipelineFrames(spark, dir)
     val stages = Seq(
       (0, "input", f.train), (1, "url_dedup", f.s0), (2, "quality", f.q),
-      (3, "exact_dedup", f.s2), (4, "near_dup", f.s3),
-      (5, "decontaminate", f.s4), (6, "mix", f.s5))
+      (3, "classifier", f.c), (4, "exact_dedup", f.s2), (5, "near_dup", f.s3),
+      (6, "decontaminate", f.s4), (7, "mix", f.s5))
     stages.map { case (i, name, df) =>
       df.select(size(split(col("norm"), " ")).cast("long").as("t"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2164,14 +2201,24 @@ object Corpus {
       |  WHERE len(qtoks) >= 10
       |    AND CAST(len(list_filter(qtoks, t -> list_contains($lex, t))) AS DOUBLE) / len(qtoks) < 0.5
       |    AND len(regexp_extract_all(norm, '[^a-z0-9 ]')) * 5 <= len(qtoks)
+      |), ${Classifier.modelCtes("clf_")},
+      |${Classifier.tokenCtes("pl_clf_", "pl_q")}, pl_clfsc AS MATERIALIZED (
+      |  SELECT t.doc_id, COUNT(*) AS n_toks,
+      |    CAST(SUM(COALESCE(w.w_fp, 0)) AS BIGINT) AS sum_w
+      |  FROM pl_clf_tt t LEFT JOIN clf_w w ON t.tok = w.tok
+      |  GROUP BY t.doc_id
+      |), pl_survc AS MATERIALIZED (
+      |  SELECT q.* FROM pl_q q JOIN pl_clfsc sc ON q.doc_id = sc.doc_id, clf_cst
+      |  WHERE d_cur = 0 OR d_cra = 0
+      |     OR sc.sum_w - sc.n_toks * dd_fp + pd_fp > 0
       |), pl_keep AS (
       |  SELECT doc_id FROM (
       |    SELECT doc_id, row_number() OVER (PARTITION BY md5(norm)
       |      ORDER BY length(text) DESC, doc_id) AS rk
-      |    FROM pl_q)
+      |    FROM pl_survc)
       |  WHERE rk = 1
       |), pl_surv2 AS (
-      |  SELECT s.* FROM pl_q s JOIN pl_keep k ON s.doc_id = k.doc_id
+      |  SELECT s.* FROM pl_survc s JOIN pl_keep k ON s.doc_id = k.doc_id
       |),
       |${Dedup.minhashPolyCtes("pl_surv2")}, pl_neardrop AS (
       |  SELECT DISTINCT doc_b AS doc_id FROM m
@@ -2281,13 +2328,15 @@ object Corpus {
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv0
       |  UNION ALL SELECT 2, 'quality', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_q
-      |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+      |  UNION ALL SELECT 3, 'classifier', COUNT(*),
+      |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_survc
+      |  UNION ALL SELECT 4, 'exact_dedup', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv2
-      |  UNION ALL SELECT 4, 'near_dup', COUNT(*),
+      |  UNION ALL SELECT 5, 'near_dup', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv3
-      |  UNION ALL SELECT 5, 'decontaminate', COUNT(*),
+      |  UNION ALL SELECT 6, 'decontaminate', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv4
-      |  UNION ALL SELECT 6, 'mix', COUNT(*),
+      |  UNION ALL SELECT 7, 'mix', COUNT(*),
       |    COALESCE(SUM(len(string_split(norm, ' '))), 0) FROM pl_surv5
       |)
       |ORDER BY stage""".stripMargin

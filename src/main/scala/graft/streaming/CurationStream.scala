@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Classifier, Corpus, Dedup}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
@@ -59,13 +59,17 @@ object CurationStream {
   case class GateRow(doc_id: Long, kind: Int, k1: Long, k2: Long,
                      sig: Array[Long], contaminated: Boolean)
 
-  /** A doc entering the URL gate: payload + its canonical-URL
-    * 128-bit key. */
-  case class UrlDoc(doc_id: Long, text: String, k1: Long, k2: Long)
+  /** A doc entering the URL gate: payload (text + source, both
+    * carried through so the downstream classifier stage can score
+    * admitted docs) + its canonical-URL 128-bit key. */
+  case class UrlDoc(doc_id: Long, text: String, source: String,
+                    k1: Long, k2: Long)
   /** URL-gate output: the doc (payload carried through — admitted
-    * rows feed the content-gate query downstream) and its bucket
-    * owner; owner == doc_id means this doc holds the canonical URL. */
-  case class UrlVerdict(doc_id: Long, text: String, owner: Long)
+    * rows feed the classifier/content-gate queries downstream) and its
+    * bucket owner; owner == doc_id means this doc holds the canonical
+    * URL. */
+  case class UrlVerdict(doc_id: Long, text: String, source: String,
+                        owner: Long)
   /** Per-bucket observation: who owns the bucket and how many
     * signature slots agree with the owner (exact rows auto-verify
     * with the full count). */
@@ -173,7 +177,7 @@ object CurationStream {
     docs
       .withColumn("canon",
         expr(graft.operators.Url.canonUrlSql("spark")))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), col("text"), col("source"),
         xxhash64(col("canon")).as("k1"),
         xxhash64(lit("url2"), col("canon")).as("k2"))
       .as[UrlDoc]
@@ -192,7 +196,7 @@ object CurationStream {
         val sorted = ds.toArray.sortBy(_.doc_id)
         val owner = if (state.exists) state.get else sorted.head.doc_id
         if (!state.exists) state.update(owner)
-        sorted.iterator.map(d => UrlVerdict(d.doc_id, d.text, owner))
+        sorted.iterator.map(d => UrlVerdict(d.doc_id, d.text, d.source, owner))
       }
   }
 
@@ -227,10 +231,65 @@ object CurationStream {
           lit(batchId).as("batch_id"))
           .write.mode("append").parquet(verdictDir)
         df.filter(col("owner") === col("doc_id"))
+          .select("doc_id", "text", "source")
+          .write.mode("append").parquet(admittedDir)
+      }
+      .start()
+
+  // ---------------------------------------------------------------------
+  // Streaming classifier stage — batch stage 3 (quality → CLASSIFIER →
+  // dedup gates) as its own chained query
+  // ---------------------------------------------------------------------
+
+  /** The frozen-classifier admission stage, CHAINED between
+    * [[urlAdmissionQuery]] and [[admissionQuery]] exactly where the
+    * batch pipeline runs it (#151 stage 3, the GPT-3 learned filter):
+    * quality-passing docs get a `clf_admitted`/`clf_reject` verdict
+    * from the FROZEN #176 model ([[ClassifierStream.scoreBatch]] — the
+    * single scoring seam, so this stage and #184 can never score
+    * divergently), and only admitted payloads reach the dedup gates —
+    * a classifier-condemned doc can never claim an exact or band
+    * bucket, the batch stage order. Quality rejects stay silent here
+    * (the batch twin: they fall at stage 2, before this gate sees
+    * them) and re-running the quality gate downstream in
+    * [[admissionQuery]] is a no-op on the survivors.
+    *
+    * Scoring is STATELESS (frozen weights pinned once, two scalar
+    * constants + the one-class degenerate pass-through flag collected
+    * at query start); the only streaming state is source progress —
+    * so the stage adds NO stateful operator to the chain. */
+  def clfAdmissionQuery(spark: SparkSession, inputDir: String,
+                        schema: StructType, modelDir: String,
+                        checkpointDir: String, verdictDir: String,
+                        admittedDir: String): StreamingQuery = {
+    val w = graft.Checkpoints.pin(
+      Classifier.model(spark, modelDir).select("tok", "w_fp"))
+    val cst = Classifier.constants(spark, modelDir).head()
+    val (ddFp, pdFp) = (cst.getLong(0), cst.getLong(1))
+    val degenerate = cst.getLong(2) == 0L || cst.getLong(3) == 0L
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tf = graft.functions.TextFunctions
+        val qualified = Corpus.qualityGate(
+          batch.withColumn("norm", tf.normText(col("text")))).drop("norm")
+        val scored = ClassifierStream.scoreBatch(qualified, w, ddFp, pdFp)
+          .withColumn("keep",
+            (lit(degenerate) || col("score_fp") > 0).cast("int"))
+        scored.select(col("doc_id"),
+          when(col("keep") === 1, "clf_admitted")
+            .otherwise("clf_reject").as("verdict"),
+          col("score_fp"), lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(verdictDir)
+        qualified.join(scored.filter(col("keep") === 1).select("doc_id"),
+          Seq("doc_id"), "left_semi")
           .select("doc_id", "text")
           .write.mode("append").parquet(admittedDir)
       }
       .start()
+  }
 
   /** File-based ingest: one verdict row per quality-passing doc per
     * increment — (doc_id, verdict, dup_of, batch_id) appended to
@@ -238,8 +297,9 @@ object CurationStream {
     * batch stage order: dup_exact, then near_dup (signature-verified
     * against the bucket owner, matches·2 ≥ seeds like the batch
     * verify), then contaminated, else admitted. Runs downstream of
-    * [[urlAdmissionQuery]] when the corpus carries URLs (batch twin:
-    * the stage-0-then-content order of #151). */
+    * [[urlAdmissionQuery]] and [[clfAdmissionQuery]] when the corpus
+    * carries URLs and a frozen classifier (batch twin: the
+    * stage-0-then-content order of #151). */
   def admissionQuery(spark: SparkSession, inputDir: String, schema: StructType,
                      checkpointDir: String, outDir: String,
                      bloomBits: Array[Boolean]): StreamingQuery =

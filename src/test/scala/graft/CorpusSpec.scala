@@ -92,6 +92,10 @@ class CorpusSpec extends SparkSpec {
     assert(ids(f.s0) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 54L),
       "URL dedup must drop the recrawl twin, keeping the min-id fetch")
     assert(ids(f.q) === Set(1L, 2L, 3L, 4L, 5L, 7L, 8L))
+    // single-source corpus = one-class training split: the classifier
+    // stage must detect the degenerate model and pass through (scoring
+    // with a log2fp(0) prior would be garbage-in)
+    assert(ids(f.c) === ids(f.q), "one-class corpus must pass the classifier gate through")
     assert(ids(f.s2) === Set(2L, 3L, 4L, 5L, 7L, 8L), "keep-best must keep the longer raw twin")
     assert(ids(f.s3) === Set(2L, 3L, 5L, 7L, 8L), "near-dup must drop the higher id of the pair")
     assert(ids(f.s4) === Set(2L, 3L, 7L, 8L), "bloom must flag the eval-copying doc")
@@ -101,9 +105,9 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(audit.toSeq === Seq(
       (0L, "input", 10L, 100L), (1L, "url_dedup", 9L, 88L),
-      (2L, "quality", 7L, 84L),
-      (3L, "exact_dedup", 6L, 72L), (4L, "near_dup", 5L, 60L),
-      (5L, "decontaminate", 4L, 48L), (6L, "mix", 4L, 48L)))
+      (2L, "quality", 7L, 84L), (3L, "classifier", 7L, 84L),
+      (4L, "exact_dedup", 6L, 72L), (5L, "near_dup", 5L, 60L),
+      (6L, "decontaminate", 4L, 48L), (7L, "mix", 4L, 48L)))
 
     val bins = C.corpusPipeline(spark, dir).collect()
     assert(bins.length === 1) // 48 tokens fit one 256-token bin
@@ -120,8 +124,8 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(audit.map(t => (t._1, t._2)).toSeq === Seq(
       (0L, "input"), (1L, "url_dedup"), (2L, "quality"),
-      (3L, "exact_dedup"), (4L, "near_dup"), (5L, "decontaminate"),
-      (6L, "mix")))
+      (3L, "classifier"), (4L, "exact_dedup"), (5L, "near_dup"),
+      (6L, "decontaminate"), (7L, "mix")))
     // every stage is a filter of its predecessor: docs and tokens
     // can only shrink
     audit.sliding(2).foreach { case Array(a, b) =>

@@ -16,36 +16,47 @@ class CurationStreamSpec extends SparkSpec {
 
   private val schema = new StructType()
     .add("doc_id", "long").add("text", "string")
+  private val clfSchema = new StructType()
+    .add("doc_id", "long").add("text", "string").add("source", "string")
   private val urlSchema = new StructType()
-    .add("doc_id", "long").add("text", "string").add("url", "string")
+    .add("doc_id", "long").add("text", "string").add("source", "string")
+    .add("url", "string")
 
   private def trainDocs = Tables.load(spark, sf, "documents")
     .filter(col("doc_id") % Corpus.BenchmarkMod =!= 0)
-    .select("doc_id", "text")
+    .select("doc_id", "text", "source")
 
   /** Train docs carrying the batch pipeline's synthesized raw URL —
-    * the crawl-shaped input the chained URL + content admission runs
-    * on (#171/#172's twin corpus). */
+    * the crawl-shaped input the chained URL + classifier + content
+    * admission runs on (#171/#172's twin corpus). */
   private def trainDocsWithUrl = trainDocs
     .withColumn("url_key", expr(operators.Url.pipelineUrlKeySql))
     .withColumn("url", expr(operators.Url.pipelineSynthSql("spark")))
-    .select("doc_id", "text", "url")
+    .select("doc_id", "text", "source", "url")
 
-  test("single increment: chained URL + content gates match the 7-stage batch twin") {
+  test("single increment: chained URL + classifier + content gates match the batch twin") {
     val in = Files.createTempDirectory("graft_cur_in")
     val urlOut = Files.createTempDirectory("graft_cur_urlout")
     val admittedDir = Files.createTempDirectory("graft_cur_admitted")
+    val clfOut = Files.createTempDirectory("graft_cur_clfout")
+    val clfAdmitted = Files.createTempDirectory("graft_cur_clfadm")
     val out = Files.createTempDirectory("graft_cur_out")
     val ckptU = Files.createTempDirectory("graft_cur_cku")
+    val ckptC = Files.createTempDirectory("graft_cur_ckc")
     val ckpt = Files.createTempDirectory("graft_cur_ck")
     trainDocsWithUrl.coalesce(1).write.mode("append").parquet(in.toString)
     // stage 0: the URL gate drains first; its admitted handoff is the
-    // content gates' input (the batch stage boundary, materialized)
+    // classifier stage's input (the batch stage boundary, materialized)
     val qu = CurationStream.urlAdmissionQuery(spark, in.toString, urlSchema,
       ckptU.toString, urlOut.toString, admittedDir.toString)
     assert(qu.awaitTermination(120000))
+    // stage 3: the frozen-classifier gate; only its admitted payloads
+    // reach the dedup/decontamination gates (the batch stage order)
+    val qc = CurationStream.clfAdmissionQuery(spark, admittedDir.toString,
+      clfSchema, sf, ckptC.toString, clfOut.toString, clfAdmitted.toString)
+    assert(qc.awaitTermination(120000))
     val bits = CurationStream.evalBloomBits(spark, sf)
-    val q = CurationStream.admissionQuery(spark, admittedDir.toString, schema,
+    val q = CurationStream.admissionQuery(spark, clfAdmitted.toString, schema,
       ckpt.toString, out.toString, bits)
     assert(q.awaitTermination(120000))
 
@@ -70,6 +81,23 @@ class CurationStreamSpec extends SparkSpec {
     assert(urlVerdicts.exists(_._2 == "url_dup"),
       "the sf corpus plants recrawl twins; none rejected")
 
+    // classifier verdicts: one per quality-passing URL survivor; the
+    // reject set is exactly the batch stage-3 casualties (q minus c),
+    // and only clf-admitted payloads flowed on
+    val qIds = frames.q.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cIds = frames.c.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clfVerdicts = spark.read.parquet(clfOut.toString)
+      .select("doc_id", "verdict").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(clfVerdicts.map(_._1).toSet === qIds,
+      "every quality-passing URL survivor gets a classifier verdict")
+    assert(clfVerdicts.filter(_._2 == "clf_reject").map(_._1).toSet
+      === qIds -- cIds, "clf_reject set must match batch stage 3 casualties")
+    assert(clfVerdicts.exists(_._2 == "clf_reject"),
+      "the sf corpus carries crawl-labeled docs; none rejected")
+    assert(spark.read.parquet(clfAdmitted.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === cIds)
+
     val verdicts = spark.read.parquet(out.toString)
       .select("doc_id", "verdict", "dup_of").collect()
       .map(r => (r.getLong(0), r.getString(1),
@@ -79,10 +107,10 @@ class CurationStreamSpec extends SparkSpec {
         functions.TextFunctions.normText(col("text")).as("norm"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
-    // one verdict per quality-passing doc, none for quality rejects
-    val qIds = frames.q.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(verdicts.map(_._1).toSet === qIds)
-    assert(verdicts.length === qIds.size)
+    // one content verdict per classifier-admitted doc, none for
+    // quality or classifier rejects
+    assert(verdicts.map(_._1).toSet === cIds)
+    assert(verdicts.length === cIds.size)
 
     val admitted = verdicts.filter(_._2 == "admitted").map(_._1)
     val dupExact = verdicts.filter(_._2 == "dup_exact")
@@ -119,7 +147,7 @@ class CurationStreamSpec extends SparkSpec {
       .filter(col("flagged") === 1)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val dupIds = (dupExact ++ nearDup).map(_._1).toSet
-    assert(contaminated === (bloomFlagged & qIds) -- dupIds)
+    assert(contaminated === (bloomFlagged & cIds) -- dupIds)
 
     // headline containment at the fingerprint level: every batch
     // pipeline survivor's normalized text is stream-admitted or
