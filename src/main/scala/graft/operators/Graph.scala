@@ -32,21 +32,30 @@ import org.apache.spark.sql.functions._
   * three deterministic targets `src((doc_id·31 + off) % nsrc)` (the
   * #156 URL-synthesis pattern — both engines build the same edges from
   * the same residues, so the oracle verifies the PageRank algebra, not
-  * the synthesis). Multi-edges aggregate to weights; every source has
-  * documents, so every node has out-degree ≥ 1 and the dangling-mass
-  * case cannot arise by construction (documented, not silently
-  * assumed: the left join on in-edges still defaults missing inbound
-  * mass to 0).
+  * the synthesis). Multi-edges aggregate to weights.
+  *
+  * Dangling mass (r17): the shared kernel [[pagerankOn]] runs the
+  * STANDARD correction — nodes are src ∪ dst, and rank parked on
+  * out-degree-0 sinks redistributes uniformly each round,
+  * (85·D) div (100·N) per node (Page et al. 1999 §2.7; floor division
+  * so both engines agree bit-for-bit). On the corpus domain graph
+  * every node has out-degree ≥ 1 by construction (dst residues range
+  * over the source ids), so the term is structurally zero there and
+  * the oracle replay needs no dangling CTE — the GraphSpec planted
+  * sink graph is where the correction is value-verified against an
+  * independent recompute.
   *
   * Scale shape (100 TB): the ONLY corpus-scale stage is the edge
   * aggregation — one map-side-combined groupBy (src, dst) that
   * collapses ~N docs to the domain graph (≪ corpus: domains are
   * millions where docs are billions). Every iteration joins the
   * domain-sized rank frame to the domain-sized edge list and
-  * aggregates by dst — no stage after edge extraction ever rescans the
-  * corpus. Ranks are localCheckpoint'd per round (the #79
-  * connected-components discipline) so the Catalyst plan stays
-  * constant-size at any iteration count.
+  * aggregates by dst — no stage after edge extraction ever rescans
+  * the corpus. The edge frame is pinned (Checkpoints discipline); the
+  * rounds themselves stay LAZY, which at the fixed small [[Iters]]
+  * keeps the whole iteration one bounded job — a caller raising Iters
+  * past ~10 should pin per round (the #79/#127 discipline, where
+  * unbounded plan nesting is the driver-side hazard).
   */
 object Graph {
 
@@ -68,40 +77,74 @@ object Graph {
   // #178 corpus_pagerank — damped PageRank over the domain graph
   // ---------------------------------------------------------------------
 
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents").select("doc_id", "source")
-    val nsrc = d.agg(countDistinct("source").as("nsrc"))
-    // the ONE corpus-scale stage: docs collapse to the weighted domain
-    // graph. Pinned (Checkpoints discipline) because every iteration
-    // and the final report consume it — an unpinned lineage would
-    // rescan the corpus once per round.
-    val edges = graft.Checkpoints.pin(d.crossJoin(nsrc)
-      .select(col("source").as("src"),
-        explode(array(LinkOffsets.map(o => expr(tgtSql("spark", o))): _*))
-          .as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w")))
+  /** One PageRank run over a weighted edge frame (src, dst, w): the
+    * shared kernel behind #178, #189 and the planted-sink spec.
+    * Nodes = src ∪ dst (a sink that only ever appears as a target is
+    * still a node); each round is
+    *
+    *   rank'(v) = Base + Σ_{u→v} (85·w(u,v)·rank(u)) div (100·out(u))
+    *            + (85·D) div (100·N)
+    *
+    * with D = Σ rank over out-degree-0 sinks — the dangling mass that
+    * would otherwise leak out of the system each round. All floor
+    * division and BIGINT sums: bit-identical across engines and
+    * partitionings. Returns the per-round rank frames r_0..r_iters
+    * (all lazy; callers consume the last for the rank report, adjacent
+    * pairs for the convergence audit). */
+  private[graft] def pagerankRounds(edges: DataFrame,
+                                    iters: Int): Seq[DataFrame] = {
     val out = edges.groupBy("src").agg(sum("w").as("out_w"))
-    val inw = edges.groupBy("dst").agg(sum("w").as("in_w"))
-      .withColumnRenamed("dst", "host")
-    val nodes = edges.select(col("src").as("host")).distinct()
-    // the rounds stay LAZY: at a fixed small Iters the nested plan is
-    // bounded (5 joins of domain-sized frames over the pinned edge
-    // blocks — one job instead of one per round); a caller raising
-    // Iters past ~10 should pin per round (the #79/#127 discipline,
-    // where unbounded nesting is the driver-side hazard)
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    // domain-sized scalars, computed once: node count and the sink set
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val sinks = nodes.join(out.withColumnRenamed("src", "host"),
+      Seq("host"), "left_anti")
     var ranks = nodes.withColumn("rank_fp", lit(FP))
-    for (_ <- 1 to Iters) {
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += ranks
+    for (_ <- 1 to iters) {
       val contrib = edges.join(out, "src")
         .join(ranks.withColumnRenamed("host", "src"), "src")
         .select(col("dst"),
           expr("(85 * w * rank_fp) div (100 * out_w)").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
+      // dangling share: one scalar aggregate over the sink ranks —
+      // structurally empty (hence 0) on graphs where every node has
+      // out-links, e.g. the corpus domain graph
+      val dang = ranks.join(sinks, Seq("host"), "left_semi")
+        .agg(coalesce(sum("rank_fp"), lit(0L)).as("d_mass"))
       ranks = nodes
         .join(contrib.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .crossJoin(dang).crossJoin(n)
         .select(col("host"),
-          (lit(Base) + coalesce(col("s"), lit(0L))).as("rank_fp"))
+          (lit(Base) + coalesce(col("s"), lit(0L)) +
+            expr("(85 * d_mass) div (100 * n_nodes)")).as("rank_fp"))
+      rounds += ranks
     }
-    ranks
+    rounds.result()
+  }
+
+  /** The corpus domain-graph edge frame — the ONE corpus-scale stage:
+    * docs collapse to the weighted domain graph. Pinned (Checkpoints
+    * discipline) because every iteration and the final report consume
+    * it — an unpinned lineage would rescan the corpus once per round. */
+  private def corpusEdges(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val nsrc = d.agg(countDistinct("source").as("nsrc"))
+    graft.Checkpoints.pin(d.crossJoin(nsrc)
+      .select(col("source").as("src"),
+        explode(array(LinkOffsets.map(o => expr(tgtSql("spark", o))): _*))
+          .as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w")))
+  }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = corpusEdges(spark, dir)
+    val out = edges.groupBy("src").agg(sum("w").as("out_w"))
+    val inw = edges.groupBy("dst").agg(sum("w").as("in_w"))
+      .withColumnRenamed("dst", "host")
+    pagerankRounds(edges, Iters).last
       .join(out.withColumnRenamed("src", "host"), Seq("host"))
       .join(inw, Seq("host"), "left")
       .select(col("host"), col("rank_fp"), col("out_w"),
@@ -109,10 +152,17 @@ object Graph {
       .orderBy(col("rank_fp").desc, col("host"))
   }
 
-  val pagerankSql: String = {
+  /** The unrolled-round CTE chain shared by the #178 rank oracle and
+    * the #189 convergence oracle — every CTE MATERIALIZED (the
+    * memory-hard rule: the converge select references each r_k twice
+    * and an inlined chain re-evaluates the corpus-scale e0 per
+    * reference). The dangling term is structurally zero on this graph
+    * (every node has out-links — see the object scaladoc), so the
+    * replay carries no dangling CTE. */
+  private val pagerankCtes: String = {
     val targets = LinkOffsets.map(o => tgtSql("duck", o)).mkString(", ")
     val rounds = (1 to Iters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT nd.host, $Base + COALESCE(c.s, 0) AS rank_fp
          |  FROM nd LEFT JOIN (
          |    SELECT e.dst,
@@ -122,28 +172,71 @@ object Graph {
          |  ) c ON c.dst = nd.host
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH d AS (
+    s"""d AS MATERIALIZED (
        |  SELECT doc_id, source FROM documents
-       |), n1 AS (
+       |), n1 AS MATERIALIZED (
        |  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS nsrc FROM d
-       |), e0 AS (
+       |), e0 AS MATERIALIZED (
        |  SELECT source AS src, unnest([$targets]) AS dst FROM d, n1
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM e0 GROUP BY src, dst
-       |), o AS (
+       |), o AS MATERIALIZED (
        |  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src
-       |), iw AS (
+       |), iw AS MATERIALIZED (
        |  SELECT dst AS host, CAST(SUM(w) AS BIGINT) AS in_w FROM e GROUP BY dst
-       |), nd AS (
+       |), nd AS MATERIALIZED (
        |  SELECT DISTINCT source AS host FROM d
-       |), r0 AS (
+       |), r0 AS MATERIALIZED (
        |  SELECT host, CAST($FP AS BIGINT) AS rank_fp FROM nd
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  val pagerankSql: String =
+    s"""WITH $pagerankCtes
        |SELECT r.host, r.rank_fp, o.out_w, COALESCE(iw.in_w, 0) AS in_w
        |FROM r$Iters r
        |JOIN o ON o.src = r.host
        |LEFT JOIN iw ON iw.host = r.host
        |ORDER BY r.rank_fp DESC, r.host""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // #189 corpus_pagerank_converge — the measurement that justifies Iters
+  // ---------------------------------------------------------------------
+
+  /** Per-round convergence audit: Σ|r_k − r_{k−1}|, max per-node
+    * delta, and the count of still-moving nodes, one row per round —
+    * the report a deployment reads to decide its iteration budget
+    * (ranks are fixed-point BIGINTs, so "delta below a permille of
+    * total mass" is an exact integer predicate here, not a float
+    * tolerance). Each round's delta is one domain-sized self-join of
+    * adjacent lazy rank frames over the SAME pinned edge blocks the
+    * rank query iterates — no extra corpus scan. */
+  def pagerankConverge(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = pagerankRounds(corpusEdges(spark, dir), Iters)
+    rounds.sliding(2).zipWithIndex.map { case (Seq(prev, next), i) =>
+      next.withColumnRenamed("rank_fp", "r_next")
+        .join(prev.withColumnRenamed("rank_fp", "r_prev"), Seq("host"))
+        .agg(
+          sum(abs(col("r_next") - col("r_prev"))).as("sum_abs_delta"),
+          max(abs(col("r_next") - col("r_prev"))).as("max_abs_delta"),
+          sum((col("r_next") =!= col("r_prev")).cast("long")).as("n_moved"))
+        .select(lit(i + 1L).as("iter"), col("sum_abs_delta"),
+          col("max_abs_delta"), col("n_moved"))
+    }.reduce(_ unionByName _).orderBy("iter")
+  }
+
+  val pagerankConvergeSql: String = {
+    val per = (1 to Iters).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter,
+         |  CAST(SUM(ABS(a.rank_fp - b.rank_fp)) AS BIGINT) AS sum_abs_delta,
+         |  CAST(MAX(ABS(a.rank_fp - b.rank_fp)) AS BIGINT) AS max_abs_delta,
+         |  CAST(SUM(CASE WHEN a.rank_fp <> b.rank_fp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved
+         |FROM r$i a JOIN r${i - 1} b ON a.host = b.host""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pagerankCtes
+       |$per
+       |ORDER BY iter""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -185,9 +278,11 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pagerank" -> pagerank,
+    "corpus_pagerank_converge" -> pagerankConverge,
     "corpus_frontier_rank" -> frontierRank)
 
   val oracle: Map[String, String] = Map(
     "corpus_pagerank" -> pagerankSql,
+    "corpus_pagerank_converge" -> pagerankConvergeSql,
     "corpus_frontier_rank" -> frontierRankSql)
 }

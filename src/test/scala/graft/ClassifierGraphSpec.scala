@@ -135,6 +135,73 @@ class ClassifierGraphSpec extends SparkSpec {
     assert(total >= nsrc * operators.Graph.Base)
   }
 
+  test("pagerank dangling mass: a planted sink redistributes its rank uniformly") {
+    import spark.implicits._
+    val G = operators.Graph
+    // a→b (w2), a→c (w1), b→a (w1); c only ever appears as a TARGET —
+    // the out-degree-0 sink the corpus graph cannot produce. Without
+    // the correction its rank would leak out of the system each round.
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val got = G.pagerankRounds(edges, G.Iters).last.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent recompute: damped flow + uniform dangling share,
+    // floor division, same constants
+    val nodes = Seq("a", "b", "c")
+    val out = Map("a" -> 3L, "b" -> 1L)
+    val adj = Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("a", "c") -> 1L)
+    var rank = nodes.map(_ -> G.FP).toMap
+    for (_ <- 1 to G.Iters) {
+      val dang = rank("c")
+      val in = scala.collection.mutable.Map.empty[String, Long]
+      adj.foreach { case ((s, d), w) =>
+        in(d) = in.getOrElse(d, 0L) + (85L * w * rank(s)) / (100L * out(s))
+      }
+      rank = nodes.map(n =>
+        n -> (G.Base + in.getOrElse(n, 0L) + (85L * dang) / (100L * 3L))).toMap
+    }
+    assert(got === rank)
+    // the sink is a full node (holds rank) and its mass really flowed
+    // back: every node beats the bare teleport floor
+    assert(nodes.forall(n => got(n) > G.Base))
+    // floor rounding can only LOSE mass, never create it
+    assert(got.values.sum <= 3L * G.FP)
+  }
+
+  test("pagerank convergence audit matches a per-round recompute; delta contracts") {
+    val G = operators.Graph
+    val srcDocs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nsrc = srcDocs.map(_._2).distinct.size.toLong
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    srcDocs.foreach { case (id, src) =>
+      G.LinkOffsets.foreach { off =>
+        val dst = s"src${(id * 31 + off) % nsrc}"
+        edges((src, dst)) = edges.getOrElse((src, dst), 0L) + 1
+      }
+    }
+    val nodes = srcDocs.map(_._2).distinct
+    val outW = edges.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    var rank = nodes.map(_ -> G.FP).toMap
+    val exp = (1 to G.Iters).map { i =>
+      val in = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case ((s, d), w) =>
+        in(d) = in.getOrElse(d, 0L) + (85L * w * rank(s)) / (100L * outW(s))
+      }
+      val next = nodes.map(n => n -> (G.Base + in.getOrElse(n, 0L))).toMap
+      val deltas = nodes.map(n => math.abs(next(n) - rank(n)))
+      rank = next
+      (i.toLong, deltas.sum, deltas.max, deltas.count(_ != 0L).toLong)
+    }
+    val got = G.pagerankConverge(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == exp)
+    // the damped iteration contracts: the audit's reason to exist is
+    // showing the delta shrinking toward the iteration budget
+    assert(got.last._2 < got.head._2)
+  }
+
   test("frontier rank: kept URLs carry their domain's rank and contiguous queue positions") {
     val ranks = operators.Graph.pagerank(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
