@@ -94,12 +94,24 @@ object Graph {
   private[graft] def pagerankRounds(edges: DataFrame,
                                     iters: Int): Seq[DataFrame] = {
     val out = edges.groupBy("src").agg(sum("w").as("out_w"))
-    val nodes = edges.select(col("src").as("host"))
-      .union(edges.select(col("dst").as("host"))).distinct()
-    // domain-sized scalars, computed once: node count and the sink set
-    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val nodes = graft.Checkpoints.pin(edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct())
+    // Whether the graph has sinks is a STATIC property, probed once on
+    // the domain-sized node frame (one tiny job against the pinned
+    // edge blocks). Sink-free graphs — the corpus domain graph by
+    // construction — keep the r16 plan exactly: folding an
+    // always-empty dangling aggregate into every round would make
+    // each lazy rank plan reference its predecessor TWICE (once for
+    // flow, once for the dangling scalar), doubling the nested plan
+    // per round — measured 2.5× on the benched corpus query for a
+    // term that is provably zero there.
     val sinks = nodes.join(out.withColumnRenamed("src", "host"),
       Seq("host"), "left_anti")
+    val hasSinks = !sinks.isEmpty
+    // pinned when consumed per round: the dangling aggregate reads it
+    // every iteration
+    val sinksP = if (hasSinks) graft.Checkpoints.pin(sinks) else sinks
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.withColumn("rank_fp", lit(FP))
     val rounds = Seq.newBuilder[DataFrame]
     rounds += ranks
@@ -109,17 +121,28 @@ object Graph {
         .select(col("dst"),
           expr("(85 * w * rank_fp) div (100 * out_w)").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      // dangling share: one scalar aggregate over the sink ranks —
-      // structurally empty (hence 0) on graphs where every node has
-      // out-links, e.g. the corpus domain graph
-      val dang = ranks.join(sinks, Seq("host"), "left_semi")
-        .agg(coalesce(sum("rank_fp"), lit(0L)).as("d_mass"))
-      ranks = nodes
+      val flowed = nodes
         .join(contrib.withColumnRenamed("dst", "host"), Seq("host"), "left")
-        .crossJoin(dang).crossJoin(n)
-        .select(col("host"),
-          (lit(Base) + coalesce(col("s"), lit(0L)) +
-            expr("(85 * d_mass) div (100 * n_nodes)")).as("rank_fp"))
+      ranks =
+        if (!hasSinks)
+          flowed.select(col("host"),
+            (lit(Base) + coalesce(col("s"), lit(0L))).as("rank_fp"))
+        else {
+          // dangling share: one scalar aggregate over the sink ranks,
+          // redistributed uniformly (Page et al. 1999 §2.7). The rank
+          // frame is PINNED per round on this path — each round reads
+          // its predecessor twice (flow + dangling scalar), so a lazy
+          // chain would double per round; pinning keeps growth linear
+          // at one domain-sized materialization per round (the #79
+          // discipline).
+          val dang = ranks.join(sinksP, Seq("host"), "left_semi")
+            .agg(coalesce(sum("rank_fp"), lit(0L)).as("d_mass"))
+          graft.Checkpoints.pin(
+            flowed.crossJoin(dang).crossJoin(n)
+              .select(col("host"),
+                (lit(Base) + coalesce(col("s"), lit(0L)) +
+                  expr("(85 * d_mass) div (100 * n_nodes)")).as("rank_fp")))
+        }
       rounds += ranks
     }
     rounds.result()

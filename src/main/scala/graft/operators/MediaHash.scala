@@ -81,7 +81,7 @@ object MediaHash {
   private val srcIdSql: String =
     s"CASE WHEN doc_id % $TwinMod = $TwinRes THEN doc_id - 1 ELSE doc_id END"
 
-  private def assets(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def assets(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val base = d.select(col("doc_id"), expr(srcIdSql).as("src_id"),
       (col("doc_id") % TwinMod === TwinRes).as("is_twin"))
@@ -105,7 +105,7 @@ object MediaHash {
   // --- per-doc banded hash (doc_id, b0..b3), both engines.
 
   /** Spark frame (doc_id, band, band_val) from the asset bytes. */
-  private def bandsDf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandsDf(spark: SparkSession, dir: String): DataFrame = {
     val bytes = assets(spark, dir)
       // the per-byte fold is the op's whole CPU cost (~bytes × conv);
       // spread assets across the cluster's core count before it — a
@@ -178,10 +178,56 @@ object MediaHash {
        |END""".stripMargin
   }
 
+  /** The production hash kernel: ONE mapPartitions pass folding each
+    * asset's bytes into the 64 cells and assembling the 4 bands
+    * in-task — the #114 batched-iterator shape. The [[bandsDf]]
+    * explode/aggregate spelling fans each asset out to ~1 row per
+    * byte through two aggregates; this kernel keeps the fold row-local
+    * (no fan-out, no per-byte shuffle state), which is the same
+    * argument that put the streaming twin on [[ahashInRowSql]] — and
+    * unlike the HOF fold it runs at array speed, no per-step slot
+    * copies. Spec-pinned value-equal to the explode/aggregate kernel
+    * on every corpus asset; the DuckDB oracle keeps the hex-fold
+    * spelling ([[hashCtes]]) as the independent replay.
+    *
+    * The input spread keeps the [[bandsDf]] rationale: the fold is the
+    * op's whole CPU cost, so spread assets across defaultParallelism
+    * before it — a small-SF corpus arrives as one parquet split and
+    * would otherwise fold on a single core; at 100 TB the scan is
+    * already wide and the extra shuffle moves each asset's bytes
+    * exactly once. */
+  private[graft] def ahashKernel(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("content").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val cells = new Array[Long](Bits)
+          var i = 0
+          while (i < bytes.length) {
+            cells(i % Bits) += (bytes(i) & 0xff); i += 1
+          }
+          var total = 0L
+          i = 0
+          while (i < Bits) { total += cells(i); i += 1 }
+          val bands = new Array[Long](Bands)
+          i = 0
+          while (i < Bits) {
+            if (Bits * cells(i) > total) bands(i / 16) |= 1L << (i % 16)
+            i += 1
+          }
+          (id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
   /** Spark frame (doc_id, b0, b1, b2, b3). Cells with no bytes (assets
     * shorter than 64 bytes) simply never set their bit — the sum over
     * present cells is the whole hash. */
-  private def hashesFrom(bands: DataFrame): DataFrame =
+  private[graft] def hashesFrom(bands: DataFrame): DataFrame =
     bands.groupBy("doc_id")
       .agg(
         sum(when(col("band") === 0, col("band_val")).otherwise(0L)).as("b0"),
@@ -230,7 +276,7 @@ object MediaHash {
   // ---------------------------------------------------------------------
 
   def mediaAhash(spark: SparkSession, dir: String): DataFrame =
-    hashesFrom(bandsDf(spark, dir))
+    ahashKernel(assets(spark, dir))
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
       .orderBy("doc_id")
 
@@ -243,12 +289,14 @@ object MediaHash {
   // ---------------------------------------------------------------------
 
   def mediaAhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    // the byte-fold scan feeds three consumers (hashes + both bucket
-    // sides) and the signature frame two (both pair sides) — pin both
-    // so the corpus-scale explode runs ONCE (Checkpoints discipline);
-    // each pinned frame is signature-sized, 4 resp. 1 rows per asset
-    val bands = graft.Checkpoints.pin(bandsDf(spark, dir))
-    val h = graft.Checkpoints.pin(hashesFrom(bands))
+    // the byte-fold kernel feeds every consumer (both bucket sides +
+    // both pair sides) — pin its signature frame so the corpus-scale
+    // fold runs ONCE (Checkpoints discipline); the per-band bucket
+    // rows then derive from the pinned 1-row-per-asset frame for free
+    val h = graft.Checkpoints.pin(ahashKernel(assets(spark, dir)))
+    val bands = h.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "band_val")))
     // bucket membership, capped: ROW_NUMBER over (band, band_val)
     val buckets = bands
       .withColumn("rn", expr(

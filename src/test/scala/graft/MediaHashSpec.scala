@@ -46,6 +46,23 @@ class MediaHashSpec extends SparkSpec {
     got.foreach { case (_, h) => h.foreach(b => assert(b >= 0 && b < 65536)) }
   }
 
+  test("mapPartitions kernel equals the explode/aggregate spelling on every asset") {
+    // three spellings of one algebra: the production mapPartitions
+    // kernel (ahashKernel), the explode/aggregate reference
+    // (bandsDf → hashesFrom, the shape the DuckDB oracle replays), and
+    // the spec's own loop — all pinned equal per asset
+    val M = operators.MediaHash
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val kernel = rows(M.ahashKernel(M.assets(spark, sf)))
+    val reference = rows(M.hashesFrom(M.bandsDf(spark, sf)))
+    assert(kernel === reference)
+    kernel.foreach { case (id, (b0, b1, b2, b3)) =>
+      assert(Array(b0, b1, b2, b3).sameElements(hashes(id)), s"doc $id")
+    }
+  }
+
   test("media_ahash_dedup equals the brute-force Hamming-radius pair set") {
     // brute force ALL pairs at spec scale: banding + cap must lose
     // nothing here (no bucket reaches the cap at sf0.001 — asserted,
