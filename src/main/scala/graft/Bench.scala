@@ -68,6 +68,11 @@ object Bench {
     // frontier PageRank, and the aHash near-dup join (subsumes the
     // media_ahash kernel the same way)
     "corpus_classifier_score", "corpus_pagerank", "media_ahash_dedup",
+    // round-17: the composed media recipe (the product workload the
+    // aHash/resize/features stages exist for); corpus_pagerank_converge
+    // is deliberately NOT a headliner — it replays pagerank's rounds
+    // (benching it would double-count the iteration cost)
+    "media_pipeline",
     "vocab_wordpiece", "text_wordpiece_tokens", "vocab_wordpiece_fertility",
     // corpus_frontier_rank is deliberately NOT a headliner: like
     // ann_recall it composes two already-benched paths (urlFilter +

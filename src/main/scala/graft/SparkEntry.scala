@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Classifier.queries ++
       operators.Graph.queries ++
       operators.MediaHash.queries ++
+      operators.MediaPipeline.queries ++
       operators.Wordpiece.queries ++
       operators.Unigram.queries ++
       operators.AnnIndex.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.Classifier.oracle ++
       operators.Graph.oracle ++
       operators.MediaHash.oracle ++
+      operators.MediaPipeline.oracle ++
       operators.Wordpiece.oracle ++
       operators.Unigram.oracle ++
       operators.AnnIndex.oracle ++

@@ -322,7 +322,7 @@ object MediaHash {
   /** Banded-join + confirm chain ending in `ham(doc_a, doc_b,
     * hamming)` — shared by the #180 pair query and the #187 cluster
     * canonicalization. */
-  private val dedupCtes: String =
+  private[graft] val dedupCtes: String =
     s"""$hashCtes, buckets AS MATERIALIZED (
        |  SELECT band, band_val, doc_id FROM (
        |    SELECT band, band_val, doc_id,
@@ -383,8 +383,12 @@ object MediaHash {
       .orderBy("doc_id")
   }
 
-  val mediaAhashClustersSql: String =
-    s"""WITH RECURSIVE $dedupCtes, hits AS (
+  /** The #187 closure chain (requires WITH RECURSIVE): #180's pair
+    * graph → reachability → min-label components → sizes; ends in
+    * `lbls(doc_id, cluster_id)` + `sizes(cluster_id, n_members)`.
+    * Shared with the #190 media pipeline oracle. */
+  private[graft] val clusterCtes: String =
+    s"""$dedupCtes, hits AS (
        |  SELECT doc_a, doc_b FROM ham WHERE hamming <= $HamMax
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM hits
@@ -394,12 +398,15 @@ object MediaHash {
        |  SELECT doc_id, doc_id FROM assets
        |  UNION
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
-       |), lbls AS (
+       |), lbls AS MATERIALIZED (
        |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
-       |), sizes AS (
+       |), sizes AS MATERIALIZED (
        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
        |  FROM lbls GROUP BY cluster_id
-       |)
+       |)""".stripMargin
+
+  val mediaAhashClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT l.doc_id, l.cluster_id, s.n_members,
        |  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT)
        |    AS is_canonical,

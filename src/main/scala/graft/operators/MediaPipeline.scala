@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed media-curation pipeline (SURVEY §2 #190–191) — the #151
+  * corpus recipe's shape for ASSETS: every stage an already-verified
+  * media operator, composed so each stage conditions on the previous
+  * stage's SURVIVORS, which is what per-operator checks cannot see
+  * (the r16 verdict's missing composition). The stage battery is the
+  * published LAION-5B curation order (Schuhmann et al. 2022 §2.2:
+  * perceptual dedup, size floor, aspect-ratio cap, content validity):
+  *
+  *  1. dedup keeper (#187): perceptual aHash clusters over the planted
+  *     near-twin corpus; only each cluster's canonical asset (min
+  *     doc_id) survives — LAION's keep-one-representative rule;
+  *  2. size gate (#112's codec): every keeper's dimensions come from
+  *     the REAL PNG header parse ([[Multimodal.imageDims]]) over an
+  *     in-query synthesized IHDR (dims from the doc_id contract below,
+  *     so the oracle re-derives them arithmetically — the #112
+  *     pattern); assets with either side < [[MinDim]] drop (too small
+  *     to train on);
+  *  3. aspect gate: width > [[AspectMax]]·height or vice versa drops
+  *     (extreme banners/sidebars — LAION caps aspect ratio);
+  *  4. content gate (#114's kernel): the 16-bin high-nibble byte
+  *     histogram; an asset whose TOP bin holds more than
+  *     [[ContentMaxPermille]]‰ of its bytes drops (monotone/corrupt
+  *     payload — the entropy floor screens single-tone images the way
+  *     the #36 battery screens degenerate text). Integer floor share,
+  *     smallest-bin tie-break: engine-exact.
+  *
+  * Output: one row per surviving asset carrying each stage's artifact
+  * — cluster size, decoded dims, the #112 aspect-preserving resize
+  * plan, and the dominant byte bin — (doc_id, n_members, width,
+  * height, out_w, out_h, top_bin, top_share_permille). The audit
+  * (#191) is the per-stage attrition report: (stage, stage_name,
+  * n_assets, n_bytes), the #154 shape for assets.
+  *
+  * Dim synthesis contract: width = doc_id·7 % 1920 + 32, height =
+  * doc_id·3 % 1080 + 32 — the multipliers (vs #112's bare residues)
+  * de-correlate the two sides so BOTH geometry gates have planted
+  * casualties at every test scale (bare residues make width == height
+  * for every doc_id < 1080, which would leave the aspect gate
+  * casualty-free at sf0.01).
+  *
+  * Scale shape (100 TB): stage 1 is the #180/#187 banded plan
+  * (capped buckets, signature-sized shuffles); stages 2–4 are MAP-ONLY
+  * over the shrinking survivor set — decode, fit math, and the
+  * in-task histogram fold never shuffle an asset byte. Stage frames
+  * pin where ≥2 consumers read them (audit + next stage), each
+  * bounded by the survivor count.
+  *
+  * Oracle: the #187 closure chain (WITH RECURSIVE — every upstream CTE
+  * MATERIALIZED, the memory-hard rule) + arithmetic dims + the #114
+  * hex-fold histogram. Like #187 itself, the closure oracle is
+  * sf0.01-scale; the ×32 evidence is the Spark-side stress sweep plus
+  * the independent union-find spec (the #79 adjudication).
+  */
+object MediaPipeline {
+
+  /** Minimum side in pixels (LAION-style size floor). */
+  val MinDim = 64
+  /** Maximum aspect ratio (either orientation). */
+  val AspectMax = 3
+  /** Content gate: drop when the top byte-histogram bin exceeds this
+    * permille share (measured corpus median ≈ 510‰; 560 trips the
+    * degenerate tail at every test scale). */
+  val ContentMaxPermille = 560L
+  /** Dim synthesis multipliers (see the contract note above). */
+  val WMul = 7L
+  val HMul = 3L
+
+  private[graft] final case class Frames(
+      input: DataFrame, s1: DataFrame, s2: DataFrame, s3: DataFrame,
+      s4: DataFrame)
+
+  private[graft] def pipelineFrames(spark: SparkSession,
+                                    dir: String): Frames = {
+    import spark.implicits._
+    val input = MediaHash.assets(spark, dir)
+
+    // stage 1: cluster-canonical keepers (#187), cluster size carried
+    val keep = MediaHash.mediaAhashClusters(spark, dir)
+      .filter(col("is_canonical") === 1)
+      .select("doc_id", "n_members")
+    val s1 = graft.Checkpoints.pin(input.join(keep, Seq("doc_id")))
+
+    // stage 2: REAL header decode over synthesized IHDRs (the #112
+    // codec path, run on keepers only — the resize work the dedup
+    // stage exists to save), then the size floor
+    val media = s1.select(col("doc_id"), lit("image").as("kind"),
+      unhex(concat(
+        lit("89504E470D0A1A0A"), // PNG signature
+        lit("0000000D"), lit("49484452"), // IHDR length + tag
+        lpad(hex((col("doc_id") * WMul % 1920 + 32).cast("int")), 8, "0"),
+        lpad(hex((col("doc_id") * HMul % 1080 + 32).cast("int")), 8, "0"),
+        lit("0806000000"))).as("bytes"))
+      .as[Multimodal.MediaRow]
+    val dims = Multimodal.decode(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+    val s2 = graft.Checkpoints.pin(
+      s1.join(dims.filter(col("width") >= MinDim && col("height") >= MinDim),
+        Seq("doc_id")))
+
+    // stage 3: aspect-ratio cap (map-only filter on the carried dims)
+    val s3 = graft.Checkpoints.pin(
+      s2.filter(col("width") <= col("height") * AspectMax &&
+        col("height") <= col("width") * AspectMax))
+
+    // stage 4: content-entropy gate over the #114 histogram kernel —
+    // top bin by (count desc, bin asc), integer floor permille share
+    val top = Multimodal.featuresFrom(s3.select("doc_id", "content"))
+      .withColumn("tot", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bin").as("top_bin"),
+        expr("cnt * 1000 div tot").as("top_share_permille"))
+    val s4 = graft.Checkpoints.pin(
+      s3.join(top.filter(col("top_share_permille") <= ContentMaxPermille),
+        Seq("doc_id")))
+
+    Frames(input, s1, s2, s3, s4)
+  }
+
+  /** #190 media_pipeline — the surviving assets with every stage's
+    * artifact attached (see the object scaladoc). */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val f = pipelineFrames(spark, dir)
+    f.s4.select(col("doc_id"), col("n_members"),
+      col("width"), col("height"),
+      when(col("width") >= col("height"), lit(Multimodal.ResizeBox))
+        .otherwise(greatest(lit(1),
+          expr(s"(width * ${Multimodal.ResizeBox}) div height")))
+        .cast("int").as("out_w"),
+      when(col("width") >= col("height"), greatest(lit(1),
+        expr(s"(height * ${Multimodal.ResizeBox}) div width")))
+        .otherwise(lit(Multimodal.ResizeBox))
+        .cast("int").as("out_h"),
+      col("top_bin"), col("top_share_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** #191 media_pipeline_audit — per-stage attrition (assets + bytes),
+    * the #154 report shape; shares #190's stage frames verbatim so the
+    * report can never drift from the pipeline it describes. */
+  def mediaPipelineAudit(spark: SparkSession, dir: String): DataFrame = {
+    val f = pipelineFrames(spark, dir)
+    val stages = Seq(
+      (0, "input", f.input), (1, "dedup_keeper", f.s1),
+      (2, "size_gate", f.s2), (3, "aspect_gate", f.s3),
+      (4, "content_gate", f.s4))
+    stages.map { case (i, name, df) =>
+      df.select(expr("octet_length(CAST(content AS BINARY))")
+        .cast("long").as("nb"))
+        .agg(count(lit(1)).as("n_assets"),
+          coalesce(sum(col("nb")), lit(0L)).as("n_bytes"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_assets"), col("n_bytes"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  /** The shared oracle chain: #187's recursive closure → keepers →
+    * arithmetic dims → geometry gates → hex-fold histogram gate. */
+  private val pipelineCtes: String =
+    s"""${MediaHash.clusterCtes}, mp_keep AS MATERIALIZED (
+       |  SELECT l.doc_id, s.n_members
+       |  FROM lbls l JOIN sizes s ON s.cluster_id = l.cluster_id
+       |  WHERE l.doc_id = l.cluster_id
+       |), mp_s1 AS MATERIALIZED (
+       |  SELECT k.doc_id, k.n_members, a.content
+       |  FROM mp_keep k JOIN assets a ON a.doc_id = k.doc_id
+       |), mp_s2 AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT doc_id, n_members, content,
+       |      CAST(doc_id * $WMul % 1920 + 32 AS INT) AS width,
+       |      CAST(doc_id * $HMul % 1080 + 32 AS INT) AS height
+       |    FROM mp_s1)
+       |  WHERE width >= $MinDim AND height >= $MinDim
+       |), mp_s3 AS MATERIALIZED (
+       |  SELECT * FROM mp_s2
+       |  WHERE width <= $AspectMax * height AND height <= $AspectMax * width
+       |), mp_hist AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(strpos('0123456789ABCDEF', ch) - 1 AS INT) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, length(hx) + 1, 2),
+       |        i -> substring(hx, CAST(i AS INT), 1))) AS ch
+       |    FROM (SELECT doc_id, hex(encode(content)) AS hx FROM mp_s3))
+       |  GROUP BY doc_id, ch
+       |), mp_top AS MATERIALIZED (
+       |  SELECT doc_id, bin AS top_bin,
+       |    CAST((cnt * 1000) // tot AS BIGINT) AS top_share_permille
+       |  FROM (
+       |    SELECT doc_id, bin, cnt,
+       |      SUM(cnt) OVER (PARTITION BY doc_id) AS tot,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY cnt DESC, bin) AS rn
+       |    FROM mp_hist)
+       |  WHERE rn = 1
+       |), mp_s4 AS MATERIALIZED (
+       |  SELECT s.*, t.top_bin, t.top_share_permille
+       |  FROM mp_s3 s JOIN mp_top t ON t.doc_id = s.doc_id
+       |  WHERE t.top_share_permille <= $ContentMaxPermille
+       |)""".stripMargin
+
+  val mediaPipelineSql: String =
+    s"""WITH RECURSIVE $pipelineCtes
+       |SELECT doc_id, n_members, width, height,
+       |  CAST(CASE WHEN width >= height THEN ${Multimodal.ResizeBox}
+       |       ELSE GREATEST(1, (width * ${Multimodal.ResizeBox}) // height)
+       |       END AS INT) AS out_w,
+       |  CAST(CASE WHEN width >= height
+       |       THEN GREATEST(1, (height * ${Multimodal.ResizeBox}) // width)
+       |       ELSE ${Multimodal.ResizeBox} END AS INT) AS out_h,
+       |  top_bin, top_share_permille
+       |FROM mp_s4
+       |ORDER BY doc_id""".stripMargin
+
+  val mediaPipelineAuditSql: String =
+    s"""WITH RECURSIVE $pipelineCtes
+       |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+       |  CAST(n_assets AS BIGINT) AS n_assets, CAST(n_bytes AS BIGINT) AS n_bytes
+       |FROM (
+       |  SELECT 0 AS stage, 'input' AS stage_name, COUNT(*) AS n_assets,
+       |    COALESCE(SUM(octet_length(encode(content))), 0) AS n_bytes
+       |  FROM assets
+       |  UNION ALL SELECT 1, 'dedup_keeper', COUNT(*),
+       |    COALESCE(SUM(octet_length(encode(content))), 0) FROM mp_s1
+       |  UNION ALL SELECT 2, 'size_gate', COUNT(*),
+       |    COALESCE(SUM(octet_length(encode(content))), 0) FROM mp_s2
+       |  UNION ALL SELECT 3, 'aspect_gate', COUNT(*),
+       |    COALESCE(SUM(octet_length(encode(content))), 0) FROM mp_s3
+       |  UNION ALL SELECT 4, 'content_gate', COUNT(*),
+       |    COALESCE(SUM(octet_length(encode(content))), 0) FROM mp_s4
+       |)
+       |ORDER BY stage""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_pipeline" -> mediaPipeline,
+    "media_pipeline_audit" -> mediaPipelineAudit)
+
+  val oracle: Map[String, String] = Map(
+    "media_pipeline" -> mediaPipelineSql,
+    "media_pipeline_audit" -> mediaPipelineAuditSql)
+}

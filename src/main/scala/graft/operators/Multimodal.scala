@@ -321,21 +321,32 @@ object Multimodal {
     * (only the 16-row-per-asset feature frame does). The oracle
     * recomputes the histogram from the hex encoding, so the binary
     * kernel is value-verified end to end. */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** The histogram kernel over an arbitrary (doc_id, content) frame —
+    * shared by #114 and the #190 media pipeline's content gate: rows
+    * (doc_id, bin, cnt), zero-count bins omitted, assets never
+    * shuffled (the fold is in-task). */
+  private[graft] def featuresFrom(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
     import spark.implicits._
-    val media = mediaDataset(spark, dir)
-    media.mapPartitions { it =>
-      it.flatMap { m =>
-        val counts = new Array[Long](16)
-        m.bytes.foreach(b => counts((b & 0xff) >>> 4) += 1)
-        counts.iterator.zipWithIndex.collect {
-          case (c, bin) if c > 0 => (m.doc_id, bin, c)
+    assets
+      .select(col("doc_id"), col("content").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val counts = new Array[Long](16)
+          bytes.foreach(b => counts((b & 0xff) >>> 4) += 1)
+          counts.iterator.zipWithIndex.collect {
+            case (c, bin) if c > 0 => (id, bin, c)
+          }
         }
-      }
-    }.toDF("doc_id", "bin", "cnt")
+      }.toDF("doc_id", "bin", "cnt")
       .select(col("doc_id"), col("bin").cast("int").as("bin"), col("cnt"))
-      .orderBy("doc_id", "bin")
   }
+
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    featuresFrom(mediaDataset(spark, dir).toDF()
+      .select(col("doc_id"), col("bytes").as("content")))
+      .orderBy("doc_id", "bin")
 
   val mediaFeaturesSql: String =
     """WITH b AS (

@@ -85,6 +85,11 @@ object Stress {
     "vocab_wordpiece", "text_wordpiece_tokens", "vocab_wordpiece_fertility",
     "corpus_url_seen_bloom", "corpus_frontier_rank",
     "media_ahash_clusters",
+    // round-17 additions: the composed media recipe (cluster keeper →
+    // size/aspect/content gates — id-shifted twins make stage 1's
+    // buckets xN hotter), and the pagerank convergence audit (the
+    // domain graph is invariant under id-shift; deltas must stay flat)
+    "media_pipeline", "media_pipeline_audit", "corpus_pagerank_converge",
     // the TPC-H join family (VERDICT r11 #7): the O(SF)-dims-to-AQE
     // policy a decade past sf0.1 — at ×100 the dims are too big to
     // broadcast and AQE must settle shuffle joins with bounded tasks

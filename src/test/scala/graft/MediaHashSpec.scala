@@ -127,4 +127,101 @@ class MediaHashSpec extends SparkSpec {
       assert(n >= 2, s"doc $id")
     }
   }
+
+  test("media_pipeline: per-stage survivors match the independent recompute; every gate cuts") {
+    // run at sf0.01: the aspect and content gates need the dim residues
+    // to wrap / the histogram tail to exist, which sf0.001's id range
+    // cannot produce (the dim-contract multipliers only de-correlate
+    // width and height past id ~275)
+    val dir = "/root/testdata/sf0.01"
+    val MP = operators.MediaPipeline
+    val docs01 = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val contents01 = docs01.map { case (id, _) =>
+      val srcId = if (id % TwinMod == TwinRes) id - 1 else id
+      val str = if (id % TwinMod == TwinRes) docs01(srcId) + "x" else docs01(srcId)
+      id -> str.getBytes("UTF-8")
+    }
+    val hashes01 = contents01.map { case (id, b) => id -> ahash(b) }
+    val ids = contents01.keys.toSeq.sorted
+
+    // stage 1 truth: union-find over brute-force Hamming pairs
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for {
+      i <- ids.indices
+      j <- (i + 1) until ids.size
+      if hamming(hashes01(ids(i)), hashes01(ids(j))) <= HamMax
+    } {
+      val (ra, rb) = (find(ids(i)), find(ids(j)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cluster = ids.map(i => i -> find(i)).toMap
+    val csizes = cluster.values.groupBy(identity)
+      .map { case (c, g) => c -> g.size.toLong }
+    val keepers = ids.filter(i => cluster(i) == i)
+
+    // stages 2-4 truth: dim contract, geometry gates, histogram gate
+    def dims(id: Long): (Int, Int) =
+      ((id * MP.WMul % 1920 + 32).toInt, (id * MP.HMul % 1080 + 32).toInt)
+    val afterSize = keepers.filter { id =>
+      val (w, h) = dims(id); w >= MP.MinDim && h >= MP.MinDim
+    }
+    val afterAspect = afterSize.filter { id =>
+      val (w, h) = dims(id)
+      w <= h * MP.AspectMax && h <= w * MP.AspectMax
+    }
+    def top(bytes: Array[Byte]): (Int, Long) = {
+      val c = new Array[Long](16)
+      bytes.foreach(b => c((b & 0xff) >>> 4) += 1)
+      val tot = c.sum
+      val bin = c.zipWithIndex.filter(_._1 > 0)
+        .maxBy { case (cnt, b) => (cnt, -b) }._2
+      (bin, c(bin) * 1000 / tot)
+    }
+    val afterContent = afterAspect.filter(id =>
+      top(contents01(id))._2 <= MP.ContentMaxPermille)
+
+    // every stage CUTS something (planted casualties at this scale)
+    assert(keepers.size < ids.size, "dedup stage cut nothing")
+    assert(afterSize.size < keepers.size, "size gate cut nothing")
+    assert(afterAspect.size < afterSize.size, "aspect gate cut nothing")
+    assert(afterContent.size < afterAspect.size, "content gate cut nothing")
+
+    // the pipeline's survivor rows match the recompute per field
+    val got = MP.mediaPipeline(spark, dir).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7)))
+    assert(got.map(_._1) == afterContent)
+    got.foreach { case (id, nm, w, h, ow, oh, tb, ts) =>
+      assert(nm == csizes(cluster(id)), s"doc $id members")
+      assert((w, h) == dims(id), s"doc $id dims")
+      val (ew, eh) =
+        if (w >= h) (operators.Multimodal.ResizeBox,
+          math.max(1, h * operators.Multimodal.ResizeBox / w))
+        else (math.max(1, w * operators.Multimodal.ResizeBox / h),
+          operators.Multimodal.ResizeBox)
+      assert((ow, oh) == (ew, eh), s"doc $id fit")
+      assert((tb, ts) == top(contents01(id)), s"doc $id histogram")
+    }
+
+    // the audit is exactly the recomputed attrition walk
+    val audit = MP.mediaPipelineAudit(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expBytes = Seq(ids, keepers, afterSize, afterAspect, afterContent)
+      .map(g => g.map(contents01(_).length.toLong).sum)
+    assert(audit.map(_._3) ==
+      Seq(ids.size, keepers.size, afterSize.size, afterAspect.size,
+        afterContent.size).map(_.toLong))
+    assert(audit.map(_._4) == expBytes)
+    assert(audit.map(_._2) ==
+      Seq("input", "dedup_keeper", "size_gate", "aspect_gate", "content_gate"))
+  }
 }
