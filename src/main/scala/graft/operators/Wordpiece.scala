@@ -278,6 +278,12 @@ object Wordpiece {
     * '^c' / 'c' form the vocabulary exhibits) plus every merge result
     * — real WordPiece vocabularies keep ALL merge products, including
     * ones later merges subsume. Model-sized: ≤ 2·charset + rounds. */
+  /** Frozen-model inventory for admission-time consumers (#192's
+    * streaming twin): train once, hand back (pieces, max piece len). */
+  private[graft] def frozenInventory(spark: SparkSession,
+                                     dir: String): (Seq[String], Int) =
+    inventory(spark, dir, trainedWpMerges(spark, dir))
+
   private def inventory(spark: SparkSession, dir: String,
       merges: Seq[(String, Long, Long)]): (Seq[String], Int) = {
     val alpha = wordVocab(spark, dir)
@@ -295,7 +301,7 @@ object Wordpiece {
     * ('^'-form at position 1), append its display form. A match always
     * exists at l = 1 — the vocabulary's own characters seed the
     * alphabet — so in-vocab words never need an [UNK] (spec-pinned). */
-  private def segFoldSql(maxL: Int): String = {
+  private[graft] def segFoldSql(maxL: Int): String = {
     def lFind =
       s"""aggregate(sequence($maxL, 1, -1), 0, (b, l) ->
          |  CASE WHEN b > 0 THEN b
