@@ -196,6 +196,29 @@ object MediaHash {
     * would otherwise fold on a single core; at 100 TB the scan is
     * already wide and the extra shuffle moves each asset's bytes
     * exactly once. */
+  /** The per-asset fold itself: bytes → 4 banded hash words. Shared
+    * by the batch kernel and the streaming ingest gate
+    * ([[graft.streaming.MediaHashStream.bandRows]]) so they can never
+    * hash divergently; spec-pinned equal to the explode/aggregate and
+    * HOF spellings. */
+  private[graft] def ahashBands(bytes: Array[Byte]): Array[Long] = {
+    val cells = new Array[Long](Bits)
+    var i = 0
+    while (i < bytes.length) {
+      cells(i % Bits) += (bytes(i) & 0xff); i += 1
+    }
+    var total = 0L
+    i = 0
+    while (i < Bits) { total += cells(i); i += 1 }
+    val bands = new Array[Long](Bands)
+    i = 0
+    while (i < Bits) {
+      if (Bits * cells(i) > total) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
   private[graft] def ahashKernel(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -205,20 +228,7 @@ object MediaHash {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val cells = new Array[Long](Bits)
-          var i = 0
-          while (i < bytes.length) {
-            cells(i % Bits) += (bytes(i) & 0xff); i += 1
-          }
-          var total = 0L
-          i = 0
-          while (i < Bits) { total += cells(i); i += 1 }
-          val bands = new Array[Long](Bands)
-          i = 0
-          while (i < Bits) {
-            if (Bits * cells(i) > total) bands(i / 16) |= 1L << (i % 16)
-            i += 1
-          }
+          val bands = ahashBands(bytes)
           (id, bands(0), bands(1), bands(2), bands(3))
         }
       }.toDF("doc_id", "b0", "b1", "b2", "b3")

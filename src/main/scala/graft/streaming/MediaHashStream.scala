@@ -14,11 +14,12 @@ import org.apache.spark.sql.types.StructType
   * — don't store an image whose perceptual hash is within the
   * duplicate radius of one already kept.
   *
-  * The batch kernel computes the hash via explode + two aggregates; a
-  * stream must not shuffle per byte, so the hash folds INSIDE the row
-  * ([[graft.operators.MediaHash.ahashInRowSql]] — the identical
-  * cell/threshold/band algebra, spec-pinned equal to the batch hash
-  * on every corpus asset).
+  * A stream must not shuffle per byte, so the hash folds INSIDE the
+  * row: [[graft.operators.MediaHash.ahashBands]] — the batch kernel's
+  * own per-asset JVM fold (r17; see [[bandRows]] for why the earlier
+  * HOF expression spelling was replaced). The HOF spelling
+  * ([[graft.operators.MediaHash.ahashInRowSql]]) remains spec-pinned
+  * equal on every corpus asset as the SQL-expression cross-check.
   *
   * Keyed state is one owner per claimed (band, band_val) bucket — its
   * doc id PLUS its full 4-band hash (the #82 claim-and-verify
@@ -40,17 +41,27 @@ object MediaHashStream {
   case class BandObs(doc_id: Long, band: Int, owner: Long, hamming: Int)
 
   /** Per-row hash + band rows — no shuffle, stream-safe. Expects
-    * (doc_id, content: binary) rows. */
+    * (doc_id, content: binary) rows. The hash is the SHARED JVM fold
+    * ([[graft.operators.MediaHash.ahashBands]] — the batch kernel's
+    * own per-asset function, so stream and batch can never hash
+    * divergently); the earlier `ahashInRowSql` HOF spelling cost
+    * O(bytes · 64) slot copies per asset and walled the measured
+    * ingest at ~1.3–3k assets/s — the array fold is the same
+    * row-local, shuffle-free shape at ~64× less work (it remains
+    * spec-pinned equal as the SQL-expression cross-check). */
   def bandRows(assets: DataFrame): Dataset[BandRow] = {
     import assets.sparkSession.implicits._
     assets
-      .withColumn("hash",
-        expr(graft.operators.MediaHash.ahashInRowSql("content")))
-      .select(col("doc_id"), col("hash"),
-        posexplode(col("hash")).as(Seq("band", "band_val")))
-      .select(col("doc_id"), col("band").cast("int").as("band"),
-        col("band_val"), col("hash"))
-      .as[BandRow]
+      .select(col("doc_id"), col("content").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val hash = graft.operators.MediaHash.ahashBands(bytes)
+          hash.iterator.zipWithIndex.map { case (v, b) =>
+            BandRow(id, b, v, hash)
+          }
+        }
+      }
   }
 
   private def hamming(a: Array[Long], b: Array[Long]): Int = {
