@@ -125,6 +125,60 @@ object MediaPipeline {
     Frames(input, s1, s2, s3, s4)
   }
 
+  /** Per-asset gate evaluation — the stages 2–4 battery as ONE pure
+    * function of (doc_id, content), shared with the streaming twin
+    * ([[graft.streaming.MediaPipelineStream]]): each gate is
+    * per-asset (dims from the doc_id contract through the REAL codec,
+    * aspect from those dims, the histogram from the bytes), so an
+    * asset's first failing gate is the same whether evaluated inside
+    * the batch survivor chain or independently at admission time —
+    * the property the spec pins (batch stage casualties ==
+    * gate-labelled assets). Returns (doc_id, width, height, out_w,
+    * out_h, top_bin, top_share_permille, gate) with gate ∈ ok /
+    * too_small / bad_aspect / low_entropy (first failure wins,
+    * batch stage order). */
+  private[graft] def gateFrame(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val media = assets.select(col("doc_id"), lit("image").as("kind"),
+      unhex(concat(
+        lit("89504E470D0A1A0A"),
+        lit("0000000D"), lit("49484452"),
+        lpad(hex((col("doc_id") * WMul % 1920 + 32).cast("int")), 8, "0"),
+        lpad(hex((col("doc_id") * HMul % 1080 + 32).cast("int")), 8, "0"),
+        lit("0806000000"))).as("bytes"))
+      .as[Multimodal.MediaRow]
+    val dims = Multimodal.decode(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+    val top = Multimodal.featuresFrom(assets.select("doc_id", "content"))
+      .withColumn("tot", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bin").as("top_bin"),
+        expr("cnt * 1000 div tot").as("top_share_permille"))
+    assets.select("doc_id").join(dims, Seq("doc_id"))
+      .join(top, Seq("doc_id"), "left") // empty assets: no histogram
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(Multimodal.ResizeBox))
+          .otherwise(greatest(lit(1),
+            expr(s"(width * ${Multimodal.ResizeBox}) div height")))
+          .cast("int").as("out_w"),
+        when(col("width") >= col("height"), greatest(lit(1),
+          expr(s"(height * ${Multimodal.ResizeBox}) div width")))
+          .otherwise(lit(Multimodal.ResizeBox))
+          .cast("int").as("out_h"),
+        col("top_bin"), col("top_share_permille"),
+        when(col("width") < MinDim || col("height") < MinDim, "too_small")
+          .when(col("width") > col("height") * AspectMax ||
+            col("height") > col("width") * AspectMax, "bad_aspect")
+          .when(col("top_share_permille").isNull ||
+            col("top_share_permille") > ContentMaxPermille, "low_entropy")
+          .otherwise("ok").as("gate"))
+  }
+
   /** #190 media_pipeline — the surviving assets with every stage's
     * artifact attached (see the object scaladoc). */
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {

@@ -223,5 +223,22 @@ class MediaHashSpec extends SparkSpec {
     assert(audit.map(_._4) == expBytes)
     assert(audit.map(_._2) ==
       Seq("input", "dedup_keeper", "size_gate", "aspect_gate", "content_gate"))
+
+    // the per-asset gate battery (gateFrame, shared with the #193
+    // streaming twin) labels keepers EXACTLY as the staged chain cuts
+    // them: survivors = keepers gated 'ok', and each casualty's label
+    // names its first failing stage
+    import spark.implicits._
+    val gates = MP.gateFrame(
+      keepers.map(id => (id, contents01(id))).toDF("doc_id", "content"))
+      .select("doc_id", "gate").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keepers.filter(id => gates(id) == "ok") == afterContent)
+    assert(keepers.filter(id => gates(id) == "too_small")
+      == keepers.diff(afterSize))
+    assert(afterSize.filter(id => gates(id) == "bad_aspect")
+      == afterSize.diff(afterAspect))
+    assert(afterAspect.filter(id => gates(id) == "low_entropy")
+      == afterAspect.diff(afterContent))
   }
 }
