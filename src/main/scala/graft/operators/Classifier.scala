@@ -104,17 +104,25 @@ object Classifier {
     * relation, ending in `${p}tt(doc_id, is_cur, tok)` — the oracle
     * twin of [[tokensFrom]], prefixable so a composing oracle (the
     * #151 pipeline) can score ITS survivor relation with the same
-    * tokenization the model CTEs trained on. AS MATERIALIZED
-    * throughout: composing chains end in recursive CTEs, where an
-    * un-materialized upstream re-evaluates per iteration. */
+    * tokenization the model CTEs trained on.
+    *
+    * Deliberately NOT materialized: each token CTE is referenced
+    * exactly once by its successor, so inlining streams it — while
+    * AS MATERIALIZED would pin the full multi-million-row token
+    * relation in memory (measured: the 130k-doc distinct-corpus
+    * replay OOM'd DuckDB with two materialized token streams held at
+    * once). The recursion-re-evaluation hazard the memory rule guards
+    * against is handled downstream: the recursive pack walk reads
+    * pl_sp, and materializing THAT boundary (plus the multi-referenced
+    * model aggregates) is what keeps the chain evaluated once. */
   private[graft] def tokenCtes(p: String, rel: String): String =
-    s"""${p}d AS MATERIALIZED (
+    s"""${p}d AS (
        |  SELECT doc_id, text, $isCurSql AS is_cur FROM $rel
-       |), ${p}s AS MATERIALIZED (
+       |), ${p}s AS (
        |  SELECT doc_id, is_cur, ${spikedSql("duck")} AS spiked FROM ${p}d
-       |), ${p}t AS MATERIALIZED (
+       |), ${p}t AS (
        |  SELECT doc_id, is_cur, unnest(string_split(spiked, ' ')) AS tok FROM ${p}s
-       |), ${p}tt AS MATERIALIZED (
+       |), ${p}tt AS (
        |  SELECT * FROM ${p}t WHERE tok <> ''
        |)""".stripMargin
 

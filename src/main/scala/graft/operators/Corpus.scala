@@ -2281,7 +2281,7 @@ object Corpus {
       |  SELECT r.doc_id, r.source, r.norm
       |  FROM pl_ranked r JOIN pl_quota q2 ON r.lang = q2.lang
       |  WHERE r.mix_rank <= q2.kept_l
-      |), pl_sp AS (
+      |), pl_sp AS MATERIALIZED (
       |  SELECT s.source, s.doc_id,
       |    CAST(len(string_split(s.norm, ' ')) AS BIGINT) AS t,
       |    CAST(tf.n_tokens AS BIGINT) AS bpe,
