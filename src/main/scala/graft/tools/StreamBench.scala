@@ -428,6 +428,20 @@ object StreamBench {
       ()
     }
 
+    // ---- composed media admission (#193): dedup + gate battery ----
+    // the same xcopies asset corpus; the delta over media_ingest is
+    // the payload ride through the bucket shuffle plus the stateless
+    // decode/aspect/histogram gates on non-dup survivors
+    val mpipeSec = timePasses { () =>
+      val cp = freshDir(root, "cp-mpipe")
+      val mo = freshDir(root, "mpipe-out")
+      val q = graft.streaming.MediaPipelineStream.admissionQuery(spark,
+        mediaIn.getAbsolutePath, mediaSchema, cp.getAbsolutePath,
+        mo.getAbsolutePath)
+      q.awaitTermination(600000)
+      ()
+    }
+
     val syslogRate = (nSyslog / syslogSec).toLong
     val gelfRate = (nMessages / gelfSec).toLong
     val semRate = (nVec / semSec).toLong
@@ -435,14 +449,16 @@ object StreamBench {
     val annRate = (nQueries / annSec).toLong
     val clsRate = (nCls / clsSec).toLong
     val mediaRate = (nAssets / mediaSec).toLong
+    val mpipeRate = (nAssets / mpipeSec).toLong
     val json =
-      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec + curSec + annSec + clsSec + mediaSec},"unit":"sec","streams":{""" +
+      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec + curSec + annSec + clsSec + mediaSec + mpipeSec},"unit":"sec","streams":{""" +
         s""""syslog_spool":{"rows":$nSyslog,"sec":$syslogSec,"rows_per_sec":$syslogRate},""" +
         s""""gelf_reassembly":{"messages":$nMessages,"sec":$gelfSec,"msgs_per_sec":$gelfRate},""" +
         s""""semantic_admission":{"rows":$nVec,"sec":$semSec,"rows_per_sec":$semRate},""" +
         s""""curation_admission":{"rows":$nDocs,"sec":$curSec,"rows_per_sec":$curRate},""" +
         s""""classifier_admission":{"rows":$nCls,"sec":$clsSec,"rows_per_sec":$clsRate},""" +
         s""""media_ingest":{"assets":$nAssets,"sec":$mediaSec,"assets_per_sec":$mediaRate},""" +
+        s""""media_pipeline_admission":{"assets":$nAssets,"sec":$mpipeSec,"assets_per_sec":$mpipeRate},""" +
         s""""ann_serving":{"queries":$nQueries,"sec":$annSec,"queries_per_sec":$annRate}},""" +
         s""""sf":"$sfDir"}"""
     println(json)
