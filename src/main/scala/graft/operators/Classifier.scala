@@ -187,9 +187,18 @@ object Classifier {
     * priors — a composing gate (#151's classifier stage) needs them to
     * detect the one-class-degenerate case, where dd_fp/pd_fp hold
     * out-of-domain log2fp(0) garbage and no 2-class filter exists. */
-  private[graft] def constants(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def constants(spark: SparkSession, dir: String): DataFrame =
+    constantsFrom(model(spark, dir), spark, dir)
+
+  /** [[constants]] over a caller-supplied model frame — a composing
+    * consumer that already holds (and pinned) the model derives both
+    * its w_fp join AND these constants from the ONE materialization
+    * instead of re-training the corpus-scale model per consumer
+    * (the Checkpoints pin-on-multi-consumer discipline). */
+  private[graft] def constantsFrom(model: DataFrame, spark: SparkSession,
+                                   dir: String): DataFrame = {
     val lg = TextFunctions.log2fpExpr _
-    model(spark, dir)
+    model
       .agg(count(lit(1)).as("v"), sum("c_cur").as("n_cur"),
         sum("c_cra").as("n_cra"))
       .crossJoin(

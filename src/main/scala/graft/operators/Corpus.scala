@@ -2088,13 +2088,16 @@ object Corpus {
     // score_fp > 0). Scale shape is #177's verbatim: one token
     // explode, a vocab-keyed join (AQE broadcasts at test scale),
     // one per-doc aggregate, two 1-row constant frames.
+    // the corpus-scale model trains ONCE: pinned, then both the w_fp
+    // join and the constants aggregate derive from the pinned frame
+    // (the pin-on-multi-consumer discipline the other stages follow)
+    val clfModel = graft.Checkpoints.pin(Classifier.model(spark, dir))
     val clfKeep = Classifier.tokensFrom(q.select("doc_id", "text", "source"))
-      .join(Classifier.model(spark, dir).select("tok", "w_fp"),
-        Seq("tok"), "left")
+      .join(clfModel.select("tok", "w_fp"), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         sum(coalesce(col("w_fp"), lit(0L))).as("sum_w"))
-      .crossJoin(Classifier.constants(spark, dir))
+      .crossJoin(Classifier.constantsFrom(clfModel, spark, dir))
       // one-class degenerate guard: a training split without both
       // labels has no 2-class filter to apply (its prior term is
       // out-of-domain log2fp(0)) — the stage passes through, the

@@ -167,10 +167,15 @@ object Graph {
     val out = edges.groupBy("src").agg(sum("w").as("out_w"))
     val inw = edges.groupBy("dst").agg(sum("w").as("in_w"))
       .withColumnRenamed("dst", "host")
+    // out-degrees join LEFT so a sink node (ranked by the kernel's
+    // dangling-mass path) still reports, with out_w = 0 — the corpus
+    // graph is sink-free, but the report must honor the kernel's
+    // sink-aware contract for any caller-supplied graph
     pagerankRounds(edges, Iters).last
-      .join(out.withColumnRenamed("src", "host"), Seq("host"))
+      .join(out.withColumnRenamed("src", "host"), Seq("host"), "left")
       .join(inw, Seq("host"), "left")
-      .select(col("host"), col("rank_fp"), col("out_w"),
+      .select(col("host"), col("rank_fp"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
       .orderBy(col("rank_fp").desc, col("host"))
   }
@@ -216,9 +221,10 @@ object Graph {
 
   val pagerankSql: String =
     s"""WITH $pagerankCtes
-       |SELECT r.host, r.rank_fp, o.out_w, COALESCE(iw.in_w, 0) AS in_w
+       |SELECT r.host, r.rank_fp, COALESCE(o.out_w, 0) AS out_w,
+       |  COALESCE(iw.in_w, 0) AS in_w
        |FROM r$Iters r
-       |JOIN o ON o.src = r.host
+       |LEFT JOIN o ON o.src = r.host
        |LEFT JOIN iw ON iw.host = r.host
        |ORDER BY r.rank_fp DESC, r.host""".stripMargin
 

@@ -246,7 +246,10 @@ object MediaHash {
         sum(when(col("band") === 3, col("band_val")).otherwise(0L)).as("b3"))
 
   /** DuckDB CTEs ending in `h(doc_id, b0..b3)` — the #114 hex-nibble
-    * byte extraction feeding the same cell/bit/band algebra. */
+    * byte extraction feeding the same cell/bit/band algebra. `h`
+    * drives from `assets` (LEFT JOIN, zero-coalesced) so EVERY asset
+    * reports a hash row — a zero-byte asset hashes to (0,0,0,0),
+    * exactly what [[ahashBands]] computes for an empty byte array. */
   private val hashCtes: String =
     s"""$assetsCte, bx AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(content)) AS hx FROM assets
@@ -273,12 +276,13 @@ object MediaHash {
        |  SELECT doc_id, band, CAST(SUM(bit) AS BIGINT) AS band_val
        |  FROM bits GROUP BY doc_id, band
        |), h AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CAST(SUM(CASE WHEN band = 0 THEN band_val ELSE 0 END) AS BIGINT) AS b0,
-       |    CAST(SUM(CASE WHEN band = 1 THEN band_val ELSE 0 END) AS BIGINT) AS b1,
-       |    CAST(SUM(CASE WHEN band = 2 THEN band_val ELSE 0 END) AS BIGINT) AS b2,
-       |    CAST(SUM(CASE WHEN band = 3 THEN band_val ELSE 0 END) AS BIGINT) AS b3
-       |  FROM bnd GROUP BY doc_id
+       |  SELECT a.doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 0 THEN band_val END), 0) AS BIGINT) AS b0,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 1 THEN band_val END), 0) AS BIGINT) AS b1,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 2 THEN band_val END), 0) AS BIGINT) AS b2,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 3 THEN band_val END), 0) AS BIGINT) AS b3
+       |  FROM assets a LEFT JOIN bnd ON bnd.doc_id = a.doc_id
+       |  GROUP BY a.doc_id
        |)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -298,12 +302,22 @@ object MediaHash {
   // #180 media_ahash_dedup — banded join + exact Hamming confirm
   // ---------------------------------------------------------------------
 
-  def mediaAhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def mediaAhashDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupFrom(assets(spark, dir))
+
+  /** The #180 chain over a caller-supplied (doc_id, content) frame —
+    * the corpus query above plus the spec's crafted short/empty-asset
+    * corpora ride the ONE spelling. */
+  private[graft] def dedupFrom(assetsDf: DataFrame): DataFrame = {
     // the byte-fold kernel feeds every consumer (both bucket sides +
     // both pair sides) — pin its signature frame so the corpus-scale
     // fold runs ONCE (Checkpoints discipline); the per-band bucket
-    // rows then derive from the pinned 1-row-per-asset frame for free
-    val h = graft.Checkpoints.pin(ahashKernel(assets(spark, dir)))
+    // rows then derive from the pinned 1-row-per-asset frame for free.
+    // posexplode of the 4-word hash emits ALL 4 band rows per asset —
+    // a zero-valued band (any asset < 49 bytes leaves band 3's cells
+    // empty; an empty asset leaves all 4) still buckets, mirrored by
+    // the oracle's `hb` CTE.
+    val h = graft.Checkpoints.pin(ahashKernel(assetsDf))
     val bands = h.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "band_val")))
@@ -331,13 +345,24 @@ object MediaHash {
 
   /** Banded-join + confirm chain ending in `ham(doc_a, doc_b,
     * hamming)` — shared by the #180 pair query and the #187 cluster
-    * canonicalization. */
+    * canonicalization. Bucket rows derive from the HASH frame (`hb`:
+    * always [[Bands]] rows per asset, zero-valued bands included) —
+    * the exact mirror of Spark's posexplode over the pinned hash
+    * frame. Deriving them from `bnd` (bands with ≥ 1 present CELL)
+    * would drop band 3 for assets shorter than 49 bytes and all
+    * bands for empty assets, silently shrinking the candidate set on
+    * short media; spec-pinned by the short/empty-asset corpus legs. */
   private[graft] val dedupCtes: String =
-    s"""$hashCtes, buckets AS MATERIALIZED (
+    s"""$hashCtes, hb AS MATERIALIZED (
+       |  SELECT h.doc_id, g.band,
+       |    CASE g.band WHEN 0 THEN h.b0 WHEN 1 THEN h.b1
+       |                WHEN 2 THEN h.b2 ELSE h.b3 END AS band_val
+       |  FROM h, (SELECT unnest(range(0, $Bands)) AS band) g
+       |), buckets AS MATERIALIZED (
        |  SELECT band, band_val, doc_id FROM (
        |    SELECT band, band_val, doc_id,
        |      ROW_NUMBER() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS rn
-       |    FROM bnd
+       |    FROM hb
        |  ) WHERE rn <= $BucketCap
        |), pairs AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -112,6 +112,18 @@ object MediaHashStream {
     * drift is inherent to causal first-writer admission — storing only
     * admitted owners instead would let the SECOND near-twin of a
     * rejected asset through the gate. */
+  /** The per-batch verdict collapse: band observations → one row per
+    * asset (dup_of = smallest confirmed colliding owner, admitted
+    * flag). Shared by [[dedupQuery]] and the soak harness so the
+    * long-horizon run exercises the production collapse verbatim. */
+  def verdicts(batch: Dataset[BandObs]): DataFrame =
+    batch.toDF()
+      .groupBy("doc_id")
+      .agg(min(when(col("owner") =!= col("doc_id") &&
+          col("hamming") <= HamMax, col("owner")))
+        .as("dup_of"))
+      .withColumn("admitted", col("dup_of").isNull.cast("int"))
+
   def dedupQuery(spark: SparkSession, inputDir: String, schema: StructType,
                  checkpointDir: String, outDir: String): StreamingQuery =
     bandObservations(
@@ -121,12 +133,7 @@ object MediaHashStream {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[BandObs], batchId: Long) =>
-        batch.toDF()
-          .groupBy("doc_id")
-          .agg(min(when(col("owner") =!= col("doc_id") &&
-              col("hamming") <= HamMax, col("owner")))
-            .as("dup_of"))
-          .withColumn("admitted", col("dup_of").isNull.cast("int"))
+        verdicts(batch)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }

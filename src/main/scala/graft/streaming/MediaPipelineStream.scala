@@ -93,6 +93,38 @@ object MediaPipelineStream {
     * out_h, top_bin, top_share_permille, batch_id) appended to
     * `outDir`, the admission record (gate columns are null on dups —
     * a rejected duplicate never pays decode). */
+  /** The per-batch verdict collapse: observations → one verdict row
+    * per asset, duplicates first (never paying decode), survivors
+    * through the single-sourced gate battery. Shared by
+    * [[admissionQuery]] and the soak harness so the long-horizon run
+    * exercises the production collapse verbatim. */
+  def verdicts(batch: Dataset[AssetObs]): DataFrame = {
+    val perAsset = batch.toDF()
+      .groupBy("doc_id")
+      .agg(
+        min(when(col("owner") =!= col("doc_id") &&
+          col("hamming") <= MediaHash.HamMax, col("owner")))
+          .as("dup_of"),
+        first(col("content")).as("content"))
+    val dups = perAsset.filter(col("dup_of").isNotNull)
+      .select(col("doc_id"), lit("dup").as("verdict"), col("dup_of"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("out_w"),
+        lit(null).cast("int").as("out_h"),
+        lit(null).cast("int").as("top_bin"),
+        lit(null).cast("long").as("top_share_permille"))
+    val gated = MediaPipeline.gateFrame(
+      perAsset.filter(col("dup_of").isNull).select("doc_id", "content"))
+      .select(col("doc_id"),
+        when(col("gate") === "ok", "admitted")
+          .otherwise(col("gate")).as("verdict"),
+        lit(null).cast("long").as("dup_of"),
+        col("width"), col("height"), col("out_w"), col("out_h"),
+        col("top_bin"), col("top_share_permille"))
+    dups.unionByName(gated)
+  }
+
   def admissionQuery(spark: SparkSession, inputDir: String,
                      schema: StructType, checkpointDir: String,
                      outDir: String): StreamingQuery =
@@ -103,30 +135,7 @@ object MediaPipelineStream {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[AssetObs], batchId: Long) =>
-        val perAsset = batch.toDF()
-          .groupBy("doc_id")
-          .agg(
-            min(when(col("owner") =!= col("doc_id") &&
-              col("hamming") <= MediaHash.HamMax, col("owner")))
-              .as("dup_of"),
-            first(col("content")).as("content"))
-        val dups = perAsset.filter(col("dup_of").isNotNull)
-          .select(col("doc_id"), lit("dup").as("verdict"), col("dup_of"),
-            lit(null).cast("int").as("width"),
-            lit(null).cast("int").as("height"),
-            lit(null).cast("int").as("out_w"),
-            lit(null).cast("int").as("out_h"),
-            lit(null).cast("int").as("top_bin"),
-            lit(null).cast("long").as("top_share_permille"))
-        val gated = MediaPipeline.gateFrame(
-          perAsset.filter(col("dup_of").isNull).select("doc_id", "content"))
-          .select(col("doc_id"),
-            when(col("gate") === "ok", "admitted")
-              .otherwise(col("gate")).as("verdict"),
-            lit(null).cast("long").as("dup_of"),
-            col("width"), col("height"), col("out_w"), col("out_h"),
-            col("top_bin"), col("top_share_permille"))
-        dups.unionByName(gated)
+        verdicts(batch)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }

@@ -56,7 +56,19 @@ object StreamBench {
   //    text pool through the COMPOSED gate stream (quality → exact +
   //    LSH buckets in one stateful op, stateless bloom probe); bucket
   //    state saturates at pool×(bands+1) rows — repeated content
-  //    claims nothing new in either key space.
+  //    claims nothing new in either key space;
+  //  - classifier_admission (#184) / wordpiece_admission (#192):
+  //    STATELESS frozen-model scorers — the model-bound claim is
+  //    zero state rows, so the measurement is the flat-ZERO curve
+  //    with the full scoring plan run per batch;
+  //  - media_hash_ingest (#188) / media_pipeline_admission (#193):
+  //    asset batches cycle the fixed content pool; each distinct
+  //    content claims ≤ 4 band buckets on first sight and repeats
+  //    claim nothing, so state saturates at the pool's
+  //    distinct-bucket count (≤ pool×4 rows — the per-admitted-asset
+  //    band-row bound a 100 TB ingest lives on); both run the
+  //    production per-batch verdict collapse (the composed gate also
+  //    pays decode/histogram on survivors).
   //
   //   sbt "runMain graft.tools.StreamBench soak [sfDir] [nBatches]"
   // -------------------------------------------------------------------
@@ -64,9 +76,12 @@ object StreamBench {
   private case class SoakPoint(batch: Long, stateRows: Long, stateBytes: Long)
 
   /** Drive `n` micro-batches via add(); sample state metrics from the
-    * query progress after each. */
+    * query progress after each. `requireState = false` admits
+    * stateless streams (frozen-model scorers whose measured bound IS
+    * zero state rows — the flat-zero curve is the evidence). */
   private def soakRun(q: org.apache.spark.sql.streaming.StreamingQuery,
-                      n: Int, add: Int => Unit): Seq[SoakPoint] = {
+                      n: Int, add: Int => Unit,
+                      requireState: Boolean = true): Seq[SoakPoint] = {
     val out = Seq.newBuilder[SoakPoint]
     var lastBatch = -1L
     (0 until n).foreach { i =>
@@ -75,11 +90,13 @@ object StreamBench {
       // recentProgress may include no-data entries; take the newest
       // progress that has a state operator and advances the batch id
       q.recentProgress.reverseIterator
-        .find(p => p.stateOperators.nonEmpty && p.batchId > lastBatch)
+        .find(p => (p.stateOperators.nonEmpty || !requireState) &&
+          p.batchId > lastBatch)
         .foreach { p =>
           lastBatch = p.batchId
-          val so = p.stateOperators.head
-          out += SoakPoint(p.batchId, so.numRowsTotal, so.memoryUsedBytes)
+          out += SoakPoint(p.batchId,
+            p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum)
         }
     }
     out.result()
@@ -200,11 +217,125 @@ object StreamBench {
       }) finally q.stop()
     }
 
+    // ---- classifier admission (#184): STATELESS frozen-model scorer —
+    // the measured bound is zero state rows; the flat-zero 120-batch
+    // curve is that claim measured, with the full scoring plan
+    // (explode → model join → per-doc aggregate) run every batch
+    val clfPts = {
+      val pool = graft.Tables.load(spark, sfDir, "documents")
+        .select("text", "source").limit(500)
+        .as[(String, String)].collect()
+      val w = graft.Checkpoints.pin(
+        graft.operators.Classifier.model(spark, sfDir).select("tok", "w_fp"))
+      val cst = graft.operators.Classifier.constants(spark, sfDir).head()
+      val (ddFp, pdFp) = (cst.getLong(0), cst.getLong(1))
+      val input = MemoryStream[(Long, String, String)]
+      val q = input.toDS().toDF("doc_id", "text", "source").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.ClassifierStream.scoreBatch(b, w, ddFp, pdFp)
+            .write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val DocsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * DocsPerBatch
+        input.addData((0 until DocsPerBatch).map { j =>
+          val (text, src) = pool(((base + j) % pool.length).toInt)
+          (base + j, text, src)
+        })
+        ()
+      }, requireState = false) finally q.stop()
+    }
+
+    // ---- wordpiece admission (#192): STATELESS frozen-inventory
+    // scorer — same zero-state claim, measured over the linear
+    // word-type march every batch
+    val wpPts = {
+      val pool = graft.Tables.load(spark, sfDir, "documents")
+        .select("text").limit(500).as[String].collect()
+      val (inv, maxL) =
+        graft.operators.Wordpiece.frozenInventory(spark, sfDir)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDS().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.WordpieceStream.scoreBatch(b, inv, maxL)
+            .write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val DocsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * DocsPerBatch
+        input.addData((0 until DocsPerBatch).map(j =>
+          (base + j, pool(((base + j) % pool.length).toInt))))
+        ()
+      }, requireState = false) finally q.stop()
+    }
+
+    // ---- media-hash ingest (#188): fixed content pool, fresh asset
+    // ids — each distinct content claims ≤ Bands buckets on first
+    // sight, repeats claim nothing, so state saturates at the pool's
+    // distinct-bucket count (≤ pool × Bands rows); the per-batch
+    // verdict collapse runs so the soak is the production chain
+    val mhPts = {
+      val pool = graft.Tables.load(spark, sfDir, "documents")
+        .select("text").limit(500).as[String].collect()
+        .map(_.getBytes("UTF-8"))
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = graft.streaming.MediaHashStream.bandObservations(
+          input.toDS().toDF("doc_id", "content")).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.MediaHashStream.BandObs],
+           _: Long) =>
+            graft.streaming.MediaHashStream.verdicts(b)
+              .write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val AssetsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * AssetsPerBatch
+        input.addData((0 until AssetsPerBatch).map(j =>
+          (base + j, pool(((base + j) % pool.length).toInt))))
+        ()
+      }) finally q.stop()
+    }
+
+    // ---- composed media admission (#193): same pool through the full
+    // composed chain — dedup state + the stateless gate battery
+    // (decode, aspect, histogram) on survivors, per batch
+    val mpPts = {
+      val pool = graft.Tables.load(spark, sfDir, "documents")
+        .select("text").limit(500).as[String].collect()
+        .map(_.getBytes("UTF-8"))
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = graft.streaming.MediaPipelineStream.observations(
+          input.toDS().toDF("doc_id", "content")).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.MediaPipelineStream.AssetObs],
+           _: Long) =>
+            graft.streaming.MediaPipelineStream.verdicts(b)
+              .write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val AssetsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * AssetsPerBatch
+        input.addData((0 until AssetsPerBatch).map(j =>
+          (base + j, pool(((base + j) % pool.length).toInt))))
+        ()
+      }) finally q.stop()
+    }
+
     val json = "{\"metric\":\"stream_soak\",\"streams\":{" +
       Seq(soakSummary("gelf_reassembly", gelfPts),
         soakSummary("minhash_admission", minhashPts),
         soakSummary("semantic_admission", semPts),
-        soakSummary("curation_admission", curPts)).mkString(",") +
+        soakSummary("curation_admission", curPts),
+        soakSummary("classifier_admission", clfPts),
+        soakSummary("wordpiece_admission", wpPts),
+        soakSummary("media_hash_ingest", mhPts),
+        soakSummary("media_pipeline_admission", mpPts)).mkString(",") +
       s"},\"sf\":\"$sfDir\"}"
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak.json")

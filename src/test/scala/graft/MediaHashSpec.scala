@@ -91,6 +91,62 @@ class MediaHashSpec extends SparkSpec {
       s"twin recall $found/${twins.size}")
   }
 
+  test("short and empty assets bucket on all 4 bands (crafted-corpus dedupFrom)") {
+    // the corpus carries no asset under 49 bytes, so the always-4-band
+    // bucketing contract (engine posexplode == oracle hb CTE) is pinned
+    // here on a crafted corpus: band 3 of a 48-byte asset has no cells
+    // (value 0), and that zero band must still bucket — dropping
+    // empty-cell bands (the pre-r18 oracle read of `bnd`) would lose
+    // the A/B pair below, whose ONLY agreeing band is the empty one.
+    import spark.implicits._
+    val a = Array.fill[Byte](48)(10)
+    val b = { val x = Array.fill[Byte](48)(10); x(0) = 0; x(16) = 0; x(32) = 0; x }
+    val e1 = Array.empty[Byte]
+    val e2 = Array.empty[Byte]
+    val far = Array.tabulate[Byte](128)(i => (i * 37 % 251).toByte)
+    val crafted = Seq(1L -> a, 2L -> b, 3L -> e1, 4L -> e2, 5L -> far)
+    val hs = crafted.map { case (id, bytes) => id -> ahash(bytes) }.toMap
+
+    // construction sanity: A/B differ in every populated band, agree
+    // only on the empty band 3, and sit exactly at the radius
+    assert((0 to 2).forall(k => hs(1L)(k) != hs(2L)(k)))
+    assert(hs(1L)(3) == 0 && hs(2L)(3) == 0)
+    assert(hamming(hs(1L), hs(2L)) == HamMax)
+
+    val df = crafted.toDF("doc_id", "content")
+
+    // kernel: EVERY asset hashes — a zero-byte asset to (0,0,0,0),
+    // matching the oracle h CTE's assets-LEFT-JOIN zero-coalesce
+    // (the in-row HOF spelling pins the same empty case explicitly)
+    import org.apache.spark.sql.functions.{col, expr}
+    val ker = operators.MediaHash.ahashKernel(df).collect()
+      .map(r => r.getLong(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(ker.keySet == crafted.map(_._1).toSet)
+    crafted.foreach { case (id, _) =>
+      assert(ker(id).sameElements(hs(id)), s"doc $id") }
+    assert(ker(3L).forall(_ == 0L))
+    val inRow = df.select(col("doc_id"),
+      expr(operators.MediaHash.ahashInRowSql("content")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    crafted.foreach { case (id, _) =>
+      assert(inRow(id) == hs(id).toSeq, s"in-row doc $id") }
+
+    // dedup over the crafted corpus equals brute-force Hamming ≤ 3:
+    // A–B survives only because the empty band buckets, and the two
+    // empty assets pair at distance 0
+    val ids = crafted.map(_._1)
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      d = hamming(hs(ids(i)), hs(ids(j))) if d <= HamMax
+    } yield (ids(i), ids(j), d)).sorted
+    val got = operators.MediaHash.dedupFrom(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    assert(got.contains((1L, 2L, HamMax)), "empty-band pair lost")
+    assert(got.contains((3L, 4L, 0)), "empty-asset pair lost")
+  }
+
   test("media_ahash_clusters matches an independent union-find over the pair truth") {
     val ids = contents.keys.toSeq.sorted
     // independent union-find over the brute-force Hamming pairs
