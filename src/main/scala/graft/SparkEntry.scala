@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Url.queries ++
       operators.Classifier.queries ++
       operators.Graph.queries ++
+      operators.Crawl.queries ++
       operators.MediaHash.queries ++
       operators.MediaPipeline.queries ++
       operators.Wordpiece.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.Url.oracle ++
       operators.Classifier.oracle ++
       operators.Graph.oracle ++
+      operators.Crawl.oracle ++
       operators.MediaHash.oracle ++
       operators.MediaPipeline.oracle ++
       operators.Wordpiece.oracle ++

@@ -284,6 +284,86 @@ object AnnIndex {
     Similarity.annIvfPqSqlTrainedOn(s"vec_id < $FreshnessCutoff")
 
   // ---------------------------------------------------------------------
+  // #197 ann_index_compact — inverted-list compaction (FAISS merge_into)
+  // ---------------------------------------------------------------------
+
+  /** Parquet files a list may hold before compaction rewrites it.
+    * 1 = merge whenever a list is fragmented at all (FAISS merge_into
+    * semantics; one build+append already trips it); a deployment
+    * raises it to its append cadence (files/list ≈ appends since the
+    * last compaction) to amortize rewrites. */
+  val MaxFilesPerList = 1
+
+  /** Compact every `cid=` list directory of the store's codes/norms
+    * tables holding more than `maxFiles` parquet files: read the
+    * list, rewrite it as ONE file, publish by rename (the spool
+    * temp+rename discipline, through the same Hadoop FileSystem seam
+    * as the rest of the store). Each #173 append adds one file per
+    * touched list, so an un-compacted store's per-query open count
+    * grows with append history — this is FAISS's merge_into, the
+    * missing index-lifecycle step (build → append → COMPACT → serve).
+    * Content is untouched: params/fingerprint stay as they are and
+    * the PqSpec leg proves query equality before/after. Returns the
+    * number of lists rewritten (0 = already compact; idempotent).
+    *
+    * Crash window (stated, the appendIvfPq discipline): between the
+    * two renames a reader sees the list absent; the `.old-` directory
+    * keeps the state recoverable, and the ensure/`_built` protocol
+    * makes the store single-writer. */
+  def compactIvfPq(spark: SparkSession, out: String,
+                   maxFiles: Int = MaxFilesPerList): Long = {
+    val outPath = new Path(out)
+    val dfs = fs(spark, outPath)
+    var compacted = 0L
+    Seq("codes", "norms").foreach { table =>
+      val tdir = new Path(outPath, table)
+      dfs.listStatus(tdir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+        .foreach { list =>
+          val nFiles = dfs.listStatus(list.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          if (nFiles > maxFiles) {
+            val tmp = new Path(tdir, s".compact-${list.getPath.getName}")
+            dfs.delete(tmp, true)
+            spark.read.parquet(list.getPath.toString)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val old = new Path(tdir, s".old-${list.getPath.getName}")
+            dfs.delete(old, true)
+            require(dfs.rename(list.getPath, old),
+              s"compact: rename away ${list.getPath} failed")
+            require(dfs.rename(tmp, list.getPath),
+              s"compact: publish of ${list.getPath} failed")
+            dfs.delete(old, true)
+            compacted += 1
+          }
+        }
+    }
+    compacted
+  }
+
+  /** Snapshot build + append + compaction, in its own store (kind
+    * `ivfpq-cmp`) so #173's append-only store keeps measuring the
+    * un-compacted state. Both maintenance steps are idempotent
+    * (watermark / file-count), so re-ensuring an existing store is a
+    * metadata no-op. */
+  def ensureIvfPqCompacted(spark: SparkSession, dir: String): String = {
+    val out = indexDir(spark, dir, "ivfpq-cmp", FreshnessCutoff)
+    if (!isBuilt(spark, out)) buildIvfPq(spark, dir, out, FreshnessCutoff)
+    appendIvfPq(spark, dir, out)
+    compactIvfPq(spark, out)
+    out
+  }
+
+  /** #197 ann_index_compact — top-k served by the COMPACTED appended
+    * index. Compaction changes file layout, never values, so the
+    * oracle is #173's verbatim: the frozen-snapshot replay must still
+    * match bit-for-bit after the rewrite. */
+  def annIvfPqCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val a = readIvfPq(spark, ensureIvfPqCompacted(spark, dir))
+    Similarity.annIvfPqQueryFrom(spark, dir, prunedToProbes(spark, dir, a))
+  }
+
+  // ---------------------------------------------------------------------
   // PQ (#139's build half)
   // ---------------------------------------------------------------------
 
@@ -386,7 +466,8 @@ object AnnIndex {
     "ann_ivfpq_q" -> ((s: SparkSession, d: String) => annIvfPqPrebuilt(s, d)),
     "ann_pq_q" -> ((s: SparkSession, d: String) => annPqPrebuilt(s, d)),
     "ann_index_freshness" -> ((s: SparkSession, d: String) => indexFreshness(s, d)),
-    "ann_index_append" -> ((s: SparkSession, d: String) => annIvfPqAppended(s, d)))
+    "ann_index_append" -> ((s: SparkSession, d: String) => annIvfPqAppended(s, d)),
+    "ann_index_compact" -> ((s: SparkSession, d: String) => annIvfPqCompacted(s, d)))
 
   val oracle: Map[String, String] = Map(
     // build replayed as CTEs, exactly like the in-query twins — the
@@ -394,5 +475,7 @@ object AnnIndex {
     "ann_ivfpq_q" -> Similarity.annIvfPqSql,
     "ann_pq_q" -> Similarity.annPqSql,
     "ann_index_freshness" -> annIndexFreshnessSql,
-    "ann_index_append" -> annIndexAppendSql)
+    "ann_index_append" -> annIndexAppendSql,
+    // compaction is layout-only: the appended replay is the oracle
+    "ann_index_compact" -> annIndexAppendSql)
 }

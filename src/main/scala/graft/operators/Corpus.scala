@@ -1659,38 +1659,87 @@ object Corpus {
     * scaffold). All integer arithmetic, reproduced verbatim in the
     * oracle behind the shared 20-round BPE CTE chain.
     */
-  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact integer water-filling over a (key, cnt) frame — the #129
+    * level-search algebra factored for every budgeted allocation in
+    * the repo (#129's per-source token budget; the crawl pipeline's
+    * per-domain fetch budget). budget = Σcnt div `den`; requires
+    * den ≥ 2 so the budget binds (the boundary search assumes at
+    * least one capped key). Returns (key, cnt, level, alloc) with
+    * Σalloc = budget EXACTLY (division remainder +1 to the first
+    * capped keys in key order). All windows run on the keys-sized
+    * frame — dozens of rows at any corpus scale (documented at the
+    * #129 row). */
+  private[graft] def waterFillAlloc(per: DataFrame, key: String,
+                                    cnt: String, den: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = Bpe.tokenFrame(spark, dir)
-      .groupBy("source").agg(sum(col("n_tokens").cast("long")).as("toks"))
-    val tot = per.agg(sum("toks").as("total"), count(lit(1)).as("n"))
-      .select(expr(s"total div $TokenBudgetDen").as("budget"), col("n"))
-    val w = Window.orderBy("toks", "source")
+    val tot = per.agg(sum(cnt).as("total"), count(lit(1)).as("n"))
+      .select(expr(s"total div $den").as("budget"), col("n"))
+    val w = Window.orderBy(cnt, key)
     val cand = per
-      .select(col("source"), col("toks"),
+      .select(col(key), col(cnt),
         row_number().over(w).as("i"),
-        sum("toks").over(w.rowsBetween(Window.unboundedPreceding,
+        sum(cnt).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)).as("p"))
       .crossJoin(broadcast(tot))
-      .withColumn("lvl", expr("(budget - (p - toks)) div (n - i + 1)"))
+      .withColumn("lvl", expr(s"(budget - (p - $cnt)) div (n - i + 1)"))
     // first ascending boundary where the equal-split level no longer
-    // covers the source = where capping starts; level + remainder there
-    val pick = cand.where(col("lvl") < col("toks"))
+    // covers the key = where capping starts; level + remainder there
+    val pick = cand.where(col("lvl") < col(cnt))
       .agg(min("i").as("bi"),
         min_by(col("lvl"), col("i")).as("level"),
-        min_by(col("p") - col("toks"), col("i")).as("p_below"))
+        min_by(col("p") - col(cnt), col("i")).as("p_below"))
     val j = cand.crossJoin(broadcast(pick))
       .withColumn("rem",
         expr("budget - p_below - level * (n - bi + 1)"))
     val full = j.where(col("i") < col("bi"))
-      .select(col("source"), col("toks"), col("level"),
-        col("toks").as("alloc"))
+      .select(col(key), col(cnt), col("level"), col(cnt).as("alloc"))
     val capped = j.where(col("i") >= col("bi"))
-      .withColumn("rn", row_number().over(Window.orderBy("source")))
-      .select(col("source"), col("toks"), col("level"),
+      .withColumn("rn", row_number().over(Window.orderBy(key)))
+      .select(col(key), col(cnt), col("level"),
         (col("level") + when(col("rn") <= col("rem"), 1L).otherwise(0L))
           .as("alloc"))
     full.unionByName(capped)
+  }
+
+  /** [[waterFillAlloc]] rendered as DuckDB CTEs over `perCte(key,
+    * cnt)`, ending in `wf_alloc(key, cnt, level, alloc)` — the ONE
+    * spelling both the #129 oracle and the crawl-pipeline oracle
+    * read. */
+  private[graft] def waterFillCtes(perCte: String, key: String,
+                                   cnt: String, den: Int): String =
+    s"""wf_tot AS (
+       |  SELECT CAST(SUM($cnt) AS BIGINT) // $den AS budget, COUNT(*) AS n
+       |  FROM $perCte
+       |), wf_cand AS (
+       |  SELECT $key, $cnt,
+       |    row_number() OVER (ORDER BY $cnt, $key) AS i,
+       |    CAST(SUM($cnt) OVER (ORDER BY $cnt, $key ROWS UNBOUNDED PRECEDING)
+       |         AS BIGINT) AS p,
+       |    budget, n
+       |  FROM $perCte CROSS JOIN wf_tot
+       |), wf_cand2 AS (
+       |  SELECT *, (budget - (p - $cnt)) // (n - i + 1) AS lvl FROM wf_cand
+       |), wf_pick AS (
+       |  SELECT MIN(i) AS bi, min_by(lvl, i) AS level,
+       |    min_by(p - $cnt, i) AS p_below
+       |  FROM wf_cand2 WHERE lvl < $cnt
+       |), wf_j AS (
+       |  SELECT c.*, k.bi, k.level, k.p_below,
+       |    c.budget - k.p_below - k.level * (c.n - k.bi + 1) AS rem
+       |  FROM wf_cand2 c CROSS JOIN wf_pick k
+       |), wf_alloc AS (
+       |  SELECT $key, $cnt, level, $cnt AS alloc FROM wf_j WHERE i < bi
+       |  UNION ALL
+       |  SELECT $key, $cnt, level,
+       |    level + CASE WHEN row_number() OVER (ORDER BY $key) <= rem
+       |                 THEN 1 ELSE 0 END AS alloc
+       |  FROM wf_j WHERE i >= bi
+       |)""".stripMargin
+
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val per = Bpe.tokenFrame(spark, dir)
+      .groupBy("source").agg(sum(col("n_tokens").cast("long")).as("toks"))
+    waterFillAlloc(per, "source", "toks", TokenBudgetDen)
       .select(col("source"), col("toks").as("tokens_total"),
         col("level").as("water_level"), col("alloc").as("alloc_tokens"),
         expr("alloc * 1000 div toks").as("kept_permille"))
@@ -1701,38 +1750,10 @@ object Corpus {
     s"""${Bpe.tokenFrameCtes}, per AS (
       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS toks
       |  FROM tf GROUP BY source
-      |), tot AS (
-      |  SELECT CAST(SUM(toks) AS BIGINT) // $TokenBudgetDen AS budget,
-      |    COUNT(*) AS n
-      |  FROM per
-      |), cand AS (
-      |  SELECT source, toks,
-      |    row_number() OVER (ORDER BY toks, source) AS i,
-      |    CAST(SUM(toks) OVER (ORDER BY toks, source ROWS UNBOUNDED PRECEDING)
-      |         AS BIGINT) AS p,
-      |    budget, n
-      |  FROM per CROSS JOIN tot
-      |), cand2 AS (
-      |  SELECT *, (budget - (p - toks)) // (n - i + 1) AS lvl FROM cand
-      |), pick AS (
-      |  SELECT MIN(i) AS bi, min_by(lvl, i) AS level,
-      |    min_by(p - toks, i) AS p_below
-      |  FROM cand2 WHERE lvl < toks
-      |), j AS (
-      |  SELECT c.*, k.bi, k.level, k.p_below,
-      |    c.budget - k.p_below - k.level * (c.n - k.bi + 1) AS rem
-      |  FROM cand2 c CROSS JOIN pick k
-      |), alloc AS (
-      |  SELECT source, toks, level, toks AS alloc FROM j WHERE i < bi
-      |  UNION ALL
-      |  SELECT source, toks, level,
-      |    level + CASE WHEN row_number() OVER (ORDER BY source) <= rem
-      |                 THEN 1 ELSE 0 END AS alloc
-      |  FROM j WHERE i >= bi
-      |)
+      |), ${waterFillCtes("per", "source", "toks", TokenBudgetDen)}
       |SELECT source, toks AS tokens_total, level AS water_level,
       |  alloc AS alloc_tokens, alloc * 1000 // toks AS kept_permille
-      |FROM alloc
+      |FROM wf_alloc
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------

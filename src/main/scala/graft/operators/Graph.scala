@@ -152,7 +152,7 @@ object Graph {
     * docs collapse to the weighted domain graph. Pinned (Checkpoints
     * discipline) because every iteration and the final report consume
     * it — an unpinned lineage would rescan the corpus once per round. */
-  private def corpusEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusEdges(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents").select("doc_id", "source")
     val nsrc = d.agg(countDistinct("source").as("nsrc"))
     graft.Checkpoints.pin(d.crossJoin(nsrc)
@@ -187,7 +187,7 @@ object Graph {
     * reference). The dangling term is structurally zero on this graph
     * (every node has out-links — see the object scaladoc), so the
     * replay carries no dangling CTE. */
-  private val pagerankCtes: String = {
+  private[graft] val pagerankCtes: String = {
     val targets = LinkOffsets.map(o => tgtSql("duck", o)).mkString(", ")
     val rounds = (1 to Iters).map { i =>
       s"""r$i AS MATERIALIZED (

@@ -1219,7 +1219,7 @@ object Similarity {
     * LUT + ADC over only the probed lists' codes, exact rerank. The
     * list assignment and reconstructed norms both come from the
     * artifact sidecar — the query never touches the build chain. */
-  private[operators] def annIvfPqQueryFrom(spark: SparkSession, dir: String,
+  private[graft] def annIvfPqQueryFrom(spark: SparkSession, dir: String,
                                            a: IvfPqArtifacts,
                                            nProbe: Int = NProbe,
                                            rerank: Int = PqRerank): DataFrame =

@@ -254,7 +254,7 @@ object Url {
     * strongest signal and make the others unreachable for that host.
     * The battery runs on the CANONICAL url (#156), the same
     * normalization the dedup keys on. Map-only string algebra. */
-  private def filterVerdictSql(dialect: String): String = {
+  private[graft] def filterVerdictSql(dialect: String): String = {
     val fEnds = if (dialect == "spark") "endswith" else "ends_with"
     val hosts = BlockedHosts.map(h => s"'$h'").mkString("(", ", ", ")")
     val words = BannedWords
@@ -297,9 +297,65 @@ object Url {
   // ---------------------------------------------------------------------
 
   /** Bloom geometry for the URL seen-set (the #84 affine family over
-    * the shared poly hash). */
+    * the shared poly hash). Deliberately UNDERSIZED (see
+    * [[urlSeenBloom]]) so the FP path is exercised at test scale;
+    * production sizes via [[bloomGeometry]] — the #196 sized row and
+    * the crawl pipeline's stage 3 ([[Crawl]]) do. */
   val UrlBloomK = 3
   val UrlBloomM = 128
+
+  /** Standard bloom sizing, baked as exact integer constants: the
+    * optimal geometry m = −n·ln(p)/(ln 2)², k = (m/n)·ln 2 evaluated
+    * at the published operating points and stored as (k, bits-per-key
+    * in TENTHS) — no transcendentals ever run in-plan (the log2fp
+    * mantissa-table discipline), so both engines derive the same m
+    * from the same key count.
+    *   100‰ target → k=3,  4.8 bits/key
+    *    10‰ target → k=7,  9.6 bits/key
+    *     1‰ target → k=10, 14.4 bits/key */
+  val BloomGeometryTable: Map[Int, (Int, Int)] =
+    Map(100 -> (3, 48), 10 -> (7, 96), 1 -> (10, 144))
+
+  /** (k, mBits) for `nKeys` expected insertions at the target FP rate
+    * — the sizing every fixed-M caveat in this family (#84's
+    * decontamination bits, #185's M=128) points at. mBits =
+    * ⌈nKeys · bitsPerKey⌉ in exact integer math. */
+  def bloomGeometry(nKeys: Long, targetFpPermille: Int): (Int, Long) = {
+    val (k, bpkTenths) = BloomGeometryTable(targetFpPermille)
+    (k, math.max(1L, (nKeys * bpkTenths + 9) / 10))
+  }
+
+  /** The m-bits formula rendered for either engine over a key-count
+    * column — `(n · bpk + 9) div 10`, the [[bloomGeometry]] integer
+    * spelling. */
+  private[graft] def bloomMBitsSql(nCol: String, targetFpPermille: Int,
+                                   dialect: String): String = {
+    val bpk = BloomGeometryTable(targetFpPermille)._2
+    val d = if (dialect == "spark") "div" else "//"
+    s"CASE WHEN ($nCol * $bpk + 9) $d 10 < 1 THEN 1 " +
+      s"ELSE ($nCol * $bpk + 9) $d 10 END"
+  }
+
+  /** The crawl-pipeline synthesis: spiked (filter casualties) AND
+    * novel probes (genuinely new pages in the frontier batch) — the
+    * one URL space the composed pipeline's every stage reads. */
+  private[graft] def crawlSynthSql(dialect: String): String =
+    synthSql(dialect, spiked = true, novelProbes = true)
+
+  /** Per-URL bloom probe positions over the portable poly hash: K
+    * rows (j, pos) per input row, pos = ((hv·(2j+3) + 13j+5) mod P)
+    * mod mBits — the #185 affine family, parameterized so the sized
+    * consumers (#196, crawl stage 3) can pass their own k and a
+    * data-derived m (carried as column `m_bits`). */
+  private[graft] def bloomPositionsSized(df: DataFrame, k: Int): DataFrame = {
+    import graft.functions.SketchFunctions.{poly_hash, PolyP}
+    val h = df.withColumn("hv", poly_hash(col("canon_url")))
+    h.select(h.columns.map(col) :+
+        explode(expr(s"sequence(0, ${k - 1})")).as("j"): _*)
+      .withColumn("pos",
+        ((col("hv") * (col("j") * 2 + 3) + (col("j") * 13 + 5)) % PolyP)
+          % col("m_bits"))
+  }
 
   /** Bloom URL seen-set with a false-positive audit: a crawl frontier
     * at 100 TB cannot hold its exact seen-URL set in memory per
@@ -394,15 +450,125 @@ object Url {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #196 corpus_url_bloom_sized — the sizing trade as an operator
+  // ---------------------------------------------------------------------
+
+  /** Target FP for the sized row: 10‰ (1%), the production default. */
+  val SizedBloomTargetFpPermille = 10
+
+  /** The #185 probe with [[bloomGeometry]]-SIZED geometry and the
+    * achieved-FP audit in one summary row: m derives from the DISTINCT
+    * history-key count at the 1% operating point (k=7, 9.6 bits/key),
+    * so unlike the deliberately-undersized #185 the filter scales with
+    * its history — the saturation mode #84/#185 document (fixed M, ×32
+    * history → every bit lit → every probe "seen") cannot occur. The
+    * row reports (n_keys, m_bits, k, n_probes, n_bloom_seen,
+    * n_truly_seen, n_false_pos, fp_permille over truly-unseen probes);
+    * the spec asserts fp_permille ≤ target and zero false negatives.
+    * Collisions are deterministic integer math — DuckDB reproduces the
+    * exact FP count, not just its rate. */
+  def urlBloomSized(spark: SparkSession, dir: String): DataFrame = {
+    val k = BloomGeometryTable(SizedBloomTargetFpPermille)._1
+    val c = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(synthSql("spark", novelProbes = true)).as("url"))
+      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url"))
+    val crawled = c.filter(col("doc_id") % 7 =!= 0)
+    val probes = c.filter(col("doc_id") % 7 === 0)
+    val geo = crawled.agg(countDistinct("canon_url").as("n_keys"))
+      .select(col("n_keys"),
+        expr(bloomMBitsSql("n_keys", SizedBloomTargetFpPermille, "spark"))
+          .as("m_bits"))
+    val bits = bloomPositionsSized(
+        crawled.select("canon_url").crossJoin(broadcast(geo)), k)
+      .select("j", "pos").distinct()
+    val bloomSeen = bloomPositionsSized(
+        probes.crossJoin(broadcast(geo)), k)
+      .join(broadcast(bits), Seq("j", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("k_hits"))
+      .filter(col("k_hits") === k)
+      .select(col("doc_id"), lit(1).as("bs"))
+    val seenExact = crawled.select("canon_url").distinct()
+      .withColumn("truly", lit(1))
+    probes
+      .join(bloomSeen, Seq("doc_id"), "left")
+      .join(seenExact, Seq("canon_url"), "left")
+      .select(coalesce(col("bs"), lit(0)).as("bs"),
+        coalesce(col("truly"), lit(0)).as("truly"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum("bs").as("n_bloom_seen"),
+        sum("truly").as("n_truly_seen"),
+        sum(when(col("bs") === 1 && col("truly") === 0, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .crossJoin(broadcast(geo))
+      .select(col("n_keys"), col("m_bits"), lit(k).as("k"),
+        col("n_probes"), col("n_bloom_seen"), col("n_truly_seen"),
+        col("n_false_pos"),
+        expr("n_false_pos * 1000 div nullif(n_probes - n_truly_seen, 0)")
+          .as("fp_permille"))
+  }
+
+  val urlBloomSizedSql: String = {
+    val p = graft.functions.SketchFunctions.PolyP
+    val hashDuck = graft.functions.SketchFunctions.polyHashSqlDuck("canon_url")
+    val k = BloomGeometryTable(SizedBloomTargetFpPermille)._1
+    s"""WITH u AS (
+       |  SELECT doc_id, ${synthSql("duck", novelProbes = true)} AS url FROM documents
+       |), c AS MATERIALIZED (
+       |  SELECT doc_id, ${canonSql("duck")} AS canon_url FROM u
+       |), geo AS (
+       |  SELECT n_keys,
+       |    ${bloomMBitsSql("n_keys", SizedBloomTargetFpPermille, "duck")} AS m_bits
+       |  FROM (SELECT CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_keys
+       |        FROM c WHERE doc_id % 7 <> 0)
+       |), h AS (
+       |  SELECT doc_id, canon_url, $hashDuck AS hv FROM c
+       |), pos AS MATERIALIZED (
+       |  SELECT doc_id, j,
+       |    ((hv * (2*j + 3) + (13*j + 5)) % $p) % m_bits AS pos
+       |  FROM h CROSS JOIN geo
+       |  CROSS JOIN (SELECT unnest(range(0, $k)) AS j)
+       |), bits AS MATERIALIZED (
+       |  SELECT DISTINCT j, pos FROM pos WHERE doc_id % 7 <> 0
+       |), bs AS (
+       |  SELECT p.doc_id
+       |  FROM pos p JOIN bits b ON p.j = b.j AND p.pos = b.pos
+       |  WHERE p.doc_id % 7 = 0
+       |  GROUP BY p.doc_id HAVING COUNT(*) = $k
+       |), seen AS (
+       |  SELECT DISTINCT canon_url FROM c WHERE doc_id % 7 <> 0
+       |), per AS (
+       |  SELECT CASE WHEN bs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS b,
+       |    CASE WHEN seen.canon_url IS NOT NULL THEN 1 ELSE 0 END AS t
+       |  FROM c
+       |  LEFT JOIN bs ON bs.doc_id = c.doc_id
+       |  LEFT JOIN seen ON seen.canon_url = c.canon_url
+       |  WHERE c.doc_id % 7 = 0
+       |)
+       |SELECT g.n_keys, g.m_bits, CAST($k AS INT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS n_probes,
+       |  CAST(SUM(b) AS BIGINT) AS n_bloom_seen,
+       |  CAST(SUM(t) AS BIGINT) AS n_truly_seen,
+       |  CAST(SUM(CASE WHEN b = 1 AND t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos,
+       |  CAST(SUM(CASE WHEN b = 1 AND t = 0 THEN 1 ELSE 0 END) * 1000
+       |    // NULLIF(COUNT(*) - SUM(t), 0) AS BIGINT) AS fp_permille
+       |FROM per CROSS JOIN geo g
+       |GROUP BY g.n_keys, g.m_bits""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_canon" -> ((s: SparkSession, d: String) => urlCanon(s, d)),
     "corpus_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(s, d)),
     "corpus_url_filter" -> ((s: SparkSession, d: String) => urlFilter(s, d)),
-    "corpus_url_seen_bloom" -> ((s: SparkSession, d: String) => urlSeenBloom(s, d)))
+    "corpus_url_seen_bloom" -> ((s: SparkSession, d: String) => urlSeenBloom(s, d)),
+    "corpus_url_bloom_sized" -> ((s: SparkSession, d: String) => urlBloomSized(s, d)))
 
   def oracle: Map[String, String] = Map(
     "text_url_canon" -> urlCanonSql,
     "corpus_url_dedup" -> urlDedupSql,
     "corpus_url_filter" -> urlFilterSql,
-    "corpus_url_seen_bloom" -> urlSeenBloomSql)
+    "corpus_url_seen_bloom" -> urlSeenBloomSql,
+    "corpus_url_bloom_sized" -> urlBloomSizedSql)
 }

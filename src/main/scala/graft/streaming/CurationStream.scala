@@ -223,7 +223,13 @@ object CurationStream {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[UrlVerdict], batchId: Long) =>
-        val df = batch.toDF()
+        // pinned: two writes read this frame, and each foreachBatch
+        // action re-executes the micro-batch plan INCLUDING the
+        // upstream stateful URL-dedup operator — unpinned, the state
+        // pass ran twice per trigger (the r18 soak finding on the
+        // media twin; claim semantics are idempotent, so this is a
+        // 2×-work fix, not a correctness one)
+        val df = graft.Checkpoints.pin(batch.toDF())
         df.select(col("doc_id"),
           when(col("owner") =!= col("doc_id"), "url_dup")
             .otherwise("url_admitted").as("verdict"),
@@ -273,11 +279,16 @@ object CurationStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tf = graft.functions.TextFunctions
-        val qualified = Corpus.qualityGate(
-          batch.withColumn("norm", tf.normText(col("text")))).drop("norm")
-        val scored = ClassifierStream.scoreBatch(qualified, w, ddFp, pdFp)
-          .withColumn("keep",
-            (lit(degenerate) || col("score_fp") > 0).cast("int"))
+        // both pinned: qualified feeds the scorer AND the admitted
+        // handoff join; scored feeds the verdict write AND that join —
+        // unpinned, the quality gate + scoring plan ran twice per
+        // trigger (stateless source, so a 2×-work fix only)
+        val qualified = graft.Checkpoints.pin(Corpus.qualityGate(
+          batch.withColumn("norm", tf.normText(col("text")))).drop("norm"))
+        val scored = graft.Checkpoints.pin(
+          ClassifierStream.scoreBatch(qualified, w, ddFp, pdFp)
+            .withColumn("keep",
+              (lit(degenerate) || col("score_fp") > 0).cast("int")))
         scored.select(col("doc_id"),
           when(col("keep") === 1, "clf_admitted")
             .otherwise("clf_reject").as("verdict"),

@@ -99,13 +99,20 @@ object MediaPipelineStream {
     * [[admissionQuery]] and the soak harness so the long-horizon run
     * exercises the production collapse verbatim. */
   def verdicts(batch: Dataset[AssetObs]): DataFrame = {
-    val perAsset = batch.toDF()
+    // PINNED: the dup branch and the gate branch both read this frame,
+    // and inside foreachBatch each action re-executes the micro-batch
+    // plan INCLUDING the upstream stateful operator — unpinned, the
+    // whole hash+shuffle+state pass ran twice per trigger (caught by
+    // the r18 soak: state-op metrics reported exactly 2× the bucket
+    // rows). Claim semantics are idempotent so results were identical;
+    // the pin halves the per-batch work.
+    val perAsset = graft.Checkpoints.pin(batch.toDF()
       .groupBy("doc_id")
       .agg(
         min(when(col("owner") =!= col("doc_id") &&
           col("hamming") <= MediaHash.HamMax, col("owner")))
           .as("dup_of"),
-        first(col("content")).as("content"))
+        first(col("content")).as("content")))
     val dups = perAsset.filter(col("dup_of").isNotNull)
       .select(col("doc_id"), lit("dup").as("verdict"), col("dup_of"),
         lit(null).cast("int").as("width"),

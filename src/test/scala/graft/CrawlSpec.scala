@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** #194–196: the composed crawl pipeline, its audit, and the sized
+  * bloom row — every stage re-derived by independent Scala set logic
+  * over the collected URL space (the canon algebra itself is
+  * UrlSpec/oracle territory; here the STAGE algebra is the subject). */
+class CrawlSpec extends SparkSpec {
+  import operators.{Crawl, Url}
+
+  // the shared URL space: (doc_id, canon_url, host, domain) for every
+  // corpus doc, built once from the pipeline's own synthesis exprs
+  private lazy val space: Seq[(Long, String, String, String)] =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr(Url.crawlSynthSql("spark")).as("url"))
+      .select(col("doc_id"), expr(Url.canonUrlSql("spark")).as("canon_url"))
+      .withColumn("host", expr(
+        "split_part(split_part(split_part(canon_url, '://', 2), '/', 1), ':', 1)"))
+      .withColumn("domain", expr("split_part(host, '.', 1)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  private def path(canon: String): String =
+    canon.split("://", 2)(1).split("\\?", 2)(0)
+
+  test("crawl_pipeline: every stage matches an independent set-logic recompute") {
+    val frontier = space.filter(_._1 % 7 == 0)
+    val history = space.filter(_._1 % 7 != 0)
+
+    // stage 1: min-doc_id keeper per canonical URL
+    val exp1 = frontier.groupBy(_._2).map(_._2.minBy(_._1)._1).toSet
+
+    // stage 2: the rule battery, re-derived with plain string ops
+    def verdict(canon: String, host: String): String =
+      if (Url.BlockedHosts.contains(host)) "blocked_domain"
+      else if (Url.BannedWords.exists(canon.toLowerCase.contains)) "banned_word"
+      else if (Url.BlockedExtensions.exists(path(canon).endsWith)) "bad_extension"
+      else "kept"
+    val exp2 = frontier.filter(r => exp1(r._1) && verdict(r._2, r._3) == "kept")
+      .map(_._1).toSet
+
+    // stage 3 CONTRACT (positions are the oracle's to value-check):
+    // no false negatives — every candidate whose canonical URL is in
+    // the crawl history must drop; FPs bounded by the sized geometry
+    val seenCanon = history.map(_._2).toSet
+    val trulySeen = frontier.filter(r => exp2(r._1) && seenCanon(r._2))
+      .map(_._1).toSet
+
+    val f = Crawl.pipelineFrames(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(f.input) == frontier.map(_._1).toSet)
+    assert(ids(f.s1) == exp1)
+    assert(ids(f.s2) == exp2)
+    val got3 = ids(f.s3)
+    assert(trulySeen.intersect(got3).isEmpty, "false negative: seen URL scheduled")
+    val unseen = exp2.diff(trulySeen)
+    val fps = unseen.diff(got3)
+    assert(fps.size * 1000 <= 30 * unseen.size.max(1),
+      s"bloom FPs ${fps.size}/${unseen.size} above 3x the 1% target")
+
+    // stage 4: inner join on domain loses nothing (every source is a
+    // graph node); host_pos = doc_id rank within domain; rank_fp is
+    // the domain's #178 rank
+    val s4 = f.s4.select("doc_id", "domain", "rank_fp", "host_pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(s4.map(_._1).toSet == got3)
+    val ranks = operators.Graph.pagerank(spark, sf)
+      .select("host", "rank_fp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    s4.foreach { case (id, dom, rf, _) => assert(rf == ranks(dom), s"doc $id") }
+    s4.groupBy(_._2).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._1).map(_._4).toSeq
+      assert(byId == (1 to rows.length), s"host_pos not a doc_id rank")
+    }
+
+    // stage 5: brute-force water-fill — level = max L with
+    // sum(min(c_d, L)) <= budget, remainder +1 to first capped domains
+    // in name order; kept = first alloc queue positions per domain
+    val counts = s4.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val budget = counts.values.sum / Crawl.FetchBudgetDen
+    val level = (0L to counts.values.max)
+      .filter(l => counts.values.map(math.min(_, l)).sum <= budget).max
+    val atLevel = counts.values.map(math.min(_, level)).sum
+    var rem = budget - atLevel
+    val alloc = scala.collection.mutable.Map[String, Long]()
+    counts.keys.toSeq.sorted.foreach { d =>
+      val capped = counts(d) > level
+      val extra = if (capped && rem > 0) { rem -= 1; 1L } else 0L
+      alloc(d) = math.min(counts(d), level) + extra
+    }
+    assert(alloc.values.sum == budget, "allocation must sum to the budget")
+    val exp5 = s4.filter { case (_, d, _, pos) => pos <= alloc(d) }.map(_._1).toSet
+    assert(ids(f.s5) == exp5)
+    // max-min fairness: no domain starves while another exceeds level+1
+    val kept = s4.filter(r => exp5(r._1)).groupBy(_._2).view.mapValues(_.length.toLong)
+    kept.foreach { case (d, n) =>
+      assert(n == math.min(counts(d), level) || n == level + 1, s"domain $d")
+    }
+  }
+
+  test("crawl_pipeline_audit: exact attrition walk; every gate cuts") {
+    val f = Crawl.pipelineFrames(spark, sf)
+    val audit = operators.Crawl.auditFrom(f).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val frames = Seq(f.input, f.s1, f.s2, f.s3, f.s4, f.s5)
+    val expCounts = frames.map(_.count())
+    val expDomains = frames.map(_.select("domain").distinct().count())
+    assert(audit.map(_._3).toSeq == expCounts)
+    assert(audit.map(_._4).toSeq == expDomains)
+    assert(audit.map(_._2).toSeq == Seq("input", "url_dedup", "rule_filter",
+      "seen_bloom", "rank_join", "fetch_budget"))
+    // gates cut (planted casualties at every scale); the rank join is
+    // lossless by construction
+    assert(expCounts(1) < expCounts(0), "dedup cut nothing")
+    assert(expCounts(2) < expCounts(1), "rule filter cut nothing")
+    assert(expCounts(3) < expCounts(2), "seen bloom cut nothing")
+    assert(expCounts(4) == expCounts(3), "rank join must be lossless")
+    assert(expCounts(5) < expCounts(4), "budget cut nothing")
+  }
+
+  test("corpus_url_bloom_sized: geometry from the helper; no FN; FP at target") {
+    val r = Url.urlBloomSized(spark, sf).collect().head
+    val (nKeys, mBits, k) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    val (expK, expM) = Url.bloomGeometry(nKeys, Url.SizedBloomTargetFpPermille)
+    assert(k == expK && mBits == expM)
+    val (nProbes, nBloom, nTruly, nFp) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    // classic bloom contract: bloom_seen >= truly_seen, and every
+    // excess hit is exactly one counted false positive
+    assert(nBloom - nTruly == nFp && nFp >= 0)
+    assert(nProbes > nTruly, "no unseen probes: FP rate unmeasurable")
+    // achieved FP rate within 3x the 1% operating point (deterministic
+    // data; measured 0 at spec scale — the slack guards sf changes)
+    assert(nFp * 1000 <= 30 * (nProbes - nTruly))
+  }
+
+  test("bloomGeometry: the published operating points, exact integer m") {
+    assert(Url.bloomGeometry(1000, 100) == ((3, 4800L)))
+    assert(Url.bloomGeometry(1000, 10) == ((7, 9600L)))
+    assert(Url.bloomGeometry(1000, 1) == ((10, 14400L)))
+    // ceiling division, never zero bits
+    assert(Url.bloomGeometry(1, 10) == ((7, 10L)))
+    assert(Url.bloomGeometry(0, 10) == ((7, 1L)))
+  }
+}

@@ -248,6 +248,51 @@ class PqSpec extends SparkSpec {
     assert(again.toSeq == got.map(t => (t._1, t._2, t._3)).toSeq)
   }
 
+  test("index compaction: layout shrinks to one file per list, queries identical, idempotent") {
+    val ix = operators.AnnIndex
+    nukeIndex("ivfpq-cmp", ix.FreshnessCutoff)
+    // build + append WITHOUT compaction first: capture the pre-compact
+    // truth on the same store
+    val out = ix.indexDir(spark, sf, "ivfpq-cmp", ix.FreshnessCutoff)
+    ix.buildIvfPq(spark, sf, out, ix.FreshnessCutoff)
+    assert(ix.appendIvfPq(spark, sf, out) === 100L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    def listFiles(table: String): Map[String, Int] = {
+      val tdir = new org.apache.hadoop.fs.Path(out, table)
+      val fs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(tdir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+        .map(s => s.getPath.getName ->
+          fs.listStatus(s.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val before = rows(annIvfPqQueryFrom(spark, sf,
+      operators.AnnIndex.readIvfPq(spark, out)))
+    val codesBefore = spark.read.parquet(s"$out/codes").collect()
+      .map(_.toSeq).toSet
+    // the append left multi-file lists — the state compaction exists for
+    assert(listFiles("codes").values.exists(_ > ix.MaxFilesPerList),
+      "no list above the file cap: compaction untested")
+    val n = ix.compactIvfPq(spark, out)
+    assert(n > 0, "compaction rewrote nothing")
+    // layout: every compacted table's lists at ≤ 1 file
+    Seq("codes", "norms").foreach { t =>
+      assert(listFiles(t).values.forall(_ <= 1), s"$t not compacted")
+    }
+    // content: row set AND query results bit-identical
+    assert(spark.read.parquet(s"$out/codes").collect()
+      .map(_.toSeq).toSet === codesBefore)
+    assert(rows(annIvfPqQueryFrom(spark, sf,
+      operators.AnnIndex.readIvfPq(spark, out))) === before)
+    // idempotent: a second pass rewrites nothing
+    assert(ix.compactIvfPq(spark, out) === 0L)
+    // the public query path serves the compacted store and matches the
+    // appended replay (ensure marks _built on the pre-built store)
+    assert(rows(ix.annIvfPqCompacted(spark, sf)) ===
+      rows(ix.annIvfPqAppended(spark, sf)))
+  }
+
   test("index freshness: planted post-build arrivals audited per frozen list") {
     val ix = operators.AnnIndex
     nukeIndex("ivfpq", ix.FreshnessCutoff)
