@@ -77,7 +77,17 @@ object Bench {
     // corpus_frontier_rank is deliberately NOT a headliner: like
     // ann_recall it composes two already-benched paths (urlFilter +
     // pagerank) — benching it would double-count their cost
-    "corpus_url_seen_bloom")
+    "corpus_url_seen_bloom",
+    // round-18: the composed crawl scheduler (the frontier's product
+    // workload; its audit shares the frames, like the other audits
+    // deliberately NOT benched), the sized bloom row (the production
+    // geometry vs #185's fixed-M), the perceptual recall gate
+    // (map-only folds), dup-chain resolution (component rounds over
+    // the first-claim forest), and the compacted-index serve path
+    // (the post-maintenance per-query wall vs ann_index_append's
+    // fragmented store)
+    "crawl_pipeline", "corpus_url_bloom_sized", "media_ahash_recall",
+    "media_dup_resolve", "ann_index_compact")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

@@ -2179,8 +2179,13 @@ object Corpus {
     * themselves), and docs/tokens are monotone non-increasing by
     * construction — the spec asserts it, and the oracle recomputes
     * every stage from the same CTE chain as #151's. */
-  def corpusPipelineAudit(spark: SparkSession, dir: String): DataFrame = {
-    val f = pipelineFrames(spark, dir)
+  def corpusPipelineAudit(spark: SparkSession, dir: String): DataFrame =
+    auditFrom(pipelineFrames(spark, dir))
+
+  /** The audit over CALLER-SUPPLIED frames: a deployment runs
+    * [[pipelineFrames]] once and derives bins AND audit from the same
+    * materialization instead of paying the ten-stage chain twice. */
+  private[graft] def auditFrom(f: PipelineFrames): DataFrame = {
     val stages = Seq(
       (0, "input", f.train), (1, "url_dedup", f.s0), (2, "quality", f.q),
       (3, "classifier", f.c), (4, "exact_dedup", f.s2), (5, "near_dup", f.s3),

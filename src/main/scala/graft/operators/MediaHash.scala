@@ -451,13 +451,303 @@ object MediaHash {
        |JOIN assets a ON a.doc_id = l.doc_id
        |ORDER BY l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #198 media_ahash_recall — the acceptance gate for the perceptual
+  // family (the #130 shape): planted byte-level transformations with
+  // exact Hamming ground truth, recall measured AT the production
+  // gate (shared band + confirm radius), justifying HamMax by data.
+  // ---------------------------------------------------------------------
+
+  /** Additive per-byte shift — the brightness/gain analogue on the
+    * byte fold. aHash bits are mean-relative (bit i = 64·cells[i] >
+    * total), so a uniform shift moves numerator and denominator
+    * together: bits flip only where a cell's byte count deviates from
+    * len/64 near the threshold — the invariance pixel aHash is built
+    * for, here exercised on the byte-stream analogue. */
+  val RecallGainShift = 8
+  /** Leading bytes dropped — the crop/translation analogue. Realigns
+    * every byte's cell (position mod 64), so recall collapses unless
+    * content is 64-periodic: the documented NEGATIVE control. aHash
+    * does not survive crops (pixel aHash doesn't either — LAION's
+    * answer to geometric transforms is embedding-space dedup, #148
+    * SemDeDup); the gate row states that boundary instead of letting
+    * the radius imply robustness it doesn't have. */
+  val RecallCropBytes = 8
+  /** One appended byte — the re-encode touch (#180's planted-twin
+    * edit, 'x' = 120): the transformation the corpus twins exercise,
+    * measured here over EVERY asset rather than the 1-in-11 plant. */
+  val RecallReencodeByte = 120
+
+  /** The [[ahashBands]] fold over an already-widened value stream
+    * (transforms emit weights outside 0–255, e.g. gain-shifted
+    * bytes). Kept separate from the hot byte-array kernel. */
+  private[graft] def ahashBandsVals(vals: Iterator[Int]): Array[Long] = {
+    val cells = new Array[Long](Bits)
+    var i = 0
+    while (vals.hasNext) { cells(i % Bits) += vals.next(); i += 1 }
+    var total = 0L
+    i = 0
+    while (i < Bits) { total += cells(i); i += 1 }
+    val bands = new Array[Long](Bands)
+    i = 0
+    while (i < Bits) {
+      if (Bits * cells(i) > total) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  /** One row per (asset, transform): exact Hamming distance between
+    * the base hash and the transformed asset's hash, plus whether the
+    * pair still SHARES a band (the #180 candidate condition). One
+    * mapPartitions pass computes all four folds per asset — map-only,
+    * no pair join: the ground-truth pair is (asset, transform(asset))
+    * by construction. */
+  private[graft] def recallRows(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("content").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, bytes) =>
+          val base = ahashBands(bytes)
+          def row(name: String, t: Array[Long]): (String, Int, Int) = {
+            var ham = 0; var hit = false; var i = 0
+            while (i < Bands) {
+              ham += java.lang.Long.bitCount(base(i) ^ t(i))
+              if (base(i) == t(i)) hit = true
+              i += 1
+            }
+            (name, ham, if (hit) 1 else 0)
+          }
+          Iterator(
+            row("gain", ahashBandsVals(
+              bytes.iterator.map(b => (b & 0xff) + RecallGainShift))),
+            row("crop", ahashBandsVals(
+              bytes.iterator.drop(RecallCropBytes).map(_ & 0xff))),
+            row("reencode", ahashBandsVals(
+              bytes.iterator.map(b => b & 0xff) ++ Iterator(RecallReencodeByte))))
+        }
+      }.toDF("transform", "hamming", "band_hit")
+  }
+
+  /** #198 media_ahash_recall — per-transform recall at the production
+    * gate. `n_banded` = pairs still sharing ≥ 1 exact band (would
+    * enter the #180 candidate join), `n_radius` = pairs within the
+    * confirm radius, `n_detected` = both (the gate actually firing);
+    * `recall_permille` = n_detected·1000 div n_assets. Integer-exact:
+    * DuckDB reproduces the COUNTS, not just the rates. */
+  def mediaAhashRecall(spark: SparkSession, dir: String): DataFrame =
+    recallRows(assets(spark, dir))
+      .groupBy("transform")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("hamming") <= HamMax, 1L).otherwise(0L)).as("n_radius"),
+        sum(col("band_hit").cast("long")).as("n_banded"),
+        sum(when(col("band_hit") === 1 && col("hamming") <= HamMax, 1L)
+          .otherwise(0L)).as("n_detected"),
+        max(col("hamming")).cast("int").as("max_hamming"))
+      .withColumn("recall_permille",
+        expr("n_detected * 1000 div n_assets"))
+      .select(col("transform"), col("n_assets"), col("n_radius"),
+        col("n_banded"), col("n_detected"), col("recall_permille"),
+        col("max_hamming"))
+      .orderBy("transform")
+
+  /** Per-byte rows keyed by POSITION (bv keeps only the cell), so the
+    * transforms can re-map cells: gain shifts the value, crop shifts
+    * the alignment, re-encode appends the twin-touch byte. */
+  private def recallTransformChain(sfx: String, bvSql: String): String =
+    s"""bv_$sfx AS MATERIALIZED (
+       |  $bvSql
+       |), cells_$sfx AS MATERIALIZED (
+       |  SELECT doc_id, cell, CAST(SUM(b) AS BIGINT) AS cs
+       |  FROM bv_$sfx GROUP BY doc_id, cell
+       |), tot_$sfx AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM cells_$sfx GROUP BY doc_id
+       |), bits_$sfx AS MATERIALIZED (
+       |  SELECT cells_$sfx.doc_id, cell // 16 AS band,
+       |    CASE WHEN $Bits * cs > total
+       |         THEN (CAST(1 AS BIGINT) << CAST(cell % 16 AS INT))
+       |         ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM cells_$sfx JOIN tot_$sfx ON cells_$sfx.doc_id = tot_$sfx.doc_id
+       |), bnd_$sfx AS MATERIALIZED (
+       |  SELECT doc_id, band, CAST(SUM(bit) AS BIGINT) AS band_val
+       |  FROM bits_$sfx GROUP BY doc_id, band
+       |), h_$sfx AS MATERIALIZED (
+       |  SELECT a.doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 0 THEN band_val END), 0) AS BIGINT) AS b0,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 1 THEN band_val END), 0) AS BIGINT) AS b1,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 2 THEN band_val END), 0) AS BIGINT) AS b2,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 3 THEN band_val END), 0) AS BIGINT) AS b3
+       |  FROM assets a LEFT JOIN bnd_$sfx ON bnd_$sfx.doc_id = a.doc_id
+       |  GROUP BY a.doc_id
+       |), cmp_$sfx AS MATERIALIZED (
+       |  SELECT a.doc_id,
+       |    CAST(bit_count(xor(a.b0, t.b0)) + bit_count(xor(a.b1, t.b1)) +
+       |         bit_count(xor(a.b2, t.b2)) + bit_count(xor(a.b3, t.b3)) AS INT)
+       |      AS hamming,
+       |    CASE WHEN a.b0 = t.b0 OR a.b1 = t.b1 OR a.b2 = t.b2 OR a.b3 = t.b3
+       |         THEN 1 ELSE 0 END AS band_hit
+       |  FROM h a JOIN h_$sfx t ON t.doc_id = a.doc_id
+       |)""".stripMargin
+
+  private def recallSummary(name: String): String =
+    s"""SELECT '$name' AS transform, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       |  CAST(SUM(CASE WHEN hamming <= $HamMax THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_radius,
+       |  CAST(SUM(band_hit) AS BIGINT) AS n_banded,
+       |  CAST(SUM(CASE WHEN band_hit = 1 AND hamming <= $HamMax THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_detected,
+       |  CAST(SUM(CASE WHEN band_hit = 1 AND hamming <= $HamMax THEN 1 ELSE 0 END)
+       |    * 1000 // COUNT(*) AS BIGINT) AS recall_permille,
+       |  CAST(MAX(hamming) AS INT) AS max_hamming
+       |FROM cmp_$name""".stripMargin
+
+  val mediaAhashRecallSql: String = {
+    val bvj =
+      s"""bvj AS MATERIALIZED (
+         |  SELECT doc_id, j,
+         |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
+         |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
+         |  FROM by2
+         |)""".stripMargin
+    val gain = recallTransformChain("gain",
+      s"SELECT doc_id, (j - 1) % $Bits AS cell, b + $RecallGainShift AS b FROM bvj")
+    val crop = recallTransformChain("crop",
+      s"SELECT doc_id, (j - ${RecallCropBytes + 1}) % $Bits AS cell, b FROM bvj " +
+        s"WHERE j > $RecallCropBytes")
+    val reenc = recallTransformChain("reencode",
+      s"SELECT doc_id, (j - 1) % $Bits AS cell, b FROM bvj " +
+        s"UNION ALL SELECT doc_id, (length(hx) // 2) % $Bits AS cell, " +
+        s"CAST($RecallReencodeByte AS BIGINT) AS b FROM bx")
+    s"""WITH $hashCtes, $bvj, $gain, $crop, $reenc
+       |${Seq("crop", "gain", "reencode").map(recallSummary)
+           .mkString("\nUNION ALL\n")}
+       |ORDER BY transform""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // #199 media_dup_resolve — streaming dup_of chains resolved to their
+  // admitted roots (the VERDICT r17 "what's wrong #1" consumer view)
+  // ---------------------------------------------------------------------
+
+  /** Resolve first-writer `dup_of` chains to admitted roots. Input:
+    * one verdict row per asset (doc_id, dup_of nullable — null =
+    * admitted), the shape MediaHashStream/MediaPipelineStream log per
+    * batch. The streaming gates reject TRANSITIVELY (a bucket's owner
+    * is claimed once and may itself be rejected through another
+    * bucket), so `dup_of` can name a rejected asset; consumers
+    * building a keep-list need the admitted ancestor. Chains form a
+    * forest (each hop strictly decreases doc_id), so the admitted
+    * root of every tree is its MINIMUM node — resolution is the #79
+    * alternating-star component kernel over the (doc_id, dup_of)
+    * forest, not a sequential walk: O(log chain) rounds at any
+    * scale. Output adds `root` = the admitted representative
+    * (doc_id itself for admitted rows). */
+  def dupResolve(verdicts: DataFrame): DataFrame = {
+    val forest = verdicts.filter(col("dup_of").isNotNull)
+      .select(col("doc_id"), col("dup_of"))
+    val roots = Dedup.connectedComponents(forest)
+      .withColumnRenamed("doc_id", "rid")
+    verdicts.join(roots, col("doc_id") === col("rid"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("admitted"),
+        coalesce(col("lbl"), col("doc_id")).as("root"))
+  }
+
+  /** Batch reproduction of the streaming gate's verdicts under
+    * doc_id-ordered arrival (the spec corpora's order): a bucket's
+    * first claimant is its global min doc_id, and an arrival is
+    * `dup_of` the smallest of its band OWNERS (not all members —
+    * the stream compares to owners only) within the confirm radius.
+    * This is the stream's protocol as one plan, so the resolution
+    * view is oracle-checkable without a live stream. */
+  private[graft] def firstClaimVerdicts(spark: SparkSession,
+                                        dir: String): DataFrame = {
+    val h = graft.Checkpoints.pin(ahashKernel(assets(spark, dir)))
+    val bands = h.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "band_val")))
+    val owners = bands.groupBy("band", "band_val")
+      .agg(min("doc_id").as("owner"))
+    val cand = bands.join(owners, Seq("band", "band_val"))
+      .filter(col("owner") =!= col("doc_id"))
+      .select("doc_id", "owner").distinct()
+    val confirmed = cand
+      .join(h.toDF("doc_id", "a0", "a1", "a2", "a3"), Seq("doc_id"))
+      .join(h.toDF("owner", "o0", "o1", "o2", "o3"), Seq("owner"))
+      .filter(expr(
+        "bit_count(a0 ^ o0) + bit_count(a1 ^ o1) + " +
+          s"bit_count(a2 ^ o2) + bit_count(a3 ^ o3) <= $HamMax"))
+      .groupBy("doc_id").agg(min("owner").as("dup_of"))
+    h.select("doc_id").join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"))
+  }
+
+  /** #199 media_dup_resolve — every asset's streaming verdict with
+    * its admitted root: (doc_id, dup_of, admitted, root). The spec
+    * asserts every root is admitted (the chain walk never ends on a
+    * rejected asset) and matches an independent sequential walk. */
+  def mediaDupResolve(spark: SparkSession, dir: String): DataFrame =
+    dupResolve(firstClaimVerdicts(spark, dir)).orderBy("doc_id")
+
+  /** Oracle: the same first-claim protocol in CTEs + a recursive
+    * chain walk (hops strictly decrease, so MIN over the walk's
+    * ancestors is the admitted root). */
+  val mediaDupResolveSql: String =
+    s"""WITH RECURSIVE $hashCtes, hb AS MATERIALIZED (
+       |  SELECT h.doc_id, g.band,
+       |    CASE g.band WHEN 0 THEN h.b0 WHEN 1 THEN h.b1
+       |                WHEN 2 THEN h.b2 ELSE h.b3 END AS band_val
+       |  FROM h, (SELECT unnest(range(0, $Bands)) AS band) g
+       |), own AS MATERIALIZED (
+       |  SELECT band, band_val, MIN(doc_id) AS owner
+       |  FROM hb GROUP BY band, band_val
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT hb.doc_id, o.owner
+       |  FROM hb JOIN own o ON o.band = hb.band AND o.band_val = hb.band_val
+       |  WHERE o.owner <> hb.doc_id
+       |), conf AS MATERIALIZED (
+       |  SELECT c.doc_id, MIN(c.owner) AS dup_of
+       |  FROM cand c
+       |  JOIN h a ON a.doc_id = c.doc_id
+       |  JOIN h o ON o.doc_id = c.owner
+       |  WHERE bit_count(xor(a.b0, o.b0)) + bit_count(xor(a.b1, o.b1)) +
+       |        bit_count(xor(a.b2, o.b2)) + bit_count(xor(a.b3, o.b3))
+       |        <= $HamMax
+       |  GROUP BY c.doc_id
+       |), v AS MATERIALIZED (
+       |  SELECT h.doc_id, conf.dup_of
+       |  FROM h LEFT JOIN conf ON conf.doc_id = h.doc_id
+       |), walk(doc_id, cur) AS (
+       |  SELECT doc_id, dup_of FROM v WHERE dup_of IS NOT NULL
+       |  UNION ALL
+       |  SELECT w.doc_id, v2.dup_of
+       |  FROM walk w JOIN v v2 ON v2.doc_id = w.cur
+       |  WHERE v2.dup_of IS NOT NULL
+       |), rt AS (
+       |  SELECT doc_id, MIN(cur) AS root FROM walk GROUP BY doc_id
+       |)
+       |SELECT v.doc_id, v.dup_of,
+       |  CAST(CASE WHEN v.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS admitted,
+       |  COALESCE(rt.root, v.doc_id) AS root
+       |FROM v LEFT JOIN rt ON rt.doc_id = v.doc_id
+       |ORDER BY v.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_ahash" -> mediaAhash,
     "media_ahash_dedup" -> mediaAhashDedup,
-    "media_ahash_clusters" -> mediaAhashClusters)
+    "media_ahash_clusters" -> mediaAhashClusters,
+    "media_ahash_recall" -> mediaAhashRecall,
+    "media_dup_resolve" -> mediaDupResolve)
 
   val oracle: Map[String, String] = Map(
     "media_ahash" -> mediaAhashSql,
     "media_ahash_dedup" -> mediaAhashDedupSql,
-    "media_ahash_clusters" -> mediaAhashClustersSql)
+    "media_ahash_clusters" -> mediaAhashClustersSql,
+    "media_ahash_recall" -> mediaAhashRecallSql,
+    "media_dup_resolve" -> mediaDupResolveSql)
 }

@@ -200,8 +200,15 @@ object MediaPipeline {
   /** #191 media_pipeline_audit — per-stage attrition (assets + bytes),
     * the #154 report shape; shares #190's stage frames verbatim so the
     * report can never drift from the pipeline it describes. */
-  def mediaPipelineAudit(spark: SparkSession, dir: String): DataFrame = {
-    val f = pipelineFrames(spark, dir)
+  def mediaPipelineAudit(spark: SparkSession, dir: String): DataFrame =
+    auditFrom(pipelineFrames(spark, dir))
+
+  /** The audit over CALLER-SUPPLIED frames: a deployment runs
+    * [[pipelineFrames]] once and derives pipeline AND audit from the
+    * same materialization instead of paying the chain twice (each
+    * stage is pinned, so the re-derivation the standalone query does
+    * is bounded — but at 100 TB you still don't run it twice). */
+  private[graft] def auditFrom(f: Frames): DataFrame = {
     val stages = Seq(
       (0, "input", f.input), (1, "dedup_keeper", f.s1),
       (2, "size_gate", f.s2), (3, "aspect_gate", f.s3),

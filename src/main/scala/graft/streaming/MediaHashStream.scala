@@ -107,8 +107,10 @@ object MediaHashStream {
     * different bucket. At the Hamming radius boundary this can differ
     * from the batch clusters' canonical-keeper labels (#187 names the
     * component-min admitted keeper); downstream consumers needing the
-    * admitted representative must follow the dup_of chain to its
-    * admitted root (bounded: each hop strictly decreases doc_id). The
+    * admitted representative resolve the chain with
+    * [[graft.operators.MediaHash.dupResolve]] (#199 — the admitted
+    * root of every chain via the component kernel; bounded because
+    * each hop strictly decreases doc_id). The
     * drift is inherent to causal first-writer admission — storing only
     * admitted owners instead would let the SECOND near-twin of a
     * rejected asset through the gate. */

@@ -106,7 +106,16 @@ object Stress {
     // decade row; the sink/source pair round-trips real gzip record
     // files through the DSv2 writer+reader at ×100
     "record_envelope", "record_split", "firehose_batches",
-    "firehose_retry", "spool_read", "spool_sink", "spool_source")
+    "firehose_retry", "spool_read", "spool_sink", "spool_source",
+    // round-18 additions: the composed crawl scheduler (id-shifted
+    // twins make the URL-dedup keeper and every bloom bucket xN
+    // hotter; the sized bloom must GROW with the history where #185's
+    // fixed M saturates), the sizing row itself, the perceptual
+    // recall gate (map-only per-asset folds - xN linearity expected),
+    // dup-chain resolution (the component kernel over xN-hotter
+    // forests), and the compacted-index serve path
+    "crawl_pipeline", "crawl_pipeline_audit", "corpus_url_bloom_sized",
+    "media_ahash_recall", "media_dup_resolve", "ann_index_compact")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

@@ -143,6 +143,13 @@ class CorpusSpec extends SparkSpec {
     val bins = C.corpusPipeline(spark, sf).collect()
     assert(bins.map(_.getLong(2)).sum === audit.last._3)
     assert(bins.map(_.getLong(3)).sum === audit.last._4)
+
+    // the caller-supplied-frames overload: a deployment running the
+    // pipeline once audits the SAME materialization and gets the
+    // identical report
+    val fromFrames = C.auditFrom(C.pipelineFrames(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fromFrames.toSeq === audit.toSeq)
   }
 
   test("corpus_decontaminate_fuzzy flags exactly the train docs minhash-paired with a bench doc") {

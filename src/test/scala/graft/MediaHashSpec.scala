@@ -280,6 +280,11 @@ class MediaHashSpec extends SparkSpec {
     assert(audit.map(_._2) ==
       Seq("input", "dedup_keeper", "size_gate", "aspect_gate", "content_gate"))
 
+    // the caller-supplied-frames overload returns the identical report
+    val fromFrames = MP.auditFrom(MP.pipelineFrames(spark, dir)).collect()
+      .toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fromFrames == audit)
+
     // the per-asset gate battery (gateFrame, shared with the #193
     // streaming twin) labels keepers EXACTLY as the staged chain cuts
     // them: survivors = keepers gated 'ok', and each casualty's label
@@ -296,5 +301,97 @@ class MediaHashSpec extends SparkSpec {
       == afterSize.diff(afterAspect))
     assert(afterAspect.filter(id => gates(id) == "low_entropy")
       == afterAspect.diff(afterContent))
+  }
+
+  test("media_ahash_recall matches an independent per-transform fold") {
+    // independent transforms over the collected asset bytes: the spec
+    // folds value SEQUENCES (array sums by position), a different
+    // spelling from the kernel's iterator fold
+    def ahashOfVals(vals: Seq[Int]): Array[Long] = {
+      val cells = new Array[Long](Bits)
+      vals.zipWithIndex.foreach { case (v, i) => cells(i % Bits) += v }
+      val total = cells.sum
+      val bands = new Array[Long](Bands)
+      for (i <- 0 until Bits)
+        if (Bits * cells(i) > total) bands(i / 16) |= 1L << (i % 16)
+      bands
+    }
+    val transforms = Map[String, Array[Byte] => Seq[Int]](
+      "gain" -> (b => b.map(x => (x & 0xff) + RecallGainShift).toSeq),
+      "crop" -> (b => b.drop(RecallCropBytes).map(_ & 0xff).toSeq),
+      "reencode" -> (b => b.map(_ & 0xff).toSeq :+ RecallReencodeByte))
+    // per-transform expected summary over every corpus asset
+    val exp = transforms.map { case (name, t) =>
+      val rows = contents.values.toSeq.map { bytes =>
+        val base = ahash(bytes)
+        val th = ahashOfVals(t(bytes))
+        val ham = hamming(base, th)
+        val hit = base.zip(th).exists { case (x, y) => x == y }
+        (ham, hit)
+      }
+      val nDet = rows.count { case (h, hit) => hit && h <= HamMax }
+      name -> (rows.size.toLong,
+        rows.count(_._1 <= HamMax).toLong,
+        rows.count(_._2).toLong,
+        nDet.toLong,
+        nDet.toLong * 1000 / rows.size,
+        rows.map(_._1).max)
+    }
+    val got = operators.MediaHash.mediaAhashRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    assert(got.keySet == transforms.keySet)
+    exp.foreach { case (name, e) => assert(got(name) == e, s"transform $name") }
+
+    // the gate justification the row exists for: the transformations
+    // aHash is designed to survive (uniform gain, the one-byte
+    // re-encode) stay inside the banded gate at high recall, while the
+    // alignment-destroying crop falls out — the scheme's documented
+    // boundary (geometric transforms belong to embedding dedup)
+    assert(got("gain")._5 >= 900, s"gain recall ${got("gain")._5}")
+    assert(got("reencode")._5 >= 900, s"reencode recall ${got("reencode")._5}")
+    assert(got("crop")._5 < got("gain")._5)
+  }
+
+  test("media_dup_resolve: roots admitted, chains walked, crafted chain exact") {
+    // batch reproduction of the stream's first-claim verdicts,
+    // independently: owner = min doc_id per (band, value) bucket,
+    // dup_of = min owner within the confirm radius over the doc's bands
+    val buckets = hashes.toSeq
+      .flatMap { case (id, h) => h.zipWithIndex.map { case (v, b) => ((b, v), id) } }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val expVerdict: Map[Long, Option[Long]] = hashes.map { case (id, h) =>
+      val owners = h.zipWithIndex
+        .map { case (v, b) => buckets((b, v)) }
+        .filter(o => o != id && hamming(hashes(o), h) <= HamMax)
+      id -> (if (owners.isEmpty) None else Some(owners.min))
+    }
+    def walk(id: Long): Long =
+      expVerdict(id) match { case Some(p) => walk(p); case None => id }
+
+    val got = operators.MediaHash.mediaDupResolve(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getInt(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == hashes.keys.toSeq.sorted)
+    got.foreach { case (id, dupOf, admitted, root) =>
+      assert(dupOf == expVerdict(id), s"verdict $id")
+      assert(admitted == (if (dupOf.isEmpty) 1 else 0))
+      assert(root == walk(id), s"root $id")
+      // the property the view exists for: every root is admitted
+      assert(expVerdict(root).isEmpty, s"root $root of $id not admitted")
+    }
+
+    // crafted transitive chains through the generic resolver: 12→9→5→1
+    // (1 admitted), 21→20 — resolution = admitted ancestor, exactly
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, None), (5L, Some(1L)), (9L, Some(5L)), (12L, Some(9L)),
+      (20L, None), (21L, Some(20L)))
+      .toDF("doc_id", "dup_of")
+    val resolved = operators.MediaHash.dupResolve(crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(resolved == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 1L,
+      20L -> 20L, 21L -> 20L))
   }
 }
