@@ -1,0 +1,163 @@
+package graft.streaming
+
+import graft.operators.{Crawl, Url}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming crawl-frontier admission (#200) — the streaming twin of
+  * #194's GATE stages, completing the composition symmetry the corpus
+  * (#151/#155) and media (#190/#193) families already have: a real
+  * frontier is inherently streaming (discovered URLs arrive
+  * continuously; Heritrix/Nutch admit them incrementally), and each
+  * arrival gets ONE verdict with the batch stage order's precedence:
+  *
+  *   - `dup_url`   — canonical form already claimed (stage 1: the
+  *                   first-claim owner protocol of #172, state = one
+  *                   long per distinct canonical URL ever seen);
+  *   - `blocked_domain` / `banned_word` / `bad_extension` — the #162
+  *                   battery on the canonical form (stage 2,
+  *                   stateless);
+  *   - `seen`      — already crawled: the SIZED bloom seen-set (#196
+  *                   geometry over the crawl history — the frozen-
+  *                   artifact pattern of #155's decontamination bits,
+  *                   collected once at stream construction, probed
+  *                   in-row; k·m bits scale with the history it was
+  *                   sized to, ~10 bits per crawled page at the 1%
+  *                   operating point);
+  *   - `admitted`  — enters the fetch queue.
+  *
+  * Rank join and fetch-budget water-fill (#194 stages 4–5) are
+  * deliberately NOT admission stages — the #155 scoping adjudication:
+  * ordering/allocation stages have no per-arrival admission meaning;
+  * the scheduler runs them over the admitted set each cycle.
+  *
+  * Verdicts are EXACTLY the batch stage diffs under doc_id-ordered
+  * arrival (first claim = min doc_id = the batch keeper; rules and
+  * bloom are deterministic integer/string algebra), spec-proven
+  * per-class against [[Crawl.pipelineFrames]]. */
+object CrawlStream {
+
+  case class UrlArrival(doc_id: Long, canon_url: String, host: String,
+                        domain: String, k1: Long, k2: Long)
+  case class UrlObs(doc_id: Long, canon_url: String, host: String,
+                    domain: String, owner: Long)
+
+  private val hostSql =
+    "split_part(split_part(split_part(canon_url, '://', 2), '/', 1), ':', 1)"
+
+  /** Map-only: raw url → canonical form, host, registrable domain,
+    * and the 128-bit canonical key pair (#172's keying — a tracking-
+    * param/case/port variant of a seen page maps to the seen bucket). */
+  def arrivals(urls: DataFrame): Dataset[UrlArrival] = {
+    import urls.sparkSession.implicits._
+    urls
+      .withColumn("canon_url", expr(Url.canonUrlSql("spark")))
+      .withColumn("host", expr(hostSql))
+      .withColumn("domain", expr("split_part(host, '.', 1)"))
+      .select(col("doc_id"), col("canon_url"), col("host"), col("domain"),
+        xxhash64(col("canon_url")).as("k1"),
+        xxhash64(lit("url2"), col("canon_url")).as("k2"))
+      .as[UrlArrival]
+  }
+
+  /** First writer owns each canonical URL (within a micro-batch the
+    * smallest doc_id, deterministic); state is ONE long per distinct
+    * canonical URL — the #172 protocol with the crawl columns riding
+    * through. */
+  def observations(arr: Dataset[UrlArrival]): Dataset[UrlObs] = {
+    import arr.sparkSession.implicits._
+    arr.groupByKey(a => (a.k1, a.k2))
+      .flatMapGroupsWithState[Long, UrlObs](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, as, state) =>
+        val sorted = as.toArray.sortBy(_.doc_id)
+        val owner = if (state.exists) state.get else sorted.head.doc_id
+        if (!state.exists) state.update(owner)
+        sorted.iterator.map(a =>
+          UrlObs(a.doc_id, a.canon_url, a.host, a.domain, owner))
+      }
+  }
+
+  /** The crawl history's bloom bit-set at the #196 SIZED geometry
+    * (m derives from the distinct history-key count at the 1%
+    * operating point), collected once at stream construction — the
+    * frozen-artifact pattern. Layout: index = j·mBits + pos, the
+    * CurationStream convention. */
+  case class HistoryBloom(bits: Array[Boolean], mBits: Long) {
+    require(bits.length == (BloomK * mBits).toInt)
+  }
+
+  val BloomK: Int = Url.BloomGeometryTable(Crawl.SeenBloomFpPermille)._1
+
+  def historyBloom(spark: SparkSession, dir: String): HistoryBloom = {
+    val history = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), expr(Url.crawlSynthSql("spark")).as("url"))
+      .select(col("doc_id"), expr(Url.canonUrlSql("spark")).as("canon_url"))
+    val geo = history.agg(countDistinct("canon_url").as("n_keys"))
+      .select(expr(Url.bloomMBitsSql(
+        "n_keys", Crawl.SeenBloomFpPermille, "spark")).as("m_bits"))
+    val m = geo.head().getLong(0)
+    val bits = new Array[Boolean]((BloomK * m).toInt)
+    Url.bloomPositionsSized(
+        history.select("canon_url").crossJoin(broadcast(geo)), BloomK)
+      .select("j", "pos").distinct()
+      .collect()
+      .foreach(r => bits((r.getInt(0) * m + r.getLong(1)).toInt) = true)
+    HistoryBloom(bits, m)
+  }
+
+  /** In-row seen probe: all K affine positions lit (the #185/#196
+    * family over the shared poly hash — identical collision math to
+    * the batch stage, so even false positives match). */
+  private def seenCol(hb: HistoryBloom): Column = {
+    val p = lit(graft.functions.SketchFunctions.PolyP)
+    val bitsCol = typedlit(hb.bits)
+    val hv = graft.functions.SketchFunctions.poly_hash(col("canon_url"))
+    forall(sequence(lit(0L), lit((BloomK - 1).toLong)), j => {
+      val pos = ((hv * (j * 2L + 3L) + (j * 13L + 5L)) % p) % lit(hb.mBits)
+      element_at(bitsCol, (j * hb.mBits + pos + 1L).cast("int"))
+    })
+  }
+
+  /** Per-batch verdict collapse — one row per arrival with the batch
+    * stage precedence (dup → rules → seen → admitted). Shared by
+    * [[admissionQuery]] and the soak/bench harnesses so every run
+    * exercises the production chain. */
+  def verdicts(batch: Dataset[UrlObs], hb: HistoryBloom): DataFrame =
+    batch.toDF()
+      .withColumn("rule", expr(Url.filterVerdictSql("spark")))
+      .select(col("doc_id"), col("canon_url"), col("host"), col("domain"),
+        when(col("owner") =!= col("doc_id"), "dup_url")
+          .when(col("rule") =!= "kept", col("rule"))
+          .when(seenCol(hb), "seen")
+          .otherwise("admitted").as("verdict"),
+        when(col("owner") =!= col("doc_id"), col("owner")).as("dup_of"))
+
+  /** File-based ingest: each parquet drop of (doc_id, url) rows is a
+    * discovery increment; one verdict row per arrival appends to
+    * `outDir`, batch_id stamping the increment. The admitted rows are
+    * the scheduler's input (#194 stages 4–5 run over them per
+    * cycle). */
+  def admissionQuery(spark: SparkSession, inputDir: String,
+                     schema: StructType, hb: HistoryBloom,
+                     checkpointDir: String, outDir: String): StreamingQuery =
+    observations(arrivals(
+      spark.readStream.schema(schema).parquet(inputDir)))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[UrlObs], batchId: Long) =>
+        // pinned: the action re-executes the micro-batch plan
+        // including the stateful operator (the r18 soak finding on
+        // the media twin — 2×-work, not correctness)
+        graft.Checkpoints.pin(verdicts(batch, hb))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+}

@@ -327,6 +327,36 @@ object StreamBench {
       }) finally q.stop()
     }
 
+    // ---- crawl-frontier admission (#200): first-claim URL state +
+    // stateless rules/sized-bloom — fixed URL pool under fresh doc
+    // ids, so state saturates at the pool's distinct canonical count
+    val crawlPts = {
+      val pool = graft.Tables.load(spark, sfDir, "documents")
+        .limit(500)
+        .select(expr(graft.operators.Url.crawlSynthSql("spark")).as("url"))
+        .as[String].collect()
+      val hb = graft.streaming.CrawlStream.historyBloom(spark, sfDir)
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.CrawlStream.observations(
+          graft.streaming.CrawlStream.arrivals(
+            input.toDS().toDF("doc_id", "url"))).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.CrawlStream.UrlObs],
+           _: Long) =>
+            graft.streaming.CrawlStream.verdicts(b, hb)
+              .write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val UrlsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * UrlsPerBatch
+        input.addData((0 until UrlsPerBatch).map(j =>
+          (base + j, pool(((base + j) % pool.length).toInt))))
+        ()
+      }) finally q.stop()
+    }
+
     val json = "{\"metric\":\"stream_soak\",\"streams\":{" +
       Seq(soakSummary("gelf_reassembly", gelfPts),
         soakSummary("minhash_admission", minhashPts),
@@ -335,7 +365,8 @@ object StreamBench {
         soakSummary("classifier_admission", clfPts),
         soakSummary("wordpiece_admission", wpPts),
         soakSummary("media_hash_ingest", mhPts),
-        soakSummary("media_pipeline_admission", mpPts)).mkString(",") +
+        soakSummary("media_pipeline_admission", mpPts),
+        soakSummary("crawl_admission", crawlPts)).mkString(",") +
       s"},\"sf\":\"$sfDir\"}"
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak.json")
@@ -559,6 +590,34 @@ object StreamBench {
       ()
     }
 
+    // ---- crawl-frontier admission (#200): ×copies re-discoveries --
+    // every copy past the first re-sends the SAME url under a fresh
+    // doc id, so ~(copies−1)/copies of arrivals reject at the URL
+    // dedup state — the recrawl-storm worst case; survivors still pay
+    // rules + the sized bloom probe in-row
+    val crawlIn = freshDir(root, "crawl-in")
+    val crawlSrc = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(graft.operators.Url.crawlSynthSql("spark")).as("url"))
+    (0 until copies).map(i => crawlSrc.withColumn("doc_id",
+        col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(crawlIn.getAbsolutePath)
+    val nUrls = spark.read.parquet(crawlIn.getAbsolutePath).count()
+    val crawlSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("url", "string")
+    val crawlBloom = graft.streaming.CrawlStream.historyBloom(spark, sfDir)
+    val crawlSec = timePasses { () =>
+      val cp = freshDir(root, "cp-crawl")
+      val co = freshDir(root, "crawl-out")
+      val q = graft.streaming.CrawlStream.admissionQuery(spark,
+        crawlIn.getAbsolutePath, crawlSchema, crawlBloom,
+        cp.getAbsolutePath, co.getAbsolutePath)
+      q.awaitTermination(600000)
+      ()
+    }
+
     // ---- composed media admission (#193): dedup + gate battery ----
     // the same xcopies asset corpus; the delta over media_ingest is
     // the payload ride through the bucket shuffle plus the stateless
@@ -581,8 +640,9 @@ object StreamBench {
     val clsRate = (nCls / clsSec).toLong
     val mediaRate = (nAssets / mediaSec).toLong
     val mpipeRate = (nAssets / mpipeSec).toLong
+    val crawlRate = (nUrls / crawlSec).toLong
     val json =
-      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec + curSec + annSec + clsSec + mediaSec + mpipeSec},"unit":"sec","streams":{""" +
+      s"""{"metric":"stream_total","value":${syslogSec + gelfSec + semSec + curSec + annSec + clsSec + mediaSec + mpipeSec + crawlSec},"unit":"sec","streams":{""" +
         s""""syslog_spool":{"rows":$nSyslog,"sec":$syslogSec,"rows_per_sec":$syslogRate},""" +
         s""""gelf_reassembly":{"messages":$nMessages,"sec":$gelfSec,"msgs_per_sec":$gelfRate},""" +
         s""""semantic_admission":{"rows":$nVec,"sec":$semSec,"rows_per_sec":$semRate},""" +
@@ -590,6 +650,7 @@ object StreamBench {
         s""""classifier_admission":{"rows":$nCls,"sec":$clsSec,"rows_per_sec":$clsRate},""" +
         s""""media_ingest":{"assets":$nAssets,"sec":$mediaSec,"assets_per_sec":$mediaRate},""" +
         s""""media_pipeline_admission":{"assets":$nAssets,"sec":$mpipeSec,"assets_per_sec":$mpipeRate},""" +
+        s""""crawl_admission":{"urls":$nUrls,"sec":$crawlSec,"urls_per_sec":$crawlRate},""" +
         s""""ann_serving":{"queries":$nQueries,"sec":$annSec,"queries_per_sec":$annRate}},""" +
         s""""sf":"$sfDir"}"""
     println(json)

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Crawl, Url}
+import graft.streaming.CrawlStream
+
+/** #200 streaming crawl-frontier admission: verdict-for-verdict parity
+  * with the batch #194 gate stages, plus cross-restart URL-state
+  * survival. */
+class CrawlStreamSpec extends SparkSpec {
+
+  private lazy val frontier = Tables.load(spark, sf, "documents")
+    .filter(col("doc_id") % 7 === 0)
+    .select(col("doc_id"), expr(Url.crawlSynthSql("spark")).as("url"))
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("verdict classes equal the batch stage diffs; dup provenance is the keeper") {
+    val in = Files.createTempDirectory("graft_crawl_in")
+    val out = Files.createTempDirectory("graft_crawl_out")
+    val ckpt = Files.createTempDirectory("graft_crawl_ck")
+    val hb = CrawlStream.historyBloom(spark, sf)
+    def drain(): Unit = {
+      val q = CrawlStream.admissionQuery(spark, in.toString, frontier.schema,
+        hb, ckpt.toString, out.toString)
+      assert(q.awaitTermination(120000))
+    }
+    // two doc_id-ordered increments: cross-batch first-claim state is
+    // exercised (canonical collapse classes span the median split)
+    val sorted = frontier.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = sorted(sorted.length / 2)
+    frontier.filter(col("doc_id") < mid)
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    drain()
+    frontier.filter(col("doc_id") >= mid)
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    drain()
+
+    val got = spark.read.parquet(out.toString)
+      .select("doc_id", "verdict", "dup_of").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+
+    val f = Crawl.pipelineFrames(spark, sf)
+    val input = ids(f.input); val s1 = ids(f.s1)
+    val s2 = ids(f.s2); val s3 = ids(f.s3)
+    assert(got.keySet == input, "one verdict per discovered URL")
+    def cls(v: String) = got.collect { case (id, (`v`, _)) => id }.toSet
+    assert(cls("dup_url") == input -- s1, "stage-1 diff")
+    assert(cls("blocked_domain") ++ cls("banned_word") ++ cls("bad_extension")
+      == s1 -- s2, "stage-2 diff")
+    assert(cls("seen") == s2 -- s3, "stage-3 diff (bloom, FPs included)")
+    assert(cls("admitted") == s3, "admitted = the schedule's input")
+
+    // every dup names the batch keeper: the min doc_id of its
+    // canonical class — and only dups carry provenance
+    val canon = frontier
+      .select(col("doc_id"), expr(Url.canonUrlSql("spark")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keeper = canon.groupBy(_._2).map { case (c, g) => c -> g.keys.min }
+    got.foreach { case (id, (v, dupOf)) =>
+      if (v == "dup_url") assert(dupOf.contains(keeper(canon(id))), s"dup $id")
+      else assert(dupOf.isEmpty, s"non-dup $id carries provenance")
+    }
+
+    // cross-restart: every page re-discovered under a fresh doc id —
+    // all must reject against generation-1 owners
+    frontier.withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    drain()
+    val gen2 = spark.read.parquet(out.toString)
+      .filter(col("doc_id") >= 1000000L)
+      .select("verdict", "dup_of").collect()
+    assert(gen2.length == input.size)
+    assert(gen2.forall(_.getString(0) == "dup_url"),
+      "a re-discovered URL was admitted after the restart — state lost")
+    assert(gen2.forall(r => !r.isNullAt(1) && r.getLong(1) < 1000000L),
+      "provenance points inside generation 2")
+  }
+}
