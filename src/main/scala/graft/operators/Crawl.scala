@@ -114,9 +114,15 @@ object Crawl {
     val bits = Url.bloomPositionsSized(
         history.select("canon_url").crossJoin(broadcast(geo)), k)
       .select("j", "pos").distinct()
+    // no broadcast hint on the bit-set: the SIZED filter grows with
+    // the history (~10 bits/key at the 1% point), so AQE broadcasts
+    // it while small and falls back to a shuffled semi-join on
+    // (j, pos) when a 100 TB history's bits outgrow the threshold —
+    // a forced broadcast would be exactly wrong at the scale this
+    // stage exists for (#185's FIXED M stays broadcast by geometry)
     val seen = Url.bloomPositionsSized(
         s2.select("doc_id", "canon_url").crossJoin(broadcast(geo)), k)
-      .join(broadcast(bits), Seq("j", "pos"))
+      .join(bits, Seq("j", "pos"))
       .groupBy("doc_id").agg(count(lit(1)).as("k_hits"))
       .filter(col("k_hits") === k)
       .select("doc_id")

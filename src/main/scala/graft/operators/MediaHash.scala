@@ -641,21 +641,43 @@ object MediaHash {
     * is claimed once and may itself be rejected through another
     * bucket), so `dup_of` can name a rejected asset; consumers
     * building a keep-list need the admitted ancestor. Chains form a
-    * forest (each hop strictly decreases doc_id), so the admitted
-    * root of every tree is its MINIMUM node — resolution is the #79
-    * alternating-star component kernel over the (doc_id, dup_of)
-    * forest, not a sequential walk: O(log chain) rounds at any
-    * scale. Output adds `root` = the admitted representative
-    * (doc_id itself for admitted rows). */
+    * forest whose hops strictly decrease ARRIVAL TIME (an owner was
+    * always claimed before its dups), but not necessarily doc_id —
+    * files can land out of order, so a bucket's owner may carry a
+    * LARGER id than a later-arriving smaller-id dup. Resolution is
+    * therefore pointer DOUBLING on the parent map (root ← root∘root
+    * until fixpoint; admitted nodes self-loop, so composition is
+    * idempotent there): O(log chain) bounded rounds at any scale,
+    * ordering-free — a min-label component pass would need the
+    * id-ordered special case. Output adds `root` = the admitted
+    * representative (doc_id itself for admitted rows). */
   def dupResolve(verdicts: DataFrame): DataFrame = {
-    val forest = verdicts.filter(col("dup_of").isNotNull)
-      .select(col("doc_id"), col("dup_of"))
-    val roots = Dedup.connectedComponents(forest)
-      .withColumnRenamed("doc_id", "rid")
-    verdicts.join(roots, col("doc_id") === col("rid"), "left")
+    val parent = graft.Checkpoints.pin(
+      verdicts.select(col("doc_id"),
+        coalesce(col("dup_of"), col("doc_id")).as("root")))
+    var cur = parent
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val next = graft.Checkpoints.pin(
+        cur.alias("a")
+          .join(cur.select(col("doc_id").as("r_id"), col("root").as("r_root"))
+            .alias("b"), col("a.root") === col("b.r_id"))
+          .select(col("a.doc_id"), col("r_root").as("root")))
+      converged = next.alias("n")
+        .join(cur.select(col("doc_id"), col("root").as("old")), Seq("doc_id"))
+        .filter(col("root") =!= col("old"))
+        .isEmpty
+      cur = next
+      rounds += 1
+    }
+    require(converged, "dupResolve: dup_of chains did not converge in " +
+      "64 doubling rounds — a cycle means the input is not a stream log")
+    verdicts.join(cur.withColumnRenamed("doc_id", "rid"),
+        col("doc_id") === col("rid"), "left")
       .select(col("doc_id"), col("dup_of"),
         col("dup_of").isNull.cast("int").as("admitted"),
-        coalesce(col("lbl"), col("doc_id")).as("root"))
+        coalesce(col("root"), col("doc_id")).as("root"))
   }
 
   /** Batch reproduction of the streaming gate's verdicts under

@@ -483,9 +483,13 @@ object Url {
     val bits = bloomPositionsSized(
         crawled.select("canon_url").crossJoin(broadcast(geo)), k)
       .select("j", "pos").distinct()
+    // no broadcast hint on the SIZED bit-set (unlike #185's fixed
+    // K·M ≤ 384 rows above): it grows with the history, so AQE
+    // broadcasts while small and shuffles the (j, pos) semi-join
+    // when a production history's bits outgrow the threshold
     val bloomSeen = bloomPositionsSized(
         probes.crossJoin(broadcast(geo)), k)
-      .join(broadcast(bits), Seq("j", "pos"))
+      .join(bits, Seq("j", "pos"))
       .groupBy("doc_id").agg(count(lit(1)).as("k_hits"))
       .filter(col("k_hits") === k)
       .select(col("doc_id"), lit(1).as("bs"))

@@ -383,15 +383,19 @@ class MediaHashSpec extends SparkSpec {
     }
 
     // crafted transitive chains through the generic resolver: 12→9→5→1
-    // (1 admitted), 21→20 — resolution = admitted ancestor, exactly
+    // (1 admitted), 21→20, AND an out-of-ARRIVAL-order chain 3→7→50
+    // (50 claimed its bucket before the smaller-id 3 and 7 arrived —
+    // the file-landing-order case a min-label pass would mislabel):
+    // resolution = admitted ancestor, ordering-free
     import spark.implicits._
     val crafted = Seq(
       (1L, None), (5L, Some(1L)), (9L, Some(5L)), (12L, Some(9L)),
-      (20L, None), (21L, Some(20L)))
+      (20L, None), (21L, Some(20L)),
+      (50L, None), (7L, Some(50L)), (3L, Some(7L)))
       .toDF("doc_id", "dup_of")
     val resolved = operators.MediaHash.dupResolve(crafted).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(resolved == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 1L,
-      20L -> 20L, 21L -> 20L))
+      20L -> 20L, 21L -> 20L, 50L -> 50L, 7L -> 50L, 3L -> 50L))
   }
 }
