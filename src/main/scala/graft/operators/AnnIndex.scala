@@ -462,12 +462,64 @@ object AnnIndex {
       |ORDER BY cid""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #201 ann_index_status — the janitor's post-maintenance report
+  // ---------------------------------------------------------------------
+
+  /** One-row serve-readiness report of the MAINTAINED store (#197's
+    * ensure chain: build if absent → append to current → compact):
+    * every column is MEASURED from the store itself — `n_lists` and
+    * `max_files_per_list` from the `cid=` directory listing through
+    * the FS seam, `n_vecs`/`watermark` from the slim norms sidecar —
+    * while the oracle derives the same numbers from the embeddings
+    * table under the frozen snapshot-trained quantizer. Store
+    * contents vs corpus-derived expectation: a lost append shrinks
+    * n_vecs/watermark, a failed compaction raises
+    * max_files_per_list past 1, a mis-assigned list changes n_lists —
+    * each hash-diverges. This is the row a deployment's index
+    * janitor alerts on after its maintenance cycle. */
+  def annIndexStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = ensureIvfPqCompacted(spark, dir)
+    val outPath = new Path(out)
+    val dfs = fs(spark, outPath)
+    def lists(table: String): Array[FileStatus] =
+      dfs.listStatus(new Path(outPath, table))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+    val maxFiles = Seq("codes", "norms").flatMap(t => lists(t).map(l =>
+      dfs.listStatus(l.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))).max
+    val nLists = lists("codes").length.toLong
+    val st = spark.read.parquet(s"$out/norms")
+      .agg(count(lit(1)).as("n"), max("vec_id").as("mx")).head
+    val (nVecs, maxVec) = (st.getLong(0), st.getLong(1))
+    val corpusMax = graft.Tables.load(spark, dir, "embeddings")
+      .agg(max("vec_id")).head.getLong(0)
+    Seq(("ivfpq-cmp", nVecs, maxVec + 1, nLists, maxFiles,
+        if (maxVec >= corpusMax) 1 else 0))
+      .toDF("kind", "n_vecs", "watermark", "n_lists",
+        "max_files_per_list", "fresh")
+  }
+
+  /** The status oracle reads the #161 chain's `n` (corpus) and `asg`
+    * (frozen-quantizer list assignment) CTEs; the two layout columns
+    * are the post-maintenance INVARIANTS (1 file per list, fresh). */
+  val annIndexStatusSql: String =
+    s"""WITH ${Similarity.annIvfPqCtesTrainedOn(s"vec_id < $FreshnessCutoff")}
+      |SELECT 'ivfpq-cmp' AS kind,
+      |  CAST((SELECT COUNT(*) FROM n) AS BIGINT) AS n_vecs,
+      |  CAST((SELECT MAX(vec_id) + 1 FROM n) AS BIGINT) AS watermark,
+      |  CAST((SELECT COUNT(DISTINCT cid) FROM asg) AS BIGINT) AS n_lists,
+      |  CAST(1 AS INT) AS max_files_per_list,
+      |  CAST(1 AS INT) AS fresh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_q" -> ((s: SparkSession, d: String) => annIvfPqPrebuilt(s, d)),
     "ann_pq_q" -> ((s: SparkSession, d: String) => annPqPrebuilt(s, d)),
     "ann_index_freshness" -> ((s: SparkSession, d: String) => indexFreshness(s, d)),
     "ann_index_append" -> ((s: SparkSession, d: String) => annIvfPqAppended(s, d)),
-    "ann_index_compact" -> ((s: SparkSession, d: String) => annIvfPqCompacted(s, d)))
+    "ann_index_compact" -> ((s: SparkSession, d: String) => annIvfPqCompacted(s, d)),
+    "ann_index_status" -> ((s: SparkSession, d: String) => annIndexStatus(s, d)))
 
   val oracle: Map[String, String] = Map(
     // build replayed as CTEs, exactly like the in-query twins — the
@@ -477,5 +529,6 @@ object AnnIndex {
     "ann_index_freshness" -> annIndexFreshnessSql,
     "ann_index_append" -> annIndexAppendSql,
     // compaction is layout-only: the appended replay is the oracle
-    "ann_index_compact" -> annIndexAppendSql)
+    "ann_index_compact" -> annIndexAppendSql,
+    "ann_index_status" -> annIndexStatusSql)
 }

@@ -1286,7 +1286,19 @@ object Similarity {
     * probe / ADC / rerank still cover the full corpus — the frozen-
     * snapshot replay [[AnnIndex]]'s append path verifies against.
     * `pred` must contain the seed windows (ids 100–131). */
-  private[operators] def annIvfPqSqlTrainedOn(pred: String): String = {
+  private[operators] def annIvfPqSqlTrainedOn(pred: String): String =
+    s"""WITH ${annIvfPqCtesTrainedOn(pred)}
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
+      |FROM r
+      |WHERE rank <= $TopK
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** The #161 chain as a CTE PREFIX (through `r`), so consumers other
+    * than the top-k select can read intermediate relations — the
+    * index-status oracle reads `n` (corpus) and `asg` (list
+    * assignment); unreferenced tail CTEs cost nothing (DuckDB
+    * evaluates only what the final select reaches). */
+  private[graft] def annIvfPqCtesTrainedOn(pred: String): String = {
     val D = PqSubDim
     val fin = s"cen$KmeansIters"
     // residual-PQ Lloyd iterations: the #139 iterBlock over rsvn
@@ -1314,7 +1326,7 @@ object Similarity {
         |)""".stripMargin
     }
     val rfin = s"rcw$PqIters"
-    s"""WITH ${kmeansSqlCtesTrainedOn(pred)},
+    s"""${kmeansSqlCtesTrainedOn(pred)},
       |dist AS (
       |  SELECT n.vec_id, n.v, n.nn, c.cid,
       |    n.nn + c.cn
@@ -1413,11 +1425,7 @@ object Similarity {
       |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
       |               vec_id) AS rank
       |  FROM ex
-      |)
-      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot, nq, nc
-      |FROM r
-      |WHERE rank <= $TopK
-      |ORDER BY query_id, rank""".stripMargin
+      |)""".stripMargin
   }
 
   // ---------------------------------------------------------------------

@@ -293,6 +293,39 @@ class PqSpec extends SparkSpec {
       rows(ix.annIvfPqAppended(spark, sf)))
   }
 
+  test("index status: measured store facts equal corpus-derived expectations, idempotent") {
+    val ix = operators.AnnIndex
+    val st = ix.annIndexStatus(spark, sf).collect()
+    assert(st.length === 1)
+    val r = st.head
+    assert(r.getString(0) === "ivfpq-cmp")
+    // store-measured vs corpus truth: every vector present, watermark
+    // current, maintenance invariants hold
+    val emb = Tables.load(spark, sf, "embeddings")
+    val nEmb = emb.count()
+    val maxId = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head.getLong(0)
+    assert(r.getLong(1) === nEmb, "n_vecs != corpus size — lost append")
+    assert(r.getLong(2) === maxId + 1, "watermark not current")
+    assert(r.getInt(4) === 1, "a list is fragmented after maintenance")
+    assert(r.getInt(5) === 1, "store stale after maintenance")
+    // n_lists equals the store's own directory fan-out on BOTH tables
+    val out = ix.indexDir(spark, sf, "ivfpq-cmp", ix.FreshnessCutoff)
+    def nDirs(table: String): Long = {
+      val tdir = new org.apache.hadoop.fs.Path(out, table)
+      val fs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(tdir)
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+        .toLong
+    }
+    assert(r.getLong(3) === nDirs("codes"))
+    assert(nDirs("codes") === nDirs("norms"))
+    // the janitor report is stable: a second maintenance cycle is a
+    // metadata no-op and reports the identical row
+    assert(ix.annIndexStatus(spark, sf).collect().map(_.toSeq).toSeq
+      === st.map(_.toSeq).toSeq)
+  }
+
   test("index freshness: planted post-build arrivals audited per frozen list") {
     val ix = operators.AnnIndex
     nukeIndex("ivfpq", ix.FreshnessCutoff)
