@@ -123,4 +123,90 @@ class MediaHashStreamSpec extends SparkSpec {
     assert(lateTwins.nonEmpty && rejected.toDouble / lateTwins.size >= 0.8,
       s"late-twin rejection $rejected/${lateTwins.size}")
   }
+
+  test("planted transform variants: stream recall matches the protocol; chains resolve admitted") {
+    // the #198 recall claim carried into the STREAM: generation 1 is
+    // the corpus, generation 2 delivers a gain (+8 per byte) and a
+    // re-encode (one appended byte) variant of every asset under
+    // fresh ids — the transformations the batch gate survives at
+    // >= 900‰ must also reject at the streaming gate, where each
+    // arrival compares only to its bucket OWNERS
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_mhr_in")
+    val out = Files.createTempDirectory("graft_mhr_out")
+    val ckpt = Files.createTempDirectory("graft_mhr_ck")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("content", "binary")
+    def gain(b: Array[Byte]): Array[Byte] =
+      b.map(x => (((x & 0xff) + operators.MediaHash.RecallGainShift) & 0xff).toByte)
+    def reenc(b: Array[Byte]): Array[Byte] = b :+ 'x'.toByte
+    val gen1 = contents.toSeq.sortBy(_._1)
+    val gen2 = gen1.map { case (id, b) => (id + 1000000L, gain(b)) } ++
+      gen1.map { case (id, b) => (id + 2000000L, reenc(b)) }
+    def feed(rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("doc_id", "content").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    def drain(): Unit = {
+      val q = streaming.MediaHashStream.dedupQuery(
+        spark, in.toString, schema, ckpt.toString, out.toString)
+      assert(q.awaitTermination(120000))
+    }
+    feed(gen1); drain()
+    feed(gen2); drain()
+
+    // independent protocol simulation over both generations
+    val all = (gen1 ++ gen2).toMap
+    val hs = all.map { case (id, b) => id -> ahash(b) }
+    val state = scala.collection.mutable.Map.empty[(Int, Long), (Long, Array[Long])]
+    val exp = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    Seq(gen1, gen2).foreach { batch =>
+      val byBucket = scala.collection.mutable.Map
+        .empty[(Int, Long), List[Long]].withDefaultValue(Nil)
+      batch.foreach { case (id, _) =>
+        hs(id).zipWithIndex.foreach { case (v, b) =>
+          byBucket((b, v)) = id :: byBucket((b, v))
+        }
+      }
+      val obs = scala.collection.mutable.Map
+        .empty[Long, List[(Long, Int)]].withDefaultValue(Nil)
+      byBucket.foreach { case (key, members) =>
+        val sorted = members.sorted
+        val owner = state.getOrElseUpdate(key, (sorted.head, hs(sorted.head)))
+        sorted.foreach { id =>
+          obs(id) = (owner._1, hamming(hs(id), owner._2)) :: obs(id)
+        }
+      }
+      batch.foreach { case (id, _) =>
+        exp(id) = obs(id).filter { case (o, d) => o != id && d <= HamMax }
+          .map(_._1).sorted.headOption
+      }
+    }
+    val log = spark.read.parquet(out.toString)
+      .select("doc_id", "dup_of").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    all.keys.foreach(id => assert(log(id) == exp(id), s"doc $id"))
+
+    // per-transform recall at the streaming gate
+    def recall(base: Long): Double = {
+      val ids = gen1.map(_._1 + base)
+      ids.count(id => log(id).nonEmpty).toDouble / ids.size
+    }
+    assert(recall(1000000L) >= 0.9, s"gain stream recall ${recall(1000000L)}")
+    assert(recall(2000000L) >= 0.9, s"reencode stream recall ${recall(2000000L)}")
+
+    // #199 on the REAL stream log: every chain resolves to an
+    // admitted root (variants of rejected originals chain through
+    // them transitively)
+    val resolved = operators.MediaHash.dupResolve(
+        log.toSeq.toDF("doc_id", "dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    resolved.values.toSet.foreach { (root: Long) =>
+      assert(log(root).isEmpty, s"root $root not admitted")
+    }
+    // and resolution agrees with a sequential walk of the log
+    def walk(id: Long): Long =
+      log(id) match { case Some(p) => walk(p); case None => id }
+    all.keys.foreach(id => assert(resolved(id) == walk(id), s"walk $id"))
+  }
 }
