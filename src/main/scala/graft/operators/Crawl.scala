@@ -128,26 +128,44 @@ object Crawl {
       .select("doc_id")
     val s3 = graft.Checkpoints.pin(s2.join(seen, Seq("doc_id"), "left_anti"))
 
-    // stage 4: domain-rank join (broadcast: the rank table is
-    // domain-sized) + per-domain queue position
-    val ranks = Graph
-      .pagerankRounds(Graph.corpusEdges(spark, dir), Graph.Iters).last
+    // stages 4-5: the scheduler half, factored so the streaming
+    // per-cycle scheduler (#202) runs the SAME definition per
+    // micro-batch
+    val ranks = domainRanks(spark, dir)
+    val (s4, s5) = scheduleFrom(s3, ranks)
+
+    Frames(input, s1, s2, s3, s4, s5)
+  }
+
+  /** The #178 PageRank of every registrable domain — the frozen rank
+    * table both the batch stage 4 and the streaming scheduler join. */
+  private[graft] def domainRanks(spark: SparkSession, dir: String): DataFrame =
+    Graph.pagerankRounds(Graph.corpusEdges(spark, dir), Graph.Iters).last
       .select(col("host").as("domain"), col("rank_fp"))
+
+  /** Stages 4–5 over a kept-URL frame (columns incl. doc_id, domain):
+    * stage 4 — domain-rank join (broadcast: the rank table is
+    * domain-sized) + per-domain queue position; stage 5 —
+    * water-filled per-domain fetch budget (#129's exact integer
+    * algebra on the domains-sized frame), first `alloc` queue
+    * positions kept. ONE definition: the batch pipeline runs it over
+    * the whole frontier, the streaming scheduler ([[
+    * graft.streaming.CrawlStream.scheduleQuery]]) over each cycle's
+    * admitted arrivals — schedule semantics cannot drift between
+    * them. */
+  private[graft] def scheduleFrom(kept: DataFrame,
+                                  ranks: DataFrame): (DataFrame, DataFrame) = {
     val s4 = graft.Checkpoints.pin(
-      s3.join(broadcast(ranks), Seq("domain"))
+      kept.join(broadcast(ranks), Seq("domain"))
         .withColumn("host_pos", expr(
           "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)")))
-
-    // stage 5: water-filled per-domain fetch budget (#129's algebra on
-    // the domains-sized frame), first `alloc` queue positions kept
     val per = s4.groupBy("domain").agg(count(lit(1)).as("n_urls"))
     val alloc = Corpus.waterFillAlloc(per, "domain", "n_urls", FetchBudgetDen)
     val s5 = graft.Checkpoints.pin(
       s4.join(broadcast(alloc.select("domain", "alloc")), Seq("domain"))
         .filter(col("host_pos") <= col("alloc"))
         .drop("alloc"))
-
-    Frames(input, s1, s2, s3, s4, s5)
+    (s4, s5)
   }
 
   // ---------------------------------------------------------------------

@@ -140,7 +140,7 @@ object CrawlStream {
     * discovery increment; one verdict row per arrival appends to
     * `outDir`, batch_id stamping the increment. The admitted rows are
     * the scheduler's input (#194 stages 4–5 run over them per
-    * cycle). */
+    * cycle — [[scheduleQuery]]). */
   def admissionQuery(spark: SparkSession, inputDir: String,
                      schema: StructType, hb: HistoryBloom,
                      checkpointDir: String, outDir: String): StreamingQuery =
@@ -160,4 +160,46 @@ object CrawlStream {
         ()
       }
       .start()
+
+  /** #202 — the per-cycle SCHEDULER, chained to [[admissionQuery]]
+    * through storage (the materialized-handoff pattern): each
+    * increment of admitted verdict rows is one crawl CYCLE, and the
+    * cycle's fetch schedule is #194's stages 4–5 run over exactly
+    * that increment — the SINGLE [[Crawl.scheduleFrom]] definition,
+    * so a per-cycle schedule and the batch schedule cannot drift:
+    * rank join against the FROZEN domain-rank table (a crawler
+    * refreshes ranks per webgraph snapshot, not per cycle — the
+    * frozen-artifact pattern), per-domain queue position within the
+    * cycle, and the cycle's water-filled fetch budget (Σ candidates
+    * div [[Crawl.FetchBudgetDen]], max-min fair across domains —
+    * budgets reset each cycle, the politeness semantics; a LIFETIME
+    * quota would be wrong, which is why this is a per-batch pure
+    * stage and not keyed state). Output: the cycle's rank-ordered
+    * fetch list, cycle-stamped. */
+  def scheduleQuery(spark: SparkSession, verdictDir: String,
+                    ranks: DataFrame, checkpointDir: String,
+                    outDir: String): StreamingQuery = {
+    val verdictSchema = new StructType()
+      .add("doc_id", "long").add("canon_url", "string")
+      .add("host", "string").add("domain", "string")
+      .add("verdict", "string").add("dup_of", "long")
+      .add("batch_id", "long")
+    spark.readStream.schema(verdictSchema).parquet(verdictDir)
+      .filter(col("verdict") === "admitted")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, cycleId: Long) =>
+        val kept = graft.Checkpoints.pin(
+          batch.select("doc_id", "canon_url", "host", "domain"))
+        val (_, s5) = graft.operators.Crawl.scheduleFrom(kept, ranks)
+        s5.select(col("doc_id"), col("canon_url"), col("host"),
+            col("rank_fp"), col("host_pos"))
+          .withColumn("cycle_id", lit(cycleId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
 }

@@ -80,4 +80,81 @@ class CrawlStreamSpec extends SparkSpec {
     assert(gen2.forall(r => !r.isNullAt(1) && r.getLong(1) < 1000000L),
       "provenance points inside generation 2")
   }
+
+  test("per-cycle scheduler: each increment schedules like batch stages 4-5; budget exact and fair") {
+    val in = Files.createTempDirectory("graft_crsch_in")
+    val vout = Files.createTempDirectory("graft_crsch_v")
+    val sout = Files.createTempDirectory("graft_crsch_s")
+    val ckA = Files.createTempDirectory("graft_crsch_cka")
+    val ckS = Files.createTempDirectory("graft_crsch_cks")
+    val hb = CrawlStream.historyBloom(spark, sf)
+    val ranks = graft.Checkpoints.pin(Crawl.domainRanks(spark, sf))
+    def drainAdmission(): Unit = {
+      val q = CrawlStream.admissionQuery(spark, in.toString, frontier.schema,
+        hb, ckA.toString, vout.toString)
+      assert(q.awaitTermination(120000))
+    }
+    def drainSchedule(): Unit = {
+      val q = CrawlStream.scheduleQuery(spark, vout.toString, ranks,
+        ckS.toString, sout.toString)
+      assert(q.awaitTermination(120000))
+    }
+    // two discovery increments, each scheduled as its own cycle
+    val sorted = frontier.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = sorted(sorted.length / 2)
+    frontier.filter(col("doc_id") < mid)
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    drainAdmission(); drainSchedule()
+    frontier.filter(col("doc_id") >= mid)
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    drainAdmission(); drainSchedule()
+
+    val verdictsByBatch = spark.read.parquet(vout.toString)
+      .filter(col("verdict") === "admitted")
+      .select("batch_id", "doc_id", "domain").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val domainOf = spark.read.parquet(vout.toString)
+      .select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val schedule = spark.read.parquet(sout.toString)
+      .select("cycle_id", "doc_id", "host_pos", "rank_fp")
+    // collect per cycle keyed by the admitted sets (cycle ids restart
+    // per drain, so match cycles to increments by content)
+    val byCycle = schedule.collect()
+      .map(r => (r.getLong(0), r.getLong(1), domainOf(r.getLong(1)),
+        r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byCycle.keySet.size === 2, s"expected 2 cycles: ${byCycle.keySet}")
+
+    val rankOf = ranks.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    verdictsByBatch.values.foreach { adm =>
+      val admIds = adm.map(_._2).toSet
+      // find the cycle whose scheduled ids are a subset of this
+      // increment's admitted set
+      val cyc = byCycle.values.find(_.forall(s => admIds.contains(s._2)))
+      assert(cyc.nonEmpty, "no cycle schedules this increment")
+      val rows = cyc.get
+      // per-domain: contiguous 1..k positions in doc_id order, a
+      // prefix of the cycle's admitted queue
+      val domQueue = adm.groupBy(_._3).map { case (d, g) =>
+        d -> g.map(_._2).toSeq.sorted
+      }
+      rows.groupBy(_._3).foreach { case (d, g) =>
+        val kept = g.sortBy(_._4)
+        assert(kept.map(_._4).toSeq == (1 to kept.size), s"$d positions")
+        assert(kept.map(_._2).toSeq == domQueue(d).take(kept.size), s"$d prefix")
+        g.foreach(s => assert(s._5 == rankOf(d), s"$d rank"))
+      }
+      // the cycle budget is EXACT: sum of kept = admitted div den
+      val budget = adm.size / Crawl.FetchBudgetDen
+      assert(rows.size === budget, s"budget ${rows.size} != $budget")
+      // max-min fair: capped domains' allocations within 1 of each other
+      val keptPer = rows.groupBy(_._3).map { case (d, g) => d -> g.size }
+      val capped = keptPer.filter { case (d, k) => k < domQueue(d).size }
+      if (capped.size > 1)
+        assert(capped.values.max - capped.values.min <= 1, s"unfair: $capped")
+    }
+  }
 }
