@@ -655,6 +655,22 @@ object MediaHash {
     val parent = graft.Checkpoints.pin(
       verdicts.select(col("doc_id"),
         coalesce(col("dup_of"), col("doc_id")).as("root")))
+    // fail fast on dangling parents: the doubling round's inner
+    // self-join silently DROPS a row whose dup_of names a doc_id
+    // absent from the input, and the final left-join coalesce would
+    // then mislabel the dropped row root = doc_id — an "admitted"
+    // root that was never admitted. A well-formed stream log can't
+    // produce one (every owner was an arrival), so an absent parent
+    // means the caller fed a truncated/filtered log; say so instead
+    // of resolving it wrong (r18 ADVICE).
+    val dangling = parent.filter(col("root") =!= col("doc_id"))
+      .join(parent.select(col("doc_id").as("p")),
+        col("root") === col("p"), "left_anti")
+    require(dangling.isEmpty,
+      "dupResolve: dup_of names doc_ids absent from the input (e.g. " +
+        dangling.select("doc_id", "root").limit(3).collect().mkString(", ") +
+        ") — the verdict log is truncated or pre-filtered; resolve over " +
+        "the full log")
     var cur = parent
     var converged = false
     var rounds = 0

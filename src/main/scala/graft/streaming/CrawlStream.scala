@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.StructType
   *                   geometry over the crawl history — the frozen-
   *                   artifact pattern of #155's decontamination bits,
   *                   collected once at stream construction, probed
-  *                   in-row; k·m bits scale with the history it was
-  *                   sized to, ~10 bits per crawled page at the 1%
-  *                   operating point);
+  *                   in-row; K·m bits scale with the history it was
+  *                   sized to — 67.2 bits ≈ 8.4 packed bytes per
+  *                   crawled page at the conservative K-planes-of-m
+  *                   layout, see [[HistoryBloom]] for the honest
+  *                   footprint/capacity arithmetic);
   *   - `admitted`  — enters the fetch queue.
   *
   * Rank join and fetch-budget water-fill (#194 stages 4–5) are
@@ -81,13 +83,56 @@ object CrawlStream {
   }
 
   /** The crawl history's bloom bit-set at the #196 SIZED geometry
-    * (m derives from the distinct history-key count at the 1%
-    * operating point), collected once at stream construction — the
-    * frozen-artifact pattern. Layout: index = j·mBits + pos, the
-    * CurationStream convention. */
-  case class HistoryBloom(bits: Array[Boolean], mBits: Long) {
-    require(bits.length == (BloomK * mBits).toInt)
+    * (m derives from the distinct history-key count), collected once
+    * at stream construction — the frozen-artifact pattern. PACKED:
+    * one filter bit per bit, in `Array[Long]` words with LONG bit
+    * arithmetic end to end (the r18 weak flag: the earlier
+    * `Array[Boolean]` spelling cost 8 JVM bytes per filter bit and
+    * its Int position casts silently truncated past 2³¹ bits —
+    * a ~32M-URL history cap on the one artifact that is SIZED to
+    * grow with crawl history). Bit layout is unchanged — index =
+    * j·mBits + pos, the CurationStream convention, each of the K
+    * planes at the FULL single-array m — so verdicts are bit-for-bit
+    * the old spelling's (spec-proven leg in CrawlStreamSpec).
+    *
+    * Operating point, labeled honestly: with every plane at the full
+    * m = 9.6 bits/key, the artifact costs K·m ≈ 67.2 bits ≈ 8.4
+    * BYTES per history URL packed, and the achieved FP is the
+    * per-plane load to the Kth power ≈ 1e-7 — far BELOW the 10‰ the
+    * geometry table labels (which is why the #196 audit measures
+    * fp_permille = 0). The plane-per-hash layout is kept because the
+    * batch stage 3 and the #196 oracle share its exact collision
+    * math; a deployment wanting the textbook 10‰-at-9.6-bits point
+    * sizes planes at m/K and re-derives the oracle with it.
+    *
+    * Capacity: the packed words array is Int-indexed, so the HARD cap
+    * is 64·(2³¹−1) ≈ 1.37e11 bits ≈ 2.0e9 history URLs at this
+    * layout — 64× the old spelling's reach at 1/8 the memory, guarded
+    * by a loud require below. The PRACTICAL wall arrives earlier: the
+    * artifact ships to executors per batch (≈ 8.4 GiB at 10⁹ URLs,
+    * past broadcast comfort). Past that, the seen stage's scale-safe
+    * spelling is the per-micro-batch join against the bits RELATION —
+    * batch stage 3 (Crawl.scala, `pipelineFrames` stage 3) is the
+    * template: un-hinted, so AQE broadcasts the bit-set while small
+    * and falls back to a shuffled (j, pos) semi-join when the history
+    * outgrows the threshold. The frozen in-row artifact here serves
+    * the common case where the whole history fits one executor. */
+  case class HistoryBloom(words: Array[Long], mBits: Long) {
+    val totalBits: Long = BloomK.toLong * mBits
+    require(totalBits <= HistoryBloomMaxBits,
+      s"HistoryBloom: $totalBits bits exceeds the packed artifact's " +
+        s"Int-word-indexed capacity ($HistoryBloomMaxBits ≈ 2.0e9 history " +
+        "URLs); switch the seen stage to the per-micro-batch bits-relation " +
+        "join (batch stage 3, Crawl.pipelineFrames) — the artifact would " +
+        "not fit an executor either way")
+    require(words.length.toLong == (totalBits + 63) >> 6,
+      s"HistoryBloom: ${words.length} words for $totalBits bits")
   }
+
+  /** Hard capacity of the packed seen-set artifact (Int-indexed word
+    * array): ≈ 1.37e11 filter bits ≈ 2.0e9 history URLs at the
+    * 67.2-bits/URL plane layout. */
+  val HistoryBloomMaxBits: Long = Int.MaxValue.toLong * 64L
 
   val BloomK: Int = Url.BloomGeometryTable(Crawl.SeenBloomFpPermille)._1
 
@@ -100,41 +145,64 @@ object CrawlStream {
       .select(expr(Url.bloomMBitsSql(
         "n_keys", Crawl.SeenBloomFpPermille, "spark")).as("m_bits"))
     val m = geo.head().getLong(0)
-    val bits = new Array[Boolean]((BloomK * m).toInt)
+    val totalBits = BloomK.toLong * m
+    require(totalBits <= HistoryBloomMaxBits,
+      s"historyBloom: geometry $totalBits bits (m=$m, k=$BloomK) exceeds " +
+        "the packed artifact capacity — use the bits-relation join " +
+        "(Crawl.pipelineFrames stage 3) for this history size")
+    val words = new Array[Long](((totalBits + 63) >> 6).toInt)
     Url.bloomPositionsSized(
         history.select("canon_url").crossJoin(broadcast(geo)), BloomK)
       .select("j", "pos").distinct()
       .collect()
-      .foreach(r => bits((r.getInt(0) * m + r.getLong(1)).toInt) = true)
-    HistoryBloom(bits, m)
+      .foreach { r =>
+        val idx = r.getInt(0).toLong * m + r.getLong(1)
+        words((idx >> 6).toInt) |= 1L << (idx & 63L).toInt
+      }
+    HistoryBloom(words, m)
   }
 
-  /** In-row seen probe: all K affine positions lit (the #185/#196
-    * family over the shared poly hash — identical collision math to
-    * the batch stage, so even false positives match). */
-  private def seenCol(hb: HistoryBloom): Column = {
+  /** In-row seen probe over a packed `bloom_words` ARRAY<BIGINT>
+    * column: all K affine positions lit (the #185/#196 family over
+    * the shared poly hash — identical collision math to the batch
+    * stage, so even false positives match). All index arithmetic in
+    * LONG; only the word ordinal — bounded ≤ 2³¹−1 by the
+    * construction require — narrows to the element_at int. */
+  private def seenCol(mBits: Long): Column = {
     val p = lit(graft.functions.SketchFunctions.PolyP)
-    val bitsCol = typedlit(hb.bits)
     val hv = graft.functions.SketchFunctions.poly_hash(col("canon_url"))
     forall(sequence(lit(0L), lit((BloomK - 1).toLong)), j => {
-      val pos = ((hv * (j * 2L + 3L) + (j * 13L + 5L)) % p) % lit(hb.mBits)
-      element_at(bitsCol, (j * hb.mBits + pos + 1L).cast("int"))
+      val pos = ((hv * (j * 2L + 3L) + (j * 13L + 5L)) % p) % lit(mBits)
+      val idx = j * mBits + pos
+      val word = element_at(col("bloom_words"),
+        call_function("shiftright", idx, lit(6)).cast("int") + lit(1))
+      call_function("shiftright", word, (idx % 64L).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
     })
   }
 
   /** Per-batch verdict collapse — one row per arrival with the batch
     * stage precedence (dup → rules → seen → admitted). Shared by
     * [[admissionQuery]] and the soak/bench harnesses so every run
-    * exercises the production chain. */
-  def verdicts(batch: Dataset[UrlObs], hb: HistoryBloom): DataFrame =
+    * exercises the production chain. The packed words ship as a
+    * one-row BROADCAST frame (a scalar relation, like every
+    * crossJoin(broadcast(geo)) in the family), not a plan literal:
+    * the r18 ADVICE point — a typedlit of a GB-scale array would be
+    * re-serialized into every micro-batch's plan string. */
+  def verdicts(batch: Dataset[UrlObs], hb: HistoryBloom): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bitsDf = Seq(Tuple1(hb.words)).toDF("bloom_words")
     batch.toDF()
       .withColumn("rule", expr(Url.filterVerdictSql("spark")))
+      .crossJoin(broadcast(bitsDf))
       .select(col("doc_id"), col("canon_url"), col("host"), col("domain"),
         when(col("owner") =!= col("doc_id"), "dup_url")
           .when(col("rule") =!= "kept", col("rule"))
-          .when(seenCol(hb), "seen")
+          .when(seenCol(hb.mBits), "seen")
           .otherwise("admitted").as("verdict"),
         when(col("owner") =!= col("doc_id"), col("owner")).as("dup_of"))
+  }
 
   /** File-based ingest: each parquet drop of (doc_id, url) rows is a
     * discovery increment; one verdict row per arrival appends to

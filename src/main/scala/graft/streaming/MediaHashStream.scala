@@ -110,7 +110,9 @@ object MediaHashStream {
     * admitted representative resolve the chain with
     * [[graft.operators.MediaHash.dupResolve]] (#199 — the admitted
     * root of every chain via the component kernel; bounded because
-    * each hop strictly decreases doc_id). The
+    * each hop strictly decreases ARRIVAL TIME — an owner was always
+    * claimed before its dups — not doc_id, which out-of-order file
+    * arrival can invert). The
     * drift is inherent to causal first-writer admission — storing only
     * admitted owners instead would let the SECOND near-twin of a
     * rejected asset through the gate. */

@@ -81,6 +81,73 @@ class CrawlStreamSpec extends SparkSpec {
       "provenance points inside generation 2")
   }
 
+  test("packed seen-set probe ≡ the r18 Array[Boolean] spelling; capacity require is loud") {
+    import graft.functions.SketchFunctions.PolyP
+    val hb = CrawlStream.historyBloom(spark, sf)
+    val k = CrawlStream.BloomK
+    val m = hb.mBits
+
+    // the OLD spelling, reconstructed as ground truth: one JVM boolean
+    // per filter bit, set from an independent recompute of the history
+    // positions (the exact r18 construction), probed with the same
+    // affine position math driver-side
+    val history = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), expr(Url.crawlSynthSql("spark")).as("url"))
+      .select(expr(Url.canonUrlSql("spark")).as("canon_url"))
+    val geo = history.agg(countDistinct("canon_url").as("n_keys"))
+      .select(expr(Url.bloomMBitsSql(
+        "n_keys", Crawl.SeenBloomFpPermille, "spark")).as("m_bits"))
+    val bools = new Array[Boolean]((k * m).toInt)
+    graft.operators.Url.bloomPositionsSized(
+        history.crossJoin(broadcast(geo)), k)
+      .select("j", "pos").distinct().collect()
+      .foreach(r => bools((r.getInt(0) * m + r.getLong(1)).toInt) = true)
+    def oldSeen(canon: String): Boolean = {
+      val hv = graft.functions.SketchFunctions.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(canon), PolyP)
+      (0 until k).forall { j =>
+        val pos = ((hv * (2L * j + 3L) + (13L * j + 5L)) % PolyP) % m
+        bools((j * m + pos).toInt)
+      }
+    }
+
+    // run the PACKED probe through the production verdict collapse
+    // (verdicts() is plain batch algebra over UrlObs rows) and assert
+    // the seen class equals the old probe's, URL for URL
+    import spark.implicits._
+    val arr = CrawlStream.arrivals(frontier)
+    val keeper = arr.groupBy("k1", "k2").agg(min("doc_id").as("owner"))
+    val obs = arr.join(keeper, Seq("k1", "k2"))
+      .select(col("doc_id"), col("canon_url"), col("host"), col("domain"),
+        col("owner")).as[CrawlStream.UrlObs]
+    val got = CrawlStream.verdicts(obs, hb)
+      .select("doc_id", "canon_url", "verdict").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.nonEmpty)
+    var seenChecked = 0
+    got.foreach { case (id, canon, verdict) =>
+      if (verdict == "seen" || verdict == "admitted") {
+        assert((verdict == "seen") == oldSeen(canon),
+          s"packed probe diverges from the Array[Boolean] spelling on $id")
+        seenChecked += 1
+      }
+    }
+    assert(seenChecked > 0, "no URL reached the seen gate")
+    assert(got.exists(_._3 == "seen") && got.exists(_._3 == "admitted"),
+      "the corpus must exercise both probe outcomes")
+
+    // footprint: the packed artifact is exactly 1 bit per filter bit
+    assert(hb.words.length.toLong == (hb.totalBits + 63) >> 6)
+
+    // capacity: a geometry past the Int-word-indexed cap must refuse
+    // loudly at construction, never truncate silently
+    val err = intercept[IllegalArgumentException] {
+      CrawlStream.HistoryBloom(Array(0L), Long.MaxValue / k)
+    }
+    assert(err.getMessage.contains("capacity"))
+  }
+
   test("per-cycle scheduler: each increment schedules like batch stages 4-5; budget exact and fair") {
     val in = Files.createTempDirectory("graft_crsch_in")
     val vout = Files.createTempDirectory("graft_crsch_v")

@@ -397,5 +397,16 @@ class MediaHashSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(resolved == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 1L,
       20L -> 20L, 21L -> 20L, 50L -> 50L, 7L -> 50L, 3L -> 50L))
+
+    // dangling parent = truncated/filtered log: fail fast instead of
+    // silently mislabeling the orphan as its own admitted root (the
+    // r18 ADVICE finding — the doubling join would drop 33 and the
+    // final coalesce would report root = 33 with admitted = 0)
+    val truncated = Seq((1L, None), (33L, Some(99L)))
+      .toDF("doc_id", "dup_of")
+    val err = intercept[IllegalArgumentException] {
+      operators.MediaHash.dupResolve(truncated).collect()
+    }
+    assert(err.getMessage.contains("absent from the input"))
   }
 }
