@@ -87,7 +87,13 @@ object Bench {
     // (the post-maintenance per-query wall vs ann_index_append's
     // fragmented store)
     "crawl_pipeline", "corpus_url_bloom_sized", "media_ahash_recall",
-    "media_dup_resolve", "ann_index_compact")
+    "media_dup_resolve", "ann_index_compact",
+    // round-19: the multi-cycle frontier walk (3 chained
+    // dedup→rules→bloom→schedule cycles with advancing history — the
+    // iteration cost a recrawl loop pays, NOT double-counting
+    // crawl_pipeline: the single-cycle plan measures one increment,
+    // this measures the cycle-over-cycle state advance)
+    "crawl_frontier_cycles")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

@@ -1706,34 +1706,35 @@ object Corpus {
     * spelling both the #129 oracle and the crawl-pipeline oracle
     * read. */
   private[graft] def waterFillCtes(perCte: String, key: String,
-                                   cnt: String, den: Int): String =
-    s"""wf_tot AS (
+                                   cnt: String, den: Int,
+                                   prefix: String = "wf"): String =
+    s"""${prefix}_tot AS (
        |  SELECT CAST(SUM($cnt) AS BIGINT) // $den AS budget, COUNT(*) AS n
        |  FROM $perCte
-       |), wf_cand AS (
+       |), ${prefix}_cand AS (
        |  SELECT $key, $cnt,
        |    row_number() OVER (ORDER BY $cnt, $key) AS i,
        |    CAST(SUM($cnt) OVER (ORDER BY $cnt, $key ROWS UNBOUNDED PRECEDING)
        |         AS BIGINT) AS p,
        |    budget, n
-       |  FROM $perCte CROSS JOIN wf_tot
-       |), wf_cand2 AS (
-       |  SELECT *, (budget - (p - $cnt)) // (n - i + 1) AS lvl FROM wf_cand
-       |), wf_pick AS (
+       |  FROM $perCte CROSS JOIN ${prefix}_tot
+       |), ${prefix}_cand2 AS (
+       |  SELECT *, (budget - (p - $cnt)) // (n - i + 1) AS lvl FROM ${prefix}_cand
+       |), ${prefix}_pick AS (
        |  SELECT MIN(i) AS bi, min_by(lvl, i) AS level,
        |    min_by(p - $cnt, i) AS p_below
-       |  FROM wf_cand2 WHERE lvl < $cnt
-       |), wf_j AS (
+       |  FROM ${prefix}_cand2 WHERE lvl < $cnt
+       |), ${prefix}_j AS (
        |  SELECT c.*, k.bi, k.level, k.p_below,
        |    c.budget - k.p_below - k.level * (c.n - k.bi + 1) AS rem
-       |  FROM wf_cand2 c CROSS JOIN wf_pick k
-       |), wf_alloc AS (
-       |  SELECT $key, $cnt, level, $cnt AS alloc FROM wf_j WHERE i < bi
+       |  FROM ${prefix}_cand2 c CROSS JOIN ${prefix}_pick k
+       |), ${prefix}_alloc AS (
+       |  SELECT $key, $cnt, level, $cnt AS alloc FROM ${prefix}_j WHERE i < bi
        |  UNION ALL
        |  SELECT $key, $cnt, level,
        |    level + CASE WHEN row_number() OVER (ORDER BY $key) <= rem
        |                 THEN 1 ELSE 0 END AS alloc
-       |  FROM wf_j WHERE i >= bi
+       |  FROM ${prefix}_j WHERE i >= bi
        |)""".stripMargin
 
   def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {

@@ -136,6 +136,65 @@ class CrawlSpec extends SparkSpec {
     assert(nFp * 1000 <= 30 * (nProbes - nTruly))
   }
 
+  test("crawl_frontier_cycles: history monotone, re-discoveries collapse, discovery decays") {
+    val cycles = Crawl.frontierCycles(spark, sf)
+    assert(cycles.length == Crawl.NumCycles)
+
+    def canons(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("canon_url").collect().map(_.getString(0)).toSet
+
+    // history monotonicity: the accumulated bit-set never shrinks and
+    // strictly grows while admissions continue
+    val bitCounts = cycles.map(_.bitsAfter.count())
+    bitCounts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, "bloom bits regressed between cycles")
+    }
+    assert(bitCounts.head > 0, "cycle 0 admitted nothing into history")
+
+    // re-discovery collapse: a canonical admitted in an earlier cycle
+    // can NEVER be admitted again (bloom has no false negatives), so
+    // cumulative admitted canonicals are pairwise disjoint per cycle
+    val admittedCanons = cycles.map(cy => canons(cy.admitted))
+    for (i <- 1 until cycles.length; j <- 0 until i)
+      assert(admittedCanons(i).intersect(admittedCanons(j)).isEmpty,
+        s"cycle $i re-admitted a canonical from cycle $j")
+
+    // cross-cycle twins exist and are caught: at least one later
+    // cycle's batch re-discovers an earlier admission (the d/d+120/
+    // d+240 collapse classes span the %7 cycles), and every such
+    // re-discovery was rejected — visible as admitted < discovered
+    // dedup+rule survivors in that cycle
+    val space = this.space
+    val batchCanonsByCycle = (0 until Crawl.NumCycles)
+      .map(c => space.filter(_._1 % 7 == c).map(_._2).toSet)
+    val rediscovered = (1 until Crawl.NumCycles).map { c =>
+      batchCanonsByCycle(c)
+        .intersect(admittedCanons.take(c).reduce(_ ++ _)).size
+    }
+    assert(rediscovered.sum > 0,
+      "spec corpus plants no cross-cycle re-discoveries — the walk is vacuous")
+
+    // convergence: the frontier dries up — the last cycle admits
+    // strictly fewer than the cold-start cycle, and no new domains
+    // appear once cycle 0 has seen them all
+    val rows = Crawl.crawlFrontierCycles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0L until Crawl.NumCycles).toSeq)
+    assert(rows.forall(_._2 > 0), "empty discovery increment")
+    assert(rows.last._3 < rows.head._3,
+      "admitted did not decay across the walk")
+    assert(rows.head._5 > 0, "cycle 0 found no domains")
+    assert(rows.tail.map(_._5).sum < rows.head._5,
+      "no domain-discovery decay — convergence invisible")
+    // the audit rows agree with the walk's own frames
+    rows.zip(cycles).foreach { case ((_, disc, adm, sched, _), cy) =>
+      assert(disc == cy.batch.count())
+      assert(adm == cy.admitted.count())
+      assert(sched == cy.scheduled.count())
+    }
+  }
+
   test("bloomGeometry: the published operating points, exact integer m") {
     assert(Url.bloomGeometry(1000, 100) == ((3, 4800L)))
     assert(Url.bloomGeometry(1000, 10) == ((7, 9600L)))
