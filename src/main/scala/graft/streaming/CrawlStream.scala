@@ -244,14 +244,19 @@ object CrawlStream {
     * quota would be wrong, which is why this is a per-batch pure
     * stage and not keyed state). Output: the cycle's rank-ordered
     * fetch list, cycle-stamped. */
+  /** The admission verdict-log schema — written by [[admissionQuery]],
+    * read by the chained [[scheduleQuery]] and [[quotaQuery]] (and
+    * re-emitted verbatim by the latter, so either log feeds the
+    * scheduler unchanged). */
+  private[graft] val verdictSchema: StructType = new StructType()
+    .add("doc_id", "long").add("canon_url", "string")
+    .add("host", "string").add("domain", "string")
+    .add("verdict", "string").add("dup_of", "long")
+    .add("batch_id", "long")
+
   def scheduleQuery(spark: SparkSession, verdictDir: String,
                     ranks: DataFrame, checkpointDir: String,
                     outDir: String): StreamingQuery = {
-    val verdictSchema = new StructType()
-      .add("doc_id", "long").add("canon_url", "string")
-      .add("host", "string").add("domain", "string")
-      .add("verdict", "string").add("dup_of", "long")
-      .add("batch_id", "long")
     spark.readStream.schema(verdictSchema).parquet(verdictDir)
       .filter(col("verdict") === "admitted")
       .writeStream
@@ -266,6 +271,84 @@ object CrawlStream {
             col("rank_fp"), col("host_pos"))
           .withColumn("cycle_id", lit(cycleId))
           .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
+  // ---------------------------------------------------------------------
+  // #204 per-domain admission quota — the politeness gate AT the gate
+  // (VERDICT r18 missing #2)
+  // ---------------------------------------------------------------------
+
+  /** Default per-domain admission quota. A deployment tunes this to
+    * its politeness budget per epoch; the specs pass small explicit
+    * values to exercise the cap. */
+  val DomainQuota: Long = 10000L
+
+  /** One verdict-log row, the [[verdictSchema]] shape as a case class
+    * (dup_of nullable → Option). */
+  case class VerdictRow(doc_id: Long, canon_url: String, host: String,
+                        domain: String, verdict: String,
+                        dup_of: Option[Long], batch_id: Long)
+
+  /** The stateful per-domain counter gate: `admitted` rows consume
+    * the domain's quota in (batch_id, doc_id) order; once `quota`
+    * admissions have been spent the verdict re-writes to `over_quota`.
+    * Every other verdict class passes through untouched, so the
+    * output is a COMPLETE verdict log in the same schema — the
+    * scheduler chains off it unchanged, and an over-quota URL simply
+    * never reaches a fetch list.
+    *
+    * Why here and not (only) the scheduler: #202's water-fill is
+    * max-min fair WITHIN a cycle, but a one-domain recrawl storm
+    * still floods the admission log itself — millions of `admitted`
+    * rows from one host that every downstream consumer then carries.
+    * This is #129's budget discipline in streaming form, closing the
+    * gap AT the gate: state is ONE long per distinct domain (the
+    * smallest state any gate in the family carries — domains number
+    * thousands where URLs number billions), and the 100 TB horizon
+    * knob is the usual one: swap NoTimeout for an epoch timeout so
+    * quotas RESET per politeness window (a lifetime cap is the spec
+    * corpus's deterministic form; production politeness is
+    * per-epoch). */
+  def quotaVerdicts(rows: Dataset[VerdictRow],
+                    quota: Long): Dataset[VerdictRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, VerdictRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rs, state) =>
+        val sorted = rs.toArray.sortBy(r => (r.batch_id, r.doc_id))
+        var used = state.getOption.getOrElse(0L)
+        val out = sorted.map { r =>
+          if (r.verdict != "admitted") r
+          else if (used < quota) { used += 1; r }
+          else r.copy(verdict = "over_quota")
+        }
+        state.update(used)
+        out.iterator
+      }
+  }
+
+  /** #204 — the quota gate as its own chained query (the
+    * materialized-handoff pattern, between [[admissionQuery]]'s
+    * verdict log and [[scheduleQuery]]): reads verdict rows, applies
+    * [[quotaVerdicts]], appends the re-verdicted log to `outDir` in
+    * the same schema. */
+  def quotaQuery(spark: SparkSession, verdictDir: String,
+                 checkpointDir: String, outDir: String,
+                 quota: Long = DomainQuota): StreamingQuery = {
+    import spark.implicits._
+    quotaVerdicts(
+      spark.readStream.schema(verdictSchema).parquet(verdictDir)
+        .as[VerdictRow], quota)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[VerdictRow], _: Long) =>
+        batch.toDF().write.mode("append").parquet(outDir)
         ()
       }
       .start()

@@ -357,6 +357,39 @@ object StreamBench {
       }) finally q.stop()
     }
 
+    // ---- per-domain quota gate (#204): state = ONE long per domain —
+    // fresh admitted verdict rows every batch over a FIXED 20-domain
+    // pool, so state saturates at 20 rows immediately and the curve
+    // must stay flat while counters only increment in place
+    val quotaPts = {
+      val NDomains = 20
+      val input = MemoryStream[(Long, String, String, String, String,
+        Option[Long], Long)]
+      val q = graft.streaming.CrawlStream.quotaVerdicts(
+          input.toDS().toDF("doc_id", "canon_url", "host", "domain",
+            "verdict", "dup_of", "batch_id")
+            .as[graft.streaming.CrawlStream.VerdictRow],
+          quota = Long.MaxValue).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.CrawlStream.VerdictRow],
+           _: Long) =>
+            b.toDF().write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val UrlsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * UrlsPerBatch
+        input.addData((0 until UrlsPerBatch).map { j =>
+          val id = base + j
+          val dom = s"dom${id % NDomains}"
+          (id, s"https://$dom.example.com/p$id", s"$dom.example.com",
+            dom, "admitted", None: Option[Long], i.toLong)
+        })
+        ()
+      }) finally q.stop()
+    }
+
     val json = "{\"metric\":\"stream_soak\",\"streams\":{" +
       Seq(soakSummary("gelf_reassembly", gelfPts),
         soakSummary("minhash_admission", minhashPts),
@@ -366,7 +399,8 @@ object StreamBench {
         soakSummary("wordpiece_admission", wpPts),
         soakSummary("media_hash_ingest", mhPts),
         soakSummary("media_pipeline_admission", mpPts),
-        soakSummary("crawl_admission", crawlPts)).mkString(",") +
+        soakSummary("crawl_admission", crawlPts),
+        soakSummary("crawl_quota", quotaPts)).mkString(",") +
       s"},\"sf\":\"$sfDir\"}"
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak.json")

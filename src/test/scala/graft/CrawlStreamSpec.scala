@@ -148,6 +148,88 @@ class CrawlStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("capacity"))
   }
 
+  test("per-domain quota: flood capped at exactly the quota, order-deterministic, cross-restart, domains independent") {
+    import spark.implicits._
+    val vin = Files.createTempDirectory("graft_q_v")
+    val qout = Files.createTempDirectory("graft_q_o")
+    val ck = Files.createTempDirectory("graft_q_ck")
+    val quota = 4L
+    var lastStateRows = -1L
+    def drain(): Unit = {
+      val q = CrawlStream.quotaQuery(spark, vin.toString, ck.toString,
+        qout.toString, quota)
+      assert(q.awaitTermination(120000))
+      lastStateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    }
+    def rows(ids: Seq[Long], domain: String, verdict: String, batchId: Long) =
+      ids.map(i => (i, s"https://$domain.example.com/p$i",
+        s"$domain.example.com", domain, verdict, None: Option[Long], batchId))
+    def write(rs: Seq[(Long, String, String, String, String, Option[Long], Long)]): Unit =
+      rs.toDF("doc_id", "canon_url", "host", "domain", "verdict",
+          "dup_of", "batch_id")
+        .coalesce(1).write.mode("append").parquet(vin.toString)
+
+    // increment 1: a 10-URL flood on one domain, 3 admissions on a
+    // quiet domain, and dup/rule verdicts that must pass through
+    write(rows(1L to 10L, "flood", "admitted", 0) ++
+      rows(101L to 103L, "quiet", "admitted", 0) ++
+      Seq((200L, "https://flood.example.com/dup", "flood.example.com",
+            "flood", "dup_url", Some(1L), 0L),
+          (201L, "https://flood.example.com/x.exe", "flood.example.com",
+            "flood", "bad_extension", None: Option[Long], 0L)))
+    drain()
+    val got1 = spark.read.parquet(qout.toString)
+      .select("doc_id", "domain", "verdict").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val flood1 = got1.filter(r => r._1 <= 10L)
+    assert(flood1.count(_._3 == "admitted") == quota,
+      "flood admitted past the quota")
+    assert(flood1.filter(_._3 == "admitted").map(_._1).toSet
+      == (1L to quota).toSet, "quota must spend in (batch, doc) order")
+    assert(flood1.count(_._3 == "over_quota") == 10 - quota)
+    assert(got1.filter(_._2 == "quiet").forall(_._3 == "admitted"),
+      "an independent domain was throttled by the flood's counter")
+    assert(got1.find(_._1 == 200L).get._3 == "dup_url" &&
+      got1.find(_._1 == 201L).get._3 == "bad_extension",
+      "non-admitted verdicts must pass through untouched")
+    assert(lastStateRows == 2, s"state rows $lastStateRows != distinct domains")
+
+    // increment 2 across a RESTART: the flood's counter is spent —
+    // every fresh flood URL rejects; the quiet domain still has
+    // headroom for exactly quota − 3 more
+    write(rows(11L to 15L, "flood", "admitted", 1) ++
+      rows(104L to 105L, "quiet", "admitted", 1))
+    drain()
+    val got2 = spark.read.parquet(qout.toString)
+      .filter(col("doc_id") >= 11L)
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((11L to 15L).forall(got2(_) == "over_quota"),
+      "flood quota state lost across restart")
+    assert(got2(104L) == "admitted" && got2(105L) == "over_quota",
+      "quiet domain must admit exactly its remaining headroom")
+    assert(lastStateRows == 2, "state rows grew past distinct domains")
+
+    // the chained handoff: the scheduler reads the quota log
+    // unchanged and only admitted rows reach a fetch list
+    val sout = Files.createTempDirectory("graft_q_s")
+    val ckS = Files.createTempDirectory("graft_q_cks")
+    val ranks = Seq(("flood", 1000L), ("quiet", 900L)).toDF("domain", "rank_fp")
+    val sq = CrawlStream.scheduleQuery(spark, qout.toString, ranks,
+      ckS.toString, sout.toString)
+    assert(sq.awaitTermination(120000))
+    val scheduled = spark.read.parquet(sout.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admittedAll = spark.read.parquet(qout.toString)
+      .filter(col("verdict") === "admitted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scheduled.subsetOf(admittedAll),
+      "an over-quota URL reached a fetch list")
+    assert(scheduled.nonEmpty)
+  }
+
   test("per-cycle scheduler: each increment schedules like batch stages 4-5; budget exact and fair") {
     val in = Files.createTempDirectory("graft_crsch_in")
     val vout = Files.createTempDirectory("graft_crsch_v")
