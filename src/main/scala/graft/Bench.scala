@@ -92,8 +92,11 @@ object Bench {
     // dedup→rules→bloom→schedule cycles with advancing history — the
     // iteration cost a recrawl loop pays, NOT double-counting
     // crawl_pipeline: the single-cycle plan measures one increment,
-    // this measures the cycle-over-cycle state advance)
-    "crawl_frontier_cycles")
+    // this measures the cycle-over-cycle state advance), and the
+    // crop-robust shingle-histogram recall gate (a second independent
+    // per-asset fold — the aHash gate measures the position fold, this
+    // measures the position-free one)
+    "crawl_frontier_cycles", "media_ghash_recall")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

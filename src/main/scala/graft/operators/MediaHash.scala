@@ -250,14 +250,19 @@ object MediaHash {
     * drives from `assets` (LEFT JOIN, zero-coalesced) so EVERY asset
     * reports a hash row — a zero-byte asset hashes to (0,0,0,0),
     * exactly what [[ahashBands]] computes for an empty byte array. */
-  private val hashCtes: String =
+  /** The byte-extraction prefix alone (assets → hex → per-byte rows),
+    * shared by the aHash chain and the #205 gHash oracle. */
+  private val bytesCtes: String =
     s"""$assetsCte, bx AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(content)) AS hx FROM assets
        |), by2 AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(range(1, length(hx) // 2 + 1)) AS j, hx
        |  FROM bx
-       |), bv AS MATERIALIZED (
+       |)""".stripMargin
+
+  private val hashCtes: String =
+    s"""$bytesCtes, bv AS MATERIALIZED (
        |  SELECT doc_id, (j - 1) % $Bits AS cell,
        |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
        |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
@@ -775,11 +780,223 @@ object MediaHash {
        |FROM v LEFT JOIN rt ON rt.doc_id = v.doc_id
        |ORDER BY v.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // #205 media_ghash_recall — the crop-robust perceptual modality
+  // (VERDICT r18 missing #3): #198 MEASURED that the position-keyed
+  // aHash fold catches gain/re-encode (982/966‰) and misses crops
+  // entirely (0‰). The obvious candidate — dHash on a resampled grid,
+  // the pHash/dHash family — was built and MEASURED first: crop
+  // recall is ALSO 0 on 1-D byte streams, because a leading-bytes
+  // crop is a TRANSLATION, not a scale change (the shift is
+  // crop·Cells/len ≈ 1.7 grid cells at the corpus's ~300-byte
+  // assets), and byte content is high-frequency, so shifted cells
+  // decorrelate — the grid family's crop robustness is an
+  // image-domain property (2-D smoothness + resize-normalized scale)
+  // that does not transfer to byte folds. The modality that DOES
+  // transfer is position-FREE: a histogram over local 4-byte shingle
+  // hashes — the byte-stream analogue of the texture/color histogram
+  // that gives content-based image retrieval its translation
+  // invariance. Dropping 8 of ~300 bytes removes 8 of ~300 shingles;
+  // the bin counts barely move; threshold bits survive.
+  // ---------------------------------------------------------------------
+
+  /** Shingle width of the gHash fold. With the shared poly base 131
+    * and 64 bins, the fold is EXACTLY invariant to uniform +v gains
+    * with 40·v ≡ 0 (mod 64) — i.e. v ≡ 0 (mod 8), which includes the
+    * gate's +8 — because Σ131^k ≡ 40 (mod 64) over the 4-byte window
+    * shifts every shingle hash by a multiple of 64 (up to the ~2%
+    * of shingles whose hash wraps past P, shifting them by P mod 64 =
+    * 7 bins). Stated as arithmetic, not luck: the gate's gain row
+    * measures this invariance, and a +7 gain would break it. */
+  val GramW = 4
+
+  /** The gHash fold: 4-byte rolling shingles hashed with the shared
+    * poly base into [[Bits]] bins; bit_i = bin i's count above the
+    * mean occupancy (the aHash threshold rule over the HISTOGRAM
+    * rather than the position fold); bands as in aHash. One pass,
+    * O(bytes · W) — row-local, stream-safe, the ahashBands shape. */
+  private[graft] def ghashBands(vals: Iterator[Int]): Array[Long] = {
+    val P = graft.functions.SketchFunctions.PolyP
+    val bins = new Array[Long](Bits)
+    val win = new Array[Int](GramW)
+    var n = 0L
+    var cnt = 0L
+    while (vals.hasNext) {
+      win((n % GramW).toInt) = vals.next()
+      n += 1
+      if (n >= GramW) {
+        var h = 0L
+        var k = 0
+        while (k < GramW) {
+          h = (h * 131 + win(((n - GramW + k) % GramW).toInt)) % P
+          k += 1
+        }
+        bins((h % Bits).toInt) += 1
+        cnt += 1
+      }
+    }
+    val bands = new Array[Long](Bands)
+    var i = 0
+    while (i < Bits) {
+      if (Bits * bins(i) > cnt) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  /** One row per (asset, transform) — the #198 shape over the gHash
+    * fold: all four folds per asset in one map-only pass. */
+  private[graft] def ghashRecallRows(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("content").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, bytes) =>
+          val base = ghashBands(bytes.iterator.map(_ & 0xff))
+          def row(name: String, t: Array[Long]): (String, Int, Int) = {
+            var ham = 0; var hit = false; var i = 0
+            while (i < Bands) {
+              ham += java.lang.Long.bitCount(base(i) ^ t(i))
+              if (base(i) == t(i)) hit = true
+              i += 1
+            }
+            (name, ham, if (hit) 1 else 0)
+          }
+          Iterator(
+            row("gain", ghashBands(
+              bytes.iterator.map(b => (b & 0xff) + RecallGainShift))),
+            row("crop", ghashBands(
+              bytes.iterator.drop(RecallCropBytes).map(_ & 0xff))),
+            row("reencode", ghashBands(
+              bytes.iterator.map(b => b & 0xff) ++ Iterator(RecallReencodeByte))))
+        }
+      }.toDF("transform", "hamming", "band_hit")
+  }
+
+  /** The shared recall-gate aggregate (#198's columns) over a
+    * per-(asset, transform) row frame. */
+  private def recallGate(rows: DataFrame): DataFrame =
+    rows.groupBy("transform")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("hamming") <= HamMax, 1L).otherwise(0L)).as("n_radius"),
+        sum(col("band_hit").cast("long")).as("n_banded"),
+        sum(when(col("band_hit") === 1 && col("hamming") <= HamMax, 1L)
+          .otherwise(0L)).as("n_detected"),
+        max(col("hamming")).cast("int").as("max_hamming"))
+      .withColumn("recall_permille",
+        expr("n_detected * 1000 div n_assets"))
+      .select(col("transform"), col("n_assets"), col("n_radius"),
+        col("n_banded"), col("n_detected"), col("recall_permille"),
+        col("max_hamming"))
+      .orderBy("transform")
+
+  /** #205 media_ghash_recall — per-transform recall of the gHash
+    * modality at the production gate (shared band + confirm radius).
+    * The row this family was missing: crop recall is NON-ZERO (838‰
+    * at sf0.01) where both position-keyed folds measure 0. */
+  def mediaGhashRecall(spark: SparkSession, dir: String): DataFrame =
+    recallGate(ghashRecallRows(assets(spark, dir)))
+
+  /** gHash chain over a (doc_id, j, b) byte relation (j 1-based,
+    * renumbered per transform): 4-byte windows via lead(), the shared
+    * poly fold, 64-bin histogram, threshold bits, 4 bands. */
+  private def ghashChain(sfx: String, bvSql: String): String = {
+    val p = graft.functions.SketchFunctions.PolyP
+    s"""gbv_$sfx AS MATERIALIZED (
+       |  $bvSql
+       |), gwin_$sfx AS MATERIALIZED (
+       |  SELECT doc_id, b AS b0,
+       |    lead(b, 1) OVER (PARTITION BY doc_id ORDER BY j) AS b1,
+       |    lead(b, 2) OVER (PARTITION BY doc_id ORDER BY j) AS b2,
+       |    lead(b, 3) OVER (PARTITION BY doc_id ORDER BY j) AS b3
+       |  FROM gbv_$sfx
+       |), gh_$sfx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    (((((b0 * 131 + b1) % $p) * 131 + b2) % $p * 131 + b3) % $p)
+       |      % $Bits AS bin
+       |  FROM gwin_$sfx WHERE b3 IS NOT NULL
+       |), gcnt_$sfx AS MATERIALIZED (
+       |  SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM gh_$sfx GROUP BY doc_id, bin
+       |), gtot_$sfx AS MATERIALIZED (
+       |  SELECT a.doc_id, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total
+       |  FROM assets a LEFT JOIN gcnt_$sfx g ON g.doc_id = a.doc_id
+       |  GROUP BY a.doc_id
+       |), gbits_$sfx AS MATERIALIZED (
+       |  SELECT t.doc_id, g.bin // 16 AS band,
+       |    CASE WHEN $Bits * COALESCE(c.c, 0) > t.total
+       |         THEN (CAST(1 AS BIGINT) << CAST(g.bin % 16 AS INT))
+       |         ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM gtot_$sfx t
+       |  CROSS JOIN (SELECT unnest(range(0, $Bits)) AS bin) g
+       |  LEFT JOIN gcnt_$sfx c ON c.doc_id = t.doc_id AND c.bin = g.bin
+       |), ghh_$sfx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 0 THEN bit END), 0) AS BIGINT) AS b0,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 1 THEN bit END), 0) AS BIGINT) AS b1,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 2 THEN bit END), 0) AS BIGINT) AS b2,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 3 THEN bit END), 0) AS BIGINT) AS b3
+       |  FROM gbits_$sfx GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private def ghashCmp(sfx: String): String =
+    s"""gcmp_$sfx AS MATERIALIZED (
+       |  SELECT a.doc_id,
+       |    CAST(bit_count(xor(a.b0, t.b0)) + bit_count(xor(a.b1, t.b1)) +
+       |         bit_count(xor(a.b2, t.b2)) + bit_count(xor(a.b3, t.b3)) AS INT)
+       |      AS hamming,
+       |    CASE WHEN a.b0 = t.b0 OR a.b1 = t.b1 OR a.b2 = t.b2 OR a.b3 = t.b3
+       |         THEN 1 ELSE 0 END AS band_hit
+       |  FROM ghh_base a JOIN ghh_$sfx t ON t.doc_id = a.doc_id
+       |)""".stripMargin
+
+  private def ghashSummary(name: String): String =
+    s"""SELECT '$name' AS transform, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       |  CAST(SUM(CASE WHEN hamming <= $HamMax THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_radius,
+       |  CAST(SUM(band_hit) AS BIGINT) AS n_banded,
+       |  CAST(SUM(CASE WHEN band_hit = 1 AND hamming <= $HamMax THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_detected,
+       |  CAST(SUM(CASE WHEN band_hit = 1 AND hamming <= $HamMax THEN 1 ELSE 0 END)
+       |    * 1000 // COUNT(*) AS BIGINT) AS recall_permille,
+       |  CAST(MAX(hamming) AS INT) AS max_hamming
+       |FROM gcmp_$name""".stripMargin
+
+  val mediaGhashRecallSql: String = {
+    val bvj =
+      s"""gbvj AS MATERIALIZED (
+         |  SELECT doc_id, j,
+         |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
+         |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
+         |  FROM by2
+         |)""".stripMargin
+    val base = ghashChain("base", "SELECT doc_id, j, b FROM gbvj")
+    val gain = ghashChain("gain",
+      s"SELECT doc_id, j, b + $RecallGainShift AS b FROM gbvj")
+    val crop = ghashChain("crop",
+      s"SELECT doc_id, j - $RecallCropBytes AS j, b FROM gbvj " +
+        s"WHERE j > $RecallCropBytes")
+    val reenc = ghashChain("reencode",
+      s"SELECT doc_id, j, b FROM gbvj " +
+        s"UNION ALL SELECT doc_id, length(hx) // 2 + 1 AS j, " +
+        s"CAST($RecallReencodeByte AS BIGINT) AS b FROM bx")
+    s"""WITH $bytesCtes, $bvj, $base, $gain, $crop, $reenc,
+       |${Seq("gain", "crop", "reencode").map(ghashCmp).mkString(",\n")}
+       |${Seq("crop", "gain", "reencode").map(ghashSummary)
+           .mkString("\nUNION ALL\n")}
+       |ORDER BY transform""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_ahash" -> mediaAhash,
     "media_ahash_dedup" -> mediaAhashDedup,
     "media_ahash_clusters" -> mediaAhashClusters,
     "media_ahash_recall" -> mediaAhashRecall,
+    "media_ghash_recall" -> mediaGhashRecall,
     "media_dup_resolve" -> mediaDupResolve)
 
   val oracle: Map[String, String] = Map(
@@ -787,5 +1004,6 @@ object MediaHash {
     "media_ahash_dedup" -> mediaAhashDedupSql,
     "media_ahash_clusters" -> mediaAhashClustersSql,
     "media_ahash_recall" -> mediaAhashRecallSql,
+    "media_ghash_recall" -> mediaGhashRecallSql,
     "media_dup_resolve" -> mediaDupResolveSql)
 }

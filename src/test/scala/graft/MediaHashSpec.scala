@@ -353,6 +353,85 @@ class MediaHashSpec extends SparkSpec {
     assert(got("crop")._5 < got("gain")._5)
   }
 
+  test("media_ghash_recall: independent shingle-histogram recompute; crop caught, hashes distinctive") {
+    // independent gHash: materialized sliding windows over value
+    // sequences (a different spelling from the kernel's ring-buffer
+    // iterator fold)
+    val P = functions.SketchFunctions.PolyP
+    def ghashOfVals(vals: Seq[Int]): Array[Long] = {
+      val bins = new Array[Long](Bits)
+      vals.sliding(operators.MediaHash.GramW)
+        .filter(_.length == operators.MediaHash.GramW)
+        .foreach { w =>
+          val h = w.foldLeft(0L)((acc, v) => (acc * 131 + v) % P)
+          bins((h % Bits).toInt) += 1
+        }
+      val cnt = bins.sum
+      val bands = new Array[Long](Bands)
+      for (i <- 0 until Bits)
+        if (Bits * bins(i) > cnt) bands(i / 16) |= 1L << (i % 16)
+      bands
+    }
+    val transforms = Map[String, Array[Byte] => Seq[Int]](
+      "gain" -> (b => b.map(x => (x & 0xff) + RecallGainShift).toSeq),
+      "crop" -> (b => b.drop(RecallCropBytes).map(_ & 0xff).toSeq),
+      "reencode" -> (b => b.map(_ & 0xff).toSeq :+ RecallReencodeByte))
+    val baseHash = contents.map { case (id, b) =>
+      id -> ghashOfVals(b.map(_ & 0xff).toSeq)
+    }
+    val exp = transforms.map { case (name, t) =>
+      val rows = contents.toSeq.map { case (id, bytes) =>
+        val base = baseHash(id)
+        val th = ghashOfVals(t(bytes))
+        (hamming(base, th), base.zip(th).exists { case (x, y) => x == y })
+      }
+      val nDet = rows.count { case (h, hit) => hit && h <= HamMax }
+      name -> (rows.size.toLong, rows.count(_._1 <= HamMax).toLong,
+        rows.count(_._2).toLong, nDet.toLong,
+        nDet.toLong * 1000 / rows.size, rows.map(_._1).max)
+    }
+    val got = operators.MediaHash.mediaGhashRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    assert(got.keySet == transforms.keySet)
+    exp.foreach { case (name, e) => assert(got(name) == e, s"transform $name") }
+
+    // the row this modality exists for: CROP recall is substantial at
+    // the production gate where both position-keyed folds measure 0 —
+    // and the family's other transforms stay covered
+    assert(got("crop")._5 >= 500, s"crop recall ${got("crop")._5}")
+    assert(got("gain")._5 >= 900, s"gain recall ${got("gain")._5}")
+    assert(got("reencode")._5 >= 900, s"reencode recall ${got("reencode")._5}")
+
+    // a recall gate is vacuous if the hash maps everything together:
+    // distinct assets must NOT collide at the same gate (the byte-value
+    // histogram failure mode this modality was chosen over — it scored
+    // crop 1000 permille but merged 99.8% of random pairs)
+    val ids = contents.keys.toSeq.sorted
+    val rng = new scala.util.Random(7)
+    var collide = 0; var pairs = 0
+    (1 to 1000).foreach { _ =>
+      val a = ids(rng.nextInt(ids.size)); val b = ids(rng.nextInt(ids.size))
+      if (a != b && a != b + 1 && b != a + 1) { // skip planted twins
+        pairs += 1
+        val (ha, hb) = (baseHash(a), baseHash(b))
+        if (hamming(ha, hb) <= HamMax &&
+          ha.zip(hb).exists { case (x, y) => x == y }) collide += 1
+      }
+    }
+    assert(pairs > 900)
+    assert(collide * 1000 <= 20 * pairs,
+      s"gHash merges $collide of $pairs random pairs — not distinctive")
+
+    // kernel edges: sub-shingle and empty assets hash to all-zero
+    // bands in both spellings
+    Seq(Array.emptyByteArray, Array[Byte](1, 2, 3)).foreach { b =>
+      assert(operators.MediaHash.ghashBands(b.iterator.map(_ & 0xff))
+        .toSeq == Seq(0L, 0L, 0L, 0L))
+      assert(ghashOfVals(b.map(_ & 0xff).toSeq).toSeq == Seq(0L, 0L, 0L, 0L))
+    }
+  }
+
   test("media_dup_resolve: roots admitted, chains walked, crafted chain exact") {
     // batch reproduction of the stream's first-claim verdicts,
     // independently: owner = min doc_id per (band, value) bucket,
