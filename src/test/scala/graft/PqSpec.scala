@@ -326,6 +326,45 @@ class PqSpec extends SparkSpec {
       === st.map(_.toSeq).toSeq)
   }
 
+  test("janitor actions: fresh store builds+appends+compacts, pre-built appends only, healthy no-ops") {
+    val ix = operators.AnnIndex
+    val arrivals = Tables.load(spark, sf, "embeddings")
+      .where(s"vec_id >= ${ix.FreshnessCutoff}").count()
+    assert(arrivals > 0, "no planted post-snapshot arrivals")
+
+    // fresh-store run: everything happens, counts from the steps' own
+    // return values
+    nukeIndex("ivfpq-cmp", ix.FreshnessCutoff)
+    val (out1, a1) = ix.maintainIvfPq(spark, sf)
+    assert(a1.built, "fresh store must build")
+    assert(a1.nAppended === arrivals, "append count != planted arrivals")
+    assert(a1.nCompacted > 0, "the append fragmented lists — compaction must run")
+
+    // healthy-store run: the whole cycle is a metadata no-op, and the
+    // status row is unchanged
+    val st1 = ix.annIndexStatus(spark, sf).collect().map(_.toSeq).toSeq
+    val (out2, a2) = ix.maintainIvfPq(spark, sf)
+    assert(out2 === out1)
+    assert(a2 === ix.MaintenanceActions(built = false, 0L, 0L),
+      s"healthy store reported work: $a2")
+    assert(ix.annIndexStatus(spark, sf).collect().map(_.toSeq).toSeq === st1)
+
+    // append-only run: a store built at the snapshot but never
+    // maintained — the cycle finds it, appends the arrivals, compacts
+    // the fragmentation, and does NOT rebuild
+    nukeIndex("ivfpq-cmp", ix.FreshnessCutoff)
+    val out3 = ix.indexDir(spark, sf, "ivfpq-cmp", ix.FreshnessCutoff)
+    ix.buildIvfPq(spark, sf, out3, ix.FreshnessCutoff)
+    val (out4, a3) = ix.maintainIvfPq(spark, sf)
+    assert(out4 === out3)
+    assert(!a3.built, "pre-built store must not rebuild")
+    assert(a3.nAppended === arrivals)
+    assert(a3.nCompacted > 0)
+    // the maintained store serves the same rows as the appended replay
+    assert(ix.annIvfPqCompacted(spark, sf).collect().map(_.toSeq).toSeq ===
+      ix.annIvfPqAppended(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
   test("index freshness: planted post-build arrivals audited per frozen list") {
     val ix = operators.AnnIndex
     nukeIndex("ivfpq", ix.FreshnessCutoff)
