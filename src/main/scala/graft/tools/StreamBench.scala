@@ -126,14 +126,18 @@ object StreamBench {
     s
   }
 
-  def soak(spark: SparkSession, sfDir: String, nBatches: Int): Unit = {
+  def soak(spark: SparkSession, sfDir: String, nBatches: Int,
+           legs: Option[Set[String]] = None): Unit = {
+    // optional leg subset: the 1000-batch stretch runs ONLY the two
+    // bucket-state gates without paying 10 legs x 10x batches
+    def want(n: String): Boolean = legs.forall(_.contains(n))
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{GelfChunkStream, MinhashStream, SemanticStream}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
     // ---- gelf chunk reassembly: completion + watermark eviction ------
-    val gelfPts = {
+    val gelfPts = if (!want("gelf_reassembly")) Seq.empty[SoakPoint] else {
       val input = MemoryStream[GelfChunkStream.Chunk]
       val q = GelfChunkStream.assemble(input.toDS()).writeStream
         .format("noop").outputMode("append").start()
@@ -161,7 +165,7 @@ object StreamBench {
     }
 
     // ---- minhash admission: fixed content pool, fresh doc ids --------
-    val minhashPts = {
+    val minhashPts = if (!want("minhash_admission")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "documents")
         .select("text").limit(500).as[String].collect()
       val input = MemoryStream[(Long, String)]
@@ -178,7 +182,7 @@ object StreamBench {
     }
 
     // ---- semantic admission: fixed embedding pool, fresh vec ids -----
-    val semPts = {
+    val semPts = if (!want("semantic_admission")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "embeddings")
         .select("vec_id", "embedding").limit(500)
         .as[(Long, Array[Float])].collect()
@@ -199,7 +203,7 @@ object StreamBench {
     }
 
     // ---- composed curation admission: fixed text pool, fresh ids ----
-    val curPts = {
+    val curPts = if (!want("curation_admission")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "documents")
         .select("text").limit(500).as[String].collect()
       val bits = graft.streaming.CurationStream.evalBloomBits(spark, sfDir)
@@ -221,7 +225,7 @@ object StreamBench {
     // the measured bound is zero state rows; the flat-zero 120-batch
     // curve is that claim measured, with the full scoring plan
     // (explode → model join → per-doc aggregate) run every batch
-    val clfPts = {
+    val clfPts = if (!want("classifier_admission")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "documents")
         .select("text", "source").limit(500)
         .as[(String, String)].collect()
@@ -250,7 +254,7 @@ object StreamBench {
     // ---- wordpiece admission (#192): STATELESS frozen-inventory
     // scorer — same zero-state claim, measured over the linear
     // word-type march every batch
-    val wpPts = {
+    val wpPts = if (!want("wordpiece_admission")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "documents")
         .select("text").limit(500).as[String].collect()
       val (inv, maxL) =
@@ -276,7 +280,7 @@ object StreamBench {
     // sight, repeats claim nothing, so state saturates at the pool's
     // distinct-bucket count (≤ pool × Bands rows); the per-batch
     // verdict collapse runs so the soak is the production chain
-    val mhPts = {
+    val mhPts = if (!want("media_hash_ingest")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "documents")
         .select("text").limit(500).as[String].collect()
         .map(_.getBytes("UTF-8"))
@@ -303,7 +307,7 @@ object StreamBench {
     // ---- composed media admission (#193): same pool through the full
     // composed chain — dedup state + the stateless gate battery
     // (decode, aspect, histogram) on survivors, per batch
-    val mpPts = {
+    val mpPts = if (!want("media_pipeline_admission")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "documents")
         .select("text").limit(500).as[String].collect()
         .map(_.getBytes("UTF-8"))
@@ -330,7 +334,7 @@ object StreamBench {
     // ---- crawl-frontier admission (#200): first-claim URL state +
     // stateless rules/sized-bloom — fixed URL pool under fresh doc
     // ids, so state saturates at the pool's distinct canonical count
-    val crawlPts = {
+    val crawlPts = if (!want("crawl_admission")) Seq.empty[SoakPoint] else {
       val pool = graft.Tables.load(spark, sfDir, "documents")
         .limit(500)
         .select(expr(graft.operators.Url.crawlSynthSql("spark")).as("url"))
@@ -361,7 +365,7 @@ object StreamBench {
     // fresh admitted verdict rows every batch over a FIXED 20-domain
     // pool, so state saturates at 20 rows immediately and the curve
     // must stay flat while counters only increment in place
-    val quotaPts = {
+    val quotaPts = if (!want("crawl_quota")) Seq.empty[SoakPoint] else {
       val NDomains = 20
       val input = MemoryStream[(Long, String, String, String, String,
         Option[Long], Long)]
@@ -391,16 +395,18 @@ object StreamBench {
     }
 
     val json = "{\"metric\":\"stream_soak\",\"streams\":{" +
-      Seq(soakSummary("gelf_reassembly", gelfPts),
-        soakSummary("minhash_admission", minhashPts),
-        soakSummary("semantic_admission", semPts),
-        soakSummary("curation_admission", curPts),
-        soakSummary("classifier_admission", clfPts),
-        soakSummary("wordpiece_admission", wpPts),
-        soakSummary("media_hash_ingest", mhPts),
-        soakSummary("media_pipeline_admission", mpPts),
-        soakSummary("crawl_admission", crawlPts),
-        soakSummary("crawl_quota", quotaPts)).mkString(",") +
+      Seq("gelf_reassembly" -> gelfPts,
+        "minhash_admission" -> minhashPts,
+        "semantic_admission" -> semPts,
+        "curation_admission" -> curPts,
+        "classifier_admission" -> clfPts,
+        "wordpiece_admission" -> wpPts,
+        "media_hash_ingest" -> mhPts,
+        "media_pipeline_admission" -> mpPts,
+        "crawl_admission" -> crawlPts,
+        "crawl_quota" -> quotaPts)
+        .filter(l => want(l._1))
+        .map(l => soakSummary(l._1, l._2)).mkString(",") +
       s"},\"sf\":\"$sfDir\"}"
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "soak.json")
@@ -427,7 +433,8 @@ object StreamBench {
       soak(spark,
         args.lift(1).getOrElse(
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
-        args.lift(2).map(_.toInt).getOrElse(300))
+        args.lift(2).map(_.toInt).getOrElse(300),
+        args.lift(3).map(_.split(",").toSet))
       spark.stop()
       return
     }

@@ -115,7 +115,13 @@ object Stress {
     // dup-chain resolution (the component kernel over xN-hotter
     // forests), and the compacted-index serve path
     "crawl_pipeline", "crawl_pipeline_audit", "corpus_url_bloom_sized",
-    "media_ahash_recall", "media_dup_resolve", "ann_index_compact")
+    "media_ahash_recall", "media_dup_resolve", "ann_index_compact",
+    // round-19 additions: the multi-cycle frontier walk (id-shifted
+    // twins make every cycle's dedup keeper and the advancing bloom
+    // xN hotter, and the capacity-sized geometry must GROW with the
+    // corpus) and the crop-robust shingle-histogram recall gate
+    // (map-only per-asset folds - xN linearity expected, measured)
+    "crawl_frontier_cycles", "media_ghash_recall")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {
