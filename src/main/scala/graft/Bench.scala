@@ -96,7 +96,12 @@ object Bench {
     // crop-robust shingle-histogram recall gate (a second independent
     // per-asset fold — the aHash gate measures the position fold, this
     // measures the position-free one)
-    "crawl_frontier_cycles", "media_ghash_recall")
+    "crawl_frontier_cycles", "media_ghash_recall",
+    // the crop-twin detector join (the gHash fold + the shared banded
+    // candidate/confirm chain over its own planted-crop corpus — the
+    // join is the cost, not the fold, so it does not double-count the
+    // recall gate)
+    "media_ghash_dedup")
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

@@ -313,16 +313,21 @@ object MediaHash {
   /** The #180 chain over a caller-supplied (doc_id, content) frame —
     * the corpus query above plus the spec's crafted short/empty-asset
     * corpora ride the ONE spelling. */
-  private[graft] def dedupFrom(assetsDf: DataFrame): DataFrame = {
+  private[graft] def dedupFrom(assetsDf: DataFrame): DataFrame =
     // the byte-fold kernel feeds every consumer (both bucket sides +
     // both pair sides) — pin its signature frame so the corpus-scale
     // fold runs ONCE (Checkpoints discipline); the per-band bucket
     // rows then derive from the pinned 1-row-per-asset frame for free.
-    // posexplode of the 4-word hash emits ALL 4 band rows per asset —
-    // a zero-valued band (any asset < 49 bytes leaves band 3's cells
-    // empty; an empty asset leaves all 4) still buckets, mirrored by
-    // the oracle's `hb` CTE.
-    val h = graft.Checkpoints.pin(ahashKernel(assetsDf))
+    dedupFromHashes(graft.Checkpoints.pin(ahashKernel(assetsDf)))
+
+  /** Banded candidates + exact-Hamming confirm over a PINNED
+    * (doc_id, b0..b3) hash frame — the one detector-join spelling the
+    * aHash (#180) and gHash (#207) modalities share.
+    * posexplode of the 4-word hash emits ALL 4 band rows per asset —
+    * a zero-valued band (any asset < 49 bytes leaves band 3's cells
+    * empty; an empty asset leaves all 4) still buckets, mirrored by
+    * the oracle's `hb` CTE. */
+  private[graft] def dedupFromHashes(h: DataFrame): DataFrame = {
     val bands = h.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "band_val")))
@@ -902,8 +907,11 @@ object MediaHash {
 
   /** gHash chain over a (doc_id, j, b) byte relation (j 1-based,
     * renumbered per transform): 4-byte windows via lead(), the shared
-    * poly fold, 64-bin histogram, threshold bits, 4 bands. */
-  private def ghashChain(sfx: String, bvSql: String): String = {
+    * poly fold, 64-bin histogram, threshold bits, 4 bands.
+    * `assetsCte` names the per-doc driving relation (the recall gate
+    * reads the #180 `assets`, the #207 dedup its crop-twin variant). */
+  private def ghashChain(sfx: String, bvSql: String,
+                         assetsCte: String = "assets"): String = {
     val p = graft.functions.SketchFunctions.PolyP
     s"""gbv_$sfx AS MATERIALIZED (
        |  $bvSql
@@ -923,7 +931,7 @@ object MediaHash {
        |  FROM gh_$sfx GROUP BY doc_id, bin
        |), gtot_$sfx AS MATERIALIZED (
        |  SELECT a.doc_id, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total
-       |  FROM assets a LEFT JOIN gcnt_$sfx g ON g.doc_id = a.doc_id
+       |  FROM $assetsCte a LEFT JOIN gcnt_$sfx g ON g.doc_id = a.doc_id
        |  GROUP BY a.doc_id
        |), gbits_$sfx AS MATERIALIZED (
        |  SELECT t.doc_id, g.bin // 16 AS band,
@@ -991,12 +999,134 @@ object MediaHash {
        |ORDER BY transform""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #207 media_ghash_dedup — the crop-twin DETECTOR join: #205 measures
+  // that gHash survives crops; this puts the modality where aHash
+  // already is (#180's banded candidates + exact-Hamming confirm), so
+  // a media pipeline catches cropped re-uploads end-to-end instead of
+  // only measuring that it could.
+  // ---------------------------------------------------------------------
+
+  /** Crop-twin residue: doc_id ≡ GTwinRes (mod GTwinMod) carries the
+    * PREVIOUS doc's bytes with the first [[RecallCropBytes]]
+    * characters dropped — the cropped re-upload of the same asset,
+    * the transform class #205's gate measured at 838‰. The %11
+    * re-encode twins stay planted too (shared residue rules with
+    * #180, re-encode precedence on the rare overlap), so the detector
+    * must catch BOTH transform classes in one pass. */
+  val GTwinMod = 13L
+  val GTwinRes = 7L
+
+  private val gSrcIdSql: String =
+    s"CASE WHEN doc_id % $TwinMod = $TwinRes THEN doc_id - 1 " +
+      s"WHEN doc_id % $GTwinMod = $GTwinRes THEN doc_id - 1 " +
+      "ELSE doc_id END"
+
+  private[graft] def gAssets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val base = d.select(col("doc_id"), expr(gSrcIdSql).as("src_id"),
+      (col("doc_id") % TwinMod === TwinRes).as("is_reenc"),
+      (col("doc_id") % TwinMod =!= TwinRes &&
+        col("doc_id") % GTwinMod === GTwinRes).as("is_crop"))
+    base.join(d.select(col("doc_id").as("src_id"), col("text")), Seq("src_id"))
+      .select(col("doc_id"),
+        when(col("is_reenc"), concat(col("text"), lit("x")))
+          .when(col("is_crop"),
+            expr(s"substring(text, ${RecallCropBytes + 1})"))
+          .otherwise(col("text")).as("content"))
+  }
+
+  private val gAssetsCte: String =
+    s"""g0 AS MATERIALIZED (
+       |  SELECT doc_id, $gSrcIdSql AS src_id,
+       |    doc_id % $TwinMod = $TwinRes AS is_reenc,
+       |    doc_id % $TwinMod <> $TwinRes
+       |      AND doc_id % $GTwinMod = $GTwinRes AS is_crop
+       |  FROM documents
+       |), gassets AS MATERIALIZED (
+       |  SELECT g0.doc_id,
+       |    CASE WHEN g0.is_reenc THEN concat(d.text, 'x')
+       |         WHEN g0.is_crop THEN substring(d.text, ${RecallCropBytes + 1})
+       |         ELSE d.text END AS content
+       |  FROM g0 JOIN documents d ON d.doc_id = g0.src_id
+       |)""".stripMargin
+
+  /** The gHash production kernel: one mapPartitions pass per asset
+    * (the ahashKernel shape over [[ghashBands]]). */
+  private[graft] def ghashKernel(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("content").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bands = ghashBands(bytes.iterator.map(_ & 0xff))
+          (id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** #207 media_ghash_dedup — banded gHash candidates + exact-Hamming
+    * confirm over the crop-twin corpus (the SHARED detector join,
+    * [[dedupFromHashes]] — same caps, same confirm radius, different
+    * signature). Scale shape identical to #180: the fold is one scan,
+    * signatures shuffle 10-byte band keys, buckets capped. */
+  def mediaGhashDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupFromHashes(graft.Checkpoints.pin(ghashKernel(gAssets(spark, dir))))
+
+  val mediaGhashDedupSql: String = {
+    val bvj =
+      s"""bxg AS MATERIALIZED (
+         |  SELECT doc_id, hex(encode(content)) AS hx FROM gassets
+         |), by2g AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(range(1, length(hx) // 2 + 1)) AS j, hx
+         |  FROM bxg
+         |), gbvj AS MATERIALIZED (
+         |  SELECT doc_id, j,
+         |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
+         |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
+         |  FROM by2g
+         |)""".stripMargin
+    s"""WITH $gAssetsCte, $bvj,
+       |${ghashChain("base", "SELECT doc_id, j, b FROM gbvj", "gassets")},
+       |hbg AS MATERIALIZED (
+       |  SELECT h.doc_id, g.band,
+       |    CASE g.band WHEN 0 THEN h.b0 WHEN 1 THEN h.b1
+       |                WHEN 2 THEN h.b2 ELSE h.b3 END AS band_val
+       |  FROM ghh_base h, (SELECT unnest(range(0, $Bands)) AS band) g
+       |), bucketsg AS MATERIALIZED (
+       |  SELECT band, band_val, doc_id FROM (
+       |    SELECT band, band_val, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS rn
+       |    FROM hbg
+       |  ) WHERE rn <= $BucketCap
+       |), pairsg AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bucketsg x JOIN bucketsg y
+       |    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+       |    AS hamming
+       |FROM pairsg p
+       |JOIN ghh_base a ON a.doc_id = p.doc_a
+       |JOIN ghh_base b ON b.doc_id = p.doc_b
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $HamMax
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_ahash" -> mediaAhash,
     "media_ahash_dedup" -> mediaAhashDedup,
     "media_ahash_clusters" -> mediaAhashClusters,
     "media_ahash_recall" -> mediaAhashRecall,
     "media_ghash_recall" -> mediaGhashRecall,
+    "media_ghash_dedup" -> mediaGhashDedup,
     "media_dup_resolve" -> mediaDupResolve)
 
   val oracle: Map[String, String] = Map(
@@ -1005,5 +1135,6 @@ object MediaHash {
     "media_ahash_clusters" -> mediaAhashClustersSql,
     "media_ahash_recall" -> mediaAhashRecallSql,
     "media_ghash_recall" -> mediaGhashRecallSql,
+    "media_ghash_dedup" -> mediaGhashDedupSql,
     "media_dup_resolve" -> mediaDupResolveSql)
 }

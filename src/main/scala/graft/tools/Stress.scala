@@ -121,7 +121,11 @@ object Stress {
     // xN hotter, and the capacity-sized geometry must GROW with the
     // corpus) and the crop-robust shingle-histogram recall gate
     // (map-only per-asset folds - xN linearity expected, measured)
-    "crawl_frontier_cycles", "media_ghash_recall")
+    "crawl_frontier_cycles", "media_ghash_recall",
+    // the crop-twin detector join: id-shifted twins make every gHash
+    // band bucket xN hotter - the BucketCap's designed-for case on
+    // the second signature family
+    "media_ghash_dedup")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

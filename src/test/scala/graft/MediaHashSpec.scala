@@ -432,6 +432,75 @@ class MediaHashSpec extends SparkSpec {
     }
   }
 
+  test("media_ghash_dedup equals the brute-force pair set; planted crop AND re-encode twins caught") {
+    val P = functions.SketchFunctions.PolyP
+    def ghashOf(bytes: Array[Byte]): Array[Long] = {
+      val bins = new Array[Long](Bits)
+      bytes.map(_ & 0xff).toSeq.sliding(operators.MediaHash.GramW)
+        .filter(_.length == operators.MediaHash.GramW)
+        .foreach { w =>
+          val h = w.foldLeft(0L)((acc, v) => (acc * 131 + v) % P)
+          bins((h % Bits).toInt) += 1
+        }
+      val cnt = bins.sum
+      val bands = new Array[Long](Bands)
+      for (i <- 0 until Bits)
+        if (Bits * bins(i) > cnt) bands(i / 16) |= 1L << (i % 16)
+      bands
+    }
+    // independent synthesis replay: re-encode twins (%11 ≡ 6, append
+    // 'x') take precedence over crop twins (%13 ≡ 7, drop the first 8
+    // CHARACTERS — codepoint-safe, the SQL substring semantics)
+    val gdocs: Map[Long, Array[Byte]] = docs.flatMap { case (id, _) =>
+      val isReenc = id % TwinMod == TwinRes
+      val isCrop = !isReenc && id % operators.MediaHash.GTwinMod ==
+        operators.MediaHash.GTwinRes
+      val srcId = if (isReenc || isCrop) id - 1 else id
+      docs.get(srcId).map { src =>
+        val s =
+          if (isReenc) src + "x"
+          else if (isCrop) {
+            val cps = src.codePoints().toArray
+            val drop = math.min(RecallCropBytes, cps.length)
+            new String(cps, drop, cps.length - drop)
+          } else src
+        id -> s.getBytes("UTF-8")
+      }
+    }
+    val ghashes = gdocs.map { case (id, b) => id -> ghashOf(b) }
+    // the banding is pigeonhole-complete at ham ≤ 3 over 4 bands, so
+    // the truth is the full brute-force radius set — provided no
+    // bucket reaches the cap (asserted, so completeness is exercised)
+    val ids = gdocs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      d = hamming(ghashes(ids(i)), ghashes(ids(j)))
+      if d <= HamMax
+    } yield (ids(i), ids(j), d)).toSeq.sorted
+    val bucketSizes = ghashes.toSeq
+      .flatMap { case (id, h) => h.zipWithIndex.map { case (v, b) => (b, v) -> id } }
+      .groupBy(_._1).map(_._2.size)
+    assert(bucketSizes.max <= BucketCap, "cap reached: completeness claim untested")
+    val got = operators.MediaHash.mediaGhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    // BOTH planted transform classes are caught by the one detector:
+    // crop twins at the #205-measured rate, re-encode twins near-all
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    val cropTwins = ids.filter(id => id % TwinMod != TwinRes &&
+      id % operators.MediaHash.GTwinMod == operators.MediaHash.GTwinRes &&
+      gdocs.contains(id - 1))
+    val cropFound = cropTwins.count(id => gotPairs.contains((id - 1, id)))
+    assert(cropTwins.nonEmpty && cropFound.toDouble / cropTwins.size >= 0.7,
+      s"crop-twin recall $cropFound/${cropTwins.size}")
+    val reencTwins = ids.filter(id => id % TwinMod == TwinRes &&
+      gdocs.contains(id - 1))
+    val reencFound = reencTwins.count(id => gotPairs.contains((id - 1, id)))
+    assert(reencTwins.nonEmpty && reencFound.toDouble / reencTwins.size >= 0.8,
+      s"re-encode twin recall $reencFound/${reencTwins.size}")
+  }
+
   test("media_dup_resolve: roots admitted, chains walked, crafted chain exact") {
     // batch reproduction of the stream's first-claim verdicts,
     // independently: owner = min doc_id per (band, value) bucket,
