@@ -162,6 +162,22 @@ object CrawlStream {
     HistoryBloom(words, m)
   }
 
+  /** A cold-start seen-set at a given capacity geometry: no pre-stream
+    * crawl history, every bit dark (#208 — the streaming frontier
+    * RECYCLING twin of the #203 batch walk starts here). In the
+    * chained stream the advancing seen-set is the URL-claim STATE
+    * itself: a canonical admitted (or even rejected) in cycle c is
+    * claimed, so any cycle-c+k re-discovery rejects as `dup_url` —
+    * the same rejections the batch walk's advancing bloom calls
+    * `seen`, arrived at through state instead of a rebuilt artifact
+    * (the class name differs, the admitted set is equal — the
+    * CrawlStreamSpec recycling leg proves it cycle for cycle). The
+    * frozen bloom artifact remains the PRE-STREAM history's gate, as
+    * in #200. */
+  def emptyBloom(mBits: Long): HistoryBloom =
+    HistoryBloom(new Array[Long]((((BloomK.toLong * mBits) + 63) >> 6).toInt),
+      mBits)
+
   /** In-row seen probe over a packed `bloom_words` ARRAY<BIGINT>
     * column: all K affine positions lit (the #185/#196 family over
     * the shared poly hash — identical collision math to the batch

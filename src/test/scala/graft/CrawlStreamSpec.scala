@@ -148,6 +148,81 @@ class CrawlStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("capacity"))
   }
 
+  test("frontier recycling: 3 chained cycles, admitted/scheduled sets equal the batch walk, discovery decays") {
+    // the streaming twin of #203: the batch walk advances bloom bits
+    // per cycle; the chained stream advances its URL-claim STATE — a
+    // canonical claimed in cycle c rejects any cycle-c+k re-discovery
+    // as dup_url, which is the same rejection the batch walk's bloom
+    // calls `seen`. Classes differ by mechanism; the ADMITTED (and
+    // hence scheduled) sets must be equal cycle for cycle — modulo
+    // bloom false positives, which the sized geometry measures at 0
+    // (a batch-side FP would over-reject vs the stream and fail this
+    // leg loudly). Every cycle boundary here is also a checkpoint
+    // RESTART, so the leg proves state survival three times over.
+    val in = Files.createTempDirectory("graft_rc_in")
+    val vout = Files.createTempDirectory("graft_rc_v")
+    val sout = Files.createTempDirectory("graft_rc_s")
+    val ckA = Files.createTempDirectory("graft_rc_cka")
+    val ckS = Files.createTempDirectory("graft_rc_cks")
+    // cold start at the #203 capacity geometry: sized for the crawl
+    // plan, every bit dark — no pre-stream history
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr(Url.crawlSynthSql("spark")).as("url"))
+    val m = corpus
+      .select(expr(Url.canonUrlSql("spark")).as("canon_url"))
+      .agg(countDistinct("canon_url").as("n_keys"))
+      .select(expr(Url.bloomMBitsSql(
+        "n_keys", Crawl.SeenBloomFpPermille, "spark")).as("m_bits"))
+      .head().getLong(0)
+    val hb = CrawlStream.emptyBloom(m)
+    val ranks = graft.Checkpoints.pin(Crawl.domainRanks(spark, sf))
+    val walk = Crawl.frontierCycles(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    (0 until Crawl.NumCycles).foreach { c =>
+      corpus.filter(col("doc_id") % 7 === c)
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val qa = CrawlStream.admissionQuery(spark, in.toString,
+        corpus.schema, hb, ckA.toString, vout.toString)
+      assert(qa.awaitTermination(120000))
+      val qs = CrawlStream.scheduleQuery(spark, vout.toString, ranks,
+        ckS.toString, sout.toString)
+      assert(qs.awaitTermination(120000))
+    }
+
+    val log = spark.read.parquet(vout.toString)
+    val sched = spark.read.parquet(sout.toString)
+    (0 until Crawl.NumCycles).foreach { c =>
+      val cycle = log.filter(col("batch_id") === c.toLong)
+      // one verdict per discovered URL of the increment
+      assert(ids(cycle) == ids(walk(c).batch), s"cycle $c coverage")
+      // the recycling equivalence: admitted sets equal — the batch
+      // walk's advancing bloom and the stream's claim state reject
+      // the same URLs
+      assert(ids(cycle.filter(col("verdict") === "admitted"))
+        == ids(walk(c).admitted), s"cycle $c admitted set")
+      // and the chained scheduler fetches exactly the batch schedule
+      assert(ids(sched.filter(col("cycle_id") === c.toLong))
+        == ids(walk(c).scheduled), s"cycle $c schedule")
+      // the seen-vs-dup adjudication is visible: past cycle 0, the
+      // batch walk's `seen` rejections surface here as dup_url whose
+      // owner lives in an EARLIER cycle (owner cycle = dup_of % 7)
+      if (c > 0) {
+        val crossOwners = cycle.filter(col("verdict") === "dup_url" &&
+          col("dup_of") % 7 < c.toLong).count()
+        assert(crossOwners > 0, s"cycle $c carries no cross-cycle rejections")
+      }
+    }
+    // convergence, read from the stream's own log: admitted decays
+    val admittedPerCycle = (0 until Crawl.NumCycles).map(c =>
+      log.filter(col("batch_id") === c.toLong &&
+        col("verdict") === "admitted").count())
+    assert(admittedPerCycle.last < admittedPerCycle.head,
+      s"no decay: $admittedPerCycle")
+    assert(admittedPerCycle.head > 0)
+  }
+
   test("per-domain quota: flood capped at exactly the quota, order-deterministic, cross-restart, domains independent") {
     import spark.implicits._
     val vin = Files.createTempDirectory("graft_q_v")
