@@ -616,7 +616,10 @@ object MediaHash {
        |  CAST(MAX(hamming) AS INT) AS max_hamming
        |FROM cmp_$name""".stripMargin
 
-  val mediaAhashRecallSql: String = {
+  /** The aHash recall chains (bvj + per-transform folds, ending in
+    * cmp_gain/cmp_crop/cmp_reencode) — shared by the #198 gate SQL
+    * and the #209 radius-sweep SQL. */
+  private lazy val ahashRecallCtes: String = {
     val bvj =
       s"""bvj AS MATERIALIZED (
          |  SELECT doc_id, j,
@@ -633,11 +636,14 @@ object MediaHash {
       s"SELECT doc_id, (j - 1) % $Bits AS cell, b FROM bvj " +
         s"UNION ALL SELECT doc_id, (length(hx) // 2) % $Bits AS cell, " +
         s"CAST($RecallReencodeByte AS BIGINT) AS b FROM bx")
-    s"""WITH $hashCtes, $bvj, $gain, $crop, $reenc
+    s"$bvj, $gain, $crop, $reenc"
+  }
+
+  val mediaAhashRecallSql: String =
+    s"""WITH $hashCtes, $ahashRecallCtes
        |${Seq("crop", "gain", "reencode").map(recallSummary)
            .mkString("\nUNION ALL\n")}
        |ORDER BY transform""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // #199 media_dup_resolve — streaming dup_of chains resolved to their
@@ -974,7 +980,10 @@ object MediaHash {
        |  CAST(MAX(hamming) AS INT) AS max_hamming
        |FROM gcmp_$name""".stripMargin
 
-  val mediaGhashRecallSql: String = {
+  /** The gHash recall chains (gbvj + base + per-transform folds +
+    * gcmp_* compares) — shared by #205's gate SQL and the #209
+    * radius-sweep SQL. */
+  private lazy val ghashRecallCtes: String = {
     val bvj =
       s"""gbvj AS MATERIALIZED (
          |  SELECT doc_id, j,
@@ -992,12 +1001,15 @@ object MediaHash {
       s"SELECT doc_id, j, b FROM gbvj " +
         s"UNION ALL SELECT doc_id, length(hx) // 2 + 1 AS j, " +
         s"CAST($RecallReencodeByte AS BIGINT) AS b FROM bx")
-    s"""WITH $bytesCtes, $bvj, $base, $gain, $crop, $reenc,
-       |${Seq("gain", "crop", "reencode").map(ghashCmp).mkString(",\n")}
+    s"""$bvj, $base, $gain, $crop, $reenc,
+       |${Seq("gain", "crop", "reencode").map(ghashCmp).mkString(",\n")}""".stripMargin
+  }
+
+  val mediaGhashRecallSql: String =
+    s"""WITH $bytesCtes, $ghashRecallCtes
        |${Seq("crop", "gain", "reencode").map(ghashSummary)
            .mkString("\nUNION ALL\n")}
        |ORDER BY transform""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // #207 media_ghash_dedup — the crop-twin DETECTOR join: #205 measures
@@ -1120,6 +1132,70 @@ object MediaHash {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #209 media_radius_sweep — the confirm radius justified by
+  // measurement for BOTH perceptual modalities in one table: #198 and
+  // #205 report recall at the PRODUCTION radius; this sweeps radius
+  // 0..7 so the knee (and the pigeonhole boundary) are measured, not
+  // asserted. n_within = pairs inside the radius; n_detected = the
+  // banded gate firing (band_hit AND within) — pigeonhole says
+  // detected == within for radius ≤ Bands−1 = 3, and the sweep SHOWS
+  // detection falling behind truth exactly past radius 3, which is
+  // the measured argument for 4×16 banding at HamMax 3.
+  // ---------------------------------------------------------------------
+
+  /** Radii swept (0..MaxSweepRadius); the production HamMax sits at
+    * the pigeonhole boundary Bands − 1 inside this range. */
+  val MaxSweepRadius = 7
+
+  def mediaRadiusSweep(spark: SparkSession, dir: String): DataFrame = {
+    val a = assets(spark, dir)
+    val rows = recallRows(a).withColumn("modality", lit("ahash"))
+      .unionByName(ghashRecallRows(a).withColumn("modality", lit("ghash")))
+    val grid = spark.range(0, MaxSweepRadius + 1L)
+      .select(col("id").cast("int").as("radius"))
+    rows.crossJoin(broadcast(grid))
+      .groupBy("modality", "transform", "radius")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("hamming") <= col("radius"), 1L).otherwise(0L))
+          .as("n_within"),
+        sum(when(col("band_hit") === 1 && col("hamming") <= col("radius"), 1L)
+          .otherwise(0L)).as("n_detected"))
+      .withColumn("recall_permille", expr("n_detected * 1000 div n_assets"))
+      .select(col("modality"), col("transform"), col("radius"),
+        col("n_assets"), col("n_within"), col("n_detected"),
+        col("recall_permille"))
+      .orderBy("modality", "transform", "radius")
+  }
+
+  val mediaRadiusSweepSql: String = {
+    val pieces = Seq(
+      ("ahash", "gain", "cmp_gain"), ("ahash", "crop", "cmp_crop"),
+      ("ahash", "reencode", "cmp_reencode"),
+      ("ghash", "gain", "gcmp_gain"), ("ghash", "crop", "gcmp_crop"),
+      ("ghash", "reencode", "gcmp_reencode"))
+      .map { case (m, t, cte) =>
+        s"SELECT '$m' AS modality, '$t' AS transform, hamming, band_hit FROM $cte"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH $hashCtes, $ahashRecallCtes,
+       |$ghashRecallCtes, sweep_rows AS MATERIALIZED (
+       |$pieces
+       |)
+       |SELECT modality, transform, CAST(g.radius AS INT) AS radius,
+       |  CAST(COUNT(*) AS BIGINT) AS n_assets,
+       |  CAST(SUM(CASE WHEN hamming <= g.radius THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_within,
+       |  CAST(SUM(CASE WHEN band_hit = 1 AND hamming <= g.radius
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |  CAST(SUM(CASE WHEN band_hit = 1 AND hamming <= g.radius
+       |       THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+       |    AS recall_permille
+       |FROM sweep_rows
+       |CROSS JOIN (SELECT unnest(range(0, ${MaxSweepRadius + 1})) AS radius) g
+       |GROUP BY modality, transform, g.radius
+       |ORDER BY modality, transform, radius""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_ahash" -> mediaAhash,
     "media_ahash_dedup" -> mediaAhashDedup,
@@ -1127,6 +1203,7 @@ object MediaHash {
     "media_ahash_recall" -> mediaAhashRecall,
     "media_ghash_recall" -> mediaGhashRecall,
     "media_ghash_dedup" -> mediaGhashDedup,
+    "media_radius_sweep" -> mediaRadiusSweep,
     "media_dup_resolve" -> mediaDupResolve)
 
   val oracle: Map[String, String] = Map(
@@ -1136,5 +1213,6 @@ object MediaHash {
     "media_ahash_recall" -> mediaAhashRecallSql,
     "media_ghash_recall" -> mediaGhashRecallSql,
     "media_ghash_dedup" -> mediaGhashDedupSql,
+    "media_radius_sweep" -> mediaRadiusSweepSql,
     "media_dup_resolve" -> mediaDupResolveSql)
 }

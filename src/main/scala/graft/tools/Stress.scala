@@ -125,7 +125,7 @@ object Stress {
     // the crop-twin detector join: id-shifted twins make every gHash
     // band bucket xN hotter - the BucketCap's designed-for case on
     // the second signature family
-    "media_ghash_dedup")
+    "media_ghash_dedup", "media_radius_sweep")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

@@ -501,6 +501,55 @@ class MediaHashSpec extends SparkSpec {
       s"re-encode twin recall $reencFound/${reencTwins.size}")
   }
 
+  test("media_radius_sweep: pigeonhole boundary measured, gates agree, modality knee visible") {
+    val sweep = operators.MediaHash.mediaRadiusSweep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val radii = 0 to operators.MediaHash.MaxSweepRadius
+    val keys = for {
+      m <- Seq("ahash", "ghash"); t <- Seq("gain", "crop", "reencode")
+    } yield (m, t)
+    assert(sweep.keySet == keys.flatMap(k => radii.map(r => (k._1, k._2, r))).toSet)
+
+    keys.foreach { case (m, t) =>
+      // monotone in radius, both curves
+      radii.sliding(2).foreach { case Seq(a, b) =>
+        assert(sweep((m, t, a))._2 <= sweep((m, t, b))._2, s"$m/$t within")
+        assert(sweep((m, t, a))._3 <= sweep((m, t, b))._3, s"$m/$t detected")
+      }
+      // the pigeonhole claim, MEASURED: at radius ≤ Bands−1 the banded
+      // gate equals ground truth on every row
+      (0 to HamMax).foreach { r =>
+        assert(sweep((m, t, r))._2 == sweep((m, t, r))._3,
+          s"$m/$t radius $r: banding lost a within-radius pair")
+      }
+    }
+    // the boundary is real: somewhere past HamMax detection falls
+    // behind truth (otherwise the sweep proves nothing about banding)
+    assert(keys.exists { case (m, t) =>
+      ((HamMax + 1) to operators.MediaHash.MaxSweepRadius)
+        .exists(r => sweep((m, t, r))._3 < sweep((m, t, r))._2)
+    }, "no row shows the pigeonhole boundary binding past HamMax")
+
+    // the production gates are points ON these curves: n_detected at
+    // radius HamMax equals the #198/#205 rows
+    val gateA = operators.MediaHash.mediaAhashRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val gateG = operators.MediaHash.mediaGhashRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    Seq("gain", "crop", "reencode").foreach { t =>
+      assert(sweep(("ahash", t, HamMax))._3 == gateA(t), s"ahash $t gate")
+      assert(sweep(("ghash", t, HamMax))._3 == gateG(t), s"ghash $t gate")
+    }
+
+    // the modality knee: gHash catches crops at the production radius
+    // that aHash misses even at the sweep's widest — the one-table
+    // justification for carrying both folds
+    assert(sweep(("ghash", "crop", HamMax))._3 >
+      sweep(("ahash", "crop", operators.MediaHash.MaxSweepRadius))._3,
+      "gHash's crop advantage not visible in the sweep")
+  }
+
   test("media_dup_resolve: roots admitted, chains walked, crafted chain exact") {
     // batch reproduction of the stream's first-claim verdicts,
     // independently: owner = min doc_id per (band, value) bucket,
