@@ -347,6 +347,72 @@ object CrawlStream {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // #210 epoch-windowed quota — the politeness-TRUE form of #204
+  // ---------------------------------------------------------------------
+
+  /** A verdict-log row carrying its arrival event time — the input of
+    * the epoch-windowed gate. */
+  case class TimedVerdictRow(doc_id: Long, canon_url: String, host: String,
+                             domain: String, verdict: String,
+                             dup_of: Option[Long], batch_id: Long,
+                             arrival_ts: java.sql.Timestamp)
+  /** Epoch-gate output: the verdict plus the politeness window it was
+    * charged against. */
+  case class EpochVerdict(doc_id: Long, canon_url: String, host: String,
+                          domain: String, verdict: String,
+                          dup_of: Option[Long], batch_id: Long,
+                          epoch_id: Long)
+
+  /** #210 — per-domain quota that RESETS each politeness epoch
+    * (#204's documented horizon knob, implemented): state is keyed by
+    * (domain, epoch) where epoch = arrival_ts div `epochSecs`, so the
+    * reset is EXACT window arithmetic — a flood is capped at `quota`
+    * per domain per window regardless of arrival order, and two
+    * windows can never leak budget into each other (an
+    * inactivity-timeout spelling would make the reset depend on
+    * arrival gaps). Closed windows EVICT through the event-time
+    * timeout once the watermark passes their end (the GelfChunkStream
+    * straggler discipline), so state is bounded by domains × ACTIVE
+    * windows — the politeness-true lifetime of a counter — instead of
+    * growing one counter per window forever. Within a micro-batch the
+    * spend order is (batch_id, doc_id), deterministic. */
+  def quotaVerdictsEpoch(rows: Dataset[TimedVerdictRow], quota: Long,
+                         epochSecs: Long): Dataset[EpochVerdict] = {
+    import rows.sparkSession.implicits._
+    rows.withWatermark("arrival_ts", "0 seconds")
+      .groupByKey(r => (r.domain, r.arrival_ts.getTime / (epochSecs * 1000L)))
+      .flatMapGroupsWithState[Long, EpochVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (key, rs, state) =>
+        if (state.hasTimedOut) {
+          // the watermark passed this window's end: the epoch is
+          // closed, its counter is garbage — evict
+          state.remove()
+          Iterator.empty
+        } else {
+          val sorted = rs.toArray.sortBy(r => (r.batch_id, r.doc_id))
+          var used = state.getOption.getOrElse(0L)
+          val out = sorted.map { r =>
+            val verdict =
+              if (r.verdict != "admitted") r.verdict
+              else if (used < quota) { used += 1; r.verdict }
+              else "over_quota"
+            EpochVerdict(r.doc_id, r.canon_url, r.host, r.domain,
+              verdict, r.dup_of, r.batch_id, key._2)
+          }
+          state.update(used)
+          // evict when the watermark crosses the window end; a late
+          // row for an already-passed window re-arms just past the
+          // current watermark (the row itself was already late)
+          state.setTimeoutTimestamp(
+            math.max((key._2 + 1) * epochSecs * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+        }
+      }
+  }
+
   /** #204 — the quota gate as its own chained query (the
     * materialized-handoff pattern, between [[admissionQuery]]'s
     * verdict log and [[scheduleQuery]]): reads verdict rows, applies

@@ -305,6 +305,59 @@ class CrawlStreamSpec extends SparkSpec {
     assert(scheduled.nonEmpty)
   }
 
+  test("epoch-windowed quota: exact per-epoch caps, windows never leak, closed windows evict") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val quota = 3L
+    val epochSecs = 100L
+    val input = MemoryStream[(Long, String, String, String, String,
+      Option[Long], Long, java.sql.Timestamp)]
+    val q = CrawlStream.quotaVerdictsEpoch(
+        input.toDS().toDF("doc_id", "canon_url", "host", "domain",
+          "verdict", "dup_of", "batch_id", "arrival_ts")
+          .as[CrawlStream.TimedVerdictRow], quota, epochSecs)
+      .writeStream.format("memory").queryName("epoch_quota")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def rows(ids: Seq[Long], dom: String, t: Long, b: Long) =
+      ids.map(i => (i, s"https://$dom/p$i", dom, dom, "admitted",
+        None: Option[Long], b, ts(t)))
+    try {
+      // window 0 ([0, 100)s): a 6-URL flood on d + 1 quiet row on e
+      input.addData(rows(1L to 6L, "d", 10, 0) ++ rows(Seq(101L), "e", 10, 0))
+      q.processAllAvailable()
+      // window 1: the SAME domain floods again — fresh budget
+      input.addData(rows(11L to 16L, "d", 110, 1))
+      q.processAllAvailable()
+      // window 2: one more arrival; processing it advances the
+      // watermark past window 0's end, evicting its counters
+      input.addData(rows(Seq(21L), "d", 210, 2))
+      q.processAllAvailable()
+
+      val got = spark.table("epoch_quota")
+        .select("doc_id", "verdict", "epoch_id").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      // per-epoch caps, spend in doc order
+      assert((1L to 3L).forall(got(_) == ("admitted", 0L)))
+      assert((4L to 6L).forall(got(_) == ("over_quota", 0L)))
+      assert(got(101L) == ("admitted", 0L), "independent domain throttled")
+      // the reset: window 1 admits a fresh quota for the same domain
+      assert((11L to 13L).forall(got(_) == ("admitted", 1L)))
+      assert((14L to 16L).forall(got(_) == ("over_quota", 1L)))
+      assert(got(21L) == ("admitted", 2L))
+      // eviction: processing window 2 advances the watermark to 110 s
+      // (closing window 0 in that batch), and the follow-up no-data
+      // micro-batch advances it to 210 s, closing window 1 too — only
+      // the one still-open window's counter remains
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      assert(stateRows == 1L,
+        s"state rows $stateRows != 1 live window — closed epochs not evicted")
+    } finally q.stop()
+  }
+
   test("per-cycle scheduler: each increment schedules like batch stages 4-5; budget exact and fair") {
     val in = Files.createTempDirectory("graft_crsch_in")
     val vout = Files.createTempDirectory("graft_crsch_v")
