@@ -304,9 +304,35 @@ object Crawl {
     * single-cycle pipeline rather than forking a second URL space. */
   val NumCycles = 3
 
+  /** Per-domain admission quota PER CYCLE (#212, round 20 — the
+    * deterministic batch spelling of the #204/#210 streaming gate:
+    * the walk caps each domain's admissions within a cycle before
+    * scheduling, and the quota RESETS at the cycle boundary — exactly
+    * [[graft.streaming.CrawlStream.quotaVerdictsEpoch]] with
+    * epoch = cycle, the parity the recycling spec pins). 2 binds at
+    * the 500-doc spec/sf corpus (cycle-0 domains average ~3
+    * admissions) and at every ×N stress decade. */
+  val CycleDomainQuota = 2L
+
   private[graft] final case class CycleFrames(
-      batch: DataFrame, admitted: DataFrame, scheduled: DataFrame,
+      batch: DataFrame, admitted: DataFrame, kept: DataFrame,
+      overQuota: DataFrame, scheduled: DataFrame,
       newDomains: DataFrame, bitsAfter: DataFrame)
+
+  /** The quota cut over a cycle's admitted frame: per-domain queue
+    * positions in doc_id order, first `quota` kept, the rest
+    * re-verdicted `over_quota` — one window over the admitted rows
+    * (domain-partitioned, never a global sort), the #204 spend rule
+    * as batch algebra. The ranked frame pins once; both sides derive
+    * from it. */
+  private[graft] def quotaCut(admitted: DataFrame,
+                              quota: Long): (DataFrame, DataFrame) = {
+    val ranked = graft.Checkpoints.pin(
+      admitted.withColumn("q_pos", expr(
+        "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)")))
+    (ranked.filter(col("q_pos") <= quota).drop("q_pos"),
+      ranked.filter(col("q_pos") > quota).drop("q_pos"))
+  }
 
   /** The multi-cycle walk. The crawl starts COLD (no history — cycle
     * 0 probes an empty bloom and admits every rule-passing distinct
@@ -326,8 +352,9 @@ object Crawl {
     * 3's exact plan), the broadcast domain-rank join, and windows/
     * water-fill on domain-sized frames. Bits accumulate by
     * union+distinct — monotone, never rebuilt. */
-  private[graft] def frontierCycles(spark: SparkSession,
-                                    dir: String): Seq[CycleFrames] = {
+  private[graft] def frontierCycles(spark: SparkSession, dir: String,
+                                    quota: Long = CycleDomainQuota)
+      : Seq[CycleFrames] = {
     import spark.implicits._
     val c = graft.Checkpoints.pin(
       Tables.load(spark, dir, "documents")
@@ -358,7 +385,14 @@ object Crawl {
         .filter(col("k_hits") === k).select("doc_id")
       val admitted = graft.Checkpoints.pin(
         r1.join(seen, Seq("doc_id"), "left_anti"))
-      val (_, s5) = scheduleFrom(admitted, ranks)
+      // the per-cycle politeness quota (#212): admissions stand — the
+      // URL was deduplicated, rule-checked and bloom-new, and its bits
+      // advance the history exactly as before — but only each domain's
+      // first `quota` admissions (doc_id order) reach the scheduler
+      // this cycle; the cut is the #204 gate's position, BETWEEN
+      // admission and scheduling
+      val (kept, overQuota) = quotaCut(admitted, quota)
+      val (_, s5) = scheduleFrom(kept, ranks)
       val newDom = admitted.select("domain").distinct()
         .join(doms, Seq("domain"), "left_anti")
       val bitsAfter = graft.Checkpoints.pin(
@@ -368,33 +402,39 @@ object Crawl {
       doms = graft.Checkpoints.pin(
         doms.unionByName(admitted.select("domain")).distinct())
       bits = bitsAfter
-      CycleFrames(batch, admitted, s5, newDom, bitsAfter)
+      CycleFrames(batch, admitted, kept, overQuota, s5, newDom, bitsAfter)
     }
   }
 
   /** #203 crawl_frontier_cycles — one audit row per cycle: (cycle_id,
-    * n_discovered, n_admitted, n_scheduled, n_new_domains). The
-    * convergence read: admitted/new-domain counts DECAY as the
-    * accumulated history absorbs re-discoveries — the rate an
-    * operator watches to call a crawl converged. All counts are
-    * cycle-scoped aggregates over the walk's pinned frames; the row
-    * frame itself is NumCycles rows of broadcast-combined scalars. */
+    * n_discovered, n_admitted, n_over_quota, n_scheduled,
+    * n_new_domains). The convergence read: admitted/new-domain counts
+    * DECAY as the accumulated history absorbs re-discoveries — the
+    * rate an operator watches to call a crawl converged —  and
+    * n_over_quota (round 20, #212) is the politeness cut between
+    * admission and scheduling: admissions a one-domain storm pushed
+    * past [[CycleDomainQuota]] this cycle. All counts are cycle-scoped
+    * aggregates over the walk's pinned frames; the row frame itself is
+    * NumCycles rows of broadcast-combined scalars. */
   def crawlFrontierCycles(spark: SparkSession, dir: String): DataFrame =
     frontierCycles(spark, dir).zipWithIndex.map { case (cy, cid) =>
       cy.batch.agg(count(lit(1)).as("n_discovered"))
         .crossJoin(broadcast(cy.admitted.agg(count(lit(1)).as("n_admitted"))))
+        .crossJoin(broadcast(
+          cy.overQuota.agg(count(lit(1)).as("n_over_quota"))))
         .crossJoin(broadcast(cy.scheduled.agg(count(lit(1)).as("n_scheduled"))))
         .crossJoin(broadcast(
           cy.newDomains.agg(count(lit(1)).as("n_new_domains"))))
         .select(lit(cid.toLong).as("cycle_id"), col("n_discovered"),
-          col("n_admitted"), col("n_scheduled"), col("n_new_domains"))
+          col("n_admitted"), col("n_over_quota"), col("n_scheduled"),
+          col("n_new_domains"))
     }.reduce(_ unionByName _).orderBy("cycle_id")
 
   /** Oracle: the walk unrolled cycle by cycle (the pagerankCtes
     * discipline) — positions once, per-cycle dedup/rules/seen/
-    * schedule, bits rederived from all prior admitted sets
-    * (equivalent to the monotone union), water-fill CTEs
-    * prefix-isolated per cycle. */
+    * QUOTA/schedule, bits rederived from all prior admitted sets
+    * (equivalent to the monotone union; the quota cuts scheduling,
+    * never history), water-fill CTEs prefix-isolated per cycle. */
   val crawlFrontierCyclesSql: String = {
     val p = graft.functions.SketchFunctions.PolyP
     val hashDuck = graft.functions.SketchFunctions.polyHashSqlDuck("canon_url")
@@ -464,11 +504,18 @@ object Crawl {
          |), $bitsCte$seenCte, fa$i AS MATERIALIZED (
          |  SELECT * FROM fr$i
          |  WHERE doc_id NOT IN (SELECT doc_id FROM fseen$i)
+         |), fqr$i AS MATERIALIZED (
+         |  SELECT fa$i.*,
+         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS q_pos
+         |  FROM fa$i
+         |), fkept$i AS MATERIALIZED (
+         |  SELECT doc_id, canon_url, host, domain FROM fqr$i
+         |  WHERE q_pos <= $CycleDomainQuota
          |), fs4_$i AS MATERIALIZED (
-         |  SELECT fa$i.*, pr.rank_fp,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY fa$i.domain
-         |         ORDER BY fa$i.doc_id) AS INT) AS host_pos
-         |  FROM fa$i JOIN pr ON pr.domain = fa$i.domain
+         |  SELECT fkept$i.*, pr.rank_fp,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY fkept$i.domain
+         |         ORDER BY fkept$i.doc_id) AS INT) AS host_pos
+         |  FROM fkept$i JOIN pr ON pr.domain = fkept$i.domain
          |), fper$i AS (
          |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls
          |  FROM fs4_$i GROUP BY domain
@@ -484,6 +531,8 @@ object Crawl {
       s"""SELECT CAST($i AS BIGINT) AS cycle_id,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fb$i) AS n_discovered,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fa$i) AS n_admitted,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fqr$i
+         |   WHERE q_pos > $CycleDomainQuota) AS n_over_quota,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fs5_$i) AS n_scheduled,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fnd$i) AS n_new_domains""".stripMargin
     }.mkString("\nUNION ALL\n")

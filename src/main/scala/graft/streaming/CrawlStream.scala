@@ -118,6 +118,13 @@ object CrawlStream {
     * outgrows the threshold. The frozen in-row artifact here serves
     * the common case where the whole history fits one executor. */
   case class HistoryBloom(words: Array[Long], mBits: Long) {
+    // guard the MULTIPLICATION first: an absurd caller-supplied mBits
+    // (> Long.MaxValue/K) would overflow K·m negative and slip past
+    // the capacity require, failing later on the words-length require
+    // with a misleading message (r19 ADVICE)
+    require(mBits >= 0 && mBits <= Long.MaxValue / BloomK,
+      s"HistoryBloom: mBits=$mBits overflows the $BloomK-plane bit count — " +
+        s"far past the packed artifact's capacity ($HistoryBloomMaxBits bits)")
     val totalBits: Long = BloomK.toLong * mBits
     require(totalBits <= HistoryBloomMaxBits,
       s"HistoryBloom: $totalBits bits exceeds the packed artifact's " +
@@ -151,14 +158,21 @@ object CrawlStream {
         "the packed artifact capacity — use the bits-relation join " +
         "(Crawl.pipelineFrames stage 3) for this history size")
     val words = new Array[Long](((totalBits + 63) >> 6).toInt)
+    // build by WORD aggregation (r19 VERDICT #4): OR each position's
+    // bit into its 64-bit word cluster-side (map-side-combined
+    // groupBy), so the driver collects at most words.length rows —
+    // transfer bounded by the ARTIFACT size, not the history's
+    // distinct-(j, pos) count (the old distinct.collect shipped one
+    // row per lit bit: ~67 rows per history URL, a 2.0e9-URL history
+    // would have collected 1.3e11 rows to light 16 GiB of words)
     Url.bloomPositionsSized(
         history.select("canon_url").crossJoin(broadcast(geo)), BloomK)
-      .select("j", "pos").distinct()
+      .select((col("j").cast("long") * m + col("pos")).as("idx"))
+      .select(expr("idx div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("word"))
       .collect()
-      .foreach { r =>
-        val idx = r.getInt(0).toLong * m + r.getLong(1)
-        words((idx >> 6).toInt) |= 1L << (idx & 63L).toInt
-      }
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     HistoryBloom(words, m)
   }
 
@@ -309,8 +323,12 @@ object CrawlStream {
                         dup_of: Option[Long], batch_id: Long)
 
   /** The stateful per-domain counter gate: `admitted` rows consume
-    * the domain's quota in (batch_id, doc_id) order; once `quota`
-    * admissions have been spent the verdict re-writes to `over_quota`.
+    * the domain's quota in (batch_id, doc_id) order WITHIN each
+    * micro-batch (the deterministic sort below is per-trigger: if the
+    * file source splits one drain's increments across triggers, spend
+    * order across them follows trigger order — r19 ADVICE); once
+    * `quota` admissions have been spent the verdict re-writes to
+    * `over_quota`.
     * Every other verdict class passes through untouched, so the
     * output is a COMPLETE verdict log in the same schema — the
     * scheduler chains off it unchanged, and an over-quota URL simply
@@ -376,7 +394,20 @@ object CrawlStream {
     * straggler discipline), so state is bounded by domains × ACTIVE
     * windows — the politeness-true lifetime of a counter — instead of
     * growing one counter per window forever. Within a micro-batch the
-    * spend order is (batch_id, doc_id), deterministic. */
+    * spend order is (batch_id, doc_id), deterministic.
+    *
+    * LATE rows — at/below the batch's watermark — never spend budget
+    * (r19 ADVICE: a straggler for an already-EVICTED window must not
+    * recreate its counter at used = 0 and admit up to 2× quota).
+    * MEASURED on this Spark version: the stateful operator itself
+    * drops late input before the group function runs (the
+    * CrawlStreamSpec straggler leg pins it — no output row, no state
+    * resurrection), so the budget cannot re-open. The in-function
+    * guard below is defense in depth for engines/versions that do
+    * deliver late rows: they re-verdict to `late`, spend nothing, and
+    * an all-late group never (re)creates state. Callers needing
+    * straggler ACCOUNTING read the input-side drop metrics
+    * (numRowsDroppedByWatermark), the standard watermark discipline. */
   def quotaVerdictsEpoch(rows: Dataset[TimedVerdictRow], quota: Long,
                          epochSecs: Long): Dataset[EpochVerdict] = {
     import rows.sparkSession.implicits._
@@ -391,23 +422,33 @@ object CrawlStream {
           state.remove()
           Iterator.empty
         } else {
+          val wm = state.getCurrentWatermarkMs()
           val sorted = rs.toArray.sortBy(r => (r.batch_id, r.doc_id))
           var used = state.getOption.getOrElse(0L)
           val out = sorted.map { r =>
             val verdict =
-              if (r.verdict != "admitted") r.verdict
+              if (r.arrival_ts.getTime < wm) "late"
+              else if (r.verdict != "admitted") r.verdict
               else if (used < quota) { used += 1; r.verdict }
               else "over_quota"
             EpochVerdict(r.doc_id, r.canon_url, r.host, r.domain,
               verdict, r.dup_of, r.batch_id, key._2)
           }
-          state.update(used)
-          // evict when the watermark crosses the window end; a late
-          // row for an already-passed window re-arms just past the
-          // current watermark (the row itself was already late)
-          state.setTimeoutTimestamp(
-            math.max((key._2 + 1) * epochSecs * 1000L,
-              state.getCurrentWatermarkMs() + 1L))
+          // (re)create state only when a LIVE row touched this window
+          // (a row at/above the watermark implies its window end is
+          // still ahead of the watermark, i.e. the window is open):
+          // an all-late group must not resurrect an evicted window's
+          // counter — it would linger as an un-evictable state row
+          val anyLive = sorted.exists(_.arrival_ts.getTime >= wm)
+          if (anyLive || state.exists) {
+            state.update(used)
+            // evict when the watermark crosses the window end; a late
+            // row for an already-passed window re-arms just past the
+            // current watermark (the row itself was already late)
+            state.setTimeoutTimestamp(
+              math.max((key._2 + 1) * epochSecs * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
           out.iterator
         }
       }
@@ -430,6 +471,45 @@ object CrawlStream {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: Dataset[VerdictRow], _: Long) =>
+        batch.toDF().write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
+  /** #210 as a CHAINED query (VERDICT r19 #3 — the [[quotaQuery]]
+    * shape over [[quotaVerdictsEpoch]], slotting between
+    * [[admissionQuery]] and [[scheduleQuery]] through storage): reads
+    * the admission verdict log and derives each row's politeness
+    * window from its INCREMENT — arrival_ts = batch_id · epochSecs —
+    * because a file-driven frontier's admission increments ARE its
+    * arrival clock (one verdict drop = one discovery cycle, the #202
+    * cycle semantics), so epoch_id = batch_id = cycle and the quota
+    * resets exactly at cycle boundaries: the deterministic batch twin
+    * is [[graft.operators.Crawl.frontierCycles]]'s per-(domain, cycle)
+    * cap, and the recycling spec pins the two equal cycle for cycle.
+    * Output keeps the full [[verdictSchema]] plus `epoch_id`, so
+    * [[scheduleQuery]] chains off it unchanged (its schema read
+    * simply ignores the extra column) and only within-quota
+    * admissions ever reach a fetch list. */
+  def epochQuotaQuery(spark: SparkSession, verdictDir: String,
+                      checkpointDir: String, outDir: String,
+                      quota: Long = DomainQuota,
+                      epochSecs: Long = 3600L): StreamingQuery = {
+    import spark.implicits._
+    quotaVerdictsEpoch(
+      spark.readStream.schema(verdictSchema).parquet(verdictDir)
+        // +1 s inside the window: increment 0 must sit ABOVE the
+        // initial zero watermark — the stateful operator drops rows
+        // at/below it, which would silently swallow the first cycle
+        .withColumn("arrival_ts",
+          timestamp_seconds(col("batch_id") * epochSecs + 1))
+        .as[TimedVerdictRow], quota, epochSecs)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[EpochVerdict], _: Long) =>
         batch.toDF().write.mode("append").parquet(outDir)
         ()
       }

@@ -126,10 +126,27 @@ object StreamBench {
     s
   }
 
+  /** Every soak leg name, in output order — the leg-subset argument
+    * validates against this list so a typo fails loudly BEFORE any
+    * leg runs (and before the output file is overwritten), instead of
+    * silently disabling every leg and clobbering the previous
+    * artifact with an empty streams object (r19 ADVICE). */
+  val SoakLegs: Seq[String] = Seq(
+    "gelf_reassembly", "minhash_admission", "semantic_admission",
+    "curation_admission", "classifier_admission", "wordpiece_admission",
+    "media_hash_ingest", "media_pipeline_admission", "crawl_admission",
+    "crawl_quota", "crawl_epoch_quota")
+
   def soak(spark: SparkSession, sfDir: String, nBatches: Int,
            legs: Option[Set[String]] = None): Unit = {
     // optional leg subset: the 1000-batch stretch runs ONLY the two
     // bucket-state gates without paying 10 legs x 10x batches
+    legs.foreach { ls =>
+      val unknown = ls -- SoakLegs.toSet
+      require(unknown.isEmpty,
+        s"soak: unknown leg name(s) ${unknown.toSeq.sorted.mkString(", ")} — " +
+          s"known legs: ${SoakLegs.mkString(", ")}")
+    }
     def want(n: String): Boolean = legs.forall(_.contains(n))
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{GelfChunkStream, MinhashStream, SemanticStream}
@@ -394,6 +411,46 @@ object StreamBench {
       }) finally q.stop()
     }
 
+    // ---- epoch-windowed quota gate (#210): state = one long per
+    // (domain, ACTIVE window) — every batch opens a fresh politeness
+    // epoch over the FIXED 20-domain pool and the event-time timeout
+    // evicts a window once the watermark passes its end (one window of
+    // eviction lag at this cadence), so the curve must saturate at
+    // domains × 2 live windows and stay flat for any horizon — the
+    // never-grows claim of the #210 politeness-true counter lifetime
+    val epochPts = if (!want("crawl_epoch_quota")) Seq.empty[SoakPoint] else {
+      val NDomains = 20
+      val EpochSecs = 50L
+      val input = MemoryStream[(Long, String, String, String, String,
+        Option[Long], Long, java.sql.Timestamp)]
+      val q = graft.streaming.CrawlStream.quotaVerdictsEpoch(
+          input.toDS().toDF("doc_id", "canon_url", "host", "domain",
+            "verdict", "dup_of", "batch_id", "arrival_ts")
+            .as[graft.streaming.CrawlStream.TimedVerdictRow],
+          quota = Long.MaxValue, epochSecs = EpochSecs).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.CrawlStream.EpochVerdict],
+           _: Long) =>
+            b.toDF().write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val UrlsPerBatch = 100
+      try soakRun(q, nBatches, { i =>
+        val base = i.toLong * UrlsPerBatch
+        // +1 s: batch 0 must sit above the initial zero watermark
+        // (the operator drops rows at/below it)
+        val ts = new java.sql.Timestamp((i.toLong * EpochSecs + 1) * 1000L)
+        input.addData((0 until UrlsPerBatch).map { j =>
+          val id = base + j
+          val dom = s"dom${id % NDomains}"
+          (id, s"https://$dom.example.com/p$id", s"$dom.example.com",
+            dom, "admitted", None: Option[Long], i.toLong, ts)
+        })
+        ()
+      }) finally q.stop()
+    }
+
     val json = "{\"metric\":\"stream_soak\",\"streams\":{" +
       Seq("gelf_reassembly" -> gelfPts,
         "minhash_admission" -> minhashPts,
@@ -404,7 +461,8 @@ object StreamBench {
         "media_hash_ingest" -> mhPts,
         "media_pipeline_admission" -> mpPts,
         "crawl_admission" -> crawlPts,
-        "crawl_quota" -> quotaPts)
+        "crawl_quota" -> quotaPts,
+        "crawl_epoch_quota" -> epochPts)
         .filter(l => want(l._1))
         .map(l => soakSummary(l._1, l._2)).mkString(",") +
       s"},\"sf\":\"$sfDir\"}"

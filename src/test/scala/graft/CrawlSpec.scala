@@ -179,20 +179,74 @@ class CrawlSpec extends SparkSpec {
     // appear once cycle 0 has seen them all
     val rows = Crawl.crawlFrontierCycles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
+        r.getLong(4), r.getLong(5)))
     assert(rows.map(_._1).toSeq == (0L until Crawl.NumCycles).toSeq)
     assert(rows.forall(_._2 > 0), "empty discovery increment")
     assert(rows.last._3 < rows.head._3,
       "admitted did not decay across the walk")
-    assert(rows.head._5 > 0, "cycle 0 found no domains")
-    assert(rows.tail.map(_._5).sum < rows.head._5,
+    assert(rows.head._6 > 0, "cycle 0 found no domains")
+    assert(rows.tail.map(_._6).sum < rows.head._6,
       "no domain-discovery decay — convergence invisible")
     // the audit rows agree with the walk's own frames
-    rows.zip(cycles).foreach { case ((_, disc, adm, sched, _), cy) =>
+    rows.zip(cycles).foreach { case ((_, disc, adm, oq, sched, _), cy) =>
       assert(disc == cy.batch.count())
       assert(adm == cy.admitted.count())
+      assert(oq == cy.overQuota.count())
       assert(sched == cy.scheduled.count())
     }
+
+    // the per-cycle quota (#212): over_quota = the exact per-domain
+    // excess past CycleDomainQuota, recomputed independently from the
+    // admitted frames; the quota BINDS at spec scale (cycle 0's domains
+    // average ~3 admissions), and kept + over = admitted per cycle
+    rows.zip(cycles).foreach { case ((cid, _, adm, oq, _, _), cy) =>
+      val perDomain = cy.admitted.select("domain").collect()
+        .map(_.getString(0)).groupBy(identity).map(_._2.length)
+      val expOver = perDomain.map(n =>
+        math.max(0L, n - Crawl.CycleDomainQuota)).sum
+      assert(oq == expOver, s"cycle $cid over_quota")
+      assert(cy.kept.count() + oq == adm, s"cycle $cid kept+over=admitted")
+      // kept per domain never exceeds the quota, and keeps are each
+      // domain's SMALLEST admitted doc_ids (the deterministic spend)
+      val keptBy = cy.kept.select("domain", "doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (d, g) => d -> g.map(_._2).sorted.toSeq }
+      val admBy = cy.admitted.select("domain", "doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (d, g) => d -> g.map(_._2).sorted.toSeq }
+      keptBy.foreach { case (d, ks) =>
+        assert(ks.size <= Crawl.CycleDomainQuota, s"cycle $cid domain $d")
+        assert(ks == admBy(d).take(ks.size), s"cycle $cid domain $d spend order")
+      }
+    }
+    assert(rows.map(_._4).sum > 0,
+      "the per-cycle quota never bound — the politeness cut is vacuous")
+  }
+
+  test("quotaCut: a planted one-domain flood is capped exactly; quiet domains untouched") {
+    import spark.implicits._
+    // 10-URL flood on one domain + 2 on a quiet one, out-of-order ids
+    val admitted = Seq(
+      (7L, "flood"), (1L, "flood"), (9L, "flood"), (3L, "flood"),
+      (5L, "flood"), (2L, "flood"), (8L, "flood"), (4L, "flood"),
+      (6L, "flood"), (10L, "flood"),
+      (101L, "quiet"), (102L, "quiet"))
+      .toDF("doc_id", "domain")
+    val (kept, over) = Crawl.quotaCut(admitted, 4L)
+    val keptRows = kept.select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val overRows = over.select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // the flood keeps exactly its 4 smallest doc_ids — (batch, doc)
+    // spend order, the #204 protocol's batch spelling
+    assert(keptRows.filter(_._2 == "flood").map(_._1).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    assert(overRows.filter(_._2 == "flood").map(_._1).sorted.toSeq
+      == (5L to 10L).toSeq)
+    // the quiet domain rides through whole — budgets are per-domain
+    assert(keptRows.filter(_._2 == "quiet").map(_._1).sorted.toSeq
+      == Seq(101L, 102L))
+    assert(!overRows.exists(_._2 == "quiet"))
   }
 
   test("bloomGeometry: the published operating points, exact integer m") {

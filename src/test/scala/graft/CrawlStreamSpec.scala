@@ -148,7 +148,7 @@ class CrawlStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("capacity"))
   }
 
-  test("frontier recycling: 3 chained cycles, admitted/scheduled sets equal the batch walk, discovery decays") {
+  test("frontier recycling: 3 chained cycles, admitted/quota/scheduled sets equal the batch walk, discovery decays") {
     // the streaming twin of #203: the batch walk advances bloom bits
     // per cycle; the chained stream advances its URL-claim STATE — a
     // canonical claimed in cycle c rejects any cycle-c+k re-discovery
@@ -159,10 +159,21 @@ class CrawlStreamSpec extends SparkSpec {
     // (a batch-side FP would over-reject vs the stream and fail this
     // leg loudly). Every cycle boundary here is also a checkpoint
     // RESTART, so the leg proves state survival three times over.
+    //
+    // Round 20: the #210 epoch gate CHAINS between admission and
+    // schedule (epochQuotaQuery — epoch_id = batch_id = cycle), and
+    // the batch walk applies the same per-(domain, cycle) quota
+    // (#212's quotaCut), so the leg now also pins: the stream's
+    // over_quota set == the walk's per cycle, the post-quota admitted
+    // set == the walk's kept, and the scheduler — reading the
+    // epoch-quota log instead of the raw verdict log — fetches the
+    // QUOTA-AWARE schedule.
     val in = Files.createTempDirectory("graft_rc_in")
     val vout = Files.createTempDirectory("graft_rc_v")
+    val qout = Files.createTempDirectory("graft_rc_q")
     val sout = Files.createTempDirectory("graft_rc_s")
     val ckA = Files.createTempDirectory("graft_rc_cka")
+    val ckQ = Files.createTempDirectory("graft_rc_ckq")
     val ckS = Files.createTempDirectory("graft_rc_cks")
     // cold start at the #203 capacity geometry: sized for the crawl
     // plan, every bit dark — no pre-stream history
@@ -186,12 +197,17 @@ class CrawlStreamSpec extends SparkSpec {
       val qa = CrawlStream.admissionQuery(spark, in.toString,
         corpus.schema, hb, ckA.toString, vout.toString)
       assert(qa.awaitTermination(120000))
-      val qs = CrawlStream.scheduleQuery(spark, vout.toString, ranks,
+      val qq = CrawlStream.epochQuotaQuery(spark, vout.toString,
+        ckQ.toString, qout.toString, quota = Crawl.CycleDomainQuota,
+        epochSecs = 100L)
+      assert(qq.awaitTermination(120000))
+      val qs = CrawlStream.scheduleQuery(spark, qout.toString, ranks,
         ckS.toString, sout.toString)
       assert(qs.awaitTermination(120000))
     }
 
     val log = spark.read.parquet(vout.toString)
+    val qlog = spark.read.parquet(qout.toString)
     val sched = spark.read.parquet(sout.toString)
     (0 until Crawl.NumCycles).foreach { c =>
       val cycle = log.filter(col("batch_id") === c.toLong)
@@ -202,7 +218,18 @@ class CrawlStreamSpec extends SparkSpec {
       // the same URLs
       assert(ids(cycle.filter(col("verdict") === "admitted"))
         == ids(walk(c).admitted), s"cycle $c admitted set")
+      // the chained epoch gate charges this cycle's window exactly
+      // (epoch_id = batch_id = cycle) and its quota cut equals the
+      // batch walk's per-(domain, cycle) quotaCut, row for row
+      val qcycle = qlog.filter(col("batch_id") === c.toLong)
+      assert(qcycle.filter(col("epoch_id") =!= col("batch_id")).count() == 0,
+        s"cycle $c charged a foreign window")
+      assert(ids(qcycle.filter(col("verdict") === "admitted"))
+        == ids(walk(c).kept), s"cycle $c post-quota admitted set")
+      assert(ids(qcycle.filter(col("verdict") === "over_quota"))
+        == ids(walk(c).overQuota), s"cycle $c over_quota set")
       // and the chained scheduler fetches exactly the batch schedule
+      // (quota-aware: it reads the epoch-quota log)
       assert(ids(sched.filter(col("cycle_id") === c.toLong))
         == ids(walk(c).scheduled), s"cycle $c schedule")
       // the seen-vs-dup adjudication is visible: past cycle 0, the
@@ -334,6 +361,16 @@ class CrawlStreamSpec extends SparkSpec {
       // watermark past window 0's end, evicting its counters
       input.addData(rows(Seq(21L), "d", 210, 2))
       q.processAllAvailable()
+      // a STRAGGLER for the long-closed window 0, arriving after the
+      // watermark (now 210 s) passed it: window 0's counter was
+      // evicted, so if this row reached the group function with fresh
+      // state it would spend budget at used = 0 — one epoch admitting
+      // up to 2× quota (r19 ADVICE). Measured behavior on this Spark
+      // version: the stateful operator DROPS late input before the
+      // function runs (asserted below — no output row, no resurrected
+      // state); the in-function `late` guard is defense in depth.
+      input.addData(rows(Seq(31L), "d", 15, 3))
+      q.processAllAvailable()
 
       val got = spark.table("epoch_quota")
         .select("doc_id", "verdict", "epoch_id").collect()
@@ -346,6 +383,13 @@ class CrawlStreamSpec extends SparkSpec {
       assert((11L to 13L).forall(got(_) == ("admitted", 1L)))
       assert((14L to 16L).forall(got(_) == ("over_quota", 1L)))
       assert(got(21L) == ("admitted", 2L))
+      // the post-eviction straggler never re-opened window 0's budget:
+      // the operator dropped it at the watermark (no verdict row), and
+      // window 0's admissions stand exactly where they were
+      assert(!got.contains(31L),
+        s"late straggler reached the output: ${got.get(31L)}")
+      assert(got.values.count(_ == ("admitted", 0L)) == 4, // 3×d + 1×e
+        "window 0 admitted past its quota after eviction")
       // eviction: processing window 2 advances the watermark to 110 s
       // (closing window 0 in that batch), and the follow-up no-data
       // micro-batch advances it to 210 s, closing window 1 too — only
