@@ -201,6 +201,23 @@ object AnnIndex {
     Similarity.annIvfPqQueryFrom(spark, dir, prunedToProbes(spark, dir, a))
   }
 
+  /** Query-only SERVE over an existing store — the reader half of the
+    * maintenance protocol (#215, round 20): refuse (None) unless the
+    * `_built` marker is present, so a crashed or still-in-flight
+    * build never serves partial artifacts; otherwise probe → LUT →
+    * ADC → rerank over the store as-is, never building. This is the
+    * seam a reader uses CONCURRENTLY with [[maintainIvfPq]]: the
+    * marker is written last, so every serve between `_built` and the
+    * append watermark returns the frozen snapshot's exact values, and
+    * every serve after returns the appended store's (compaction never
+    * changes values) — the PqSpec serve-during-maintenance leg
+    * measures exactly that dichotomy. */
+  def serveIvfPq(spark: SparkSession, dir: String,
+                 out: String): Option[DataFrame] =
+    if (!isBuilt(spark, out)) None
+    else Some(Similarity.annIvfPqQueryFrom(spark, dir,
+      prunedToProbes(spark, dir, readIvfPq(spark, out))))
+
   /** Restrict the corpus-scale artifact tables to the probed lists. */
   private def prunedToProbes(spark: SparkSession, dir: String,
                              a: Similarity.IvfPqArtifacts,

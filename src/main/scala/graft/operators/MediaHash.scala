@@ -408,11 +408,22 @@ object MediaHash {
     * dedup decision is `is_canonical`, and Σ n_bytes over canonicals
     * is the post-dedup storage bill. Oracle: the #180 chain + a
     * recursive reachability closure (the #79 oracle pattern). */
-  def mediaAhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = mediaAhashDedup(spark, dir).select("doc_a", "doc_b")
+  def mediaAhashClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(assets(spark, dir),
+      mediaAhashDedup(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** The #187 canonicalization kernel over a CALLER-SUPPLIED pair
+    * graph (factored in round 20 so the #190 pipeline's stage 1 can
+    * cluster the aHash ∪ gHash union through the ONE component
+    * algebra): components via the #79 alternating star kernel, labels
+    * converge to the min doc_id (the keeper rule), every asset
+    * reports (cluster_id, n_members, is_canonical, n_bytes). */
+  private[graft] def clustersFromPairs(assetsDf: DataFrame,
+                                       pairs: DataFrame): DataFrame = {
     val labels = Dedup.connectedComponents(pairs)
       .withColumnRenamed("doc_id", "d")
-    val base = assets(spark, dir)
+    val base = assetsDf
       .select(col("doc_id"),
         expr("octet_length(CAST(content AS BINARY))").cast("int").as("n_bytes"))
     val labelled = base
@@ -425,7 +436,6 @@ object MediaHash {
       .select(col("doc_id"), col("cluster_id"), col("n_members"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"),
         col("n_bytes"))
-      .orderBy("doc_id")
   }
 
   /** The #187 closure chain (requires WITH RECURSIVE): #180's pair
@@ -1088,20 +1098,24 @@ object MediaHash {
   def mediaGhashDedup(spark: SparkSession, dir: String): DataFrame =
     dedupFromHashes(graft.Checkpoints.pin(ghashKernel(gAssets(spark, dir))))
 
+  /** Per-byte rows over the crop-twin corpus (gassets → hex → (doc_id,
+    * j, b)) — shared by the #207 oracle and the #211 union chain. */
+  private val gByteCtes: String =
+    s"""bxg AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(content)) AS hx FROM gassets
+       |), by2g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(range(1, length(hx) // 2 + 1)) AS j, hx
+       |  FROM bxg
+       |), gbvj AS MATERIALIZED (
+       |  SELECT doc_id, j,
+       |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
+       |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
+       |  FROM by2g
+       |)""".stripMargin
+
   val mediaGhashDedupSql: String = {
-    val bvj =
-      s"""bxg AS MATERIALIZED (
-         |  SELECT doc_id, hex(encode(content)) AS hx FROM gassets
-         |), by2g AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    unnest(range(1, length(hx) // 2 + 1)) AS j, hx
-         |  FROM bxg
-         |), gbvj AS MATERIALIZED (
-         |  SELECT doc_id, j,
-         |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
-         |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
-         |  FROM by2g
-         |)""".stripMargin
+    val bvj = gByteCtes
     s"""WITH $gAssetsCte, $bvj,
        |${ghashChain("base", "SELECT doc_id, j, b FROM gbvj", "gassets")},
        |hbg AS MATERIALIZED (
@@ -1196,6 +1210,132 @@ object MediaHash {
        |ORDER BY modality, transform, radius""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // #211 media_dedup_union — the DUAL-modality detector (round 20,
+  // VERDICT r19 #1): #180 catches re-encodes, #207 catches crops; the
+  // composed pipeline must cut BOTH, so its stage 1 keeps canonicals
+  // over the UNION of the two pair graphs. This row is that union as
+  // its own oracle surface — one row per detected pair with
+  // per-modality provenance, over the crop-twin corpus both detectors
+  // already share.
+  // ---------------------------------------------------------------------
+
+  /** Both modalities' confirmed pair sets over [[gAssets]], outer-
+    * merged: (doc_a, doc_b, in_ahash, in_ghash). Each side is the
+    * SHARED [[dedupFromHashes]] chain over its own pinned signature
+    * frame — same caps, same radius, different fold — so the union
+    * costs two signature scans and two 10-byte-band-key joins, never
+    * a second corpus read beyond the folds themselves. NOT a bench
+    * headliner: it composes the two already-benched detector joins
+    * (#180/#207) and would double-count their cost. */
+  def mediaDedupUnion(spark: SparkSession, dir: String): DataFrame = {
+    val g = gAssets(spark, dir)
+    val ap = dedupFromHashes(graft.Checkpoints.pin(ahashKernel(g)))
+      .select("doc_a", "doc_b").withColumn("in_ahash", lit(1))
+    val gp = dedupFromHashes(graft.Checkpoints.pin(ghashKernel(g)))
+      .select("doc_a", "doc_b").withColumn("in_ghash", lit(1))
+    ap.join(gp, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("in_ahash"), lit(0)).as("in_ahash"),
+        coalesce(col("in_ghash"), lit(0)).as("in_ghash"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The aHash CTE chain over an arbitrary assets relation, all names
+    * prefixed — the [[hashCtes]] algebra parameterized so the #211
+    * union and the #190 pipeline oracle can hash the CROP-TWIN corpus
+    * (gassets) without forking the spelling. Ends in
+    * `${pfx}h(doc_id, b0..b3)`. */
+  private def ahashChainCtes(pfx: String, assetsRel: String): String =
+    s"""${pfx}bx AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(content)) AS hx FROM $assetsRel
+       |), ${pfx}by2 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(range(1, length(hx) // 2 + 1)) AS j, hx
+       |  FROM ${pfx}bx
+       |), ${pfx}bv AS MATERIALIZED (
+       |  SELECT doc_id, (j - 1) % $Bits AS cell,
+       |    CAST(16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*j-1 AS INT), 1)) - 1)
+       |       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*j AS INT), 1)) - 1) AS BIGINT) AS b
+       |  FROM ${pfx}by2
+       |), ${pfx}cells AS MATERIALIZED (
+       |  SELECT doc_id, cell, CAST(SUM(b) AS BIGINT) AS cs
+       |  FROM ${pfx}bv GROUP BY doc_id, cell
+       |), ${pfx}tot AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM ${pfx}cells GROUP BY doc_id
+       |), ${pfx}bits AS MATERIALIZED (
+       |  SELECT ${pfx}cells.doc_id, cell // 16 AS band,
+       |    CASE WHEN $Bits * cs > total
+       |         THEN (CAST(1 AS BIGINT) << CAST(cell % 16 AS INT))
+       |         ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM ${pfx}cells JOIN ${pfx}tot
+       |    ON ${pfx}cells.doc_id = ${pfx}tot.doc_id
+       |), ${pfx}bnd AS MATERIALIZED (
+       |  SELECT doc_id, band, CAST(SUM(bit) AS BIGINT) AS band_val
+       |  FROM ${pfx}bits GROUP BY doc_id, band
+       |), ${pfx}h AS MATERIALIZED (
+       |  SELECT a.doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 0 THEN band_val END), 0) AS BIGINT) AS b0,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 1 THEN band_val END), 0) AS BIGINT) AS b1,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 2 THEN band_val END), 0) AS BIGINT) AS b2,
+       |    CAST(COALESCE(SUM(CASE WHEN band = 3 THEN band_val END), 0) AS BIGINT) AS b3
+       |  FROM $assetsRel a LEFT JOIN ${pfx}bnd ON ${pfx}bnd.doc_id = a.doc_id
+       |  GROUP BY a.doc_id
+       |)""".stripMargin
+
+  /** The [[dedupCtes]] banded-candidate + confirm chain parameterized
+    * over the hash relation: ends in `${pfx}ham(doc_a, doc_b,
+    * hamming)` — the exact mirror of [[dedupFromHashes]]. */
+  private def bandedDedupCtes(pfx: String, hashRel: String): String =
+    s"""${pfx}hb AS MATERIALIZED (
+       |  SELECT h.doc_id, g.band,
+       |    CASE g.band WHEN 0 THEN h.b0 WHEN 1 THEN h.b1
+       |                WHEN 2 THEN h.b2 ELSE h.b3 END AS band_val
+       |  FROM $hashRel h, (SELECT unnest(range(0, $Bands)) AS band) g
+       |), ${pfx}buckets AS MATERIALIZED (
+       |  SELECT band, band_val, doc_id FROM (
+       |    SELECT band, band_val, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS rn
+       |    FROM ${pfx}hb
+       |  ) WHERE rn <= $BucketCap
+       |), ${pfx}pairs AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ${pfx}buckets x JOIN ${pfx}buckets y
+       |    ON x.band = y.band AND x.band_val = y.band_val
+       |    AND x.doc_id < y.doc_id
+       |), ${pfx}ham AS MATERIALIZED (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+       |      AS hamming
+       |  FROM ${pfx}pairs p
+       |  JOIN $hashRel a ON a.doc_id = p.doc_a
+       |  JOIN $hashRel b ON b.doc_id = p.doc_b
+       |)""".stripMargin
+
+  /** Both detector chains over the crop-twin corpus, ending in
+    * `uaham` (aHash) and `ugham` (gHash) — shared by the #211 oracle
+    * and the #190/#191 pipeline oracle's stage-1 union closure. */
+  private[graft] lazy val unionDetectorCtes: String =
+    s"""$gAssetsCte, ${ahashChainCtes("ua", "gassets")}, $gByteCtes,
+       |${ghashChain("base", "SELECT doc_id, j, b FROM gbvj", "gassets")},
+       |${bandedDedupCtes("ua", "uah")},
+       |${bandedDedupCtes("ug", "ghh_base")}""".stripMargin
+
+  val mediaDedupUnionSql: String =
+    s"""WITH $unionDetectorCtes,
+       |uap AS (SELECT doc_a, doc_b FROM uaham WHERE hamming <= $HamMax),
+       |ugp AS (SELECT doc_a, doc_b FROM ugham WHERE hamming <= $HamMax)
+       |SELECT COALESCE(uap.doc_a, ugp.doc_a) AS doc_a,
+       |  COALESCE(uap.doc_b, ugp.doc_b) AS doc_b,
+       |  CAST(CASE WHEN uap.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+       |    AS in_ahash,
+       |  CAST(CASE WHEN ugp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+       |    AS in_ghash
+       |FROM uap FULL OUTER JOIN ugp
+       |  ON uap.doc_a = ugp.doc_a AND uap.doc_b = ugp.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_ahash" -> mediaAhash,
     "media_ahash_dedup" -> mediaAhashDedup,
@@ -1203,6 +1343,7 @@ object MediaHash {
     "media_ahash_recall" -> mediaAhashRecall,
     "media_ghash_recall" -> mediaGhashRecall,
     "media_ghash_dedup" -> mediaGhashDedup,
+    "media_dedup_union" -> mediaDedupUnion,
     "media_radius_sweep" -> mediaRadiusSweep,
     "media_dup_resolve" -> mediaDupResolve)
 
@@ -1213,6 +1354,7 @@ object MediaHash {
     "media_ahash_recall" -> mediaAhashRecallSql,
     "media_ghash_recall" -> mediaGhashRecallSql,
     "media_ghash_dedup" -> mediaGhashDedupSql,
+    "media_dedup_union" -> mediaDedupUnionSql,
     "media_radius_sweep" -> mediaRadiusSweepSql,
     "media_dup_resolve" -> mediaDupResolveSql)
 }

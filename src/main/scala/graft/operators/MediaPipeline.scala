@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   * published LAION-5B curation order (Schuhmann et al. 2022 §2.2:
   * perceptual dedup, size floor, aspect-ratio cap, content validity):
   *
-  *  1. dedup keeper (#187): perceptual aHash clusters over the planted
-  *     near-twin corpus; only each cluster's canonical asset (min
-  *     doc_id) survives — LAION's keep-one-representative rule;
+  *  1. dedup keeper (#187's kernel over the #211 DUAL-modality pair
+  *     graph, round 20 — VERDICT r19 #1): perceptual clusters over
+  *     the UNION of the aHash (#180, re-encode robust) and gHash
+  *     (#207, crop robust) pair graphs on the crop-twin corpus
+  *     ([[MediaHash.gAssets]] — re-encode twins %11 ≡ 6 AND cropped
+  *     re-uploads %13 ≡ 7 planted); only each cluster's canonical
+  *     asset (min doc_id) survives — LAION's keep-one-representative
+  *     rule. Before round 20 the stage deduplicated on aHash alone,
+  *     so a cropped re-upload SURVIVED the one pipeline a media
+  *     ingest actually runs even though the engine shipped a detector
+  *     that catches it;
   *  2. size gate (#112's codec): every keeper's dimensions come from
   *     the REAL PNG header parse ([[Multimodal.imageDims]]) over an
   *     in-query synthesized IHDR (dims from the doc_id contract below,
@@ -43,8 +51,10 @@ import org.apache.spark.sql.functions._
   * for every doc_id < 1080, which would leave the aspect gate
   * casualty-free at sf0.01).
   *
-  * Scale shape (100 TB): stage 1 is the #180/#187 banded plan
-  * (capped buckets, signature-sized shuffles); stages 2–4 are MAP-ONLY
+  * Scale shape (100 TB): stage 1 is TWO #180-shaped banded plans —
+  * each fold one scan over the input (both signature frames pinned),
+  * capped buckets, 10-byte band keys the only corpus-scale shuffle —
+  * whose pair sets union into ONE component pass; stages 2–4 are MAP-ONLY
   * over the shrinking survivor set — decode, fit math, and the
   * in-task histogram fold never shuffle an asset byte. Stage frames
   * pin where ≥2 consumers read them (audit + next stage), each
@@ -77,10 +87,23 @@ object MediaPipeline {
   private[graft] def pipelineFrames(spark: SparkSession,
                                     dir: String): Frames = {
     import spark.implicits._
-    val input = MediaHash.assets(spark, dir)
+    val input = MediaHash.gAssets(spark, dir)
 
-    // stage 1: cluster-canonical keepers (#187), cluster size carried
-    val keep = MediaHash.mediaAhashClusters(spark, dir)
+    // stage 1: cluster-canonical keepers — the #187 kernel over the
+    // UNION of both modalities' pair graphs (round 20): both folds
+    // hash the input ONCE (pinned signature frames), both detectors
+    // ride the shared dedupFromHashes chain, and the union feeds one
+    // component pass — so a crop twin and a re-encode twin land in
+    // their source's cluster through whichever fold survives the
+    // transform, and only the canonical ships
+    val aPairs = MediaHash.dedupFromHashes(
+      graft.Checkpoints.pin(MediaHash.ahashKernel(input)))
+      .select("doc_a", "doc_b")
+    val gPairs = MediaHash.dedupFromHashes(
+      graft.Checkpoints.pin(MediaHash.ghashKernel(input)))
+      .select("doc_a", "doc_b")
+    val keep = MediaHash.clustersFromPairs(input,
+      aPairs.unionByName(gPairs).distinct())
       .filter(col("is_canonical") === 1)
       .select("doc_id", "n_members")
     val s1 = graft.Checkpoints.pin(input.join(keep, Seq("doc_id")))
@@ -223,16 +246,36 @@ object MediaPipeline {
     }.reduce(_ unionByName _).orderBy("stage")
   }
 
-  /** The shared oracle chain: #187's recursive closure → keepers →
-    * arithmetic dims → geometry gates → hex-fold histogram gate. */
+  /** The shared oracle chain: both detector chains over the crop-twin
+    * corpus (#211's CTEs) → UNION hit pairs → #187's recursive
+    * closure → keepers → arithmetic dims → geometry gates → hex-fold
+    * histogram gate. */
   private val pipelineCtes: String =
-    s"""${MediaHash.clusterCtes}, mp_keep AS MATERIALIZED (
+    s"""${MediaHash.unionDetectorCtes}, mp_hits AS (
+       |  SELECT doc_a, doc_b FROM uaham WHERE hamming <= ${MediaHash.HamMax}
+       |  UNION
+       |  SELECT doc_a, doc_b FROM ugham WHERE hamming <= ${MediaHash.HamMax}
+       |), mp_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mp_hits
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM mp_hits
+       |), mp_reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM gassets
+       |  UNION
+       |  SELECT e.dst, mp_reach.r
+       |  FROM mp_reach JOIN mp_edges e ON e.src = mp_reach.doc_id
+       |), mp_lbls AS MATERIALIZED (
+       |  SELECT doc_id, MIN(r) AS cluster_id FROM mp_reach GROUP BY doc_id
+       |), mp_sizes AS MATERIALIZED (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM mp_lbls GROUP BY cluster_id
+       |), mp_keep AS MATERIALIZED (
        |  SELECT l.doc_id, s.n_members
-       |  FROM lbls l JOIN sizes s ON s.cluster_id = l.cluster_id
+       |  FROM mp_lbls l JOIN mp_sizes s ON s.cluster_id = l.cluster_id
        |  WHERE l.doc_id = l.cluster_id
        |), mp_s1 AS MATERIALIZED (
        |  SELECT k.doc_id, k.n_members, a.content
-       |  FROM mp_keep k JOIN assets a ON a.doc_id = k.doc_id
+       |  FROM mp_keep k JOIN gassets a ON a.doc_id = k.doc_id
        |), mp_s2 AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT doc_id, n_members, content,
@@ -289,7 +332,7 @@ object MediaPipeline {
        |FROM (
        |  SELECT 0 AS stage, 'input' AS stage_name, COUNT(*) AS n_assets,
        |    COALESCE(SUM(octet_length(encode(content))), 0) AS n_bytes
-       |  FROM assets
+       |  FROM gassets
        |  UNION ALL SELECT 1, 'dedup_keeper', COUNT(*),
        |    COALESCE(SUM(octet_length(encode(content))), 0) FROM mp_s1
        |  UNION ALL SELECT 2, 'size_gate', COUNT(*),

@@ -15,9 +15,16 @@ import org.apache.spark.sql.types.StructType
   * FIRST (an asset rejected as a duplicate never pays decode or the
   * histogram), gates after, exactly #190's stage order.
   *
-  * The dedup gate is #188's claim-and-verify protocol verbatim (the
-  * shared [[MediaHash.ahashBands]] JVM fold, one owner per claimed
-  * band bucket, exact-Hamming confirm); the gates are STATELESS pure
+  * The dedup gate is #188's claim-and-verify protocol over BOTH
+  * perceptual folds (round 20, the #190 stage-1 union's streaming
+  * twin): each arrival hashes with the shared [[MediaHash.ahashBands]]
+  * AND [[MediaHash.ghashBands]] JVM folds and claims 8 buckets —
+  * bands 0–3 key the aHash words, 4–7 the gHash words — with the
+  * exact-Hamming confirm computed PER MODALITY against the owner's
+  * matching fold (a gHash band collision confirms on gHash distance,
+  * the #207 radius; an aHash collision on aHash, the #180 radius), so
+  * a cropped re-upload rejects through the gHash side exactly as the
+  * batch union cuts it at stage 1. The gates are STATELESS pure
   * functions of (doc_id, content) — the single-sourced
   * [[MediaPipeline.gateFrame]] battery, so stream and batch can never
   * gate divergently (the spec pins per-asset gate equality and the
@@ -25,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   *
   * Payload transport: the band rows carry the asset content through
   * the stateful operator (the #172 UrlDoc pattern), which moves each
-  * asset's bytes Bands× through one shuffle inside the dedup window.
+  * asset's bytes 2·Bands× through one shuffle inside the dedup window.
   * A production ingest at 100 TB carries a STORAGE POINTER here
   * instead (the asset is already landed; doc_id is the pointer) and
   * re-reads bytes only for gate-stage survivors — the shape is
@@ -33,9 +40,10 @@ import org.apache.spark.sql.types.StructType
   * payload ride keeps the chain one query instead of a
   * pointer-rejoin drain per batch.
   *
-  * State = ≤ Bands rows per distinct admitted asset (hash + owner id,
-  * never content — the claim snapshot drops the payload), NoTimeout ↔
-  * ingest-window timeout is the 100 TB horizon knob, exactly #188.
+  * State = ≤ 2·Bands rows per distinct admitted asset (the 8-word
+  * dual hash + owner id, never content — the claim snapshot drops the
+  * payload), NoTimeout ↔ ingest-window timeout is the 100 TB horizon
+  * knob, exactly #188.
   */
 object MediaPipelineStream {
 
@@ -46,17 +54,24 @@ object MediaPipelineStream {
   case class AssetObs(doc_id: Long, band: Int, owner: Long, hamming: Int,
                       content: Array[Byte])
 
-  private def hamming(a: Array[Long], b: Array[Long]): Int = {
+  /** Per-modality Hamming over the CONCATENATED 8-word hash (words
+    * 0–3 aHash, 4–7 gHash): a band's collision is confirmed against
+    * its OWN fold's distance — summing across modalities would mix
+    * radii and reject nothing either detector confirms. */
+  private def modalityHamming(a: Array[Long], b: Array[Long],
+                              band: Int): Int = {
+    val off = if (band < MediaHash.Bands) 0 else MediaHash.Bands
     var d = 0
-    var i = 0
-    while (i < a.length) {
+    var i = off
+    while (i < off + MediaHash.Bands) {
       d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1
     }
     d
   }
 
-  /** The #188 first-writer bucket protocol with the payload riding
-    * along; state stores owner + hash only. */
+  /** The #188 first-writer bucket protocol over BOTH folds (8 buckets
+    * per asset — the batch union's admission twin) with the payload
+    * riding along; state stores owner + the 8-word hash only. */
   def observations(assets: DataFrame): Dataset[AssetObs] = {
     import assets.sparkSession.implicits._
     assets
@@ -64,7 +79,8 @@ object MediaPipelineStream {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val hash = MediaHash.ahashBands(bytes)
+          val hash = MediaHash.ahashBands(bytes) ++
+            MediaHash.ghashBands(bytes.iterator.map(_ & 0xff))
           hash.iterator.zipWithIndex.map { case (v, b) =>
             AssetRow(id, b, v, hash, bytes)
           }
@@ -73,15 +89,15 @@ object MediaPipelineStream {
       .groupByKey(r => (r.band, r.band_val))
       .flatMapGroupsWithState[MediaHashStream.BucketOwner, AssetObs](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
         val sorted = rows.toArray.sortBy(_.doc_id)
         val st =
           if (state.exists) state.get
           else MediaHashStream.BucketOwner(sorted.head.doc_id, sorted.head.hash)
         if (!state.exists) state.update(st)
         sorted.iterator.map { r =>
-          AssetObs(r.doc_id, r.band, st.owner, hamming(r.hash, st.hash),
-            r.content)
+          AssetObs(r.doc_id, r.band, st.owner,
+            modalityHamming(r.hash, st.hash, key._1), r.content)
         }
       }
   }

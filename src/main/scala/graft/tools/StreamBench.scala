@@ -63,10 +63,11 @@ object StreamBench {
   //    with the full scoring plan run per batch;
   //  - media_hash_ingest (#188) / media_pipeline_admission (#193):
   //    asset batches cycle the fixed content pool; each distinct
-  //    content claims ≤ 4 band buckets on first sight and repeats
-  //    claim nothing, so state saturates at the pool's
-  //    distinct-bucket count (≤ pool×4 rows — the per-admitted-asset
-  //    band-row bound a 100 TB ingest lives on); both run the
+  //    content claims ≤ 4 band buckets (#188, aHash) or ≤ 8 (#193,
+  //    the round-20 dual-modality gate: 4 aHash + 4 gHash) on first
+  //    sight and repeats claim nothing, so state saturates at the
+  //    pool's distinct-bucket count — the per-admitted-asset
+  //    band-row bound a 100 TB ingest lives on; both run the
   //    production per-batch verdict collapse (the composed gate also
   //    pays decode/histogram on survivors).
   //

@@ -125,7 +125,11 @@ object Stress {
     // the crop-twin detector join: id-shifted twins make every gHash
     // band bucket xN hotter - the BucketCap's designed-for case on
     // the second signature family
-    "media_ghash_dedup", "media_radius_sweep")
+    "media_ghash_dedup", "media_radius_sweep",
+    // round-20 additions: the dual-modality union detector (both
+    // folds' band buckets xN hotter at once) and the re-shaped
+    // media pipeline rides the existing media_pipeline entry
+    "media_dedup_union")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

