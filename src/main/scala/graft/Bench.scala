@@ -102,6 +102,12 @@ object Bench {
     // join is the cost, not the fold, so it does not double-count the
     // recall gate)
     "media_ghash_dedup")
+  // round-20: media_dedup_union is deliberately NOT a headliner — it
+  // composes the two already-benched detector joins (media_ahash_dedup
+  // + media_ghash_dedup) and would double-count their cost; the
+  // re-shaped media_pipeline headliner now carries the union's real
+  // product cost (two folds + two banded joins + one component pass)
+  // inside its stage-1 number.
   // ann_recall / dedup_lsh_recall are deliberately NOT headliners:
   // like dedup_jaccard (sweep-covered) they are acceptance gates
   // composing already-benched paths — ann_recall re-runs all three

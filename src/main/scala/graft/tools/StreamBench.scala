@@ -415,9 +415,11 @@ object StreamBench {
     // ---- epoch-windowed quota gate (#210): state = one long per
     // (domain, ACTIVE window) — every batch opens a fresh politeness
     // epoch over the FIXED 20-domain pool and the event-time timeout
-    // evicts a window once the watermark passes its end (one window of
-    // eviction lag at this cadence), so the curve must saturate at
-    // domains × 2 live windows and stay flat for any horizon — the
+    // evicts a window once the watermark passes its end; the +1 s
+    // arrival offset puts each batch's watermark one second PAST the
+    // previous window's end, so the no-data follow-up batch evicts it
+    // in the same drain and the curve saturates at domains × 1 live
+    // window (measured: flat at 20 rows for 120 batches) — the
     // never-grows claim of the #210 politeness-true counter lifetime
     val epochPts = if (!want("crawl_epoch_quota")) Seq.empty[SoakPoint] else {
       val NDomains = 20
