@@ -202,6 +202,63 @@ object Crawl {
     auditFrom(pipelineFrames(spark, dir))
 
   // ---------------------------------------------------------------------
+  // #216 crawl_quota_tiers — rank-tiered politeness budgets (round 20,
+  // beyond the verdict list; the §7 candidate #212 points at: a flat
+  // per-domain quota treats a top-ranked hub and a spam farm alike,
+  // while production politeness budgets scale with domain importance —
+  // Heritrix's per-queue budgets, Cho et al. 1998's rank-ordered
+  // allocation). The tiering is a FROZEN-artifact decision: tiers come
+  // from the webgraph snapshot's rank table (the #194 stage-4 rank
+  // join's own input), not from the cycle's traffic.
+  // ---------------------------------------------------------------------
+
+  /** Rank tiers (NTILE over the rank table, best rank first). */
+  val QuotaTiers = 3
+  /** Bottom-tier per-cycle quota; each tier up DOUBLES it (base <<
+    * (Tiers − tier)): top tier 4×, middle 2×, bottom 1× at the
+    * defaults. 1 binds at the 500-doc corpus (cycle-0 domains carry
+    * ~3 admissions) and at every stress decade. */
+  val TieredBaseQuota = 1L
+
+  /** The per-domain budget table: every ranked domain with its tier
+    * (NTILE(QuotaTiers) over rank_fp DESC, domain — the tie-break
+    * makes the tiling deterministic cross-engine) and its quota
+    * (TieredBaseQuota << (QuotaTiers − tier)). Domain-sized: the
+    * single-partition NTILE window runs on the model frame, the
+    * waterFill precedent — never on corpus rows. */
+  private[graft] def tierQuotas(ranks: DataFrame, base: Long): DataFrame =
+    ranks.withColumn("tier", expr(
+      s"CAST(ntile($QuotaTiers) OVER (ORDER BY rank_fp DESC, domain) AS INT)"))
+      .withColumn("quota", expr(
+        s"shiftleft(CAST($base AS BIGINT), $QuotaTiers - tier)"))
+
+  /** #216 crawl_quota_tiers — the per-domain politeness allocation
+    * report over the #194 admitted set: (domain, rank_fp, tier,
+    * quota, n_admitted, n_kept, n_over_quota), one row per domain
+    * with admissions this cycle. n_kept counts the admissions inside
+    * the domain's TIERED budget (q_pos ≤ quota, doc_id spend order —
+    * the #212 cut with a rank-scaled cap), n_over_quota the excess a
+    * flat-rate storm pushes past it; a top-tier hub keeps 4× what a
+    * bottom-tier domain keeps under the same flood. Scale shape: the
+    * corpus-scale work is #194's own stages (shared pipelineFrames);
+    * the report adds one broadcast budget join + a domain-partitioned
+    * ROW_NUMBER + a #domains-row aggregate. */
+  def crawlQuotaTiers(spark: SparkSession, dir: String): DataFrame = {
+    val f = pipelineFrames(spark, dir)
+    val budgets = tierQuotas(domainRanks(spark, dir), TieredBaseQuota)
+    val ranked = f.s3.withColumn("q_pos", expr(
+      "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)"))
+    ranked.join(broadcast(budgets), Seq("domain"))
+      .groupBy("domain", "rank_fp", "tier", "quota")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(when(col("q_pos") <= col("quota"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("q_pos") > col("quota"), 1L).otherwise(0L))
+          .as("n_over_quota"))
+      .orderBy("domain")
+  }
+
+  // ---------------------------------------------------------------------
   // DuckDB oracle — the full chain as CTEs (stage names mirror the
   // Scala frames; pagerank rides Graph.pagerankCtes verbatim)
   // ---------------------------------------------------------------------
@@ -542,13 +599,43 @@ object Crawl {
        |ORDER BY cycle_id""".stripMargin
   }
 
+  /** Oracle: the #194 chain + NTILE tiers over `pr` + the per-domain
+    * spend positions over s3 — the tier/quota/cut algebra replayed
+    * relation-for-relation. */
+  val crawlQuotaTiersSql: String =
+    s"""WITH $pipelineCtes, tq AS (
+       |  SELECT domain, rank_fp,
+       |    CAST(NTILE($QuotaTiers) OVER (ORDER BY rank_fp DESC, domain)
+       |      AS INT) AS tier
+       |  FROM pr
+       |), tqq AS (
+       |  SELECT domain, rank_fp, tier,
+       |    CAST($TieredBaseQuota << ($QuotaTiers - tier) AS BIGINT) AS quota
+       |  FROM tq
+       |), tqr AS (
+       |  SELECT domain,
+       |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS q_pos
+       |  FROM s3
+       |)
+       |SELECT t.domain, t.rank_fp, t.tier, t.quota,
+       |  CAST(COUNT(*) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(CASE WHEN r.q_pos <= t.quota THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN r.q_pos > t.quota THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_over_quota
+       |FROM tqq t JOIN tqr r ON r.domain = t.domain
+       |GROUP BY t.domain, t.rank_fp, t.tier, t.quota
+       |ORDER BY t.domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "crawl_pipeline" -> crawlPipeline,
     "crawl_pipeline_audit" -> crawlPipelineAudit,
-    "crawl_frontier_cycles" -> crawlFrontierCycles)
+    "crawl_frontier_cycles" -> crawlFrontierCycles,
+    "crawl_quota_tiers" -> crawlQuotaTiers)
 
   val oracle: Map[String, String] = Map(
     "crawl_pipeline" -> crawlPipelineSql,
     "crawl_pipeline_audit" -> crawlPipelineAuditSql,
-    "crawl_frontier_cycles" -> crawlFrontierCyclesSql)
+    "crawl_frontier_cycles" -> crawlFrontierCyclesSql,
+    "crawl_quota_tiers" -> crawlQuotaTiersSql)
 }

@@ -127,9 +127,11 @@ object Stress {
     // the second signature family
     "media_ghash_dedup", "media_radius_sweep",
     // round-20 additions: the dual-modality union detector (both
-    // folds' band buckets xN hotter at once) and the re-shaped
-    // media pipeline rides the existing media_pipeline entry
-    "media_dedup_union")
+    // folds' band buckets xN hotter at once; the re-shaped media
+    // pipeline rides the existing media_pipeline entry) and the
+    // rank-tiered politeness report (xN-hotter per-domain queues
+    // against frozen-snapshot budgets)
+    "media_dedup_union", "crawl_quota_tiers")
 
   def gen(spark: SparkSession, src: String, out: String, copies: Int,
           tables: Option[Set[String]] = None): Unit = {

@@ -223,6 +223,60 @@ class CrawlSpec extends SparkSpec {
       "the per-cycle quota never bound — the politeness cut is vacuous")
   }
 
+  test("crawl_quota_tiers: tiers/quotas/counts match the independent recompute; rank scales the budget; the cut binds") {
+    val T = Crawl.QuotaTiers
+    val base = Crawl.TieredBaseQuota
+    // independent NTILE over the collected rank table (best rank
+    // first, domain tie-break): tile k of n rows holds ceil(n/T) rows
+    // for the first n%T tiles, floor(n/T) after — the standard
+    // definition both engines implement
+    val ranks = Crawl.domainRanks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (d, rfp) => (-rfp, d) }
+    val n = ranks.length
+    val (big, extra) = (n / T + 1, n % T)
+    def tileOf(i: Int): Int =
+      if (i < extra * big) i / big + 1
+      else extra + (i - extra * big) / (big - 1) + 1
+    val tier = ranks.zipWithIndex
+      .map { case ((d, _), i) => d -> tileOf(i) }.toMap
+    val rankOf = ranks.toMap
+    def quotaOf(d: String): Long = base << (T - tier(d))
+
+    // per-domain admitted counts from the pipeline's own stage-3 frame
+    val admitted = Crawl.pipelineFrames(spark, sf).s3
+      .select("domain").collect().map(_.getString(0))
+      .groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+
+    val got = Crawl.crawlQuotaTiers(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.keySet == admitted.keySet,
+      "one report row per domain with admissions")
+    got.foreach { case (d, (rfp, t, q, nAdm, nKept, nOver)) =>
+      assert(rfp == rankOf(d), s"$d rank")
+      assert(t == tier(d), s"$d tier")
+      assert(q == quotaOf(d), s"$d quota")
+      assert(nAdm == admitted(d), s"$d admitted")
+      assert(nKept == math.min(admitted(d), quotaOf(d)), s"$d kept")
+      assert(nOver == math.max(0L, admitted(d) - quotaOf(d)), s"$d over")
+      assert(nKept + nOver == nAdm, s"$d conservation")
+    }
+    // the row exists to SCALE the budget by rank: all tiers occur
+    // among reporting domains, quotas strictly double tier-to-tier,
+    // and the cut actually binds somewhere
+    assert(got.values.map(_._2).toSet == (1 to T).toSet,
+      "not every tier reports at spec scale")
+    (1 until T).foreach(k =>
+      assert((base << (T - k)) == 2 * (base << (T - k - 1))))
+    assert(got.values.map(_._6).sum > 0, "the tiered cut never bound")
+    // and the tiering MATTERS: some domain keeps more than the flat
+    // base quota would allow — the rank-scaled budget in action
+    assert(got.values.exists(v => v._5 > base),
+      "no domain used a rank-scaled budget")
+  }
+
   test("quotaCut: a planted one-domain flood is capped exactly; quiet domains untouched") {
     import spark.implicits._
     // 10-URL flood on one domain + 2 on a quiet one, out-of-order ids
