@@ -409,7 +409,21 @@ object CrawlStream {
     * straggler ACCOUNTING read the input-side drop metrics
     * (numRowsDroppedByWatermark), the standard watermark discipline. */
   def quotaVerdictsEpoch(rows: Dataset[TimedVerdictRow], quota: Long,
-                         epochSecs: Long): Dataset[EpochVerdict] = {
+                         epochSecs: Long): Dataset[EpochVerdict] =
+    quotaVerdictsEpochBudgets(rows, Map.empty, quota, epochSecs)
+
+  /** #217 — the epoch gate with PER-DOMAIN budgets (round 20, the
+    * streaming half of #216's rank-tiered politeness): `budgets` maps
+    * a domain to its window quota (a model-sized frozen artifact —
+    * domains number thousands where URLs number billions; built once
+    * from the rank table via [[tierBudgets]], the frozenCentroids
+    * pattern), unknown domains fall back to `defaultQuota`. One body
+    * serves the flat (#210) and tiered forms, so reset/eviction/late
+    * semantics can never drift between them. */
+  def quotaVerdictsEpochBudgets(rows: Dataset[TimedVerdictRow],
+                                budgets: Map[String, Long],
+                                defaultQuota: Long,
+                                epochSecs: Long): Dataset[EpochVerdict] = {
     import rows.sparkSession.implicits._
     rows.withWatermark("arrival_ts", "0 seconds")
       .groupByKey(r => (r.domain, r.arrival_ts.getTime / (epochSecs * 1000L)))
@@ -423,6 +437,7 @@ object CrawlStream {
           Iterator.empty
         } else {
           val wm = state.getCurrentWatermarkMs()
+          val quota = budgets.getOrElse(key._1, defaultQuota)
           val sorted = rs.toArray.sortBy(r => (r.batch_id, r.doc_id))
           var used = state.getOption.getOrElse(0L)
           val out = sorted.map { r =>
@@ -492,19 +507,34 @@ object CrawlStream {
     * [[scheduleQuery]] chains off it unchanged (its schema read
     * simply ignores the extra column) and only within-quota
     * admissions ever reach a fetch list. */
+  /** The frozen per-domain budget table as a driver map — #216's
+    * rank-tiered quotas (NTILE over the webgraph snapshot's rank
+    * table, quota = base << tier-depth) in the form the streaming
+    * gate consumes. Model-bounded driver materialization: one
+    * (domain, long) pair per RANKED DOMAIN — the frozenCentroids /
+    * ivfProbes precedent, never corpus rows. */
+  def tierBudgets(spark: SparkSession, dir: String): Map[String, Long] =
+    graft.operators.Crawl.tierQuotas(
+        graft.operators.Crawl.domainRanks(spark, dir),
+        graft.operators.Crawl.TieredBaseQuota)
+      .select("domain", "quota").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   def epochQuotaQuery(spark: SparkSession, verdictDir: String,
                       checkpointDir: String, outDir: String,
                       quota: Long = DomainQuota,
-                      epochSecs: Long = 3600L): StreamingQuery = {
+                      epochSecs: Long = 3600L,
+                      budgets: Map[String, Long] = Map.empty)
+      : StreamingQuery = {
     import spark.implicits._
-    quotaVerdictsEpoch(
+    quotaVerdictsEpochBudgets(
       spark.readStream.schema(verdictSchema).parquet(verdictDir)
         // +1 s inside the window: increment 0 must sit ABOVE the
         // initial zero watermark — the stateful operator drops rows
         // at/below it, which would silently swallow the first cycle
         .withColumn("arrival_ts",
           timestamp_seconds(col("batch_id") * epochSecs + 1))
-        .as[TimedVerdictRow], quota, epochSecs)
+        .as[TimedVerdictRow], budgets, quota, epochSecs)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

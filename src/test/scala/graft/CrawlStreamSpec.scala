@@ -402,6 +402,70 @@ class CrawlStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tiered epoch quota: per-domain budgets cap independently, reset per window, unknown domains take the default") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the #216 budget shape: a top-tier hub at 4, a bottom-tier
+    // domain at 1; 'new' is unranked and takes the default 2
+    val budgets = Map("hub" -> 4L, "spam" -> 1L)
+    val epochSecs = 100L
+    val input = MemoryStream[(Long, String, String, String, String,
+      Option[Long], Long, java.sql.Timestamp)]
+    val q = CrawlStream.quotaVerdictsEpochBudgets(
+        input.toDS().toDF("doc_id", "canon_url", "host", "domain",
+          "verdict", "dup_of", "batch_id", "arrival_ts")
+          .as[CrawlStream.TimedVerdictRow],
+        budgets, defaultQuota = 2L, epochSecs)
+      .writeStream.format("memory").queryName("tiered_quota")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def rows(ids: Seq[Long], dom: String, t: Long, b: Long) =
+      ids.map(i => (i, s"https://$dom/p$i", dom, dom, "admitted",
+        None: Option[Long], b, ts(t)))
+    try {
+      // window 0: the SAME 6-URL storm on all three domains — the
+      // tiered budgets must cap them DIFFERENTLY
+      input.addData(rows(1L to 6L, "hub", 10, 0) ++
+        rows(11L to 16L, "spam", 10, 0) ++ rows(21L to 26L, "new", 10, 0))
+      q.processAllAvailable()
+      // window 1: the same storm again — every budget resets
+      input.addData(rows(31L to 36L, "hub", 110, 1) ++
+        rows(41L to 46L, "spam", 110, 1))
+      q.processAllAvailable()
+
+      val got = spark.table("tiered_quota")
+        .select("doc_id", "verdict", "epoch_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // window 0: kept = 4 / 1 / 2 by budget, spend in doc order
+      assert((1L to 4L).forall(got(_) == (("admitted", 0L))))
+      assert((5L to 6L).forall(got(_) == (("over_quota", 0L))))
+      assert(got(11L) == (("admitted", 0L)))
+      assert((12L to 16L).forall(got(_) == (("over_quota", 0L))),
+        "bottom-tier domain kept past its budget")
+      assert((21L to 22L).forall(got(_) == (("admitted", 0L))))
+      assert((23L to 26L).forall(got(_) == (("over_quota", 0L))),
+        "unranked domain did not take the default quota")
+      // window 1: fresh budgets, same caps
+      assert((31L to 34L).forall(got(_) == (("admitted", 1L))))
+      assert((35L to 36L).forall(got(_) == (("over_quota", 1L))))
+      assert(got(41L) == (("admitted", 1L)))
+      assert((42L to 46L).forall(got(_) == (("over_quota", 1L))))
+    } finally q.stop()
+
+    // and the production budget table derives from #216's tier
+    // arithmetic: every ranked domain present, quotas ∈ {base << k}
+    val tb = CrawlStream.tierBudgets(spark, sf)
+    val T = operators.Crawl.QuotaTiers
+    val base = operators.Crawl.TieredBaseQuota
+    val ranked = operators.Crawl.domainRanks(spark, sf)
+      .select("domain").collect().map(_.getString(0)).toSet
+    assert(tb.keySet == ranked)
+    assert(tb.values.toSet.subsetOf(
+      (1 to T).map(t => base << (T - t)).toSet))
+    assert(tb.values.toSet.size > 1, "tiering produced one flat quota")
+  }
+
   test("per-cycle scheduler: each increment schedules like batch stages 4-5; budget exact and fair") {
     val in = Files.createTempDirectory("graft_crsch_in")
     val vout = Files.createTempDirectory("graft_crsch_v")
