@@ -76,7 +76,7 @@ object Crawl {
 
   private[graft] final case class Frames(
       input: DataFrame, s1: DataFrame, s2: DataFrame, s3: DataFrame,
-      s4: DataFrame, s5: DataFrame)
+      s4: DataFrame, s5: DataFrame, ranks: DataFrame)
 
   private[graft] def pipelineFrames(spark: SparkSession,
                                     dir: String): Frames = {
@@ -90,13 +90,17 @@ object Crawl {
         .withColumn("host", expr(hostSql))
         .withColumn("domain", expr("split_part(host, '.', 1)")))
 
-    // stage 0: the discovered batch
-    val input = graft.Checkpoints.pin(c.filter(col("doc_id") % 7 === 0))
+    // stage 0: the discovered batch — a narrow filter over the pinned
+    // canonical frame; every consumer re-reads cached blocks, so a
+    // second materialization bought nothing (r21, the cycles-walk
+    // rationale)
+    val input = c.filter(col("doc_id") % 7 === 0)
 
-    // stage 1: canonical-URL dedup within the batch (min-doc_id keeper)
+    // stage 1: canonical-URL dedup within the batch (min-doc_id
+    // keeper). LAZY (r21): its only consumer inside the pipeline is
+    // stage 2, whose own pin materializes this chain exactly once.
     val keep = input.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
-    val s1 = graft.Checkpoints.pin(
-      input.join(keep.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val s1 = input.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
 
     // stage 2: the #162 rule battery on the canonical form
     val s2 = graft.Checkpoints.pin(
@@ -134,7 +138,7 @@ object Crawl {
     val ranks = domainRanks(spark, dir)
     val (s4, s5) = scheduleFrom(s3, ranks)
 
-    Frames(input, s1, s2, s3, s4, s5)
+    Frames(input, s1, s2, s3, s4, s5, ranks)
   }
 
   /** The #178 PageRank of every registrable domain — the frozen rank
@@ -161,10 +165,14 @@ object Crawl {
           "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)")))
     val per = s4.groupBy("domain").agg(count(lit(1)).as("n_urls"))
     val alloc = Corpus.waterFillAlloc(per, "domain", "n_urls", FetchBudgetDen)
-    val s5 = graft.Checkpoints.pin(
-      s4.join(broadcast(alloc.select("domain", "alloc")), Seq("domain"))
-        .filter(col("host_pos") <= col("alloc"))
-        .drop("alloc"))
+    // s5 stays LAZY (r21): every caller — the #194 output sort, the
+    // audit count, the cycles walk's schedule count, the streaming
+    // sink — consumes it exactly once, and it is a broadcast join +
+    // filter over the PINNED s4, so materializing it bought nothing
+    // but an extra eager job per call (per cycle, in the walk).
+    val s5 = s4.join(broadcast(alloc.select("domain", "alloc")), Seq("domain"))
+      .filter(col("host_pos") <= col("alloc"))
+      .drop("alloc")
     (s4, s5)
   }
 
@@ -245,7 +253,10 @@ object Crawl {
     * ROW_NUMBER + a #domains-row aggregate. */
   def crawlQuotaTiers(spark: SparkSession, dir: String): DataFrame = {
     val f = pipelineFrames(spark, dir)
-    val budgets = tierQuotas(domainRanks(spark, dir), TieredBaseQuota)
+    // r21: reuse the rank table pipelineFrames already trained — the
+    // second domainRanks call re-ran the whole PageRank chain (edge
+    // pin, node pin, 5 rounds) for an identical deterministic result
+    val budgets = tierQuotas(f.ranks, TieredBaseQuota)
     val ranked = f.s3.withColumn("q_pos", expr(
       "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)"))
     ranked.join(broadcast(budgets), Seq("domain"))
@@ -384,12 +395,21 @@ object Crawl {
     * from it. */
   private[graft] def quotaCut(admitted: DataFrame,
                               quota: Long): (DataFrame, DataFrame) = {
-    val ranked = graft.Checkpoints.pin(
-      admitted.withColumn("q_pos", expr(
-        "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)")))
+    val ranked = quotaRanked(admitted)
     (ranked.filter(col("q_pos") <= quota).drop("q_pos"),
       ranked.filter(col("q_pos") > quota).drop("q_pos"))
   }
+
+  /** The pinned rank frame behind [[quotaCut]]: admitted rows plus
+    * their per-domain queue position, materialized ONCE so kept /
+    * over-quota / audit consumers all read the same blocks. Factored
+    * out (r21) so the cycles walk can derive its `admitted` view from
+    * this pin instead of pinning the pre-window frame a second time —
+    * one materialization per cycle, not two. */
+  private[graft] def quotaRanked(admitted: DataFrame): DataFrame =
+    graft.Checkpoints.pin(
+      admitted.withColumn("q_pos", expr(
+        "CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS INT)")))
 
   /** The multi-cycle walk. The crawl starts COLD (no history — cycle
     * 0 probes an empty bloom and admits every rule-passing distinct
@@ -431,7 +451,11 @@ object Crawl {
     var bits = Seq.empty[(Int, Long)].toDF("j", "pos")
     var doms = Seq.empty[String].toDF("domain")
     (0 until NumCycles).map { cid =>
-      val batch = graft.Checkpoints.pin(c.filter(col("doc_id") % 7 === cid))
+      // batch is a narrow filter over the pinned canonical frame `c` —
+      // re-reading cached blocks per consumer is cheaper than a second
+      // materialization at every scale (r21: the pin here cost one
+      // eager job per cycle for a zero-shuffle projection)
+      val batch = c.filter(col("doc_id") % 7 === cid)
       val keep = batch.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
       val d1 = batch.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
       val r1 = d1.withColumn("verdict", expr(Url.filterVerdictSql("spark")))
@@ -440,15 +464,19 @@ object Crawl {
         .join(bits, Seq("j", "pos"))
         .groupBy("doc_id").agg(count(lit(1)).as("k_hits"))
         .filter(col("k_hits") === k).select("doc_id")
-      val admitted = graft.Checkpoints.pin(
-        r1.join(seen, Seq("doc_id"), "left_anti"))
       // the per-cycle politeness quota (#212): admissions stand — the
       // URL was deduplicated, rule-checked and bloom-new, and its bits
       // advance the history exactly as before — but only each domain's
       // first `quota` admissions (doc_id order) reach the scheduler
       // this cycle; the cut is the #204 gate's position, BETWEEN
-      // admission and scheduling
-      val (kept, overQuota) = quotaCut(admitted, quota)
+      // admission and scheduling. r21: ONE pin carries the cycle's
+      // admitted set — the rank frame — and admitted/kept/over are
+      // projections of it (before, admitted and ranked were pinned
+      // back-to-back: two materializations of the same rows per cycle).
+      val ranked = quotaRanked(r1.join(seen, Seq("doc_id"), "left_anti"))
+      val admitted = ranked.drop("q_pos")
+      val kept = ranked.filter(col("q_pos") <= quota).drop("q_pos")
+      val overQuota = ranked.filter(col("q_pos") > quota).drop("q_pos")
       val (_, s5) = scheduleFrom(kept, ranks)
       val newDom = admitted.select("domain").distinct()
         .join(doms, Seq("domain"), "left_anti")
@@ -473,19 +501,30 @@ object Crawl {
     * past [[CycleDomainQuota]] this cycle. All counts are cycle-scoped
     * aggregates over the walk's pinned frames; the row frame itself is
     * NumCycles rows of broadcast-combined scalars. */
-  def crawlFrontierCycles(spark: SparkSession, dir: String): DataFrame =
-    frontierCycles(spark, dir).zipWithIndex.map { case (cy, cid) =>
-      cy.batch.agg(count(lit(1)).as("n_discovered"))
-        .crossJoin(broadcast(cy.admitted.agg(count(lit(1)).as("n_admitted"))))
-        .crossJoin(broadcast(
-          cy.overQuota.agg(count(lit(1)).as("n_over_quota"))))
-        .crossJoin(broadcast(cy.scheduled.agg(count(lit(1)).as("n_scheduled"))))
-        .crossJoin(broadcast(
-          cy.newDomains.agg(count(lit(1)).as("n_new_domains"))))
-        .select(lit(cid.toLong).as("cycle_id"), col("n_discovered"),
-          col("n_admitted"), col("n_over_quota"), col("n_scheduled"),
-          col("n_new_domains"))
-    }.reduce(_ unionByName _).orderBy("cycle_id")
+  def crawlFrontierCycles(spark: SparkSession, dir: String): DataFrame = {
+    // r21: ONE tagged-union aggregate instead of 5 broadcast-exchange
+    // scalar aggregates crossJoined PER CYCLE (15 eager broadcast jobs
+    // → one two-stage count job over the walk's pinned frames; values
+    // byte-identical — conditional counts of the same five frames).
+    // The zero row per cycle keeps the group present even if a frame
+    // family were empty, exactly like the old scalar aggregates.
+    import spark.implicits._
+    val tagged = frontierCycles(spark, dir).zipWithIndex.map { case (cy, cid) =>
+      Seq(cy.batch -> "d", cy.admitted -> "a", cy.overQuota -> "o",
+        cy.scheduled -> "s", cy.newDomains -> "n").map { case (df, t) =>
+        df.select(lit(cid.toLong).as("cycle_id"), lit(t).as("k"))
+      }.reduce(_ unionByName _)
+        .unionByName(Seq((cid.toLong, "z")).toDF("cycle_id", "k"))
+    }.reduce(_ unionByName _)
+    tagged.groupBy("cycle_id")
+      .agg(
+        sum(when(col("k") === "d", 1L).otherwise(0L)).as("n_discovered"),
+        sum(when(col("k") === "a", 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("k") === "o", 1L).otherwise(0L)).as("n_over_quota"),
+        sum(when(col("k") === "s", 1L).otherwise(0L)).as("n_scheduled"),
+        sum(when(col("k") === "n", 1L).otherwise(0L)).as("n_new_domains"))
+      .orderBy("cycle_id")
+  }
 
   /** Oracle: the walk unrolled cycle by cycle (the pagerankCtes
     * discipline) — positions once, per-cycle dedup/rules/seen/
