@@ -701,16 +701,19 @@ object MediaHash {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
+      // r21: the round's composition join already sees old root (a.root)
+      // and new root (r_root) side by side, so the changed flag rides
+      // the SAME pinned frame — the former convergence probe re-joined
+      // next against cur (one more shuffle + eager job per round) to
+      // recover exactly this comparison.
       val next = graft.Checkpoints.pin(
         cur.alias("a")
           .join(cur.select(col("doc_id").as("r_id"), col("root").as("r_root"))
             .alias("b"), col("a.root") === col("b.r_id"))
-          .select(col("a.doc_id"), col("r_root").as("root")))
-      converged = next.alias("n")
-        .join(cur.select(col("doc_id"), col("root").as("old")), Seq("doc_id"))
-        .filter(col("root") =!= col("old"))
-        .isEmpty
-      cur = next
+          .select(col("a.doc_id"), col("r_root").as("root"),
+            (col("a.root") =!= col("r_root")).as("chg")))
+      converged = next.filter(col("chg")).isEmpty
+      cur = next.drop("chg")
       rounds += 1
     }
     require(converged, "dupResolve: dup_of chains did not converge in " +
@@ -861,6 +864,42 @@ object MediaHash {
     while (i < Bits) {
       if (Bits * bins(i) > cnt) bands(i / 16) |= 1L << (i % 16)
       i += 1
+    }
+    bands
+  }
+
+  /** The same fold over a raw byte array — the hot-path spelling the
+    * batch kernel and the streaming gate run (r21): an unboxed while
+    * loop with a ROLLING window hash (drop the outgoing byte's
+    * 131^(W−1) term, shift, add the incoming byte — exact modular
+    * algebra, 2 mult-mods per byte instead of re-running the W-term
+    * Horner per window) in place of the boxed Iterator[Int] walk.
+    * Value-identical to [[ghashBands(vals:Iterator[Int])*]] by the
+    * same residue arithmetic (both reduce each window to
+    * Σ b_k·131^(W−1−k) mod P); spec-pinned equal on every corpus
+    * asset plus the short/empty edge cases. The Iterator spelling
+    * stays for the recall gate's TRANSFORMED value streams. */
+  private[graft] def ghashBands(bytes: Array[Byte]): Array[Long] = {
+    val P = graft.functions.SketchFunctions.PolyP
+    var cOut = 1L // 131^(GramW-1) mod P — weight of the outgoing byte
+    var t = 0
+    while (t < GramW - 1) { cOut = cOut * 131 % P; t += 1 }
+    val bins = new Array[Long](Bits)
+    var cnt = 0L
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      if (i >= GramW)
+        h = (h + P - (bytes(i - GramW) & 0xff) * cOut % P) % P
+      h = (h * 131 + (bytes(i) & 0xff)) % P
+      if (i >= GramW - 1) { bins((h % Bits).toInt) += 1; cnt += 1 }
+      i += 1
+    }
+    val bands = new Array[Long](Bands)
+    var j = 0
+    while (j < Bits) {
+      if (Bits * bins(j) > cnt) bands(j / 16) |= 1L << (j % 16)
+      j += 1
     }
     bands
   }
@@ -1084,7 +1123,7 @@ object MediaHash {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val bands = ghashBands(bytes.iterator.map(_ & 0xff))
+          val bands = ghashBands(bytes)
           (id, bands(0), bands(1), bands(2), bands(3))
         }
       }.toDF("doc_id", "b0", "b1", "b2", "b3")
@@ -1229,7 +1268,10 @@ object MediaHash {
     * headliner: it composes the two already-benched detector joins
     * (#180/#207) and would double-count their cost. */
   def mediaDedupUnion(spark: SparkSession, dir: String): DataFrame = {
-    val g = gAssets(spark, dir)
+    // r21: pin the crop-twin corpus so the two folds read one
+    // materialization instead of each re-running the documents
+    // self-join (the MediaPipeline stage-0 rationale)
+    val g = graft.Checkpoints.pin(gAssets(spark, dir))
     val ap = dedupFromHashes(graft.Checkpoints.pin(ahashKernel(g)))
       .select("doc_a", "doc_b").withColumn("in_ahash", lit(1))
     val gp = dedupFromHashes(graft.Checkpoints.pin(ghashKernel(g)))

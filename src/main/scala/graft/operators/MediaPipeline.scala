@@ -87,7 +87,12 @@ object MediaPipeline {
   private[graft] def pipelineFrames(spark: SparkSession,
                                     dir: String): Frames = {
     import spark.implicits._
-    val input = MediaHash.gAssets(spark, dir)
+    // r21: the crop-twin corpus is a documents SELF-JOIN; unpinned it
+    // re-ran once per consumer (aHash fold, gHash fold, the stage-1
+    // keeper join, the audit's input row — four corpus joins). Pinned,
+    // every consumer reads the one materialization — the stage-frame
+    // discipline applied to stage 0 itself.
+    val input = graft.Checkpoints.pin(MediaHash.gAssets(spark, dir))
 
     // stage 1: cluster-canonical keepers — the #187 kernel over the
     // UNION of both modalities' pair graphs (round 20): both folds

@@ -80,7 +80,7 @@ object MediaPipelineStream {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           val hash = MediaHash.ahashBands(bytes) ++
-            MediaHash.ghashBands(bytes.iterator.map(_ & 0xff))
+            MediaHash.ghashBands(bytes)
           hash.iterator.zipWithIndex.map { case (v, b) =>
             AssetRow(id, b, v, hash, bytes)
           }

@@ -483,6 +483,23 @@ class MediaHashSpec extends SparkSpec {
     }
   }
 
+  test("ghashBands array overload (rolling hash, r21) equals the iterator fold byte-for-byte") {
+    // the hot-path spelling drops the outgoing byte's 131^(W-1) term
+    // instead of re-running the W-term Horner per window; prove the
+    // modular algebra identical on edge lengths, random content, and
+    // high bytes (sign-extension trap: bytes ≥ 0x80)
+    val rng = new scala.util.Random(21)
+    val cases: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray, Array[Byte](1), Array[Byte](1, 2, 3),
+        Array[Byte](0, 0, 0, 0), Array.fill(64)(0xff.toByte)) ++
+        (1 to 20).map(n => Array.fill(rng.nextInt(400) + 1)(rng.nextInt(256).toByte))
+    cases.foreach { b =>
+      assert(operators.MediaHash.ghashBands(b).toSeq ==
+        operators.MediaHash.ghashBands(b.iterator.map(_ & 0xff)).toSeq,
+        s"mismatch on len=${b.length}")
+    }
+  }
+
   test("media_ghash_dedup equals the brute-force pair set; planted crop AND re-encode twins caught") {
     val P = functions.SketchFunctions.PolyP
     def ghashOf(bytes: Array[Byte]): Array[Long] = {
