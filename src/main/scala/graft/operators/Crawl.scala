@@ -250,7 +250,15 @@ object Crawl {
     * bottom-tier domain keeps under the same flood. Scale shape: the
     * corpus-scale work is #194's own stages (shared pipelineFrames);
     * the report adds one broadcast budget join + a domain-partitioned
-    * ROW_NUMBER + a #domains-row aggregate. */
+    * ROW_NUMBER + a #domains-row aggregate.
+    *
+    * Report scope (ADVICE r20, documented rather than changed): the
+    * budget join is INNER, so an admitted domain absent from the
+    * webgraph rank table is out of report scope by design — stage 4
+    * drops unranked domains from scheduling anyway, so they have no
+    * politeness budget to report against. The STREAMING gate's
+    * defaultQuota fallback covers the different live-traffic concern
+    * (an unranked flooder must still be capped at admission time). */
   def crawlQuotaTiers(spark: SparkSession, dir: String): DataFrame = {
     val f = pipelineFrames(spark, dir)
     // r21: reuse the rank table pipelineFrames already trained — the

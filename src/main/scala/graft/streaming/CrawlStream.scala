@@ -442,7 +442,10 @@ object CrawlStream {
           var used = state.getOption.getOrElse(0L)
           val out = sorted.map { r =>
             val verdict =
-              if (r.arrival_ts.getTime < wm) "late"
+              // at-or-below the watermark is late (r21, ADVICE r20):
+              // the documented semantics — a boundary row (ts == wm)
+              // must not spend budget or resurrect evicted state
+              if (r.arrival_ts.getTime <= wm) "late"
               else if (r.verdict != "admitted") r.verdict
               else if (used < quota) { used += 1; r.verdict }
               else "over_quota"
@@ -454,7 +457,7 @@ object CrawlStream {
           // still ahead of the watermark, i.e. the window is open):
           // an all-late group must not resurrect an evicted window's
           // counter — it would linger as an un-evictable state row
-          val anyLive = sorted.exists(_.arrival_ts.getTime >= wm)
+          val anyLive = sorted.exists(_.arrival_ts.getTime > wm)
           if (anyLive || state.exists) {
             state.update(used)
             // evict when the watermark crosses the window end; a late
@@ -492,6 +495,19 @@ object CrawlStream {
       .start()
   }
 
+  /** The frozen per-domain budget table as a driver map — #216's
+    * rank-tiered quotas (NTILE over the webgraph snapshot's rank
+    * table, quota = base << tier-depth) in the form the streaming
+    * gate consumes. Model-bounded driver materialization: one
+    * (domain, long) pair per RANKED DOMAIN — the frozenCentroids /
+    * ivfProbes precedent, never corpus rows. */
+  def tierBudgets(spark: SparkSession, dir: String): Map[String, Long] =
+    graft.operators.Crawl.tierQuotas(
+        graft.operators.Crawl.domainRanks(spark, dir),
+        graft.operators.Crawl.TieredBaseQuota)
+      .select("domain", "quota").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** #210 as a CHAINED query (VERDICT r19 #3 — the [[quotaQuery]]
     * shape over [[quotaVerdictsEpoch]], slotting between
     * [[admissionQuery]] and [[scheduleQuery]] through storage): reads
@@ -507,19 +523,6 @@ object CrawlStream {
     * [[scheduleQuery]] chains off it unchanged (its schema read
     * simply ignores the extra column) and only within-quota
     * admissions ever reach a fetch list. */
-  /** The frozen per-domain budget table as a driver map — #216's
-    * rank-tiered quotas (NTILE over the webgraph snapshot's rank
-    * table, quota = base << tier-depth) in the form the streaming
-    * gate consumes. Model-bounded driver materialization: one
-    * (domain, long) pair per RANKED DOMAIN — the frozenCentroids /
-    * ivfProbes precedent, never corpus rows. */
-  def tierBudgets(spark: SparkSession, dir: String): Map[String, Long] =
-    graft.operators.Crawl.tierQuotas(
-        graft.operators.Crawl.domainRanks(spark, dir),
-        graft.operators.Crawl.TieredBaseQuota)
-      .select("domain", "quota").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-
   def epochQuotaQuery(spark: SparkSession, verdictDir: String,
                       checkpointDir: String, outDir: String,
                       quota: Long = DomainQuota,
@@ -527,6 +530,13 @@ object CrawlStream {
                       budgets: Map[String, Long] = Map.empty)
       : StreamingQuery = {
     import spark.implicits._
+    // the +1 s arrival-clock offset below must stay INSIDE increment
+    // 0's window; at epochSecs == 1 it would land every row in the
+    // NEXT window and silently break epoch_id = batch_id = cycle
+    // parity (ADVICE r20)
+    require(epochSecs > 1L,
+      s"epochQuotaQuery: epochSecs must be > 1 (got $epochSecs) — the +1s " +
+        "in-window arrival offset requires windows longer than one second")
     quotaVerdictsEpochBudgets(
       spark.readStream.schema(verdictSchema).parquet(verdictDir)
         // +1 s inside the window: increment 0 must sit ABOVE the

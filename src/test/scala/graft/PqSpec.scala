@@ -385,15 +385,24 @@ class PqSpec extends SparkSpec {
     val polls =
       new java.util.concurrent.ConcurrentLinkedQueue[Option[Seq[Seq[Any]]]]()
     @volatile var stop = false
+    val firstPoll = new java.util.concurrent.CountDownLatch(1)
     val reader = new Thread(() => {
       while (!stop) {
         polls.add(serveRows())
+        firstPoll.countDown()
         Thread.sleep(50)
       }
     })
     reader.start()
-    try ix.buildIvfPq(spark, sf, out, ix.FreshnessCutoff)
-    finally { stop = true; reader.join() }
+    // gate the build on the reader's FIRST poll (ADVICE r20): a fast
+    // build or a slow thread start otherwise races the 50 ms cadence
+    // and the exists(_.isEmpty) leg below flakes — with the latch, at
+    // least one poll deterministically lands before the marker exists
+    try {
+      assert(firstPoll.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "reader thread never polled")
+      ix.buildIvfPq(spark, sf, out, ix.FreshnessCutoff)
+    } finally { stop = true; reader.join() }
     val snapshot = serveRows().get // the published snapshot truth
     assert(snapshot.nonEmpty)
     val outcomes = polls.toArray(Array.empty[Option[Seq[Seq[Any]]]])
