@@ -254,6 +254,23 @@ object Bpe {
   // #128 text_bpe_tokens — tokenize the corpus with the learned merges
   // ---------------------------------------------------------------------
 
+  /** BPE token count of a NORMALIZED text column under the learned
+    * merges, as one codegen'd expression (marker count = token count:
+    * every token carries exactly one '_', minus the n_words−1 '|'
+    * guard tokens). Factored out (r21) so the corpus pipeline can
+    * encode only its SURVIVOR set's `norm` column in place instead of
+    * re-scanning and encoding the whole corpus and joining back. */
+  private[operators] def bpeTokensOf(norm: Column,
+                                     merges: Seq[(String, Long)]): Column = {
+    val s0 = markedChars(call_function("replace", norm, lit(" "), lit("|")))
+    val sFinal = merges.foldLeft(s0) { case (c, (pair, _)) =>
+      call_function("replace", c, lit(mergePattern(pair)), lit(mergeResult(pair)))
+    }
+    (length(sFinal)
+      - length(call_function("replace", sFinal, lit("_"), lit("")))
+      - (size(split(norm, " ")) - 1))
+  }
+
   /** Per-doc token accounting frame (doc_id, source, n_words,
     * n_chars, n_tokens) — the shared scan behind #128 and the
     * token-budget allocator (#129 in Corpus). Map-only. */
@@ -262,12 +279,6 @@ object Bpe {
     val d = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         normText(col("text")).as("norm"))
-    val s0 = markedChars(call_function("replace", col("norm"), lit(" "), lit("|")))
-    val sFinal = merges.foldLeft(s0) { case (c, (pair, _)) =>
-      call_function("replace", c, lit(mergePattern(pair)), lit(mergeResult(pair)))
-    }
-    // marker count = token count (every token carries exactly one '_'),
-    // minus the n_words-1 '|' guard tokens
     d.select(
       col("doc_id"),
       col("source"),
@@ -275,10 +286,7 @@ object Bpe {
       size(split(col("norm"), " ")).as("n_words"),
       length(call_function("replace", col("norm"), lit(" "), lit("")))
         .as("n_chars"),
-      (length(sFinal)
-        - length(call_function("replace", sFinal, lit("_"), lit("")))
-        - (size(split(col("norm"), " ")) - 1))
-        .as("n_tokens"))
+      bpeTokensOf(col("norm"), merges).as("n_tokens"))
   }
 
   def bpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -2001,13 +2001,20 @@ object Corpus {
     * sequential exactly like #76. */
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     val f = pipelineFrames(spark, dir)
+    // the frozen tokenizer trains on the FULL corpus (it is an
+    // upstream artifact), but only SURVIVORS need encoding: the merge
+    // chain applies to s5's own carried `norm` in place (r21) — the
+    // former tokenFrame join re-scanned and encoded every corpus doc
+    // to feed a few-hundred-row join
+    val merges = Bpe.trainedMergePairs(spark, dir)
     // stages 6+7+8: seeded shuffle orders each source's fold; greedy
     // pack to the cap; bins report frozen-tokenizer BPE totals
     val packed = f.s5
       .withColumn("skey",
         ((col("doc_id") + ShuffleSeed) % ShuffleP) * ShuffleA % ShuffleP)
       .withColumn("t", size(split(col("norm"), " ")).cast("long"))
-      .join(f.bpe, "doc_id")
+      .withColumn("bpe_tokens",
+        Bpe.bpeTokensOf(col("norm"), merges).cast("long"))
       .groupBy("source")
       .agg(array_sort(collect_list(struct(col("skey"), col("doc_id"),
         col("t"), col("bpe_tokens")))).as("rs"))
@@ -2075,14 +2082,16 @@ object Corpus {
     * its stage, pinned where ≥2 consumers read it. */
   private[graft] final case class PipelineFrames(
       train: DataFrame, s0: DataFrame, q: DataFrame, c: DataFrame,
-      s2: DataFrame, s3: DataFrame, s4: DataFrame, s5: DataFrame,
-      bpe: DataFrame)
+      s2: DataFrame, s3: DataFrame, s4: DataFrame, s5: DataFrame)
 
   private[graft] def pipelineFrames(
       spark: SparkSession, dir: String): PipelineFrames = {
     val tf = graft.functions.TextFunctions
-    val bpe = Bpe.tokenFrame(spark, dir)
-      .select(col("doc_id"), col("n_tokens").cast("long").as("bpe_tokens"))
+    // r21: the frozen-tokenizer frame moved OUT of the shared stage
+    // frames — tokenizer training is eager (a driver-side greedy loop
+    // over the collected vocabulary), and the audit/stream consumers
+    // of these frames never read it; corpusPipeline trains the merges
+    // itself and encodes its survivor set in place.
 
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
@@ -2171,7 +2180,7 @@ object Corpus {
 
     PipelineFrames(train.select("doc_id", "lang", "source", "norm"),
       s0.select("doc_id", "lang", "source", "norm"),
-      q, c, s2, s3, s4, s5, bpe)
+      q, c, s2, s3, s4, s5)
   }
 
   /** #154 corpus_pipeline_audit — the per-stage attrition report of

@@ -492,8 +492,11 @@ object Crawl {
         bits.unionByName(
           pos.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
             .select("j", "pos")).distinct())
-      doms = graft.Checkpoints.pin(
-        doms.unionByName(admitted.select("domain")).distinct())
+      // doms stays LAZY (r21): each cycle's admitted frame is pinned,
+      // so the accumulated domain set is a shallow distinct-union over
+      // ≤ NumCycles pinned frames — materializing the #domains-row
+      // frame cost one eager job per cycle for nothing
+      doms = doms.unionByName(admitted.select("domain")).distinct()
       bits = bitsAfter
       CycleFrames(batch, admitted, kept, overQuota, s5, newDom, bitsAfter)
     }

@@ -1132,6 +1132,12 @@ object Similarity {
                                             codewords: Int = PqCodewords)
       : IvfPqArtifacts = {
     val cents = kmeansCentroidsFrom(v)
+    // assigned/rsv stay LAZY deliberately (re-measured r21): pinning
+    // them removed the repeated assign→residual→explode recompute but
+    // cost two sequential checkpoint jobs, and the in-query build
+    // measured ~20% SLOWER under a controlled A/B — the same result
+    // the r12 codes-persist experiment recorded. The build-once path
+    // (AnnIndex) materializes these as parquet artifacts instead.
     val assigned = assignTo(v, cents) // (vec_id, cid, q, nn)
     val rsv = residualSubVectors(assigned, cents)
     val cw = pqCodebooksFrom(rsv, codewords = codewords) // residual codebooks
