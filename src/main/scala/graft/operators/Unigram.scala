@@ -78,8 +78,17 @@ object Unigram {
     val multi = subs.filter(length(col("piece")) > 1)
       .orderBy(col("c").desc, col("piece")).limit(SubK)
     val kept = chars.unionAll(multi)
-    val n = kept.agg(sum("c").as("n_total"))
-    kept.crossJoin(broadcast(n))
+    // n_total as an unpartitioned window over the MODEL-sized kept
+    // frame (≤ chars + SubK rows — the waterFill/NTILE precedent),
+    // r21: the former scalar-aggregate + crossJoin made `kept` a
+    // two-consumer frame, so the whole substring-explode aggregation
+    // chain above ran TWICE per evaluation (once for the total, once
+    // for the output rows)
+    kept
+      .withColumn("n_total", sum("c").over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(col("piece"), col("c"),
         (expr(tf.log2fpExpr("n_total")) - expr(tf.log2fpExpr("c")))
           .as("cost_q10"))
@@ -329,20 +338,28 @@ object Unigram {
       .select(col("piece"),
         greatest(coalesce(col("c"), lit(0L)), lit(1L)).as("c"))
     val mc = counts.filter(length(col("piece")) > 1)
-    val nMulti = mc.agg(count(lit(1)).as("nm"))
     // model-sized global window (≤ SubK rows) — the same single-
-    // partition sort pieceCosts' top-SubK limit already does
+    // partition sort pieceCosts' top-SubK limit already does. r21:
+    // the multi-piece count rides the SAME window pass (count over
+    // the whole frame) instead of a separate scalar aggregate +
+    // crossJoin whose subplan re-ran the DP/back-walk counts chain.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val multi = mc
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("piece"))))
-      .crossJoin(broadcast(nMulti))
+      .withColumn("nm", count(lit(1)).over(wAll))
       .filter(col("rk") <=
         expr(s"greatest(nm * $EmKeepNum div $EmKeepDen, 1L)"))
       .select("piece", "c")
     val kept = chars.unionByName(multi)
-    val tot = kept.agg(sum("c").as("n_total"))
-    kept.crossJoin(broadcast(tot))
+    // n_total as a window over the model-sized kept frame — the
+    // scalar-aggregate + crossJoin spelling evaluated the whole
+    // segmentation chain TWICE per round (see pieceCosts, r21)
+    kept
+      .withColumn("n_total", sum("c").over(wAll))
       .select(col("piece"), col("c"),
         (expr(tf.log2fpExpr("n_total")) - expr(tf.log2fpExpr("c")))
           .as("cost_q10"))

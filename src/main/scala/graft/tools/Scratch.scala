@@ -1,6 +1,7 @@
 package graft.tools
 
-import graft.{GraftSession, Tables}
+import graft.GraftSession
+import graft.operators.{MediaHash, MediaPipeline, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Disposable micro-timing harness for optimization-round experiments.
@@ -9,6 +10,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.create()
+    import spark.implicits._
     def t[A](label: String)(f: => A): A = {
       val s = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - s) / 1e9}%.3f s")
@@ -16,38 +18,32 @@ object Scratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val L = 25
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.normText(col("text")).as("t"))
-      .filter(length(col("t")) >= L)
-    t("warm docs")(noop(docs))
-    t("docs noop")(noop(docs))
-    val reps = docs.repartition(nPart, col("t")).groupBy("t")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("gs"))
-      .repartition(nPart, col("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t("reps build+count")(println("reps=" + reps.count()))
-    val wins = reps
-      .select(col("rep"), col("gs"),
-        explode(expr(s"sequence(1, length(t) - $L + 1)")).as("pos"),
-        col("t"))
-      .select(col("rep"), col("gs"), col("pos").cast("long").as("pos"),
-        expr(s"substring(t, pos, $L)").as("win"))
-    t("wins count")(println("wins=" + wins.count()))
-    t("wins explode+substr noop")(noop(wins))
-    t("wins hash only noop")(noop(
-      wins.select(xxhash64(col("win")).as("wh"), col("rep"), col("gs"))))
-    t("phaseA distinct+agg")(noop(
-      wins.select(xxhash64(col("win")).as("wh"), col("rep"), col("gs"))
-        .distinct()
-        .groupBy("wh")
-        .agg(count(lit(1)).as("ntexts"), max("gs").as("mgs"))
-        .filter(col("ntexts") >= 2 || col("mgs") >= 2)
-        .select("wh")))
-    t("full query")(noop(
-      graft.operators.Corpus.corpusExactSubstr(spark, dir)))
+
+    // warmup whole query once
+    t("warm media_pipeline")(noop(MediaPipeline.mediaPipeline(spark, dir)))
+
+    val g = t("pin gAssets")(graft.Checkpoints.pin(MediaHash.gAssets(spark, dir)))
+    val ah = t("pin ahashKernel")(graft.Checkpoints.pin(MediaHash.ahashKernel(g)))
+    val gh = t("pin ghashKernel")(graft.Checkpoints.pin(MediaHash.ghashKernel(g)))
+    val ap = MediaHash.dedupFromHashes(ah).select("doc_a", "doc_b")
+    val gp = MediaHash.dedupFromHashes(gh).select("doc_a", "doc_b")
+    t("aPairs noop")(noop(ap))
+    t("gPairs noop")(noop(gp))
+    val pairs = ap.unionByName(gp).distinct()
+    t("union distinct noop")(noop(pairs))
+    val keep = MediaHash.clustersFromPairs(g, pairs)
+      .filter(col("is_canonical") === 1).select("doc_id", "n_members")
+    t("clusters+keep noop")(noop(keep))
+    val s1 = t("pin s1")(graft.Checkpoints.pin(g.join(keep, Seq("doc_id"))))
+    val media = s1.select(col("doc_id"), lit("image").as("kind"),
+      unhex(concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+        lpad(hex((col("doc_id") * MediaPipeline.WMul % 1920 + 32).cast("int")), 8, "0"),
+        lpad(hex((col("doc_id") * MediaPipeline.HMul % 1080 + 32).cast("int")), 8, "0"),
+        lit("0806000000"))).as("bytes")).as[Multimodal.MediaRow]
+    val dims = Multimodal.decode(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+    t("decode dims noop")(noop(dims))
+    t("full media_pipeline")(noop(MediaPipeline.mediaPipeline(spark, dir)))
     spark.stop()
   }
 }
