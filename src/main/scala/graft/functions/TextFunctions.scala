@@ -388,10 +388,17 @@ object TextFunctions {
       .select(col("doc_id"), norm(col("text")).as("norm"))
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
       .filter(col("tok") =!= "")
+    // the token total rides a window over the vocabulary-sized frame
+    // (r21): the scalar-aggregate + crossJoin spelling made `vocab` a
+    // two-consumer node — the corpus token explode + vocab aggregate
+    // ran twice per evaluation (vocab is language-bounded: the same
+    // frame BPE training collects whole to the driver)
     val vocab = unigramVocab(spark, dir)
-    val total = vocab.agg(sum(col("c")).as("n_total"))
+      .withColumn("n_total", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
     toks.join(vocab, "tok")
-      .crossJoin(broadcast(total))
       .withColumn("sbits",
         expr(log2fpExpr("n_total")) - expr(log2fpExpr("c")))
       .groupBy("doc_id")

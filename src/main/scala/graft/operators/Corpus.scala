@@ -1280,9 +1280,16 @@ object Corpus {
     val d = df.withColumn("w", wCol)
     // `div`, not `/`: Column./ is double division; the oracle's `//`
     // is integer — they must floor identically
+    // the binding total t = min over the #langs-row counts frame rides
+    // an unpartitioned window (r21): the scalar-aggregate + crossJoin
+    // spelling made counts a two-consumer node, running the corpus
+    // lang aggregate twice per evaluation
     val counts = d.groupBy("lang", "w").agg(count(lit(1)).as("n"))
       .withColumn("t_l", expr("(n * 1000) div w"))
-    val quota = counts.crossJoin(broadcast(counts.agg(min("t_l").as("t"))))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val quota = counts.withColumn("t", min("t_l").over(wAll))
       .select(col("lang"), expr("(t * w) div 1000").as("kept_l"))
     d.withColumn("mix_rank",
       row_number().over(org.apache.spark.sql.expressions.Window
@@ -1362,8 +1369,15 @@ object Corpus {
       .withColumn("w",
         floor(sqrt(col("n").cast("double")) * MixTemperatureWeightScale)
           .cast("long"))
-    val tot = counts.agg(sum("w").as("big_w"), sum("n").as("n_total"))
-    val quota = counts.crossJoin(broadcast(tot))
+    // totals as window sums over the #langs-row frame (r21, the
+    // mixRankFrom rationale): the crossJoin spelling ran the corpus
+    // lang aggregate twice per evaluation
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val quota = counts
+      .withColumn("big_w", sum("w").over(wAll))
+      .withColumn("n_total", sum("n").over(wAll))
       .select(col("lang"), col("n"),
         expr(s"least(n, ((n_total * $MixTemperatureBudgetPermille div 1000) * w) div big_w)")
           .as("target_l"))
@@ -1818,14 +1832,21 @@ object Corpus {
       .withColumn("f",
         graft.functions.SketchFunctions.poly_hash(col("tok")) % B)
       .drop("tok")
+    // hash-bucket totals as window sums over the B-row feature frame
+    // (r21): the scalar-aggregate + crossJoin spelling made `feat` a
+    // two-consumer node — the corpus token explode + bucket aggregate
+    // ran twice per evaluation
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val feat = toks.groupBy("f").agg(
       count(lit(1)).as("cr"),
       count(when(col("lang") === "en", lit(1))).as("ct"))
-    val tot = feat.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .withColumn("nt", sum(col("ct")).over(wAll))
     def lg(x: String): Column =
       expr(graft.functions.TextFunctions.log2fpExpr(x))
     val scored = toks.join(broadcast(feat), "f")
-      .crossJoin(broadcast(tot))
       .withColumn("wtok",
         (lg("ct + 1") - lg(s"nt + $B")) - (lg("cr + 1") - lg(s"nr + $B")))
       .groupBy("doc_id", "lang")
