@@ -379,10 +379,15 @@ object Url {
     * engines. */
   def urlSeenBloom(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SketchFunctions.{poly_hash, PolyP}
-    val c = Tables.load(spark, dir, "documents")
+    // pinned (r21, the Crawl.pipelineFrames canonical-frame
+    // discipline): four consumers read this synth+canon map pass
+    // (history bits, exact-truth set, probe positions, the report
+    // join) — unpinned, the string-heavy canonicalization ran four
+    // times per evaluation
+    val c = graft.Checkpoints.pin(Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         expr(synthSql("spark", novelProbes = true)).as("url"))
-      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url"))
+      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url")))
     def positions(df: DataFrame): DataFrame = {
       val h = df.withColumn("hv", poly_hash(col("canon_url")))
       h.select(h.columns.map(col) :+
@@ -470,10 +475,13 @@ object Url {
     * exact FP count, not just its rate. */
   def urlBloomSized(spark: SparkSession, dir: String): DataFrame = {
     val k = BloomGeometryTable(SizedBloomTargetFpPermille)._1
-    val c = Tables.load(spark, dir, "documents")
+    // pinned (r21): five consumers — the sizing aggregate, history
+    // bits, probe positions, the exact-truth set, the report join —
+    // otherwise each re-ran the synth+canon pass (urlSeenBloom note)
+    val c = graft.Checkpoints.pin(Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         expr(synthSql("spark", novelProbes = true)).as("url"))
-      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url"))
+      .select(col("doc_id"), expr(canonSql("spark")).as("canon_url")))
     val crawled = c.filter(col("doc_id") % 7 =!= 0)
     val probes = c.filter(col("doc_id") % 7 === 0)
     val geo = crawled.agg(countDistinct("canon_url").as("n_keys"))
