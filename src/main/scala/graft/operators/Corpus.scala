@@ -1527,9 +1527,14 @@ object Corpus {
     */
   def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
     val tf = graft.functions.TextFunctions
-    val fp = Tables.load(spark, dir, "documents")
+    // pinned (r21): three consumers (per-source totals, both sides of
+    // the fingerprint self-join) re-ran the corpus md5+distinct pass
+    // when exchange reuse missed; the pinned frame is the slim
+    // DISTINCT (fingerprint, source) projection — the dedup_jaccard
+    // shingle-cache precedent
+    val fp = graft.Checkpoints.pin(Tables.load(spark, dir, "documents")
       .select(md5(tf.normText(col("text"))).as("fingerprint"), col("source"))
-      .distinct()
+      .distinct())
     val perSource = fp.groupBy("source").agg(count(lit(1)).as("texts"))
     val shared = fp.select(col("fingerprint"), col("source").as("source_a"))
       .join(fp.select(col("fingerprint"), col("source").as("source_b")),

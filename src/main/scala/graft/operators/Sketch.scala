@@ -204,11 +204,16 @@ object Sketch {
 
   def sketchHll(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val regs = hllRegistersOf(
+    // pinned (r21): the register file is sources × m rows — pinning it
+    // lets the source grid derive from the SKETCH (every source has at
+    // least one register row: the un-filtered token explode emits a
+    // token per document, empty texts included) instead of a second
+    // corpus scan, and the grid join reads the same blocks
+    val regs = graft.Checkpoints.pin(hllRegistersOf(
       Tables.load(spark, dir, "documents")
         .select(col("source"), explode(split(normText(col("text")), " ")).as("tok")),
-      "source")
-    val grid = Tables.load(spark, dir, "documents").select("source").distinct()
+      "source"))
+    val grid = regs.select("source").distinct()
       .crossJoin(broadcast(
         spark.range(HllRegisters).select(col("id").as("j"))))
     val win = Window.partitionBy("source")
