@@ -149,8 +149,18 @@ object AnnIndex {
     val a = Similarity.ivfPqArtifactsFrom(v)
     a.cents.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
     a.cw.coalesce(1).write.mode("overwrite").parquet(s"$out/codebooks")
-    a.codes.write.mode("overwrite").partitionBy("cid").parquet(s"$out/codes")
-    a.nhat.write.mode("overwrite").partitionBy("cid").parquet(s"$out/norms")
+    // cluster by list id before the partitioned write (r21, guide-§6
+    // output sizing — Iceberg's write.distribution-mode=hash move):
+    // an unclustered write emits up to one file per (shuffle
+    // partition × list), and every query-side read then pays
+    // per-file open cost the lifecycle only repairs at the first
+    // compaction. Clustered, the build emits the store's own
+    // steady-state layout — compactIvfPq's one-file-per-list — from
+    // the start.
+    a.codes.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$out/codes")
+    a.nhat.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$out/norms")
     writeParams(spark, out, "ivfpq", maxVecId,
       spark.read.parquet(s"$out/norms").count())
     markBuilt(spark, out)
