@@ -656,22 +656,27 @@ object Corpus {
     // re-derives the window explode from it (dup detection AND
     // position join-back) runs the most expensive per-row step of the
     // plan as one single task (traced: 3-6 s single-task stages,
-    // ~all of the query's wall). repartition with an EXPLICIT count
-    // (AQE coalesces a bare repartition(col) too) spreads the
-    // explode back over the executor width, and persisting the
-    // distinct-TEXT frame (1× the distinct corpus — never the L×
-    // window frame) runs the collapse once instead of once per
-    // branch; MEMORY_AND_DISK spills rather than OOMs at scale.
+    // ~all of the query's wall). Persisting the distinct-TEXT frame
+    // (1× the distinct corpus — never the L× window frame) runs the
+    // collapse once instead of once per branch; MEMORY_AND_DISK
+    // spills rather than OOMs at scale.
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // repartition BEFORE the collapse: groupBy(t) reuses the explicit
     // hash(t) exchange (no second shuffle), and a user repartition
     // with an explicit count is exempt from AQE's small-shuffle
     // coalescing — without it the collapse aggregate's whole reduce
     // side ran as ONE task (traced: ~1.0 s serialized ahead of every
-    // downstream branch, a third of the settled pass wall)
+    // downstream branch, a third of the settled pass wall). The
+    // aggregate's output INHERITS that exchange's nPart spread, so
+    // the persisted frame is already explode-ready — the former
+    // post-collapse repartition(nPart, rep) (r19, from before the
+    // pre-collapse repartition existed) re-shuffled the whole
+    // distinct text column a second time for a partitioning nothing
+    // downstream requires (r22: dropped — one corpus-scale exchange
+    // fewer; the spans window builds its own hash(rep) exchange
+    // either way).
     val reps = docs.repartition(nPart, col("t")).groupBy("t")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("gs"))
-      .repartition(nPart, col("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mem = docs.join(reps.select("t", "rep"), "t").select("doc_id", "rep")
     val wins = reps
