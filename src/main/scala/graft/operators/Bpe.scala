@@ -100,14 +100,17 @@ object Bpe {
     val vocab = Tables.load(spark, dir, "documents")
       .select(explode(split(normText(col("text")), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val types = vocab.persist().count()
-    val out =
-      if (types <= LocalVocabCap)
-        localTrain(vocab.collect().map(r => (r.getString(0), r.getLong(1))))
-      else distributedTrain(
-        vocab.select(markedChars(col("word")).as("s"), col("cnt")))
-    vocab.unpersist()
-    out
+    // ONE bounded collect decides the path AND fetches the local
+    // vocabulary (r22): ≤ cap+1 rows ever reach the driver — cap rows
+    // mean the set is COMPLETE (train on it), cap+1 means truncated
+    // (discard, take the distributed loop, which re-aggregates once).
+    // The former persist().count() + collect() spent two jobs plus a
+    // cache round-trip to learn the same thing.
+    val head = vocab.limit(LocalVocabCap + 1).collect()
+    if (head.length <= LocalVocabCap)
+      localTrain(head.map(r => (r.getString(0), r.getLong(1))))
+    else distributedTrain(
+      vocab.select(markedChars(col("word")).as("s"), col("cnt")))
   }
 
   /** Driver-side greedy loop (textbook subword-nmt over token

@@ -2175,7 +2175,15 @@ object Corpus {
       .filter(col("d_cur") === 0 || col("d_cra") === 0 ||
         col("sum_w") - col("n_toks") * col("dd_fp") + col("pd_fp") > 0)
       .select("doc_id")
-    val c = graft.Checkpoints.pin(q.join(clfKeep, Seq("doc_id"), "left_semi"))
+    // carrier semi-joins s0, not q (r22): clfKeep's ids are a subset of
+    // q's, and q's rows ARE s0's rows (a filter projects nothing), so
+    // s0 ⋉ clfKeep ≡ q ⋉ clfKeep row-for-row — while evaluating the
+    // stage-1 regex battery ONCE per pass (inside the classifier
+    // chain) instead of twice (the VERDICT-r21 tokenize/quality-scan
+    // fusion: one fewer survivor-scale quality pass per run)
+    val c = graft.Checkpoints.pin(
+      s0.select("doc_id", "lang", "source", "text", "norm")
+        .join(clfKeep, Seq("doc_id"), "left_semi"))
 
     // stage 3: keep-best exact dedup — map-side-combinable max(struct),
     // same as #124 (quality already constant within a fingerprint group)
