@@ -164,6 +164,70 @@ object VectorFunctions {
     Exprs.toColumn(EvalHitsL(Exprs.toExpression(q), Exprs.toExpression(nn),
       Exprs.toExpression(evs), num, thr))
 
+  /** Static so generated code can call it: nearest centroid over a
+    * broadcast struct-array codebook — argmin of (nn + cn − 2·q·cq)
+    * with cid tie-break, i.e. exactly `min(struct(d2, cid))` over the
+    * crossJoined rows the former shuffle-side aggregate computed, in
+    * ONE compiled pass per vector (the [[evalHits]] pattern). `ca` is
+    * an array of struct(cid BIGINT, cq ARRAY<BIGINT>, cn BIGINT); the
+    * fold's explicit lexicographic (d2, cid) comparison makes the
+    * result independent of the array's collect order. Returns null
+    * for an EMPTY codebook — callers filter, matching the zero rows a
+    * crossJoin with an empty centroid table used to produce. */
+  def nearestCid(q: ArrayData, nn: Long, ca: ArrayData): java.lang.Long = {
+    val a = q.toLongArray()
+    val n = ca.numElements()
+    var bestD2 = 0L
+    var bestCid = 0L
+    var found = false
+    var i = 0
+    while (i < n) {
+      val row = ca.getStruct(i, 3)
+      val cid = row.getLong(0)
+      val cq = row.getArray(1).toLongArray()
+      val m = math.min(a.length, cq.length)
+      var d = 0L
+      var j = 0
+      while (j < m) { d += a(j) * cq(j); j += 1 }
+      val d2 = nn + row.getLong(2) - 2L * d
+      if (!found || d2 < bestD2 || (d2 == bestD2 && cid < bestCid)) {
+        bestD2 = d2; bestCid = cid; found = true
+      }
+      i += 1
+    }
+    if (found) java.lang.Long.valueOf(bestCid) else null
+  }
+
+  /** Map-side nearest-centroid assignment (see [[nearestCid]]). */
+  case class NearestCidL(q: Expression, nn: Expression, ca: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = q
+    override def second: Expression = nn
+    override def third: Expression = ca
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      nearestCid(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+        c.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c) => {
+        val tmp = ctx.freshName("graftNearest")
+        s"""
+        java.lang.Long $tmp =
+          graft.functions.VectorFunctions$$.MODULE$$.nearestCid($a, $b, $c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+        """
+      })
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): NearestCidL =
+      copy(q = f, nn = s, ca = t)
+  }
+
+  def nearest_cid_l(q: Column, nn: Column, ca: Column): Column =
+    Exprs.toColumn(NearestCidL(Exprs.toExpression(q), Exprs.toExpression(nn),
+      Exprs.toExpression(ca)))
+
   /** Hyperplane sign matrix: sign(j, i) ⟺ (xxhash64(j, i) & 1) = 1 —
     * the EXACT values the SQL `xxhash64(j, i)` formulation derives, so
     * codes are bit-identical to the HOF version this replaces

@@ -306,16 +306,27 @@ object Similarity {
   val NProbe = 4
 
   /** Corpus vector → nearest centroid in `cents` (integer L2²; ties
-    * break on cid). The k-row centroid table broadcasts; the only
-    * shuffle is the min-struct aggregate back to one row per vector. */
-  private[operators] def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .withColumn("d2", col("nn") + col("cn") -
-        lit(2) * graft.functions.VectorFunctions.dot_l(col("q"), col("cq")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first("q").as("q"), first("nn").as("nn"))
-      .select(col("vec_id"), col("m.cid").as("cid"), col("q"), col("nn"))
+    * break on cid). The k-row centroid table collapses to ONE
+    * broadcast struct-array row and the argmin runs as a compiled
+    * per-vector fold ([[graft.functions.VectorFunctions.NearestCidL]])
+    * — assignment is a MAP over the corpus, no shuffle at all (r22;
+    * the former crossJoin + min-struct groupBy re-shuffled the whole
+    * (vec_id, q, nn) corpus once per consumer — per Lloyd iteration,
+    * per encode — for an argmin over ≤ k broadcast rows). The fold's
+    * explicit (d2, cid) lexicographic min is the exact algebra of the
+    * min(struct(d2, cid)) aggregate it replaces, independent of the
+    * collect_list order; the null filter reproduces the empty-centroid
+    * crossJoin's zero rows. */
+  private[operators] def assignTo(v: DataFrame, cents: DataFrame): DataFrame = {
+    val ca = cents
+      .agg(collect_list(struct(col("cid"), col("cq"), col("cn"))).as("ca"))
+    v.crossJoin(broadcast(ca))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .nearest_cid_l(col("q"), col("nn"), col("ca")).as("cid"),
+        col("q"), col("nn"))
+      .filter(col("cid").isNotNull)
+  }
 
   /** Lloyd iterations over the quantized corpus: assign, then replace
     * each centroid with the per-component floor-average of its
@@ -820,18 +831,23 @@ object Similarity {
       .withColumn("sn", graft.functions.VectorFunctions.norm_sq_l(col("sq")))
 
   /** Per-(vector, subspace) nearest codeword in `cw` (integer L2²,
-    * (d2, cid) tie-break). The ≤ M·K-row codebook broadcasts; the
-    * only shuffle is the min-struct aggregate back to one row per
-    * (vec_id, m). */
-  private[operators] def pqAssign(sv: DataFrame, cw: DataFrame): DataFrame =
-    sv.join(broadcast(cw), "m")
-      .withColumn("d2", col("sn") + col("cn") -
-        lit(2) * graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("cid"))).as("mm"),
-        first("sq").as("sq"), first("sn").as("sn"))
-      .select(col("vec_id"), col("m"), col("mm.cid").as("cid"),
+    * (d2, cid) tie-break). The ≤ M·K-row codebook collapses to one
+    * struct-array row PER SUBSPACE; the broadcast join on m attaches
+    * the right codebook and the argmin runs as a compiled per-row
+    * fold — no shuffle of the sub-vector frame ([[assignTo]]'s r22
+    * map-only shape, which this mirrors per m: the former min-struct
+    * groupBy re-shuffled all M·corpus sub-vector rows per training
+    * iteration and per encode). */
+  private[operators] def pqAssign(sv: DataFrame, cw: DataFrame): DataFrame = {
+    val caByM = cw.groupBy("m")
+      .agg(collect_list(struct(col("cid"), col("cq"), col("cn"))).as("ca"))
+    sv.join(broadcast(caByM), "m")
+      .select(col("vec_id"), col("m"),
+        graft.functions.VectorFunctions
+          .nearest_cid_l(col("sq"), col("sn"), col("ca")).as("cid"),
         col("sq"), col("sn"))
+      .filter(col("cid").isNotNull)
+  }
 
   /** Lloyd-trained PQ codebooks (m, cid, cq, cn): floor-average
     * updates per (m, cid, dim) — integer sums are exact in IEEE

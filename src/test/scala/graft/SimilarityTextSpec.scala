@@ -191,4 +191,47 @@ class SimilarityTextSpec extends SparkSpec {
       assert(ppm === ph * 1000 / k); assert(ippm === iph * 1000 / k)
     }
   }
+
+  test("map-side nearestCid equals the min(struct(d2, cid)) aggregate") {
+    // deterministic vectors with planted exact ties: vectors 0 and 1
+    // are equidistant from centroids 3 and 7 (identical cq), so the
+    // (d2, cid) tie-break must pick cid 3 — the aggregate's algebra
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val twin = Array.fill(8)(2L)
+    val vecs = (0L until 40L).map { i =>
+      val q = if (i == 0L) twin // planted: ties 3 vs 7 at d2 = 0
+              else Array.fill(8)((rnd.nextInt(19) - 9).toLong)
+      (i, q, q.map(x => x * x).sum)
+    }.toDF("vec_id", "q", "nn")
+    val cents = ((0L until 10L).map { c =>
+      val cq = if (c == 3L || c == 7L) twin
+               else Array.fill(8)((rnd.nextInt(19) - 9).toLong)
+      (c, cq, cq.map(x => x * x).sum)
+    }).toDF("cid", "cq", "cn")
+    val ca = cents
+      .agg(collect_list(struct(col("cid"), col("cq"), col("cn"))).as("ca"))
+    val got = vecs.crossJoin(broadcast(ca))
+      .select(col("vec_id"), functions.VectorFunctions
+        .nearest_cid_l(col("q"), col("nn"), col("ca")).as("cid"))
+      .filter(col("cid").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", col("nn") + col("cn") -
+        lit(2) * functions.VectorFunctions.dot_l(col("q"), col("cq")))
+      .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.exists(_ == 3L)) // the tie pair is reachable
+    assert(!got.values.exists(_ == 7L)) // and always resolves low
+    // empty codebook array: null cid, filtered to zero rows like the
+    // empty-centroid crossJoin the fold replaces
+    val caEmpty = cents.filter(col("cid") < 0)
+      .agg(collect_list(struct(col("cid"), col("cq"), col("cn"))).as("ca"))
+    assert(vecs.crossJoin(broadcast(caEmpty))
+      .select(functions.VectorFunctions
+        .nearest_cid_l(col("q"), col("nn"), col("ca")).as("cid"))
+      .filter(col("cid").isNotNull).count() === 0L)
+  }
 }
