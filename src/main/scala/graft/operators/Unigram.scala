@@ -132,10 +132,6 @@ object Unigram {
   private[graft] def dpExprSql: String = dpFoldSql(
     "acc -> element_at(acc, size(acc))")
 
-  /** Same fold, finishing with the WHOLE dp array — the EM back-walk
-    * needs every prefix optimum, not just the final cell. */
-  private def dpAccsSql: String = dpFoldSql("acc -> acc")
-
   private def dpFoldSql(finish: String): String = {
     val cands = (1 to MaxPieceLen).map(candSql).mkString("least(\n", ",\n", ")")
     s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
@@ -293,28 +289,48 @@ object Unigram {
   val EmKeepNum = 4L
   val EmKeepDen = 5L
 
-  private def bwMatch(l: Int): String =
-    s"""st.i - $l >= 0 AND element_at(accs, st.i - $l + 1)
-       |  + try_element_at(pm, substring(word, st.i - $l + 1, $l)) * $EncBase + 1
-       |  = element_at(accs, st.i + 1)""".stripMargin
+  /** Per-position candidate with the CHOSEN LENGTH in the low 2 bits:
+    * ((dp[i−l] + cost·EncBase + 1)) · MaxPieceLen + (l−1), where the
+    * prefix optimum is read back as `div MaxPieceLen`. `least` over
+    * the candidates then minimizes (cost, n_pieces, l)
+    * lexicographically — the same dp optimum as [[candSql]], with the
+    * SHORTEST-length tie-break the former back-walk re-derived by
+    * probing the piece map per length per position. The length bits
+    * are what the r22 walk reads instead (EM is the only consumer of
+    * the full array, so the streaming/tokenizing [[dpExprSql]] fold
+    * keeps its unannotated encoding). */
+  private def candLenSql(l: Int): String =
+    s"""CASE WHEN i - $l >= 0
+       |  THEN ((element_at(acc, i - $l + 1) div $MaxPieceLen)
+       |       + try_element_at(pm, substring(word, i - $l + 1, $l)) * $EncBase + 1)
+       |       * $MaxPieceLen + ${l - 1}
+       |  ELSE NULL END""".stripMargin
 
-  /** Viterbi BACK-WALK over the full dp array (`accs` column): from
-    * the word's end, the chosen piece at position i is the SHORTEST
-    * length whose candidate reproduces dp[i] exactly (the encoded
-    * BIGINT makes that equality tie-proof; at least one length always
-    * matches because the min came from one of them). Yields the best
-    * path's pieces — the hard-EM sufficient statistics. */
+  private def dpAccsLenSql: String = {
+    val cands = (1 to MaxPieceLen).map(candLenSql).mkString("least(\n", ",\n", ")")
+    s"""aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)),
+       |  (acc, i) -> array_append(acc, $cands),
+       |  acc -> acc)""".stripMargin
+  }
+
+  /** Viterbi BACK-WALK over the length-annotated dp array: from the
+    * word's end, the chosen piece at position i is the length the dp
+    * fold recorded in dp[i]'s low bits (= the shortest length whose
+    * candidate reproduces the optimum — `least` ties break toward
+    * smaller length because the length occupies the LOW bits, exactly
+    * the former probe-every-length walk's pick). Yields the best
+    * path's pieces — the hard-EM sufficient statistics — with three
+    * array reads per position instead of up to MaxPieceLen piece-map
+    * probes (r22). */
   private def backWalkSql: String = {
-    val branches = (1 to MaxPieceLen).map { l =>
-      s"""WHEN ${bwMatch(l)}
-         |THEN named_struct('i', st.i - $l, 'ps',
-         |  array_append(st.ps, substring(word, st.i - $l + 1, $l)))""".stripMargin
-    }.mkString("\n")
+    def len = s"(CAST(element_at(accs, st.i + 1) % $MaxPieceLen AS INT) + 1)"
     s"""aggregate(sequence(1, length(word)),
        |  named_struct('i', CAST(length(word) AS INT),
        |               'ps', CAST(array() AS ARRAY<STRING>)),
        |  (st, x) -> CASE WHEN st.i <= 0 THEN st ELSE
-       |    CASE $branches END END,
+       |    named_struct('i', st.i - $len,
+       |      'ps', array_append(st.ps,
+       |        substring(word, st.i - $len + 1, $len))) END,
        |  st -> st.ps)""".stripMargin
   }
 
@@ -330,7 +346,7 @@ object Unigram {
         .as("pm"))
     val counts = words
       .crossJoin(broadcast(pm))
-      .withColumn("accs", expr(dpAccsSql))
+      .withColumn("accs", expr(dpAccsLenSql))
       .select(col("cnt"), explode(expr(backWalkSql)).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("c"))
     val chars = inv.filter(length(col("piece")) === 1).select("piece")
