@@ -81,10 +81,22 @@ object MediaHash {
   private val srcIdSql: String =
     s"CASE WHEN doc_id % $TwinMod = $TwinRes THEN doc_id - 1 ELSE doc_id END"
 
+  /** Asset corpus (doc_id, content). The SLIM pre-join side carries
+    * the explicit executor-width spread (r22): the text join's output
+    * then inherits that width in every join regime — broadcast text
+    * probes the repartitioned base; a sort-merge join at scale reads
+    * both sides co-partitioned at the (coalesce-exempt) explicit
+    * count — so the hash kernels fold in place and the content bytes
+    * cross at most ONE exchange (the join's own, and none at all when
+    * the text side broadcasts). The former per-kernel
+    * repartition(doc_id) re-shuffled the assembled content once per
+    * fold — two extra corpus byte-moves for the union/pipeline paths
+    * that run both kernels over one pinned corpus. */
   private[graft] def assets(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val base = d.select(col("doc_id"), expr(srcIdSql).as("src_id"),
       (col("doc_id") % TwinMod === TwinRes).as("is_twin"))
+      .repartition(spark.sparkContext.defaultParallelism, col("src_id"))
     base.join(d.select(col("doc_id").as("src_id"), col("text")), Seq("src_id"))
       .select(col("doc_id"),
         when(col("is_twin"), concat(col("text"), lit("x")))
@@ -190,12 +202,12 @@ object MediaHash {
     * on every corpus asset; the DuckDB oracle keeps the hex-fold
     * spelling ([[hashCtes]]) as the independent replay.
     *
-    * The input spread keeps the [[bandsDf]] rationale: the fold is the
-    * op's whole CPU cost, so spread assets across defaultParallelism
-    * before it — a small-SF corpus arrives as one parquet split and
-    * would otherwise fold on a single core; at 100 TB the scan is
-    * already wide and the extra shuffle moves each asset's bytes
-    * exactly once. */
+    * The kernel folds IN PLACE (r22): executor-width spread is the
+    * content frame's contract — [[assets]]/[[gAssets]] carry it on
+    * their slim pre-join side — so the assembled content bytes are
+    * never re-shuffled per fold (the former repartition(doc_id) here
+    * cost one full content move per kernel, two for the union/
+    * pipeline paths that fold one pinned corpus twice). */
   /** The per-asset fold itself: bytes → 4 banded hash words. Shared
     * by the batch kernel and the streaming ingest gate
     * ([[graft.streaming.MediaHashStream.bandRows]]) so they can never
@@ -223,7 +235,6 @@ object MediaHash {
     val spark = assets.sparkSession
     import spark.implicits._
     assets
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("content").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -1085,10 +1096,12 @@ object MediaHash {
 
   private[graft] def gAssets(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
+    // slim-side width spread before the text join — see [[assets]]
     val base = d.select(col("doc_id"), expr(gSrcIdSql).as("src_id"),
       (col("doc_id") % TwinMod === TwinRes).as("is_reenc"),
       (col("doc_id") % TwinMod =!= TwinRes &&
         col("doc_id") % GTwinMod === GTwinRes).as("is_crop"))
+      .repartition(spark.sparkContext.defaultParallelism, col("src_id"))
     base.join(d.select(col("doc_id").as("src_id"), col("text")), Seq("src_id"))
       .select(col("doc_id"),
         when(col("is_reenc"), concat(col("text"), lit("x")))
@@ -1113,12 +1126,12 @@ object MediaHash {
        |)""".stripMargin
 
   /** The gHash production kernel: one mapPartitions pass per asset
-    * (the ahashKernel shape over [[ghashBands]]). */
+    * (the ahashKernel shape over [[ghashBands]], folding in place —
+    * width is the content frame's contract, see [[ahashKernel]]). */
   private[graft] def ghashKernel(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("content").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
