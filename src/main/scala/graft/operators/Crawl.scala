@@ -78,6 +78,18 @@ object Crawl {
       input: DataFrame, s1: DataFrame, s2: DataFrame, s3: DataFrame,
       s4: DataFrame, s5: DataFrame, ranks: DataFrame)
 
+  /** Canonical-URL dedup, min-doc_id keeper, as ONE sortless window
+    * pass: a row survives iff its doc_id is its canon_url group's
+    * minimum — exactly the rows the former
+    * groupBy(canon_url).agg(min) + doc_id LEFT SEMI join kept, for
+    * one exchange of the frame instead of two (plus the keeper-set
+    * broadcast/shuffle the join needed). */
+  private[graft] def minDocKeeper(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+    batch.withColumn("mnd", min("doc_id").over(w))
+      .filter(col("doc_id") === col("mnd")).drop("mnd")
+  }
+
   private[graft] def pipelineFrames(spark: SparkSession,
                                     dir: String): Frames = {
     // the canonical URL space for the WHOLE corpus — history and
@@ -99,8 +111,12 @@ object Crawl {
     // stage 1: canonical-URL dedup within the batch (min-doc_id
     // keeper). LAZY (r21): its only consumer inside the pipeline is
     // stage 2, whose own pin materializes this chain exactly once.
-    val keep = input.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
-    val s1 = input.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    // r22: the keeper is a sortless min-WINDOW filter — one exchange
+    // of the slim batch rows by canon_url — instead of the former
+    // key-aggregate + doc_id semi-join (two exchanges plus a
+    // broadcast that stops being one when the keeper set reaches
+    // history scale).
+    val s1 = minDocKeeper(input)
 
     // stage 2: the #162 rule battery on the canonical form
     val s2 = graft.Checkpoints.pin(
@@ -464,6 +480,12 @@ object Crawl {
       // materialization at every scale (r21: the pin here cost one
       // eager job per cycle for a zero-shuffle projection)
       val batch = c.filter(col("doc_id") % 7 === cid)
+      // deliberately NOT the [[minDocKeeper]] window spelling (r22):
+      // this d1 sits under a TWICE-consumed lazy subtree (the seen
+      // probe and the quota pin both evaluate r1), so the window's
+      // exchange would run twice per cycle — measured +20% on the
+      // walk, control-normalized — where the keeper semi-join
+      // re-probes a broadcast against cached blocks for ~free.
       val keep = batch.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
       val d1 = batch.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
       val r1 = d1.withColumn("verdict", expr(Url.filterVerdictSql("spark")))
