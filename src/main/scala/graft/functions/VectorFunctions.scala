@@ -228,6 +228,111 @@ object VectorFunctions {
     Exprs.toColumn(NearestCidL(Exprs.toExpression(q), Exprs.toExpression(nn),
       Exprs.toExpression(ca)))
 
+  /** Binary search of a (key1, key2)-sorted struct array for
+    * (k1, k2); returns the struct's third long, or 0 when absent —
+    * exactly the contribution an absent pair made through the inner
+    * join + SUM spelling these folds replace. */
+  private def sortedPairLookup(arr: ArrayData, k1: Long, k2: Long): Long = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val row = arr.getStruct(mid, 3)
+      var c = java.lang.Long.compare(row.getLong(0), k1)
+      if (c == 0) c = java.lang.Long.compare(row.getLong(1), k2)
+      if (c == 0) return row.getLong(2)
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    0L
+  }
+
+  /** Static so generated code can call it: the whole ADC scan for one
+    * vector in ONE compiled pass — for each query, Σ_m pdot[m, code_m]
+    * over the broadcast LUT. `cds` is the vector's code array (index =
+    * subspace m); `luts` one struct per query: (query_id, nq,
+    * pda ARRAY<STRUCT<m, cid, pdot>> sorted by (m, cid)). Long sums in
+    * subspace order — the exact adds the former (m, cid)-join +
+    * SUM(pdot) aggregate performed, without fanning every code row out
+    * to queries × M join rows and re-aggregating them per (query,
+    * vector) across an exchange. */
+  def pqAdc(cds: ArrayData, luts: ArrayData): ArrayData = {
+    val m = cds.numElements()
+    val nQ = luts.numElements()
+    val out = new Array[Any](nQ)
+    var qi = 0
+    while (qi < nQ) {
+      val q = luts.getStruct(qi, 3)
+      val pda = q.getArray(2)
+      var adot = 0L
+      var mi = 0
+      while (mi < m) {
+        adot += sortedPairLookup(pda, mi.toLong, cds.getLong(mi))
+        mi += 1
+      }
+      out(qi) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](q.getLong(0), q.getLong(1), adot))
+      qi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-vector codeword-reconstructed norm: Σ_m cn[m, code_m] over
+    * the broadcast (m, cid, cn) table — the ncode aggregate's algebra
+    * as one in-row fold. */
+  def pqCodesNorm(cds: ArrayData, cna: ArrayData): Long = {
+    var s = 0L
+    var mi = 0
+    while (mi < cds.numElements()) {
+      s += sortedPairLookup(cna, mi.toLong, cds.getLong(mi))
+      mi += 1
+    }
+    s
+  }
+
+  /** The one-pass ADC scan as an expression (codegen'd static call,
+    * the [[EvalHitsL]] pattern). */
+  case class PqAdcL(cds: Expression, luts: Expression)
+      extends BinaryExpression {
+    override def left: Expression = cds
+    override def right: Expression = luts
+    override def dataType: DataType = {
+      import org.apache.spark.sql.types._
+      ArrayType(StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("nq", LongType, nullable = false),
+        StructField("adot", LongType, nullable = false))),
+        containsNull = false)
+    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.pqAdc($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqAdcL = copy(cds = l, luts = r)
+  }
+
+  /** The reconstructed-norm fold as an expression. */
+  case class PqCodesNormL(cds: Expression, cna: Expression)
+      extends BinaryExpression {
+    override def left: Expression = cds
+    override def right: Expression = cna
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      pqCodesNorm(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.pqCodesNorm($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqCodesNormL = copy(cds = l, cna = r)
+  }
+
+  def pq_adc_l(cds: Column, luts: Column): Column =
+    Exprs.toColumn(PqAdcL(Exprs.toExpression(cds), Exprs.toExpression(luts)))
+  def pq_codes_norm_l(cds: Column, cna: Column): Column =
+    Exprs.toColumn(PqCodesNormL(Exprs.toExpression(cds), Exprs.toExpression(cna)))
+
   /** Hyperplane sign matrix: sign(j, i) ⟺ (xxhash64(j, i) & 1) = 1 —
     * the EXACT values the SQL `xxhash64(j, i)` formulation derives, so
     * codes are bit-identical to the HOF version this replaces

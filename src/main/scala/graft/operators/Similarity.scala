@@ -961,17 +961,44 @@ object Similarity {
     val v = quantized(spark, dir)
     val cw = a.cw
     val codes = a.codes
-    val ncode = a.ncode
-    val lut = subVectors(v.filter(col("vec_id") < NumQueries))
+    // r22: the ADC scan is a per-vector compiled fold over broadcast
+    // LUTs. The vector's M codes collect to ONE array row (a single
+    // slim exchange); each query's M·K sub-dot table and the
+    // codeword-norm table ride one broadcast row each; adot and the
+    // reconstructed norm come out of in-row folds (PqAdcL /
+    // PqCodesNormL — long sums in subspace order, the exact algebra
+    // of the joins they replace). The former spelling fanned every
+    // code row out queries-wide through an (m, cid) join, re-gathered
+    // the M·Q·N rows across a (query, vector) aggregate exchange, and
+    // paid a THIRD corpus-scale pass + join for the ncode aggregate —
+    // the a.ncode artifact stays (the prebuilt store's contract) but
+    // the scan no longer reads it; the fold recomputes the identical
+    // Σ cn from the codes.
+    val cds = codes.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(" +
+        "CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS cid))), p -> p.cid)")
+        .as("cds"))
+    val lutRow = subVectors(v.filter(col("vec_id") < NumQueries))
       .join(broadcast(cw), "m")
       .select(col("vec_id").as("query_id"), col("nn").as("nq"),
         col("m"), col("cid"),
         graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")).as("pdot"))
-    val adc = codes.join(broadcast(lut), Seq("m", "cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("pdot")).as("adot"), min(col("nq")).as("nq"))
-      .join(ncode, "vec_id")
+      .groupBy("query_id", "nq")
+      .agg(expr("array_sort(collect_list(struct(CAST(m AS BIGINT) AS m, " +
+        "CAST(cid AS BIGINT) AS cid, pdot)))").as("pda"))
+      .agg(collect_list(struct(col("query_id"), col("nq"), col("pda")))
+        .as("luts"))
+    val cnRow = cw.agg(expr("array_sort(collect_list(struct(" +
+      "CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS cid, cn)))").as("cna"))
+    val adc = cds.crossJoin(broadcast(lutRow)).crossJoin(broadcast(cnRow))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .pq_codes_norm_l(col("cds"), col("cna")).as("nc"),
+        explode(graft.functions.VectorFunctions
+          .pq_adc_l(col("cds"), col("luts"))).as("s"))
+      .filter(col("vec_id") =!= col("s.query_id"))
+      .select(col("s.query_id").as("query_id"), col("vec_id"),
+        col("s.adot").as("adot"), col("s.nq").as("nq"), col("nc"))
       .withColumn("acos",
         col("adot").cast("double") /
           sqrt(col("nq").cast("double") * col("nc").cast("double")))

@@ -1,7 +1,6 @@
 package graft.tools
 
-import graft.GraftSession
-import graft.operators.{MediaHash, MediaPipeline, Multimodal}
+import graft.{GraftSession, Tables}
 import org.apache.spark.sql.functions._
 
 /** Disposable micro-timing harness for optimization-round experiments.
@@ -19,31 +18,51 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup whole query once
-    t("warm media_pipeline")(noop(MediaPipeline.mediaPipeline(spark, dir)))
+    val srcIdSql =
+      s"CASE WHEN doc_id % ${graft.operators.MediaHash.TwinMod} = " +
+      s"${graft.operators.MediaHash.TwinRes} THEN doc_id - 1 ELSE doc_id END"
+    def assetsShipped = graft.operators.MediaHash.assets(spark, dir)
 
-    val g = t("pin gAssets")(graft.Checkpoints.pin(MediaHash.gAssets(spark, dir)))
-    val ah = t("pin ahashKernel")(graft.Checkpoints.pin(MediaHash.ahashKernel(g)))
-    val gh = t("pin ghashKernel")(graft.Checkpoints.pin(MediaHash.ghashKernel(g)))
-    val ap = MediaHash.dedupFromHashes(ah).select("doc_a", "doc_b")
-    val gp = MediaHash.dedupFromHashes(gh).select("doc_a", "doc_b")
-    t("aPairs noop")(noop(ap))
-    t("gPairs noop")(noop(gp))
-    val pairs = ap.unionByName(gp).distinct()
-    t("union distinct noop")(noop(pairs))
-    val keep = MediaHash.clustersFromPairs(g, pairs)
-      .filter(col("is_canonical") === 1).select("doc_id", "n_members")
-    t("clusters+keep noop")(noop(keep))
-    val s1 = t("pin s1")(graft.Checkpoints.pin(g.join(keep, Seq("doc_id"))))
-    val media = s1.select(col("doc_id"), lit("image").as("kind"),
-      unhex(concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
-        lpad(hex((col("doc_id") * MediaPipeline.WMul % 1920 + 32).cast("int")), 8, "0"),
-        lpad(hex((col("doc_id") * MediaPipeline.HMul % 1080 + 32).cast("int")), 8, "0"),
-        lit("0806000000"))).as("bytes")).as[Multimodal.MediaRow]
-    val dims = Multimodal.decode(media).toDF()
-      .select(col("doc_id"), col("width"), col("height"))
-    t("decode dims noop")(noop(dims))
-    t("full media_pipeline")(noop(MediaPipeline.mediaPipeline(spark, dir)))
+    // variant: spread the SLIM pre-join side by src_id, so the join
+    // output is already wide and the kernel needs no byte re-shuffle
+    def assetsSpread = {
+      val d = Tables.load(spark, dir, "documents")
+      val b2 = d.select(col("doc_id"),
+          expr(srcIdSql).as("src_id"),
+          (col("doc_id") % graft.operators.MediaHash.TwinMod ===
+            graft.operators.MediaHash.TwinRes).as("is_twin"))
+        .repartition(spark.sparkContext.defaultParallelism, col("src_id"))
+      b2.join(d.select(col("doc_id").as("src_id"), col("text")), Seq("src_id"))
+        .select(col("doc_id"),
+          when(col("is_twin"), concat(col("text"), lit("x")))
+            .otherwise(col("text")).as("content"))
+    }
+
+    def kernelNoRepart(assets: org.apache.spark.sql.DataFrame) = {
+      assets
+        .select(col("doc_id"), col("content").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val bands = graft.operators.MediaHash.ahashBands(bytes)
+            (id, bands(0), bands(1), bands(2), bands(3))
+          }
+        }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    }
+
+    def kernelShipped(assets: org.apache.spark.sql.DataFrame) =
+      graft.operators.MediaHash.ahashKernel(assets)
+
+    // warmups
+    noop(kernelShipped(assetsShipped)); noop(kernelNoRepart(assetsSpread))
+    for (p <- 1 to 3) {
+      t(s"A shipped  kernel(repart)+assets pass$p")(noop(kernelShipped(assetsShipped)))
+      t(s"B spread   kernel(norepart)+assetsSpread pass$p")(noop(kernelNoRepart(assetsSpread)))
+      t(s"C norepart kernel(norepart)+assetsShipped pass$p")(noop(kernelNoRepart(assetsShipped)))
+    }
+    // sanity: equal hashes
+    val a = kernelShipped(assetsShipped); val b = kernelNoRepart(assetsSpread)
+    println(s"[scratch] diff=${a.exceptAll(b).count()} + ${b.exceptAll(a).count()} (want 0+0)")
     spark.stop()
   }
 }

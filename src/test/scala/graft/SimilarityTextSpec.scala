@@ -234,4 +234,52 @@ class SimilarityTextSpec extends SparkSpec {
         .nearest_cid_l(col("q"), col("nn"), col("ca")).as("cid"))
       .filter(col("cid").isNotNull).count() === 0L)
   }
+
+  test("pqAdc/pqCodesNorm folds equal the join+aggregate ADC spelling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val M = 3; val K = 5
+    // sparse codebook: (m=2, cid=4) deliberately absent — an absent
+    // pair must contribute 0, like the inner join it replaces
+    val cw = (for (m <- 0 until M; c <- 0 until K
+                   if !(m == 2 && c == 4))
+      yield (m.toLong, c.toLong, rnd.nextInt(100).toLong))
+      .toDF("m", "cid", "cn")
+    val codes = (for (v <- 0L until 20L; m <- 0 until M)
+      yield (v, m.toLong, rnd.nextInt(K).toLong)).toDF("vec_id", "m", "cid")
+    val lut = (for (q <- 0L until 4L; m <- 0 until M; c <- 0 until K
+                    if !(m == 2 && c == 4))
+      yield (q, 1000L + q, m.toLong, c.toLong, (rnd.nextInt(200) - 100).toLong))
+      .toDF("query_id", "nq", "m", "cid", "pdot")
+    // reference: the former join + SUM spelling
+    val wantAdc = codes.join(lut, Seq("m", "cid"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pdot").as("adot")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wantNc = codes.join(cw, Seq("m", "cid"))
+      .groupBy("vec_id").agg(sum("cn").as("nc")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the folds
+    val cds = codes.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)").as("cds"))
+    val lutRow = lut.groupBy("query_id", "nq")
+      .agg(expr("array_sort(collect_list(struct(m, cid, pdot)))").as("pda"))
+      .agg(collect_list(struct(col("query_id"), col("nq"), col("pda"))).as("luts"))
+    val cnRow = cw.agg(expr("array_sort(collect_list(struct(m, cid, cn)))").as("cna"))
+    val got = cds.crossJoin(broadcast(lutRow)).crossJoin(broadcast(cnRow))
+      .select(col("vec_id"),
+        functions.VectorFunctions.pq_codes_norm_l(col("cds"), col("cna")).as("nc"),
+        explode(functions.VectorFunctions.pq_adc_l(col("cds"), col("luts"))).as("s"))
+      .select(col("vec_id"), col("nc"), col("s.query_id"), col("s.nq"), col("s.adot"))
+      .collect()
+    assert(got.length === 20 * 4)
+    got.foreach { r =>
+      val (v, nc, q, nq, adot) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nq === 1000L + q)
+      // join-spelling reference, absent pairs contributing 0
+      assert(adot === wantAdc.getOrElse((q, v), 0L), s"adot q=$q v=$v")
+      assert(nc === wantNc.getOrElse(v, 0L), s"nc v=$v")
+    }
+  }
 }
