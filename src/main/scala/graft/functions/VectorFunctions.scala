@@ -333,6 +333,144 @@ object VectorFunctions {
   def pq_codes_norm_l(cds: Column, cna: Column): Column =
     Exprs.toColumn(PqCodesNormL(Exprs.toExpression(cds), Exprs.toExpression(cna)))
 
+  /** Static so generated code can call it: the IVF-PQ ADC scan for one
+    * vector — for each query PROBING this vector's list, qcdot +
+    * Σ_m pdot[m, code_m]. `luts` carries one struct per query:
+    * (query_id, nq, prb ARRAY<STRUCT<cid, qcdot>> sorted by cid,
+    * pda ARRAY<STRUCT<m, code, pdot>> sorted by (m, code)). A query
+    * whose probe set misses `cid` emits NO row — the inner probe-join
+    * semantics; within a probed list the adds are the exact algebra of
+    * the former (query_id, m, code) join + min(qcdot) + SUM(pdot)
+    * aggregate (qcdot is constant per (query, list)). */
+  def ivfPqAdc(cds: ArrayData, cid: Long, luts: ArrayData): ArrayData = {
+    val m = cds.numElements()
+    val nQ = luts.numElements()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var qi = 0
+    while (qi < nQ) {
+      val q = luts.getStruct(qi, 4)
+      val prb = q.getArray(2)
+      // binary search the probe set for this vector's list
+      var lo = 0
+      var hi = prb.numElements() - 1
+      var hit = -1
+      while (lo <= hi && hit < 0) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Long.compare(prb.getStruct(mid, 2).getLong(0), cid)
+        if (c == 0) hit = mid
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (hit >= 0) {
+        val pda = q.getArray(3)
+        var adot = prb.getStruct(hit, 2).getLong(1)
+        var mi = 0
+        while (mi < m) {
+          adot += sortedPairLookup(pda, mi.toLong, cds.getLong(mi))
+          mi += 1
+        }
+        buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](q.getLong(0), q.getLong(1), adot))
+      }
+      qi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
+  /** Static so generated code can call it: the encode-time
+    * reconstructed norm ‖x̂‖² = max(cn_coarse + 2·Σ xdot + Σ ccn, 1)
+    * from this vector's (list, codes) against the broadcast cross
+    * table `crx` (struct(cid, m, code, xdot, ccn) sorted by the first
+    * three) and centroid-norm table `cen` (struct(cid, cn) sorted by
+    * cid) — the nhat aggregate's exact long algebra, in-row. */
+  def ivfPqNcHat(cds: ArrayData, cid: Long, crx: ArrayData,
+                 cen: ArrayData): Long = {
+    var lo = 0
+    var hi = cen.numElements() - 1
+    var cn = 0L
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val row = cen.getStruct(mid, 2)
+      val c = java.lang.Long.compare(row.getLong(0), cid)
+      if (c == 0) { cn = row.getLong(1); lo = hi + 1 }
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    var xdot2 = 0L
+    var ccn = 0L
+    var mi = 0
+    while (mi < cds.numElements()) {
+      val code = cds.getLong(mi)
+      // binary search crx for (cid, m, code)
+      var l = 0
+      var h = crx.numElements() - 1
+      while (l <= h) {
+        val mid = (l + h) >>> 1
+        val row = crx.getStruct(mid, 5)
+        var c = java.lang.Long.compare(row.getLong(0), cid)
+        if (c == 0) c = java.lang.Long.compare(row.getLong(1), mi.toLong)
+        if (c == 0) c = java.lang.Long.compare(row.getLong(2), code)
+        if (c == 0) { xdot2 += row.getLong(3); ccn += row.getLong(4); l = h + 1 }
+        else if (c < 0) l = mid + 1
+        else h = mid - 1
+      }
+      mi += 1
+    }
+    math.max(cn + 2L * xdot2 + ccn, 1L)
+  }
+
+  /** The probe-filtered IVF-PQ ADC scan as an expression. */
+  case class IvfPqAdcL(cds: Expression, cid: Expression, luts: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = cds
+    override def second: Expression = cid
+    override def third: Expression = luts
+    override def dataType: DataType = {
+      import org.apache.spark.sql.types._
+      ArrayType(StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("nq", LongType, nullable = false),
+        StructField("adot", LongType, nullable = false))),
+        containsNull = false)
+    }
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      ivfPqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+        c.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.ivfPqAdc($a, $b, $c)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): IvfPqAdcL =
+      copy(cds = f, cid = s, luts = t)
+  }
+
+  /** The reconstructed-norm fold as an expression. */
+  case class IvfPqNcHatL(cds: Expression, cid: Expression,
+                         crx: Expression, cen: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def first: Expression = cds
+    override def second: Expression = cid
+    override def third: Expression = crx
+    override def fourth: Expression = cen
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      ivfPqNcHat(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+        c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c, d) =>
+        s"graft.functions.VectorFunctions$$.MODULE$$.ivfPqNcHat($a, $b, $c, $d)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): IvfPqNcHatL =
+      copy(cds = f, cid = s, crx = t, cen = q)
+  }
+
+  def ivf_pq_adc_l(cds: Column, cid: Column, luts: Column): Column =
+    Exprs.toColumn(IvfPqAdcL(Exprs.toExpression(cds), Exprs.toExpression(cid),
+      Exprs.toExpression(luts)))
+  def ivf_pq_nc_hat_l(cds: Column, cid: Column, crx: Column, cen: Column): Column =
+    Exprs.toColumn(IvfPqNcHatL(Exprs.toExpression(cds), Exprs.toExpression(cid),
+      Exprs.toExpression(crx), Exprs.toExpression(cen)))
+
   /** Hyperplane sign matrix: sign(j, i) ⟺ (xxhash64(j, i) & 1) = 1 —
     * the EXACT values the SQL `xxhash64(j, i)` formulation derives, so
     * codes are bit-identical to the HOF version this replaces

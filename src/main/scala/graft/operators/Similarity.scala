@@ -1184,7 +1184,7 @@ object Similarity {
     val assigned = assignTo(v, cents) // (vec_id, cid, q, nn)
     val rsv = residualSubVectors(assigned, cents)
     val cw = pqCodebooksFrom(rsv, codewords = codewords) // residual codebooks
-    val (codes, nhat) = ivfPqEncode(cents, cw, assigned, rsv)
+    val (codes, nhat) = ivfPqEncode(cents, cw, assigned)
     IvfPqArtifacts(cents, cw, codes, nhat)
   }
 
@@ -1207,17 +1207,33 @@ object Similarity {
     * read_index: assignment and codes come from the frozen quantizers,
     * never a retrain). */
   private[operators] def ivfPqEncode(cents: DataFrame, cw: DataFrame,
-                                     assigned: DataFrame, rsv: DataFrame)
+                                     assigned: DataFrame)
       : (DataFrame, DataFrame) = {
-    val vecList = assigned.select(col("vec_id"), col("cid"))
     // codes carry their inverted-list id: (vec_id, cid, m, code) IS
     // the persisted layout (partitioned by cid, a probe reads only
-    // its lists' directories) and lets the ADC join probe lists
-    // without a per-vector list lookup
-    val codes = pqAssign(rsv, cw)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
-      .join(vecList, "vec_id")
-      .select(col("vec_id"), col("cid"), col("m"), col("code"))
+    // its lists' directories). r22: the list id rides the residual
+    // explode itself — the residual join already sees cid, so the
+    // codes come out keyed without the former corpus-scale
+    // codes ⋈ vecList re-join (one exchange pair fewer per encode).
+    val residK = assigned.join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(q, cq, (a, b) -> a - b)").as("q"))
+      .withColumn("nn", graft.functions.VectorFunctions.norm_sq_l(col("q")))
+    val rsvK = residK
+      .select(col("vec_id"), col("cid"), col("nn"),
+        explode(expr(s"transform(sequence(0, ${PqSub - 1}), m -> " +
+          s"named_struct('m', m, 'sq', slice(q, m * $PqSubDim + 1, $PqSubDim)))"))
+          .as("s"))
+      .select(col("vec_id"), col("cid"),
+        col("s.m").as("m"), col("s.sq").as("sq"))
+      .withColumn("sn", graft.functions.VectorFunctions.norm_sq_l(col("sq")))
+    val caByM = cw.groupBy("m")
+      .agg(collect_list(struct(col("cid"), col("cq"), col("cn"))).as("ca"))
+    val codes = rsvK.join(broadcast(caByM), "m")
+      .select(col("vec_id"), col("cid"), col("m"),
+        graft.functions.VectorFunctions
+          .nearest_cid_l(col("sq"), col("sn"), col("ca")).as("code"))
+      .filter(col("code").isNotNull)
     // reconstructed-norm sidecar: one integer per vector, encode-time
     val cross = cents.crossJoin(broadcast(cw.select(col("m"),
         col("cid").as("code"), col("cq").as("ccq"), col("cn").as("ccn"))))
@@ -1243,7 +1259,7 @@ object Similarity {
   private[operators] def ivfPqEncodeFrozen(cents: DataFrame, cw: DataFrame,
                                            v: DataFrame): (DataFrame, DataFrame) = {
     val assigned = assignTo(v, cents)
-    ivfPqEncode(cents, cw, assigned, residualSubVectors(assigned, cents))
+    ivfPqEncode(cents, cw, assigned)
   }
 
   /** Probe side of the IVF family over an arbitrary QUERY frame
@@ -1293,23 +1309,62 @@ object Similarity {
     val cents = a.cents
     val cw = a.cw
     val codes = a.codes
-    val nhat = a.nhat
     // query side: NProbe nearest lists, with dot(q, c) computed in the
-    // same centroid pass
+    // same centroid pass. r22: the probe filter, the ADC sum and the
+    // reconstructed norm all run as per-vector compiled folds over
+    // broadcast tables (the annPqQueryFrom shape, probe-filtered): the
+    // vector's M codes collect to one array row keyed by its list —
+    // a single slim exchange — and a query emits a score row iff its
+    // probe set contains that list (the inner probe-join semantics).
+    // The former spelling fanned probed code rows out per probing
+    // query, re-gathered them across a (query, vector) aggregate
+    // exchange, and paid the nhat artifact's whole encode chain plus a
+    // corpus-scale join for norms the fold recomputes in-row from the
+    // same broadcast cross table (the a.nhat artifact stays — the
+    // prebuilt store's contract — but the scan no longer reads it).
     val probes = ivfProbes(queries, cents, nProbe)
-    val lut = subVectors(queries)
-      .join(broadcast(cw), "m")
-      .select(col("vec_id").as("query_id"), col("m"),
-        col("cid").as("code"),
-        graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")).as("pdot"))
-    val adc = codes
-      .join(broadcast(probes), "cid") // only probed lists survive
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg((min(col("qcdot")) + sum(col("pdot"))).as("adot"),
-        min(col("nq")).as("nq"))
-      .join(nhat.select(col("vec_id"), col("nc_hat")), "vec_id")
+    val cdsK = codes.groupBy(col("vec_id"), col("cid").cast("long").as("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(" +
+        "CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code))), p -> p.code)")
+        .as("cds"))
+    val lutsRow = probes
+      .groupBy("query_id", "nq")
+      .agg(expr("array_sort(collect_list(struct(CAST(cid AS BIGINT) AS cid, " +
+        "qcdot)))").as("prb"))
+      .join(subVectors(queries)
+        .join(broadcast(cw), "m")
+        .select(col("vec_id").as("query_id"), col("m"),
+          col("cid").as("code"),
+          graft.functions.VectorFunctions.dot_l(col("sq"), col("cq")).as("pdot"))
+        .groupBy("query_id")
+        .agg(expr("array_sort(collect_list(struct(CAST(m AS BIGINT) AS m, " +
+          "CAST(code AS BIGINT) AS code, pdot)))").as("pda")), "query_id")
+      .agg(collect_list(struct(col("query_id"), col("nq"), col("prb"),
+        col("pda"))).as("luts"))
+    val crxRow = cents.crossJoin(broadcast(cw.select(col("m"),
+        col("cid").as("code"), col("cq").as("ccq"), col("cn").as("ccn"))))
+      .select(col("cid"), col("m"), col("code"),
+        graft.functions.VectorFunctions.dot_l(
+          expr(s"slice(cq, m * $PqSubDim + 1, $PqSubDim)"), col("ccq"))
+          .as("xdot"),
+        col("ccn"))
+      .agg(expr("array_sort(collect_list(struct(CAST(cid AS BIGINT) AS cid, " +
+        "CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code, xdot, ccn)))")
+        .as("crx"))
+    val cenRow = cents.agg(expr(
+      "array_sort(collect_list(struct(CAST(cid AS BIGINT) AS cid, cn)))")
+      .as("cen"))
+    val adc = cdsK.crossJoin(broadcast(lutsRow))
+      .crossJoin(broadcast(crxRow)).crossJoin(broadcast(cenRow))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .ivf_pq_nc_hat_l(col("cds"), col("cid"), col("crx"), col("cen"))
+          .as("nc_hat"),
+        explode(graft.functions.VectorFunctions
+          .ivf_pq_adc_l(col("cds"), col("cid"), col("luts"))).as("s"))
+      .filter(col("vec_id") =!= col("s.query_id"))
+      .select(col("s.query_id").as("query_id"), col("vec_id"),
+        col("s.adot").as("adot"), col("s.nq").as("nq"), col("nc_hat"))
       .withColumn("acos",
         col("adot").cast("double") /
           sqrt(col("nq").cast("double") * col("nc_hat").cast("double")))
