@@ -207,11 +207,16 @@ object Sketch {
     // pinned (r21): the register file is sources × m rows — pinning it
     // lets the source grid derive from the SKETCH (every source has at
     // least one register row: the un-filtered token explode emits a
-    // token per document, empty texts included) instead of a second
-    // corpus scan, and the grid join reads the same blocks
+    // token per document, empty texts included — and the coalesce
+    // makes that hold for NULL text too, r22/ADVICE r21: split of a
+    // null array explodes to nothing, which would silently drop an
+    // all-null source from the grid) instead of a second corpus scan,
+    // and the grid join reads the same blocks
     val regs = graft.Checkpoints.pin(hllRegistersOf(
       Tables.load(spark, dir, "documents")
-        .select(col("source"), explode(split(normText(col("text")), " ")).as("tok")),
+        .select(col("source"),
+          explode(split(normText(coalesce(col("text"), lit(""))), " "))
+            .as("tok")),
       "source"))
     val grid = regs.select("source").distinct()
       .crossJoin(broadcast(

@@ -31,7 +31,10 @@ object JobProfile {
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     val stageTask = mutable.LinkedHashMap.empty[Int, (String, Long, Int)]
     var enabled = false
-    spark.sparkContext.addSparkListener(new SparkListener {
+    // captured so profiling a comma-separated list can REMOVE each
+    // query's listener after its pass (ADVICE r21: N stale listeners
+    // otherwise accumulate on the bus)
+    val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (enabled) jobs.synchronized {
           val site = Option(js.properties)
@@ -48,7 +51,8 @@ object JobProfile {
           stageTask(info.stageId) = (info.name.takeWhile(_ != '\n'),
             info.taskMetrics.executorRunTime, info.numTasks)
         }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
 
     def pass(): Double = {
       val t0 = System.nanoTime()
@@ -63,6 +67,7 @@ object JobProfile {
     enabled = false
     // listener bus is async; let the last events drain
     Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
 
     println(f"== $name: warmup $w%.2f s, timed $sec%.2f s, " +
       f"jobs=${jobs.size} ==")

@@ -399,6 +399,26 @@ class CrawlStreamSpec extends SparkSpec {
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
       assert(stateRows == 1L,
         s"state rows $stateRows != 1 live window — closed epochs not evicted")
+
+      // boundary row AT the watermark (r21 semantics, ADVICE r21): the
+      // watermark stands at 210 s after window 2's arrival; a row with
+      // ts == 210 (same, still-open window) is LATE — it must not
+      // spend window 2's budget. Proof by spending: 3 live follow-ups
+      // (quota 3, one admission already used by id 21) — if the
+      // boundary row had spent budget, id 43 would read over_quota.
+      input.addData(rows(Seq(41L), "d", 210, 4))
+      q.processAllAvailable()
+      input.addData(rows(Seq(42L, 43L, 44L), "d", 260, 5))
+      q.processAllAvailable()
+      val got2 = spark.table("epoch_quota")
+        .select("doc_id", "verdict", "epoch_id").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got2.get(41L).forall(_ == ("late", 2L)),
+        s"boundary ts == wm row not late: ${got2.get(41L)}")
+      assert(got2(42L) == ("admitted", 2L))
+      assert(got2(43L) == ("admitted", 2L),
+        "boundary row spent window 2's budget")
+      assert(got2(44L) == ("over_quota", 2L))
     } finally q.stop()
   }
 
